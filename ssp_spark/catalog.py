@@ -1,0 +1,61 @@
+"""Table catalog over the driver's parquet fixtures.
+
+Normalizes schemas at load time so every operator sees clean types:
+
+- ``events.ts`` arrives as raw int64 nanoseconds (see session.py on the
+  nanosAsLong read path) and is converted to a microsecond TIMESTAMP with
+  the same truncation DuckDB applies when it reads TIMESTAMP(NANOS).
+- All other tables pass through untouched; column pruning and predicate
+  pushdown stay intact because the conversion is a projection, not an
+  action (``.explain`` still shows PushedFilters/ReadSchema on the scan).
+
+At 100 TB these would be partitioned tables behind a metastore; the
+single-parquet layout here is the driver's fixture contract
+(TESTDATA.md), so the catalog is the one place that would change.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Dimension tables small enough to broadcast at ANY scale factor (region has
+# 5 rows, nation 25 at every TPC-H scale). customer/supplier/part grow with
+# SF and must NOT be unconditionally broadcast.
+ALWAYS_BROADCAST = frozenset({"region", "nation"})
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # int64 ns -> us timestamp. Integer `div`, NOT `/`: double division
+        # loses precision at 1e18 ns and lands 1 us off the DuckDB value.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: load_table(spark, name, sf_dir) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every fixture table as a temp view for spark.sql() use."""
+    for name in TABLES:
+        load_table(spark, name, sf_dir).createOrReplaceTempView(name)

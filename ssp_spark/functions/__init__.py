@@ -1,0 +1,88 @@
+"""Column-expression function library (all JVM-side, codegen-friendly).
+
+The reference has no scalar-function library at all — users write Go
+closures (/root/reference/engine_test.go:549-573 uses strings.ToUpper,
+len, fmt.Sprintf). Here every helper is a Catalyst expression built from
+pyspark.sql.functions, so it stays inside whole-stage codegen; nothing in
+this module touches Python at row level.
+
+Cross-engine determinism: several operators (minhash, simhash,
+fingerprints) need a hash that the DuckDB oracle can reproduce bit-for-bit.
+Spark's xxhash64/hash are Spark-internal, so we derive 60-bit integers
+from md5 hex (md5 is identical everywhere): conv(substr(md5(x),1,15),16,10).
+15 hex chars = 60 bits < 2^63, no sign issues.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+import pyspark.sql.functions as F
+
+__all__ = [
+    "portable_hash64",
+    "seeded_hash64",
+    "tokens",
+    "distinct_tokens",
+    "shingles",
+    "dot",
+    "norm",
+    "cosine",
+]
+
+TOKEN_SPLIT_RE = r"\s+"  # whitespace tokenizer; identical semantics in DuckDB regexp_split_to_array
+
+
+def portable_hash64(col: Column | str) -> Column:
+    """60-bit deterministic hash reproducible in ANSI SQL (md5-hex based)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def seeded_hash64(col: Column | str, seed: int) -> Column:
+    """Seed-family variant: hash64(seed || ':' || x). Used for minhash banks."""
+    c = F.col(col) if isinstance(col, str) else col
+    return portable_hash64(F.concat(F.lit(f"{seed}:"), c))
+
+
+def tokens(text: Column | str) -> Column:
+    """array<string> of whitespace tokens, empties removed."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+def distinct_tokens(text: Column | str) -> Column:
+    return F.array_distinct(tokens(text))
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """array<string> of word n-gram shingles (space-joined), order-preserving.
+
+    Pure Catalyst: transform over an index sequence + slice/concat_ws, so
+    shingling 100 TB of documents never leaves the JVM.
+    """
+    toks = tokens(text)
+    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), n_sh)  # 1-based for slice()
+    return F.when(n_sh <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two array<numeric> columns in index order (double math).
+
+    zip_with + aggregate keeps this JVM-side; summation order is the array
+    order, matching DuckDB's list_dot_product for oracle parity.
+    """
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    prods = F.zip_with(ca, cb, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))

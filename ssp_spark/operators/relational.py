@@ -1,0 +1,117 @@
+"""Relational operators beyond plain select/filter/join.
+
+The reference has NO joins, sorts, set ops, or top-k (SURVEY.md §2.3) —
+only a hand-rolled 2-stream align pattern
+(/root/reference/engine_test.go:558-590). Everything here is the
+Spark-native surface that subsumes it, with scale notes per operator.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Deterministic per-group top-k via row_number.
+
+    Scale note: Spark plans rank<=k filters over window functions with a
+    WindowGroupLimit (partial top-k before the shuffle), so this does NOT
+    materialize full partitions at 100 TB. Callers must include a unique
+    tiebreaker in order_cols for determinism.
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """As-of join: for each left row, latest right row with
+    right_ts <= left_ts within the same ``on`` key.
+
+    Spark has no built-in as-of join; the naive form is a range self-join
+    (quadratic per key). This implementation is the union-and-carry-forward
+    pattern: tag both sides, sort within key by (ts, side), and carry the
+    most recent right values forward with last(..., ignorenulls=True).
+    Cost: ONE shuffle on the key (the window partitionBy) — linear, no
+    pairwise blow-up, safe at 100 TB as long as single keys fit a
+    partition (salt upstream if one key dominates).
+
+    Equivalent capability in the reference: the "Align" user pattern
+    (/root/reference/engine_test.go:558-590, README.md:140-205), which
+    pairs two streams in arrival order; as-of is its event-time analogue.
+    """
+    lt = left.withColumn("__t", F.col(left_ts)).withColumn("__side", F.lit(1))
+    rt = right.withColumn("__t", F.col(right_ts)).withColumn("__side", F.lit(0))
+
+    l_cols = [c for c in left.columns]
+    merged = lt.select(
+        *on,
+        "__t",
+        "__side",
+        *[F.col(c).alias(f"__l_{c}") for c in l_cols if c not in on],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_value_cols],
+    ).unionByName(
+        rt.select(
+            *on,
+            "__t",
+            "__side",
+            *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in l_cols if c not in on],
+            *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
+        )
+    )
+
+    # right rows sort before left rows at equal ts => "<=" semantics
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__t"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        *on,
+        "__t",
+        "__side",
+        *[F.col(f"__l_{c}") for c in l_cols if c not in on],
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__r_{c}")
+            for c in right_value_cols
+        ],
+    )
+    out = carried.filter(F.col("__side") == 1).select(
+        *on,
+        *[F.col(f"__l_{c}").alias(c) for c in l_cols if c not in on],
+        *[F.col(f"__r_{c}").alias(c) for c in right_value_cols],
+    )
+    if how == "inner":
+        out = out.filter(F.coalesce(*[F.col(c).isNotNull() for c in right_value_cols]))
+    return out
+
+
+def range_join_bands(
+    df: DataFrame,
+    value_col: str,
+    bands: DataFrame,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Join rows to a small bands table on lo <= value < hi.
+
+    The bands side is broadcast explicitly: Spark would otherwise plan a
+    non-equi join as BroadcastNestedLoopJoin anyway, but the hint makes the
+    intent (and the 100 TB safety: big side never shuffles) explicit.
+    """
+    cond = (F.col(value_col) >= bands[lo_col]) & (F.col(value_col) < bands[hi_col])
+    return df.join(F.broadcast(bands), cond, "left")

@@ -1,0 +1,954 @@
+"""The declared query set: every operator from SURVEY.md §2 (and the §6
+training-pipeline extensions) as a (spark_callable, oracle_sql) pair.
+
+Contract (driver): each callable takes (spark, sf_dir) and returns a
+DataFrame; oracle_sql is ANSI SQL DuckDB runs over the same parquet
+views. Column names AND types are aligned on both sides; computed floats
+are rounded identically; timestamps are exported as epoch integers so
+results are timezone-representation-free.
+
+Cross-engine determinism rules used throughout:
+- md5-derived 60-bit hashes (functions.portable_hash64) — identical hex
+  in Spark `conv(substr(md5,1,15),16,10)` and DuckDB `('0x'||...)::BIGINT`.
+- array math in index order (zip_with/aggregate vs list_dot_product) —
+  bit-identical IEEE doubles.
+- every top-k/limit carries a unique-key tiebreaker.
+- DuckDB `sum(int)` returns HUGEINT and `len()` BIGINT — oracle SQL casts
+  to match Spark's long/int output types.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ssp_spark.catalog import load_table
+from ssp_spark.functions import cosine, portable_hash64, tokens
+from ssp_spark.operators import dedup, relational, similarity, text, windows
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, SparkQuery] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# Shared DuckDB SQL fragments -------------------------------------------------
+
+# tokens / 3-gram shingles, replicating functions.tokens / functions.shingles
+_SQL_TOKS = r"SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t FROM documents"
+_SQL_SHINGLES = rf"""
+toks AS ({_SQL_TOKS}),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 0))) AS i) u
+)"""
+
+_SQL_HASH64 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# Flagship + relational core
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "word_count",
+    r"""
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS word
+          FROM documents)
+    GROUP BY word
+    """,
+)
+def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ssp's flagship (README.md:93-138 word count): tokenize -> groupBy ->
+    count. Plan: scan(text only) -> generate(explode) -> partial agg ->
+    shuffle(word) -> final agg. Map-side partial aggregation keeps the
+    shuffle at |vocab| x partitions, not |tokens| — the property that
+    makes this work on 100 TB of text."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@_q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)      AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0
+               AS sum_disc_price,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                    * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) / 1000000.0
+               AS sum_charge,
+           round(sum(l_quantity), 2) / count(*)      AS avg_qty,
+           round(sum(l_extendedprice), 2) / count(*) AS avg_price,
+           round(sum(l_discount), 2) / count(*)      AS avg_disc,
+           count(*)                                  AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: single scan, predicate pushed to parquet, partial
+    +final hash agg on a tiny key space — no plan risk at any scale.
+
+    Cross-engine float determinism: price*discount*tax products are summed
+    as EXACT integers (cents x basis points, bigint — no FP accumulation
+    order dependence), then scaled back; averages divide a cent-rounded
+    sum by the exact count. See tests/oracle_harness.py rationale.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_bp = 100 - F.round(F.col("l_discount") * 100).cast("long")
+    tax_bp = 100 + F.round(F.col("l_tax") * 100).cast("long")
+    n = F.count("*")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            (F.sum(cents * disc_bp) / 10000.0).alias("sum_disc_price"),
+            (F.sum(cents * disc_bp * tax_bp) / 1000000.0).alias("sum_charge"),
+            (F.round(F.sum("l_quantity"), 2) / n).alias("avg_qty"),
+            (F.round(F.sum("l_extendedprice"), 2) / n).alias("avg_price"),
+            (F.round(F.sum("l_discount"), 2) / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "q3_top_orders",
+    """
+    SELECT l_orderkey,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0
+               AS revenue,
+           epoch(o_orderdate)::BIGINT AS orderdate_ep
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape. customer is filtered then joined — at bench scale
+    Spark broadcast-joins it under AQE; lineitem never shuffles twice.
+    Deterministic limit: ties broken by l_orderkey."""
+    cust = load_table(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_bp = 100 - F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg((F.sum(cents * disc_bp) / 10000.0).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("timestamp").alias("_od"),
+        )
+        .select("l_orderkey", "revenue", F.unix_timestamp("_od").alias("orderdate_ep"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@_q(
+    "q5_nation_revenue",
+    """
+    SELECT n_name,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0
+               AS revenue
+    FROM region JOIN nation   ON n_regionkey = r_regionkey
+                JOIN customer ON c_nationkey = n_nationkey
+                JOIN orders   ON o_custkey   = c_custkey
+                JOIN lineitem ON l_orderkey  = o_orderkey
+                JOIN supplier ON s_suppkey   = l_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: region/nation explicitly broadcast (constant-size
+    dims at every SF, catalog.ALWAYS_BROADCAST); the big fact join chain
+    shuffles each fact table exactly once on its join key."""
+    region = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, "nation", sf_dir)
+    nr = F.broadcast(nation.join(region, nation.n_regionkey == region.r_regionkey))
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    return (
+        cust.join(nr, cust.c_nationkey == nr.n_nationkey)
+        .join(orders, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(supp, (supp.s_suppkey == li.l_suppkey) & (supp.s_nationkey == cust.c_nationkey))
+        .groupBy("n_name")
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                    * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+                )
+                / 10000.0
+            ).alias("revenue")
+        )
+    )
+
+
+@_q(
+    "top_customers_per_nation",
+    """
+    SELECT c_nationkey, c_custkey, c_name, c_acctbal, rn FROM (
+      SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+             CAST(row_number() OVER (PARTITION BY c_nationkey
+                                     ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rn
+      FROM customer)
+    WHERE rn <= 3
+    """,
+)
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OVER-window top-k (SURVEY §2.3 sorts/limits/top-k). Spark plans
+    rank<=k as WindowGroupLimit: partial top-k before the shuffle, so
+    full partitions are never materialized."""
+    cust = load_table(spark, "customer", sf_dir)
+    return relational.top_k_per_group(
+        cust.select("c_nationkey", "c_custkey", "c_name", "c_acctbal"),
+        ["c_nationkey"],
+        [F.col("c_acctbal").desc(), F.col("c_custkey")],
+        3,
+    )
+
+
+@_q(
+    "running_user_spend",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_spend,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_n
+    FROM events
+    """,
+)
+def running_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch replay of ssp's update-mode emission (NewStatefulNode emits
+    every prefix state — /root/reference/engine_test.go:123-155): one row
+    per event carrying the per-user running sum/count."""
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("run_spend"),
+        F.count("*").over(w).alias("run_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows (ssp O13/O15 analogues)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "sliding_window_counts",
+    """
+    SELECT ws, ws + 300 AS we, event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+    FROM (
+      SELECT ((epoch_us(ts) // 120000000) - k.k) * 120 AS ws, epoch_us(ts) AS eus, event_type, value
+      FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) k
+    )
+    WHERE eus < ws * 1000000 + 300000000
+    GROUP BY ws, event_type
+    """,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ssp NewWindowedNode sliding window (window.go:83-111): size 300s,
+    slide 120s, keyed by event_type. Native F.window -> single shuffle."""
+    ev = load_table(spark, "events", sf_dir)
+    return windows.sliding(
+        ev,
+        "ts",
+        "300 seconds",
+        "120 seconds",
+        {"cnt": F.count("*"), "sum_value": F.round(F.sum("value"), 2)},
+        ["event_type"],
+    )
+
+
+@_q(
+    "tumbling_hourly_stats",
+    """
+    SELECT ws, ws + 3600 AS we, count(*) AS cnt,
+           round(sum(value), 2) AS sum_value,
+           round(sum(value), 2) / count(*) AS avg_value
+    FROM (SELECT (epoch_us(ts) // 3600000000) * 3600 AS ws, value FROM events)
+    GROUP BY ws
+    """,
+)
+def tumbling_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ssp tumbling window (window_test.go:154-230 analogue), 1 h."""
+    ev = load_table(spark, "events", sf_dir)
+    return windows.tumbling(
+        ev,
+        "ts",
+        "1 hour",
+        {
+            "cnt": F.count("*"),
+            "sum_value": F.round(F.sum("value"), 2),
+            # cent-rounded sum / exact count: bit-identical across engines
+            # (a raw avg() diverges in FP summation order)
+            "avg_value": F.round(F.sum("value"), 2) / F.count("*"),
+        },
+    )
+
+
+@_q(
+    "session_windows",
+    """
+    WITH marked AS (
+      SELECT user_id, epoch_us(ts) AS t, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= 1800000000 THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), islands AS (
+      SELECT user_id, t, value,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      FROM marked
+    )
+    SELECT min(t) AS session_start_us, user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM islands GROUP BY user_id, sid
+    """,
+)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows, 30 min gap, per user (native session_window;
+    oracle = gaps-and-islands SQL). Not in the reference (§2.3)."""
+    ev = load_table(spark, "events", sf_dir)
+    return windows.session(
+        ev,
+        "ts",
+        "30 minutes",
+        {"n_events": F.count("*"), "sum_value": F.round(F.sum("value"), 2)},
+        ["user_id"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins: semi / anti / range / as-of  (SURVEY §2.3 Joins)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "semi_join_open_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    """,
+)
+def semi_join_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "O")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_q(
+    "anti_join_inactive_customers",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_q(
+    "range_join_value_bands",
+    """
+    SELECT band, count(*) AS cnt, round(sum(value), 2) AS sum_value
+    FROM events
+    JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 120.0),
+                 ('high', 120.0, 250.0), ('xhigh', 250.0, 1000000.0)) b(band, lo, hi)
+      ON value >= lo AND value < hi
+    GROUP BY band
+    """,
+)
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range join against a literal bands table — planned as
+    BroadcastNestedLoopJoin with the 4-row side broadcast: the fact side
+    streams, never shuffles (operators.relational.range_join_bands)."""
+    ev = load_table(spark, "events", sf_dir)
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 120.0), ("high", 120.0, 250.0), ("xhigh", 250.0, 1e6)],
+        ["band", "lo", "hi"],
+    )
+    return (
+        relational.range_join_bands(ev, "value", bands)
+        .filter(F.col("band").isNotNull())
+        .groupBy("band")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@_q(
+    "asof_join_purchase_signup",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t, event_type
+      FROM events WHERE event_type IN ('signup', 'purchase')
+    ), carried AS (
+      SELECT user_id, event_id, t, event_type,
+             max(CASE WHEN event_type = 'signup' THEN t END)
+               OVER (PARTITION BY user_id
+                     ORDER BY t, CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_us
+      FROM ev
+    )
+    SELECT event_id, user_id, signup_us
+    FROM carried WHERE event_type = 'purchase' AND signup_us IS NOT NULL
+    """,
+)
+def asof_join_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (event-time analogue of ssp's Align pattern,
+    engine_test.go:558-590): each purchase matched to the user's latest
+    signup at-or-before it. Union+carry-forward — ONE shuffle on user_id,
+    no pairwise blow-up (operators.relational.asof_join)."""
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id", "ts", F.unix_micros("ts").alias("signup_us"))
+    )
+    return relational.asof_join(
+        purchases,
+        signups,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["signup_us"],
+        how="inner",
+    ).select("event_id", "user_id", "signup_us")
+
+
+# ---------------------------------------------------------------------------
+# Set ops / rollup / scalar-function surface
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "set_ops_users",
+    """
+    (SELECT user_id FROM events WHERE event_type = 'purchase'
+     GROUP BY user_id HAVING count(*) > 10
+     INTERSECT
+     SELECT user_id FROM events WHERE event_type = 'error'
+     GROUP BY user_id HAVING count(*) > 10)
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'click'
+    GROUP BY user_id HAVING count(*) > 15
+    """,
+)
+def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT surface (§2.3 set ops). Thresholded user sets so
+    the result stays non-degenerate at every scale factor."""
+    ev = load_table(spark, "events", sf_dir)
+
+    def users(t: str, min_n: int) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == t)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > min_n)
+            .select("user_id")
+        )
+
+    return users("purchase", 10).intersect(users("error", 10)).exceptAll(users("click", 15)).distinct()
+
+
+@_q(
+    "rollup_order_stats",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "cnt",
+            "total",
+        )
+    )
+
+
+@_q(
+    "json_extract_events",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           count(*) AS cnt, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY k
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar-function surface (SURVEY §2.3): get_json_object stays
+    JVM-side (Jackson), no Python."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+            "value",
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@_q(
+    "string_funcs",
+    """
+    SELECT c_custkey, upper(c_name) AS name_up, CAST(length(c_name) AS INT) AS name_len,
+           substr(c_name, 1, 8) AS name_prefix,
+           concat_ws('|', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation
+    FROM customer
+    """,
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_up"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("|", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")).alias(
+            "seg_nation"
+        ),
+    )
+
+
+@_q(
+    "date_funcs_monthly_orders",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+           count(*) AS cnt, round(sum(o_totalprice), 2) AS total,
+           round(sum(o_totalprice), 2) / count(*) AS avg_price
+    FROM orders GROUP BY yr, mo
+    """,
+)
+def date_funcs_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo"), "o_totalprice"
+        )
+        .groupBy("yr", "mo")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            (F.round(F.sum("o_totalprice"), 2) / F.count("*")).alias("avg_price"),
+        )
+    )
+
+
+@_q(
+    "cust_above_nation_avg",
+    """
+    SELECT c_custkey, c_nationkey, c_acctbal, nav AS nation_avg
+    FROM (
+      SELECT c_custkey, c_nationkey, c_acctbal,
+             round(sum(c_acctbal) OVER (PARTITION BY c_nationkey), 2)
+               / count(*) OVER (PARTITION BY c_nationkey) AS nav
+      FROM customer)
+    WHERE c_acctbal > nav
+    """,
+)
+def cust_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery capability via a window aggregate: one shuffle
+    on nationkey, no self-join."""
+    cust = load_table(spark, "customer", sf_dir)
+    w = Window.partitionBy("c_nationkey")
+    nav = F.round(F.sum("c_acctbal").over(w), 2) / F.count("*").over(w)
+    return (
+        cust.select("c_custkey", "c_nationkey", "c_acctbal", nav.alias("nav"))
+        .filter(F.col("c_acctbal") > F.col("nav"))
+        .select("c_custkey", "c_nationkey", "c_acctbal", F.col("nav").alias("nation_avg"))
+    )
+
+
+@_q(
+    "user_activity_pivot",
+    """
+    SELECT user_id, count(*) AS n_events,
+           CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+           CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT)    AS n_error,
+           CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT)   AS n_signup,
+           CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)    AS n_click,
+           CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT)     AS n_view,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase_value
+    FROM events GROUP BY user_id
+    """,
+)
+def user_activity_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregation pivot: single shuffle, map-side partials."""
+    ev = load_table(spark, "events", sf_dir)
+
+    def n(t: str) -> F.Column:
+        return F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        n("purchase"),
+        n("error"),
+        n("signup"),
+        n("click"),
+        n("view"),
+        F.round(F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)), 2).alias(
+            "purchase_value"
+        ),
+    )
+
+
+@_q(
+    "distinct_event_users",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def distinct_event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"), F.count("*").alias("n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup suite (SURVEY §7 Phase 6)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_md5, min(doc_id) AS keeper_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact(load_table(spark, "documents", sf_dir))
+
+
+@_q(
+    "dedup_jaccard_pairs",
+    f"""
+    WITH {_SQL_SHINGLES},
+    freq AS (SELECT sh, count(*) AS df_ FROM sh GROUP BY sh),
+    kept AS (SELECT s.doc_id, s.sh FROM sh s JOIN freq USING (sh) WHERE df_ <= 1000),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+      FROM kept a JOIN kept b USING (sh)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    )
+    SELECT id1, id2, round(shared / (s1.n_sh + s2.n_sh - shared), 6) AS jaccard
+    FROM pairs JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+    WHERE shared / (s1.n_sh + s2.n_sh - shared) >= 0.5
+    """,
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dup pairs via inverted-index
+    self-join (cost ~ near-dup density, not n^2). See operators.dedup."""
+    return dedup.jaccard_pairs(load_table(spark, "documents", sf_dir), threshold=0.5)
+
+
+@_q(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SQL_SHINGLES},
+    mh AS (
+      SELECT doc_id, seed,
+             min({_SQL_HASH64.format(x="seed::VARCHAR || ':' || sh")}) AS minhash
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) s
+      GROUP BY doc_id, seed
+    ),
+    banded AS (
+      SELECT doc_id, CAST(seed // 3 AS INT) AS band,
+             string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_sig
+      FROM mh GROUP BY doc_id, band
+    )
+    SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+    FROM banded a JOIN banded b USING (band, band_sig)
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(12)+LSH(4 bands x 3 rows) candidate pairs, md5-portable
+    hash family so the oracle reproduces signatures exactly."""
+    return dedup.minhash_lsh_pairs(
+        load_table(spark, "documents", sf_dir), num_hashes=12, bands=4
+    )
+
+
+@_q(
+    "dedup_simhash",
+    rf"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    h AS (SELECT doc_id, {_SQL_HASH64.format(x="tok")} AS th FROM toks),
+    votes AS (
+      SELECT doc_id, b.bit,
+             CASE WHEN ((th >> b.bit) & 1) = 1 THEN 1 ELSE -1 END AS vote
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit) b
+    ),
+    bits AS (SELECT doc_id, bit, CAST(sum(vote) AS BIGINT) AS s FROM votes GROUP BY doc_id, bit)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints (bit-vote over distinct tokens)."""
+    return dedup.simhash(load_table(spark, "documents", sf_dir))
+
+
+@_q(
+    "dedup_embedding_cosine",
+    """
+    SELECT id1, id2, cos FROM (
+      SELECT a.vec_id AS id1, b.vec_id AS id2,
+             round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos
+      FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
+    WHERE cos >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked cosine near-dup pairs (block = label); JVM array math in
+    index order, bit-identical to DuckDB's list_dot_product."""
+    return dedup.embedding_near_dup(
+        load_table(spark, "embeddings", sf_dir), threshold=0.4
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "ann_topk_bruteforce",
+    """
+    SELECT qid, nid, CAST(rank AS INT) AS rank, cos FROM (
+      SELECT q.vec_id AS qid, c.vec_id AS nid,
+             round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS cos,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                                               (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                                                sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) DESC,
+                                         c.vec_id) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id % 25 = 0)
+    WHERE rank <= 10
+    """,
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 per query (queries = vec_id % 25 == 0),
+    broadcast queries x streaming corpus + WindowGroupLimit partial
+    top-k. The exact baseline for the LSH scale path."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return similarity.brute_force_topk(queries, emb, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "lang_id",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(toks, x -> x IN ('the', 'a', 'fast', 'slow'))) AS en,
+             len(list_filter(toks, x -> x IN ('data', 'value', 'row')))     AS de,
+             len(list_filter(toks, x -> x IN ('query', 'filter', 'merge'))) AS fr
+      FROM t
+    )
+    SELECT doc_id, lang,
+           CASE WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
+                WHEN de >= fr AND de > 0 THEN 'de'
+                WHEN fr > 0 THEN 'fr'
+                ELSE 'und' END AS lang_pred
+    FROM scored
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return text.lang_id(docs).select("doc_id", "lang", "lang_pred")
+
+
+@_q(
+    "quality_score",
+    r"""
+    WITH t AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS INT) AS n_tokens,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS INT) AS total_len,
+             CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and'))) AS INT) AS n_stop
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           round(CASE WHEN n_tokens > 0 THEN total_len / n_tokens ELSE 0.0 END, 4) AS avg_token_len,
+           round(CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END, 4) AS stopword_ratio,
+           round(least(n_tokens / 200.0, 1.0) * 0.5
+                 + least((CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END) * 4, 1.0) * 0.3
+                 + least((CASE WHEN n_tokens > 0 THEN total_len / n_tokens ELSE 0.0 END) / 8.0, 1.0) * 0.2,
+                 4) AS quality
+    FROM m
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return text.quality_score(docs).select(
+        "doc_id", "n_tokens", "avg_token_len", "stopword_ratio", "quality"
+    )
+
+
+@_q(
+    "token_count",
+    r"""
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS piece_tokens
+    FROM documents
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return text.token_counts(docs).select("doc_id", "ws_tokens", "piece_tokens")
+
+
+@_q(
+    "doc_fingerprint",
+    rf"""
+    WITH n AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+               FROM documents)
+    SELECT doc_id, md5(norm) AS fp_md5, {_SQL_HASH64.format(x="norm")} AS fp64 FROM n
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return text.fingerprint(docs).select("doc_id", "fp_md5", "fp64")
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible / approximate (rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+@_q("approx_distinct_users")  # approx sketch: no exact SQL oracle by design
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users")
+    )
+
+
+@_q("ann_lsh_topk")  # approximate by construction: compared to itself only
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return similarity.lsh_topk(queries, emb, k=10)
+
+
+@_q("streaming_wordcount_replay")  # Structured Streaming: rows-only check
+def streaming_wordcount_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded streaming replay of the flagship word count: file stream ->
+    explode -> groupBy -> memory sink in complete mode, then read the
+    table back (ssp Close protocol == trigger(availableNow))."""
+    import uuid
+
+    docs_schema = load_table(spark, "documents", sf_dir).schema
+    # file stream source needs a DIRECTORY; select the one fixture file by glob
+    sdf = (
+        spark.readStream.schema(docs_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    counts = (
+        sdf.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    name = f"wc_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)

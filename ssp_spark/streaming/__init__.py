@@ -1,0 +1,148 @@
+"""Structured Streaming layer: the reference's streaming semantics mapped
+onto micro-batch execution.
+
+Reference model (SURVEY.md §0): unbounded keyed streams, per-record
+event-time + watermark, per-key state that emits on every input, windows
+that fire when the watermark passes window end, Close-based termination
+(/root/reference/engine.go:252-278, window.go:162-177, collect.go:11-18).
+
+Spark mapping decisions (SURVEY.md §4.3):
+- global per-micro-batch watermark (ssp's per-record transport is the bug
+  its own README documents — /root/reference/README.md:27-77);
+- append mode for window firing (= emit-on-close);
+- update-on-every-record state via applyInPandasWithState;
+- Close protocol -> trigger(availableNow=True) for bounded replays.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def replay_to_memory(sdf: DataFrame, name: str, timeout_s: float = 120.0) -> DataFrame:
+    """Run a bounded streaming plan to completion into a memory sink and
+    return the result table (ssp Close-protocol analogue)."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    spark = sdf.sparkSession
+    return spark.table(name)
+
+
+def replay_update_to_memory(sdf: DataFrame, name: str, timeout_s: float = 120.0) -> DataFrame:
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return sdf.sparkSession.table(name)
+
+
+def running_count_stream(sdf: DataFrame, key_col: str, out_col: str = "cnt") -> DataFrame:
+    """ssp's flagship word count: emit `key: k` on EVERY arrival
+    (update-on-every-record, /root/reference/engine_test.go:98-110,
+    bench/wordcount_test.go:14-49).
+
+    applyInPandasWithState keyed on ``key_col``; state = running count;
+    one output row per input row. Arrow-batched: each micro-batch's rows
+    for a key arrive as pandas DataFrames, counts are assigned
+    vectorized (cumcount), not per-row Python.
+    """
+    out_schema = T.StructType(
+        [T.StructField(key_col, T.StringType()), T.StructField(out_col, T.LongType())]
+    )
+    state_schema = T.StructType([T.StructField("n", T.LongType())])
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (n,) = state.get if state.exists else (0,)
+        for pdf in pdf_iter:
+            m = len(pdf)
+            counts = list(range(n + 1, n + m + 1))
+            n += m
+            yield pd.DataFrame({key_col: [key[0]] * m, out_col: counts})
+        state.update((n,))
+
+    return sdf.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def windowed_count_stream(
+    sdf: DataFrame,
+    ts_col: str,
+    key_col: str,
+    size: str,
+    slide: str,
+    delay: str,
+) -> DataFrame:
+    """Event-time sliding-window count with fixed-delay watermark, append
+    mode = ssp's fire-on-watermark-close (window.go:162-177) without its
+    nondeterministic late re-openings (README.md:79-81)."""
+    return (
+        sdf.withWatermark(ts_col, delay)
+        .groupBy(F.window(F.col(ts_col), size, slide).alias("w"), F.col(key_col))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.unix_timestamp("w.start").alias("ws"),
+            F.unix_timestamp("w.end").alias("we"),
+            key_col,
+            "cnt",
+        )
+    )
+
+
+def with_late_side_output(
+    sdf: DataFrame,
+    ts_col: str,
+    delay: str,
+    on_batch: Callable[[DataFrame, DataFrame, int], None],
+):
+    """Late-data policy 'side_output' (SURVEY.md §4.3.2): per micro-batch,
+    split rows into on-time vs late against the running max-event-time
+    watermark and hand both to ``on_batch(on_time, late, batch_id)``.
+
+    Reproduces ssp's 'late records still visible' capability
+    (window.go:84-85 ad-hoc windows) deterministically: late rows go to a
+    side sink instead of re-opening closed windows.
+    """
+    from pyspark.sql.functions import col, lit, max as smax
+
+    delay_expr = f"INTERVAL {delay}"
+    state = {"max_ts": None}
+
+    def handle(batch_df: DataFrame, batch_id: int):
+        mx = batch_df.agg(smax(col(ts_col))).collect()[0][0]
+        wm = state["max_ts"]
+        if wm is None:
+            on_time, late = batch_df, batch_df.filter(lit(False))
+        else:
+            thresh = F.lit(wm) - F.expr(delay_expr)
+            on_time = batch_df.filter(col(ts_col) >= thresh)
+            late = batch_df.filter(col(ts_col) < thresh)
+        on_batch(on_time, late, batch_id)
+        if mx is not None and (wm is None or mx > wm):
+            state["max_ts"] = mx
+
+    return sdf.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+
+
+def wait_all_streams(spark: SparkSession, timeout_s: float = 120.0) -> None:
+    deadline = time.time() + timeout_s
+    for q in spark.streams.active:
+        q.awaitTermination(max(0.1, deadline - time.time()))
