@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is executed to completion (foreach-noop action — full compute,
+no driver-side result transfer). A warmup run of the flagship amortizes
+JVM/codegen startup so numbers reflect steady-state throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ssp_spark.queries import QUERIES  # noqa: E402
+from ssp_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "word_count",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "sliding_window_counts",
+    "session_windows",
+    "running_user_spend",
+    "user_activity_pivot",
+    "top_customers_per_nation",
+    "asof_join_purchase_signup",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "ann_topk_bruteforce",
+    "lang_id",
+    "quality_score",
+    "doc_fingerprint",
+]
+
+
+def run_once(spark, name: str, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = QUERIES[name](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("ssp-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    run_once(spark, "word_count", sf_dir)  # warmup: JVM + codegen + file listing
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run_once(spark, name, sf_dir), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -41,10 +41,15 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), n)).alias("sh"))
-        .distinct()
-    )
+    """Distinct (doc_id, shingle) pairs.
+
+    The input is repartitioned BEFORE the explode: document tables often
+    arrive in few/large parquet row groups, and shingling fans out ~100x —
+    rebalancing the small pre-explode rows costs almost nothing and lets
+    every core shingle in parallel (at any scale)."""
+    spread = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+    spread = spread.repartition(spread.sparkSession.sparkContext.defaultParallelism)
+    return spread.select("doc_id", F.explode(shingles(F.col("__text"), n)).alias("sh")).distinct()
 
 
 def jaccard_pairs(
@@ -55,24 +60,41 @@ def jaccard_pairs(
     threshold: float = 0.5,
     max_doc_freq: int = DEFAULT_MAX_DOC_FREQ,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for every pair sharing >=1 shingle.
+    """Exact shingle-set Jaccard for every pair sharing >=1 kept shingle.
 
-    Plan: explode -> distinct (doc, shingle) -> self-join on shingle ->
-    count shared per pair -> jaccard = shared / (n1 + n2 - shared).
-    Shuffles: one on shingle (the join), one on (id1, id2). The shingle
-    join is the scale knob: max_doc_freq caps fan-out of hot shingles.
+    Plan: explode shingles -> inverted index in ONE shuffle
+    (groupBy(sh).collect_set(doc) — the set dedups, no distinct pass) ->
+    hot-shingle cap as a free filter on set size -> candidate pairs by
+    per-row array combinatorics (no self-join shuffle) -> count shared
+    per pair -> jaccard = shared / (n1 + n2 - shared).
+    Scale knob: max_doc_freq bounds per-shingle pair fan-out (k^2).
     """
-    sh = _doc_shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    spread = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+    spread = spread.repartition(spread.sparkSession.sparkContext.defaultParallelism)
+    sh_raw = spread.select("doc_id", F.explode(shingles(F.col("__text"), n)).alias("sh"))
 
-    freq = sh.groupBy("sh").agg(F.count("*").alias("df_"))
-    sh_kept = sh.join(freq.filter(F.col("df_") <= max_doc_freq).select("sh"), "sh")
+    inv = sh_raw.groupBy("sh").agg(F.collect_set("doc_id").alias("ds"))
+    kept = inv.filter(F.size("ds") <= max_doc_freq).persist()
 
-    a = sh_kept.select(F.col("doc_id").alias("id1"), "sh")
-    b = sh_kept.select(F.col("doc_id").alias("id2"), "sh")
+    # set sizes over the KEPT space (matches the oracle's semantics:
+    # jaccard is defined on the post-cap shingle sets)
+    sizes = kept.select(F.explode("ds").alias("doc_id")).groupBy("doc_id").agg(
+        F.count("*").alias("n_sh")
+    )
+
+    ds_sorted = F.array_sort("ds")
+    pair_arr = F.filter(
+        F.flatten(
+            F.transform(
+                ds_sorted,
+                lambda x: F.transform(ds_sorted, lambda y: F.struct(x.alias("id1"), y.alias("id2"))),
+            )
+        ),
+        lambda p: p["id1"] < p["id2"],
+    )
     shared = (
-        a.join(b, "sh")
-        .filter(F.col("id1") < F.col("id2"))
+        kept.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
         .groupBy("id1", "id2")
         .agg(F.count("*").alias("shared"))
     )
@@ -83,6 +105,8 @@ def jaccard_pairs(
         .filter(F.col("j_raw") >= threshold)  # threshold on the UNrounded value (oracle parity)
         .select("id1", "id2", F.round("j_raw", 6).alias("jaccard"))
     )
+    out = out.localCheckpoint()  # materialize, then release the inverted index
+    kept.unpersist()
     return out
 
 
@@ -93,22 +117,27 @@ def minhash_signatures(
     num_hashes: int = 12,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(doc_id, seed, minhash) — min over the seeded portable hash family.
+    """Wide minhash signature: one row per doc with columns h0..h{k-1}.
 
-    One explode + one groupBy(doc_id): the signature is computed with
-    min(CASE seed) aggregations, not a per-seed pass over the corpus.
+    Single shuffle: all k seeded hashes are computed as projections over
+    the exploded shingles (no k-way row fan-out) and reduced in ONE
+    groupBy(doc_id) with k min() aggregates — min over a multiset equals
+    min over the set, so no distinct pass is needed either.
+    Hash family: portable_hash64('<seed>:' || shingle) (oracle-reproducible).
     """
-    sh = _doc_shingles(df, id_col, text_col, shingle_n)
-    # hash with the seed folded into the input string: hash64('<seed>:' || sh)
-    seeded = sh.select("doc_id", "sh").crossJoin(
-        F.broadcast(
-            sh.sparkSession.range(num_hashes).select(F.col("id").cast("int").alias("seed"))
-        )
-    ).withColumn(
-        "h",
-        portable_hash64(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh"))),
+    spread = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+    spread = spread.repartition(spread.sparkSession.sparkContext.defaultParallelism)
+    sh = spread.select("doc_id", F.explode(shingles(F.col("__text"), shingle_n)).alias("sh"))
+    hashed = sh.select(
+        "doc_id",
+        *[
+            portable_hash64(F.concat(F.lit(f"{s}:"), F.col("sh"))).alias(f"h{s}")
+            for s in range(num_hashes)
+        ],
     )
-    return seeded.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{s}").alias(f"h{s}") for s in range(num_hashes)]
+    )
 
 
 def minhash_lsh_pairs(
@@ -127,24 +156,33 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    banded = (
-        sig.withColumn("band", (F.col("seed") / rows).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.sort_array(F.collect_list(F.struct("seed", "minhash"))).alias("sm"))
-        .withColumn(
-            "band_sig",
-            F.concat_ws(",", F.transform(F.col("sm"), lambda s: s["minhash"].cast("string"))),
+    # band signatures assembled by projection from the wide signature row,
+    # then unpivoted to (doc, band, band_sig) for the self-join
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ",", *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)]
+            ).alias("band_sig"),
         )
-        .select("doc_id", "band", "band_sig")
+        for b in range(bands)
+    ]
+    banded = (
+        sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig"))
+        .persist()  # feeds both sides of the band self-join; avoid recomputing
     )
     a = banded.select(F.col("doc_id").alias("id1"), "band", "band_sig")
     b = banded.select(F.col("doc_id").alias("id2"), "band", "band_sig")
-    return (
+    out = (
         a.join(b, ["band", "band_sig"])
         .filter(F.col("id1") < F.col("id2"))
         .select("id1", "id2")
         .distinct()
+        .localCheckpoint()
     )
+    banded.unpersist()
+    return out
 
 
 def simhash(
@@ -160,8 +198,10 @@ def simhash(
     All integer Catalyst math; DuckDB-reproducible (shiftright on the
     portable 60-bit hash).
     """
-    toks = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
+    spread = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+    spread = spread.repartition(spread.sparkSession.sparkContext.defaultParallelism)
+    toks = spread.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("__text")))).alias("tok")
     )
     hashed = toks.withColumn("th", portable_hash64(F.col("tok")))
     bit_idx = F.explode(F.sequence(F.lit(0), F.lit(bits - 1)))
@@ -194,16 +234,25 @@ def embedding_near_dup(
     Array math is JVM-side double arithmetic in index order => bit-equal
     to the DuckDB oracle's list_dot_product.
     """
-    a = df.select(
-        F.col(block_col).alias("blk"), F.col(id_col).alias("id1"), F.col(vec_col).alias("v1")
+    from ssp_spark.functions import dot, norm
+
+    # norms precomputed ONCE per vector (not per pair: 3x fewer dot
+    # products in the quadratic stage); bitwise equal to per-pair sqrt.
+    base = df.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
     )
-    b = df.select(
-        F.col(block_col).alias("blk"), F.col(id_col).alias("id2"), F.col(vec_col).alias("v2")
-    )
-    return (
+    base = base.repartition(base.sparkSession.sparkContext.defaultParallelism).withColumn(
+        "nrm", norm("v")
+    ).persist()
+    a = base.select("blk", F.col("vid").alias("id1"), F.col("v").alias("v1"), F.col("nrm").alias("n1"))
+    b = base.select("blk", F.col("vid").alias("id2"), F.col("v").alias("v2"), F.col("nrm").alias("n2"))
+    out = (
         a.join(b, "blk")
         .filter(F.col("id1") < F.col("id2"))
-        .withColumn("cos", F.round(cosine("v1", "v2"), 6))
+        .withColumn("cos", F.round(dot("v1", "v2") / (F.col("n1") * F.col("n2")), 6))
         .filter(F.col("cos") >= threshold)
         .select("id1", "id2", "cos")
+        .localCheckpoint()
     )
+    base.unpersist()
+    return out

@@ -32,12 +32,19 @@ def brute_force_topk(
 
     Deterministic: ties broken by neighbor id.
     """
-    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    from ssp_spark.functions import dot, norm
+
+    # norms once per vector on each side; corpus rebalanced so the
+    # quadratic scoring stage uses every core even off few row groups
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")).withColumn(
+        "qn", norm("qv")
+    )
     c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    c = c.repartition(c.sparkSession.sparkContext.defaultParallelism).withColumn("nn", norm("nv"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("qid") != F.col("nid"))
-        .withColumn("cos", F.round(cosine("qv", "nv"), 6))
+        .withColumn("cos", F.round(dot("qv", "nv") / (F.col("qn") * F.col("nn")), 6))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
     return (
@@ -98,16 +105,23 @@ def lsh_topk(
     Join is an equi-join on bucket (shuffle-hash, no cross product) —
     the 100 TB-scale path when the query set itself is large.
     """
+    from ssp_spark.functions import dot, norm
+
     qb = lsh_buckets(queries, id_col, vec_col, n_planes).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), "bucket"
-    )
-    cb = lsh_buckets(corpus, id_col, vec_col, n_planes).select(
-        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), "bucket"
+    ).withColumn("qn", norm("qv"))
+    cb = lsh_buckets(
+        corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism),
+        id_col,
+        vec_col,
+        n_planes,
+    ).select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), "bucket").withColumn(
+        "nn", norm("nv")
     )
     scored = (
         qb.join(cb, "bucket")
         .filter(F.col("qid") != F.col("nid"))
-        .withColumn("cos", F.round(cosine("qv", "nv"), 6))
+        .withColumn("cos", F.round(dot("qv", "nv") / (F.col("qn") * F.col("nn")), 6))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
     return (
