@@ -36,6 +36,21 @@ def tumbling(
     return sliding(df, ts_col, size, size, aggs, keys)
 
 
+_UNIT_US = {
+    "microsecond": 1,
+    "millisecond": 1_000,
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+}
+
+
+def _interval_us(s: str) -> int:
+    n, unit = s.strip().split()
+    return int(n) * _UNIT_US[unit.rstrip("s")]
+
+
 def sliding(
     df: DataFrame,
     ts_col: str,
@@ -48,15 +63,34 @@ def sliding(
 
     Output carries ``ws``/``we`` as epoch seconds (bigint) rather than raw
     timestamps so results are timezone-stable and oracle-comparable.
+
+    slide > size (gap windows, allowed by ssp — window_test.go:40-78
+    covers the gaps) is rejected by Spark's window(); that case is
+    planned manually: ws = floor(ts/slide)*slide with a containment
+    filter, which is the same single-shuffle plan shape.
     """
     keys = keys or []
-    win = F.window(F.col(ts_col), size, slide)
-    grouped = df.groupBy(win.alias("w"), *[F.col(k) for k in keys]).agg(
+    size_us, slide_us = _interval_us(size), _interval_us(slide)
+    if slide_us <= size_us:
+        win = F.window(F.col(ts_col), size, slide)
+        grouped = df.groupBy(win.alias("w"), *[F.col(k) for k in keys]).agg(
+            *[c.alias(name) for name, c in aggs.items()]
+        )
+        return grouped.select(
+            F.unix_timestamp("w.start").alias("ws"),
+            F.unix_timestamp("w.end").alias("we"),
+            *keys,
+            *aggs.keys(),
+        )
+    eus = F.unix_micros(F.col(ts_col))
+    ws_us = F.floor(eus / slide_us).cast("long") * slide_us
+    windowed = df.withColumn("__ws_us", ws_us).filter(eus < F.col("__ws_us") + size_us)
+    grouped = windowed.groupBy(F.col("__ws_us"), *[F.col(k) for k in keys]).agg(
         *[c.alias(name) for name, c in aggs.items()]
     )
     return grouped.select(
-        F.unix_timestamp("w.start").alias("ws"),
-        F.unix_timestamp("w.end").alias("we"),
+        (F.col("__ws_us") / 1_000_000).cast("long").alias("ws"),
+        ((F.col("__ws_us") + size_us) / 1_000_000).cast("long").alias("we"),
         *keys,
         *aggs.keys(),
     )

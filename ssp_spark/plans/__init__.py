@@ -35,7 +35,22 @@ def has_cartesian(df: DataFrame) -> bool:
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Number of shuffle exchanges in the physical plan (pre-AQE)."""
-    return plan_string(df).count("Exchange hashpartitioning") + plan_string(df).count(
-        "Exchange rangepartitioning"
-    )
+    """Number of shuffle exchanges in the physical plan (pre-AQE).
+
+    Uses simple mode, where exchanges render inline as
+    'Exchange hashpartitioning(...)' / 'Exchange rangepartitioning(...)'.
+    """
+    s = plan_string(df, "simple")
+    return s.count("Exchange hashpartitioning") + s.count("Exchange rangepartitioning")
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Whole-stage-codegen spans ('*(n)' markers in simple mode).
+
+    Under AQE the markers only appear in the FINAL plan, so this runs the
+    query first (cheap at test scale) and reads the executed plan.
+    """
+    import re
+
+    df.collect()
+    return len(set(re.findall(r"\*\((\d+)\)", plan_string(df, "simple"))))

@@ -1,0 +1,62 @@
+"""Multimodal column plumbing: binary payloads + typed metadata through
+Arrow-batched mapInPandas (decode itself is stubbed — no codecs in this
+environment — but schema, batching, and fan-out shapes are real).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+import pytest
+
+from ssp_spark.operators import multimodal as mm
+
+
+@pytest.fixture
+def media_df(spark):
+    rows = [(i, bytes(range(10 + i))) for i in range(8)]
+    return spark.createDataFrame(rows, "media_id long, data binary")
+
+
+def test_attach_media_schema(spark, media_df):
+    out = mm.attach_media(media_df, "data", "image", "png")
+    meta = out.schema["media_meta"].dataType
+    assert [f.name for f in meta.fields] == [
+        "media_type", "format", "width", "height", "duration_ms", "uri",
+    ]
+    r = out.filter(F.col("media_id") == 0).collect()[0]
+    assert r.media_meta.media_type == "image" and r.media_meta.format == "png"
+
+
+def test_extract_features_deterministic(spark, media_df):
+    out = mm.extract_features(media_df, "media_id", "data").collect()
+    assert len(out) == 8
+    by_id = {r.media_id: r for r in out}
+    assert by_id[0].n_bytes == 10
+    assert by_id[0].content_md5 == hashlib.md5(bytes(range(10))).hexdigest()
+    assert len(by_id[0].feature) == 8
+    # deterministic: same bytes -> same feature
+    out2 = mm.extract_features(media_df, "media_id", "data").collect()
+    assert {r.media_id: r.feature for r in out2} == {r.media_id: r.feature for r in out}
+
+
+def test_extract_features_null_bytes(spark):
+    df = spark.createDataFrame([(1, None)], "media_id long, data binary")
+    r = mm.extract_features(df, "media_id", "data").collect()[0]
+    assert r.n_bytes == 0 and r.content_md5 is None
+
+
+def test_sample_frames_fan_out(spark):
+    df = spark.createDataFrame([(1, bytes(2500)), (2, bytes(999))], "media_id long, data binary")
+    out = mm.sample_frames(df, "media_id", "data", every_ms=1000).collect()
+    per_id = {}
+    for r in out:
+        per_id.setdefault(r.media_id, []).append((r.frame_idx, r.offset_ms))
+    assert sorted(per_id[1]) == [(0, 0), (1, 1000), (2, 2000)]
+    assert sorted(per_id[2]) == [(0, 0)]
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG")

@@ -1,0 +1,68 @@
+"""Physical-plan assertions: the properties that make these queries safe
+at 100 TB must actually be planned, not just intended.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ssp_spark import plans
+from ssp_spark.queries import QUERIES
+from tests.conftest import SF_SMOKE
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark):
+    df = QUERIES["q1_pricing_summary"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert "PushedFilters: [" in s and "IsNotNull(l_shipdate)" in s
+    # column pruning: o_comment-like unused columns absent; ReadSchema
+    # must not contain l_orderkey (not referenced by q1)
+    read_schema = [line for line in s.splitlines() if "ReadSchema" in line]
+    assert read_schema and "l_orderkey" not in read_schema[0]
+
+
+def test_q5_broadcasts_dimensions(spark):
+    df = QUERIES["q5_nation_revenue"](spark, SF_SMOKE)
+    assert plans.broadcast_join_count(df) >= 1
+    assert not plans.has_cartesian(df)
+
+
+def test_word_count_stays_jvm_side(spark):
+    df = QUERIES["word_count"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    assert plans.codegen_stage_count(df) >= 1
+    # map-side partial aggregation before the exchange
+    assert "partial_count" in s
+
+
+def test_dedup_jaccard_no_cartesian(spark):
+    df = QUERIES["dedup_jaccard_pairs"](spark, SF_SMOKE)
+    assert not plans.has_cartesian(df)
+
+
+def test_topk_uses_window_group_limit(spark):
+    df = QUERIES["top_customers_per_nation"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert "WindowGroupLimit" in s  # partial top-k before the shuffle
+
+
+def test_range_join_broadcasts_bands(spark):
+    df = QUERIES["range_join_value_bands"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert "BroadcastNestedLoopJoin" in s  # 4-row side broadcast, fact side streams
+
+
+def test_asof_join_single_shuffle_per_side(spark):
+    """The as-of join must be the linear union+window plan: exactly one
+    hash exchange for the window (plus AQE reads), no join blow-up."""
+    df = QUERIES["asof_join_purchase_signup"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert "CartesianProduct" not in s
+    assert "SortMergeJoin" not in s  # no pairwise join at all
+    assert plans.exchange_count(df) == 1
+
+
+def test_running_agg_single_shuffle(spark):
+    df = QUERIES["running_user_spend"](spark, SF_SMOKE)
+    assert plans.exchange_count(df) == 1
