@@ -952,3 +952,324 @@ def streaming_wordcount_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Batch 2: wider relational + function surface (SURVEY §2.3 checklist)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "cube_order_stats",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "cnt",
+            "total",
+        )
+    )
+
+
+@_q(
+    "grouping_sets_orders",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS cnt
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via SQL over the parquet path (no temp-view state)."""
+    return spark.sql(
+        f"""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS cnt
+        FROM parquet.`{sf_dir}/orders.parquet`
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@_q(
+    "left_join_customer_order_counts",
+    """
+    SELECT c_custkey, count(o_orderkey) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def left_join_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@_q(
+    "full_outer_user_activity",
+    """
+    SELECT coalesce(p.user_id, e.user_id) AS user_id,
+           coalesce(p.n, 0) AS n_purchase, coalesce(e.n, 0) AS n_error
+    FROM (SELECT user_id, count(*) AS n FROM events WHERE event_type = 'purchase'
+          AND user_id % 3 = 0 GROUP BY user_id) p
+    FULL OUTER JOIN
+         (SELECT user_id, count(*) AS n FROM events WHERE event_type = 'error'
+          AND user_id % 3 = 1 GROUP BY user_id) e
+    ON p.user_id = e.user_id
+    """,
+)
+def full_outer_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with disjoint key subsets so both null sides are
+    exercised."""
+    ev = load_table(spark, "events", sf_dir)
+    p = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("user_id") % 3 == 0))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("pn"))
+    )
+    e = (
+        ev.filter((F.col("event_type") == "error") & (F.col("user_id") % 3 == 1))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("en"))
+    )
+    return p.join(e, "user_id", "full_outer").select(
+        F.col("user_id"),
+        F.coalesce("pn", F.lit(0)).alias("n_purchase"),
+        F.coalesce("en", F.lit(0)).alias("n_error"),
+    )
+
+
+@_q(
+    "window_funcs_showcase",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER w_full AS INT) AS rn,
+           CAST(rank() OVER w_year AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w_year AS BIGINT) AS drnk,
+           round(lag(o_totalprice) OVER w_full, 2) AS prev_price,
+           round(lead(o_totalprice) OVER w_full, 2) AS next_price,
+           CAST(ntile(4) OVER w_full AS INT) AS quartile
+    FROM orders
+    WINDOW w_full AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+           w_year AS (PARTITION BY o_custkey ORDER BY year(o_orderdate))
+    """,
+)
+def window_funcs_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OVER-function surface: row_number/rank/dense_rank/lag/lead/ntile.
+    rank/dense_rank run over a COARSE ordering (order year) so tie
+    semantics are actually exercised; row_number/lag/lead/ntile use a
+    fully deterministic ordering."""
+    orders = load_table(spark, "orders", sf_dir)
+    w_full = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_year = Window.partitionBy("o_custkey").orderBy(F.year("o_orderdate"))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w_full).alias("rn"),
+        F.rank().over(w_year).cast("long").alias("rnk"),
+        F.dense_rank().over(w_year).cast("long").alias("drnk"),
+        F.round(F.lag("o_totalprice").over(w_full), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w_full), 2).alias("next_price"),
+        F.ntile(4).over(w_full).alias("quartile"),
+    )
+
+
+@_q(
+    "math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           abs(l_quantity - 25) AS dist_from_25,
+           round(power(l_discount, 2), 6) AS disc_sq,
+           round(sqrt(l_quantity), 6) AS qty_sqrt,
+           round(ln(l_quantity), 6) AS qty_ln,
+           CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
+           round(l_extendedprice % 97, 2) AS price_mod
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    """,
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_orderkey") % 50 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_quantity") - 25).alias("dist_from_25"),
+        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.log("l_quantity"), 6).alias("qty_ln"),
+        F.ceil(F.col("l_extendedprice") / 1000).alias("price_k_ceil"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_k_floor"),
+        F.round(F.col("l_extendedprice") % 97, 2).alias("price_mod"),
+    )
+
+
+@_q(
+    "array_funcs_embeddings",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           list_max(list_transform(embedding, x -> x::DOUBLE)) AS vmax,
+           list_min(list_transform(embedding, x -> x::DOUBLE)) AS vmin,
+           round(list_sum(list_transform(embedding, x -> x::DOUBLE)), 6) AS vsum,
+           embedding[1]::DOUBLE AS first_dim
+    FROM embeddings
+    """,
+)
+def array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.array_max(as_double).alias("vmax"),
+        F.array_min(as_double).alias("vmin"),
+        F.round(F.aggregate(as_double, F.lit(0.0), lambda a, x: a + x), 6).alias("vsum"),
+        F.element_at(as_double, 1).alias("first_dim"),
+    )
+
+
+@_q(
+    "percentiles_by_flag",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.50) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75,
+           round(min(l_quantity), 2) AS qmin, round(max(l_quantity), 2) AS qmax
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark percentile == DuckDB
+    quantile_cont: both linear interpolation over the sorted values)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("p25"),
+        F.percentile("l_quantity", F.lit(0.50)).alias("p50"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("p75"),
+        F.round(F.min("l_quantity"), 2).alias("qmin"),
+        F.round(F.max("l_quantity"), 2).alias("qmax"),
+    )
+
+
+@_q(
+    "date_trunc_weekly_orders",
+    """
+    SELECT epoch(date_trunc('week', o_orderdate))::BIGINT AS week_start_ep,
+           count(*) AS cnt
+    FROM orders GROUP BY week_start_ep
+    """,
+)
+def date_trunc_weekly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.select(
+            F.unix_timestamp(F.date_trunc("week", "o_orderdate").cast("timestamp")).alias(
+                "week_start_ep"
+            )
+        )
+        .groupBy("week_start_ep")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@_q(
+    "dedup_events_keeper",
+    """
+    SELECT user_id, event_type, min(event_id) AS keeper_event_id, count(*) AS n_dups
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def dedup_events_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dropDuplicates: keep min event_id per key (the
+    order-dependent dropDuplicates() itself is exercised in tests)."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("keeper_event_id"), F.count("*").alias("n_dups")
+    )
+
+
+@_q(
+    "q10_top_customers_by_revenue",
+    """
+    SELECT c_custkey, c_name,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0
+               AS revenue,
+           count(DISTINCT o_orderkey) AS n_orders
+    FROM customer JOIN orders ON o_custkey = c_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: fact-to-fact join + per-customer rollup + top-k.
+    Deterministic limit ties on c_custkey; revenue integer-scaled."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz")
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_bp = 100 - F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            (F.sum(cents * disc_bp) / 10000.0).alias("revenue"),
+            F.count_distinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@_q("stats_numeric")  # stddev/variance accumulate in nondeterministic FP order
+def stats_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev("value"), 2).alias("value_std"),
+        F.round(F.variance("value"), 1).alias("value_var"),
+        F.round(F.skewness("value"), 3).alias("value_skew"),
+    )
+
+
+@_q("map_funcs_roundtrip")  # map type has no stable DuckDB comparison form
+def map_funcs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    m = F.create_map(F.lit("type"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string"))
+    return ev.select(
+        "event_id",
+        F.map_keys(m).alias("keys"),
+        F.element_at(m, "type").alias("type_val"),
+        F.to_json(m).alias("as_json"),
+    )
