@@ -44,6 +44,33 @@ def seeded_hash64(col: Column | str, seed: int) -> Column:
     return portable_hash64(F.concat(F.lit(f"{seed}:"), c))
 
 
+# Multiply-shift universal hash family over ONE base hash: h_s(x) =
+# (A[s] * (h64(x) & 0xFFFFFFFF) + B[s]) & 0xFFFFFFFF. One md5 per input
+# instead of k — the md5+hex-conv is ~all of the per-shingle cost, so a
+# k-hash minhash gets k× cheaper. A[s] odd and < 2^30 keeps every product
+# under 2^62 (no BIGINT overflow in either engine); constants are fixed
+# literals so the DuckDB oracle reproduces signatures bit-for-bit.
+def _mix_consts(k: int) -> tuple[list[int], list[int]]:
+    return (
+        [((2654435761 * (s + 1)) % (1 << 30)) | 1 for s in range(k)],
+        [(40503 * (s + 7) * 2654435761) % (1 << 32) for s in range(k)],
+    )
+
+
+def seeded_hash32(h64: Column, seed: int, k: int = 16) -> Column:
+    """Cheap seed-s 32-bit hash derived from a portable_hash64 column."""
+    a, b = _mix_consts(max(k, seed + 1))
+    return (F.lit(a[seed]) * h64.bitwiseAND(F.lit(0xFFFFFFFF)) + F.lit(b[seed])).bitwiseAND(
+        F.lit(0xFFFFFFFF)
+    )
+
+
+def seeded_hash32_sql(h64_expr: str, seed: int, k: int = 16) -> str:
+    """The identical expression in ANSI SQL (for DuckDB oracles)."""
+    a, b = _mix_consts(max(k, seed + 1))
+    return f"(({a[seed]} * (({h64_expr}) & 4294967295) + {b[seed]}) & 4294967295)"
+
+
 def tokens(text: Column | str) -> Column:
     """array<string> of whitespace tokens, empties removed."""
     c = F.col(text) if isinstance(text, str) else text

@@ -82,18 +82,29 @@ def jaccard_pairs(
         F.count("*").alias("n_sh")
     )
 
-    ds_sorted = F.array_sort("ds")
-    pair_arr = F.filter(
-        F.flatten(
-            F.transform(
-                ds_sorted,
-                lambda x: F.transform(ds_sorted, lambda y: F.struct(x.alias("id1"), y.alias("id2"))),
-            )
-        ),
-        lambda p: p["id1"] < p["id2"],
+    # i<j pairs generated directly (transform over suffix slices) — half the
+    # struct construction of the naive n^2-then-filter form
+    # sort ONCE per shingle row (projection), then index into the sorted
+    # column — referencing array_sort(...) inside the lambdas would re-sort
+    # per element. sequence(1, size-1) degenerates to a DESCENDING [1, 0]
+    # for 1-doc sets (sequence infers step -1), so indices are re-filtered.
+    sorted_sets = kept.select(F.array_sort("ds").alias("sds"))
+    sds = F.col("sds")
+    idx = F.filter(
+        F.sequence(F.lit(1), F.size(sds) - 1),
+        lambda i: (i >= 1) & (i < F.size(sds)),
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.slice(sds, i + 1, F.size(sds) - i),
+                lambda y: F.struct(F.element_at(sds, i).alias("id1"), y.alias("id2")),
+            ),
+        )
     )
     shared = (
-        kept.select(F.explode(pair_arr).alias("p"))
+        sorted_sets.select(F.explode(pair_arr).alias("p"))
         .select(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
         .groupBy("id1", "id2")
         .agg(F.count("*").alias("shared"))
@@ -119,21 +130,22 @@ def minhash_signatures(
 ) -> DataFrame:
     """Wide minhash signature: one row per doc with columns h0..h{k-1}.
 
-    Single shuffle: all k seeded hashes are computed as projections over
-    the exploded shingles (no k-way row fan-out) and reduced in ONE
-    groupBy(doc_id) with k min() aggregates — min over a multiset equals
-    min over the set, so no distinct pass is needed either.
-    Hash family: portable_hash64('<seed>:' || shingle) (oracle-reproducible).
+    Single shuffle: ONE portable (md5-based) base hash per shingle, k
+    cheap multiply-shift projections from it (functions.seeded_hash32 —
+    md5 is the dominant per-shingle cost, so this is ~k× cheaper than k
+    independent md5s), reduced in ONE groupBy(doc_id) with k min()
+    aggregates — min over a multiset equals min over the set, so no
+    distinct pass is needed either. Oracle-reproducible bit-for-bit.
     """
+    from ssp_spark.functions import seeded_hash32
+
     spread = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
     spread = spread.repartition(spread.sparkSession.sparkContext.defaultParallelism)
     sh = spread.select("doc_id", F.explode(shingles(F.col("__text"), shingle_n)).alias("sh"))
-    hashed = sh.select(
+    base = sh.select("doc_id", portable_hash64(F.col("sh")).alias("h64"))
+    hashed = base.select(
         "doc_id",
-        *[
-            portable_hash64(F.concat(F.lit(f"{s}:"), F.col("sh"))).alias(f"h{s}")
-            for s in range(num_hashes)
-        ],
+        *[seeded_hash32(F.col("h64"), s, num_hashes).alias(f"h{s}") for s in range(num_hashes)],
     )
     return hashed.groupBy("doc_id").agg(
         *[F.min(f"h{s}").alias(f"h{s}") for s in range(num_hashes)]

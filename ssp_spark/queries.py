@@ -57,6 +57,13 @@ sh AS (
 
 _SQL_HASH64 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
+# Multiply-shift seed family constants (ssp_spark.functions._mix_consts,
+# k=12) as DuckDB list literals, indexed [seed+1].
+from ssp_spark.functions import _mix_consts as __mix  # noqa: E402
+
+_SQL_MIX_A = "[" + ", ".join(str(a) for a in __mix(12)[0]) + "]"
+_SQL_MIX_B = "[" + ", ".join(str(b) for b in __mix(12)[1]) + "]"
+
 
 # ---------------------------------------------------------------------------
 # Flagship + relational core
@@ -713,10 +720,12 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh",
     f"""
     WITH {_SQL_SHINGLES},
+    base AS (SELECT doc_id, {_SQL_HASH64.format(x="sh")} AS h64 FROM sh),
     mh AS (
       SELECT doc_id, seed,
-             min({_SQL_HASH64.format(x="seed::VARCHAR || ':' || sh")}) AS minhash
-      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) s
+             min(({_SQL_MIX_A}[seed + 1] * (h64 & 4294967295)
+                  + {_SQL_MIX_B}[seed + 1]) & 4294967295) AS minhash
+      FROM base CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) s
       GROUP BY doc_id, seed
     ),
     banded AS (
@@ -1273,3 +1282,59 @@ def map_funcs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "type").alias("type_val"),
         F.to_json(m).alias("as_json"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing as declared queries: media bytes are DERIVED from
+# documents.text (utf-8 encode) since the fixtures carry no real media —
+# the binary column, Arrow-batched mapInPandas, and fan-out shapes are the
+# real thing; only the codec is a deterministic stand-in
+# (ssp_spark.operators.multimodal).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction (operators/multimodal.py):
+    documents.text -> opaque bytes -> mapInPandas(extract_features).
+    The oracle checks the byte-level outputs (length, md5 digest); the
+    fake embedding column is plumbing-only and projected away here (its
+    determinism is asserted in tests/test_multimodal.py)."""
+    from ssp_spark.operators import multimodal as mm
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("data")
+    )
+    feats = mm.extract_features(mm.attach_media(docs, "data", "image", "png"), "doc_id", "data")
+    return feats.select("media_id", "n_bytes", "content_md5")
+
+
+@_q(
+    "multimodal_frame_sampling",
+    """
+    SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+           CAST(i * 1000 AS BIGINT) AS offset_ms
+    FROM documents,
+         LATERAL (SELECT unnest(generate_series(0,
+                    (octet_length(encode(text)) - 1) // 1000)) AS i) u
+    WHERE octet_length(encode(text)) > 0
+    """,
+)
+def multimodal_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (1->n fan-out through mapInPandas,
+    operators/multimodal.py sample_frames): fake duration = byte length,
+    one frame per 1000 'ms'. Oracle reproduces the offset arithmetic."""
+    from ssp_spark.operators import multimodal as mm
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("data")
+    )
+    return mm.sample_frames(docs, "doc_id", "data", every_ms=1000)
