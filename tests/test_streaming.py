@@ -179,3 +179,99 @@ def test_union_watermark_alignment(spark, tmpdir):
     # fire: [0,10) is empty here, so nothing from the fast source's
     # [100,110)/[200,210) may appear.
     assert not {(100, "f", 1), (200, "f", 1)} & got
+
+
+def test_stream_stream_join_with_watermarks(spark, tmpdir):
+    """General stream-stream equi-join with watermark bounds (SURVEY §2.3
+    joins / O18 generalization): impressions join clicks within a 30 s
+    event-time range. Both sides watermarked; the range condition lets
+    Spark bound join state on both sides."""
+    imp_p = os.path.join(tmpdir, "imp")
+    clk_p = os.path.join(tmpdir, "clk")
+    schema = "ts timestamp, ad long"
+    _write_parquet(spark, [(_ts(0), 1), (_ts(10), 2), (_ts(20), 3)], schema, imp_p)
+    _write_parquet(spark, [(_ts(5), 1), (_ts(60), 3), (_ts(100), 9)], schema, clk_p)
+    imp = (
+        spark.readStream.schema(schema).parquet(imp_p)
+        .withWatermark("ts", "10 seconds")
+        .select(F.col("ts").alias("imp_ts"), F.col("ad").alias("imp_ad"))
+    )
+    clk = (
+        spark.readStream.schema(schema).parquet(clk_p)
+        .withWatermark("ts", "10 seconds")
+        .select(F.col("ts").alias("clk_ts"), F.col("ad").alias("clk_ad"))
+    )
+    joined = imp.join(
+        clk,
+        F.expr(
+            "imp_ad = clk_ad AND clk_ts >= imp_ts AND clk_ts <= imp_ts + interval 30 seconds"
+        ),
+    ).select("imp_ad", F.unix_timestamp("imp_ts").alias("i"), F.unix_timestamp("clk_ts").alias("c"))
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = joined.writeStream.format("memory").queryName(name).outputMode("append").trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+    base = 1704067200
+    got = sorted((r.imp_ad, r.i - base, r.c - base) for r in spark.table(name).collect())
+    # ad 1: click 5s after impression (within 30s) -> joins.
+    # ad 3: click 40s after -> outside the range. ad 9: no impression.
+    assert got == [(1, 0, 5)]
+
+
+def test_streaming_drop_duplicates_within_watermark(spark, tmpdir):
+    """Streaming dedup (SURVEY §2.3 streaming-only): dropDuplicates on an
+    id keeps the first arrival and suppresses re-deliveries; with a
+    watermarked event-time column the dedup state is evictable (the
+    at-scale requirement — unbounded dedup state is the ssp leak we
+    explicitly do not reproduce, engine.go:239-244)."""
+    src = os.path.join(tmpdir, "dd")
+    schema = "ts timestamp, id long"
+    _write_parquet(spark, [(_ts(0), 1), (_ts(1), 2), (_ts(2), 1)], schema, src)
+    _write_parquet(spark, [(_ts(3), 2), (_ts(4), 3)], schema, src)
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "10 seconds")
+        .dropDuplicates(["id"])
+    )
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    q = sdf.writeStream.format("memory").queryName(name).outputMode("append").trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+    got = sorted(r.id for r in spark.table(name).collect())
+    assert got == [1, 2, 3]
+
+
+def test_streaming_session_window(spark, tmpdir):
+    """session_window on a stream: activity gaps > 10 s split sessions
+    (capability absent from the reference — SURVEY §2.3 'no session
+    windows' — provided as the idiomatic Spark upgrade)."""
+    src = os.path.join(tmpdir, "sw")
+    schema = "ts timestamp, user string"
+    # user u: events at 0,5,8 (one session), then 30,32 (second session);
+    # a late straggler at 100 closes everything earlier.
+    _write_parquet(spark, [(_ts(s), "u") for s in [0, 5, 8, 30, 32]], schema, src)
+    _write_parquet(spark, [(_ts(100), "u")], schema, src)
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "5 seconds")
+    )
+    agg = (
+        sdf.groupBy(F.session_window("ts", "10 seconds").alias("w"), "user")
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_timestamp("w.start").alias("ws"), F.unix_timestamp("w.end").alias("we"), "user", "n")
+    )
+    name = f"sw_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.format("memory").queryName(name).outputMode("append").trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+    base = 1704067200
+    got = sorted((r.ws - base, r.we - base, r.n) for r in spark.table(name).collect())
+    assert (0, 18, 3) in got  # 0,5,8 merge: session extends to last+gap
+    assert (30, 42, 2) in got
