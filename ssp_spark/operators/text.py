@@ -80,13 +80,28 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("ws_tokens", ws).withColumn("piece_tokens", pieces)
 
 
+ROLL_B = 31  # polynomial base
+ROLL_P = 1_000_000_007  # modulus; acc < p (~2^30), acc*B + h64 < 2^63: no overflow
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Deterministic document fingerprint over normalized text.
+    """Deterministic document fingerprints over normalized text.
 
     fp_md5: full md5 hex; fp64: 60-bit integer prefix (portable_hash64),
-    usable as a shuffle/dedup key anywhere.
+    usable as a shuffle/dedup key anywhere; fp_roll: token-level
+    polynomial ROLLING hash acc = (acc*B + h64(token)) mod P — the
+    order-sensitive fingerprint (reordered tokens change it, unlike a
+    bag-of-words hash), folded left-to-right so DuckDB's list_reduce
+    reproduces it exactly.
     """
     normalized = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
-    return df.withColumn("fp_md5", F.md5(normalized)).withColumn(
-        "fp64", portable_hash64(normalized)
+    roll = F.aggregate(
+        tokens(F.col(text_col)),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * ROLL_B + portable_hash64(t)) % ROLL_P,
+    )
+    return (
+        df.withColumn("fp_md5", F.md5(normalized))
+        .withColumn("fp64", portable_hash64(normalized))
+        .withColumn("fp_roll", roll)
     )

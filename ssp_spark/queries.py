@@ -901,14 +901,22 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "doc_fingerprint",
     rf"""
-    WITH n AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+    WITH n AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm,
+                      list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
                FROM documents)
-    SELECT doc_id, md5(norm) AS fp_md5, {_SQL_HASH64.format(x="norm")} AS fp64 FROM n
+    SELECT doc_id, md5(norm) AS fp_md5, {_SQL_HASH64.format(x="norm")} AS fp64,
+           list_reduce(
+             list_prepend(0::BIGINT, list_transform(t, tk -> {_SQL_HASH64.format(x="tk")})),
+             (acc, h) -> (acc * 31 + h) % 1000000007
+           ) AS fp_roll
+    FROM n
     """,
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 + 60-bit + order-sensitive polynomial rolling-hash fingerprints
+    (operators/text.py::fingerprint)."""
     docs = load_table(spark, "documents", sf_dir)
-    return text.fingerprint(docs).select("doc_id", "fp_md5", "fp64")
+    return text.fingerprint(docs).select("doc_id", "fp_md5", "fp64", "fp_roll")
 
 
 # ---------------------------------------------------------------------------
@@ -1338,3 +1346,25 @@ def multimodal_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "utf-8").alias("data")
     )
     return mm.sample_frames(docs, "doc_id", "data", every_ms=1000)
+
+
+@_q(
+    "regexp_funcs",
+    r"""
+    SELECT event_id,
+           regexp_extract(props, '"k":\s*(\d+)', 1) AS k_str,
+           regexp_replace(event_type, '[aeiou]', '_', 'g') AS type_devoweled,
+           CASE WHEN regexp_matches(event_type, '^(click|view)$') THEN 1 ELSE 0 END AS is_impression
+    FROM events WHERE event_id % 20 = 0
+    """,
+)
+def regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_* scalar surface (SURVEY §2.3): extract/replace/match, all
+    JVM-side Catalyst expressions."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("event_id") % 20 == 0)
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", r'"k":\s*(\d+)', 1).alias("k_str"),
+        F.regexp_replace("event_type", "[aeiou]", "_").alias("type_devoweled"),
+        F.when(F.col("event_type").rlike("^(click|view)$"), 1).otherwise(0).alias("is_impression"),
+    )
