@@ -59,3 +59,28 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register every fixture table as a temp view for spark.sql() use."""
     for name in TABLES:
         load_table(spark, name, sf_dir).createOrReplaceTempView(name)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+) -> None:
+    """Persist a table bucketed (and sorted) by the join/agg key.
+
+    Bucketing is the batch co-location strategy at 100 TB: two tables
+    bucketed on the same key with the same bucket count join with ZERO
+    shuffle (asserted in tests/test_scale_ops.py), and groupBy on the
+    bucket key skips the exchange too. The reference's analogue is KeyBy
+    edge routing (/root/reference/arch.go:3-6, engine.go:374-386) —
+    there, co-location exists only inside one process's channels; here it
+    survives on disk across jobs.
+    """
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .format("parquet")
+        .saveAsTable(table)
+    )

@@ -115,3 +115,38 @@ def range_join_bands(
     """
     cond = (F.col(value_col) >= bands[lo_col]) & (F.col(value_col) < bands[hi_col])
     return df.join(F.broadcast(bands), cond, "left")
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: spread each hot key over ``n_salts``
+    reducers.
+
+    The big side gets a deterministic salt derived from the full row
+    (xxhash64 % n_salts — deterministic under task retries, unlike
+    rand()); the small side is exploded n_salts ways so every
+    (key, salt) combination still matches. Each hot key's rows then land
+    on n_salts different reducers instead of one.
+
+    Use when ONE key dominates (power-law keys at 100 TB) and the small
+    side is too big to broadcast. For moderate skew prefer AQE's
+    skew-join splitting (on by default in session.py) — it costs nothing
+    when skew is absent, while salting always pays the n_salts-way
+    duplication of the small side.
+
+    Supports big-side-preserving joins (inner/left); for right/full the
+    duplication would double-count unmatched small rows.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how in ('inner','left')")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    big_s = big.withColumn("__salt", salt)
+    small_s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<long>"))
+    )
+    return big_s.join(small_s, [*on, "__salt"], how).drop("__salt")

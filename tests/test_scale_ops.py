@@ -1,0 +1,67 @@
+"""Scale-strategy operators: skew salting and bucketed co-location.
+
+These tests assert the PHYSICAL properties (where the shuffles are), not
+just result correctness — the properties are the point of the operators.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ssp_spark import plans
+from ssp_spark.catalog import write_bucketed
+from ssp_spark.operators.relational import salted_join
+
+
+def test_salted_join_matches_plain_join(spark):
+    # heavy skew: 90% of big rows share key 1
+    big = spark.createDataFrame(
+        [(1 if i % 10 else 2, i) for i in range(1000)], "k long, v long"
+    )
+    small = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "unused")], "k long, name string")
+    expected = sorted((r.k, r.v, r.name) for r in big.join(small, "k").collect())
+    got = sorted((r.k, r.v, r.name) for r in salted_join(big, small, ["k"], n_salts=4).collect())
+    assert got == expected
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    big = spark.createDataFrame([(1, 10), (9, 90)], "k long, v long")
+    small = spark.createDataFrame([(1, "one")], "k long, name string")
+    got = {(r.k, r.v, r.name) for r in salted_join(big, small, ["k"], n_salts=3, how="left").collect()}
+    assert got == {(1, 10, "one"), (9, 90, None)}
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The mechanism itself: one hot key occupies n_salts distinct
+    (key, salt) groups, so no single reducer sees all of it."""
+    big = spark.createDataFrame([(1, i) for i in range(400)], "k long, v long")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(4))
+    n_groups = big.withColumn("s", salt).select("k", "s").distinct().count()
+    assert n_groups == 4
+
+
+def test_bucketed_join_no_shuffle(spark):
+    """Two tables bucketed on the join key with equal bucket counts must
+    sort-merge join with ZERO exchanges."""
+    a = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("a"))
+    b = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("b"))
+    write_bucketed(a, "bk_a", ["k"], 8)
+    write_bucketed(b, "bk_b", ["k"], 8)
+    try:
+        joined = spark.table("bk_a").join(spark.table("bk_b"), "k")
+        assert plans.exchange_count(joined) == 0
+        assert joined.count() == 1000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_bucketed_groupby_no_shuffle(spark):
+    a = spark.range(0, 1000).select((F.col("id") % 50).alias("k"), F.col("id").alias("v"))
+    write_bucketed(a, "bk_g", ["k"], 8)
+    try:
+        agg = spark.table("bk_g").groupBy("k").agg(F.sum("v").alias("s"))
+        assert plans.exchange_count(agg) == 0
+        assert agg.count() == 50
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_g")
