@@ -11,6 +11,12 @@ Two tiers, per the build plan (SURVEY.md §7 Phase 6):
   matching buckets; the scale path when queries are also huge. Bucket
   ids use deterministic pseudo-random hyperplanes derived from the
   md5-portable hash so results are reproducible across engines.
+- IVF (inverted-file index): a small centroid codebook is collected to
+  the driver and baked into the plan as literals (the standard "broadcast
+  the model" pattern — the codebook is tiny by construction, the corpus
+  is not). Cell assignment is then a pure map-side Catalyst expression:
+  the 100 TB corpus is never shuffled to be indexed, and search is an
+  equi-join on cell id.
 """
 
 from __future__ import annotations
@@ -120,6 +126,122 @@ def lsh_topk(
     )
     scored = (
         qb.join(cb, "bucket")
+        .filter(F.col("qid") != F.col("nid"))
+        .withColumn("cos", F.round(dot("qv", "nv") / (F.col("qn") * F.col("nn")), 6))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "cos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index
+# ---------------------------------------------------------------------------
+
+
+def ivf_codebook(
+    centroids: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[tuple[int, list[float]]]:
+    """Collect a (small) centroid set to a driver-side codebook.
+
+    Collecting is deliberate and scale-safe: an IVF codebook is O(n_cells)
+    (hundreds to tens of thousands of vectors), a model artifact — the
+    analogue of broadcasting a k-means model. Everything downstream stays
+    distributed.
+    """
+    rows = centroids.select(id_col, vec_col).collect()
+    return sorted((int(r[0]), [float(x) for x in r[1]]) for r in rows)
+
+
+def _py_norm(vals: list[float]) -> float:
+    """Sequential index-order L2 norm — the exact IEEE op sequence DuckDB's
+    sqrt(list_dot_product(v, v)) performs, so centroid norms baked in as
+    literals stay bit-identical to the oracle's."""
+    import math
+
+    acc = 0.0
+    for x in vals:
+        acc += x * x
+    return math.sqrt(acc)
+
+
+def ivf_cells(
+    df: DataFrame,
+    codebook: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+    out_col: str = "cells",
+) -> DataFrame:
+    """array<bigint> of the nprobe nearest centroid ids per vector.
+
+    Pure map-side Catalyst expression (no shuffle, no Python at row
+    level): per centroid, an index-order dot product against the literal
+    codebook vector; nearest-cell choice via array_sort on
+    (2 - round(cos, 6), cid) structs. The +2 offset keeps the sort key
+    strictly positive so IEEE ±0.0 can never make engines disagree on
+    ordering; ties break on centroid id, matching the oracle's
+    ORDER BY cos DESC, cid.
+    """
+    from ssp_spark.functions import dot, norm
+
+    vn = norm(F.col(vec_col))
+    entries = []
+    for cid, cv in codebook:
+        arr = F.array(*[F.lit(float(x)).cast("double") for x in cv])
+        cos = F.round(dot(F.col(vec_col), arr) / (vn * F.lit(_py_norm(cv))), 6)
+        entries.append(
+            F.struct((F.lit(2.0) - cos).alias("negkey"), F.lit(cid).cast("long").alias("cid"))
+        )
+    cells = F.transform(
+        F.slice(F.array_sort(F.array(*entries)), 1, nprobe), lambda s: s["cid"]
+    )
+    return df.withColumn(out_col, cells)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an inverted-file index.
+
+    Plan shape (the IVF contract at scale): corpus vectors are assigned
+    map-side to exactly one cell; each query probes its nprobe nearest
+    cells; search is a shuffle-hash equi-join on cell id touching only
+    ~nprobe/n_cells of the corpus per query, followed by WindowGroupLimit
+    partial top-k. No cross product anywhere.
+    """
+    from ssp_spark.functions import dot, norm
+
+    codebook = ivf_codebook(centroids, id_col, vec_col)
+    c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    c = (
+        ivf_cells(c, codebook, vec_col, nprobe=1)
+        .select(
+            F.col(id_col).alias("nid"),
+            F.col(vec_col).alias("nv"),
+            F.element_at("cells", 1).alias("cell"),
+        )
+        .withColumn("nn", norm("nv"))
+    )
+    q = (
+        ivf_cells(queries, codebook, vec_col, nprobe=nprobe)
+        .select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("qv"),
+            F.explode("cells").alias("cell"),
+        )
+        .withColumn("qn", norm("qv"))
+    )
+    scored = (
+        q.join(c, "cell")
         .filter(F.col("qid") != F.col("nid"))
         .withColumn("cos", F.round(dot("qv", "nv") / (F.col("qn") * F.col("nn")), 6))
     )

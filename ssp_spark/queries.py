@@ -1368,3 +1368,219 @@ def regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("event_type", "[aeiou]", "_").alias("type_devoweled"),
         F.when(F.col("event_type").rlike("^(click|view)$"), 1).otherwise(0).alias("is_impression"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 3: subquery shapes (EXISTS / NOT EXISTS / IN / correlated &
+# uncorrelated scalar subqueries) + TPC-H Q6 + IVF similarity search.
+#
+# The subquery queries go through spark.sql on purpose: the engine's SQL
+# surface is part of the contract, and Catalyst's subquery rewrites
+# (EXISTS -> left semi join, NOT EXISTS -> left anti join, correlated
+# scalar -> aggregate + join) are exactly the plans we'd hand-write —
+# asserted in tests/test_plans.py.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) / 10000.0
+               AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + conjunctive predicate + global agg.
+    The whole WHERE clause reaches the parquet reader as PushedFilters
+    (asserted in test_plans.py) — at 100 TB this is the difference
+    between reading 4 columns of a few row groups and reading the table."""
+    return spark.sql(
+        f"""
+        SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) / 1e4
+                   AS revenue,
+               count(*) AS n_items
+        FROM parquet.`{sf_dir}/lineitem.parquet`
+        WHERE l_shipdate >= TIMESTAMP_NTZ '1997-01-01'
+          AND l_shipdate < TIMESTAMP_NTZ '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """
+    )
+
+
+@_q(
+    "q4_priority_exists",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (correlated EXISTS; the fixture lineitem has no
+    commit/receipt dates, so the inner predicate is quantity > 45).
+    Catalyst rewrites the EXISTS to a left semi join on l_orderkey —
+    lineitem is aggregated to distinct keys before the join, never
+    duplicated."""
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM parquet.`{sf_dir}/orders.parquet` o
+        WHERE o_orderdate >= TIMESTAMP_NTZ '1997-01-01'
+          AND o_orderdate < TIMESTAMP_NTZ '1998-01-01'
+          AND EXISTS (SELECT 1 FROM parquet.`{sf_dir}/lineitem.parquet` l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@_q(
+    "q17_small_qty_revenue",
+    """
+    SELECT round(round(sum(l_extendedprice), 2) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#13'
+      AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity). Catalyst decorrelates it into a per-partkey aggregate
+    joined back — one extra scan + one small join instead of a
+    per-row subquery. Determinism: l_quantity is integral, so avg is
+    an exact sum/count; the outer revenue sum is cent-rounded."""
+    return spark.sql(
+        f"""
+        SELECT round(round(sum(l_extendedprice), 2) / 7.0, 2) AS avg_yearly,
+               count(*) AS n_items
+        FROM parquet.`{sf_dir}/lineitem.parquet`
+        JOIN parquet.`{sf_dir}/part.parquet` ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#13'
+          AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                            FROM parquet.`{sf_dir}/lineitem.parquet` l2
+                            WHERE l2.l_partkey = p_partkey)
+        """
+    )
+
+
+@_q(
+    "q18_large_orders",
+    """
+    SELECT c_custkey, o_orderkey, epoch(o_orderdate)::BIGINT AS orderdate_ep,
+           round(o_totalprice, 2) AS total_price, round(sum(l_quantity), 2) AS total_qty
+    FROM customer JOIN orders ON o_custkey = c_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 100)
+    GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN over an aggregated subquery (orders with
+    total quantity > 100). The IN becomes a left semi join against the
+    HAVING-filtered aggregate; quantity sums are exact (integral)."""
+    return spark.sql(
+        f"""
+        SELECT c_custkey, o_orderkey,
+               unix_timestamp(CAST(o_orderdate AS TIMESTAMP)) AS orderdate_ep,
+               round(o_totalprice, 2) AS total_price,
+               round(sum(l_quantity), 2) AS total_qty
+        FROM parquet.`{sf_dir}/customer.parquet`
+        JOIN parquet.`{sf_dir}/orders.parquet` ON o_custkey = c_custkey
+        JOIN parquet.`{sf_dir}/lineitem.parquet` ON l_orderkey = o_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM parquet.`{sf_dir}/lineitem.parquet`
+                             GROUP BY l_orderkey HAVING sum(l_quantity) > 100)
+        GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+        """
+    )
+
+
+@_q(
+    "q22_idle_rich_customers",
+    """
+    SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT round(sum(c_acctbal), 2) / count(*) FROM customer)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    GROUP BY c_nationkey
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: uncorrelated scalar subquery (global average
+    acctbal — computed once, broadcast as a literal at runtime) plus a
+    correlated NOT EXISTS (no pending order), which Catalyst turns into
+    a left anti join. The average is round(sum)/count so both engines
+    divide identical operands."""
+    return spark.sql(
+        f"""
+        SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+        FROM parquet.`{sf_dir}/customer.parquet` c
+        WHERE c_acctbal > (SELECT round(sum(c_acctbal), 2) / count(*)
+                           FROM parquet.`{sf_dir}/customer.parquet`)
+          AND NOT EXISTS (SELECT 1 FROM parquet.`{sf_dir}/orders.parquet` o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        GROUP BY c_nationkey
+        """
+    )
+
+
+@_q(
+    "ann_ivf_topk",
+    """
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cn
+      FROM embeddings WHERE vec_id % 50 = 7
+    ),
+    corp AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
+      FROM embeddings
+    ),
+    asg AS (
+      SELECT vec_id, v, vn, cid FROM (
+        SELECT c.vec_id, c.v, c.vn, n.cid,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY round(list_dot_product(c.v, n.cv) / (c.vn * n.cn), 6) DESC, n.cid) AS rn
+        FROM corp c CROSS JOIN cent n)
+      WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS qid, v AS qv, vn AS qn, cid FROM (
+        SELECT c.vec_id, c.v, c.vn, n.cid,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY round(list_dot_product(c.v, n.cv) / (c.vn * n.cn), 6) DESC, n.cid) AS rn
+        FROM corp c CROSS JOIN cent n WHERE c.vec_id % 25 = 0)
+      WHERE rn <= 2
+    )
+    SELECT qid, nid, CAST(rank AS INT) AS rank, cos FROM (
+      SELECT p.qid, a.vec_id AS nid,
+             round(list_dot_product(p.qv, a.v) / (p.qn * a.vn), 6) AS cos,
+             row_number() OVER (PARTITION BY p.qid
+               ORDER BY round(list_dot_product(p.qv, a.v) / (p.qn * a.vn), 6) DESC, a.vec_id) AS rank
+      FROM probes p JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.qid)
+    WHERE rank <= 10
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 per query: codebook = vectors with
+    vec_id % 50 == 7 (deterministic stand-in for k-means centroids, so
+    the oracle can rebuild the identical index), nprobe=2. Cell
+    assignment is map-side against driver-collected codebook literals;
+    search joins only the probed cells (similarity.ivf_topk)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    centroids = emb.filter(F.col("vec_id") % 50 == 7)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return similarity.ivf_topk(queries, emb, centroids, k=10, nprobe=2)

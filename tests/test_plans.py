@@ -66,3 +66,40 @@ def test_asof_join_single_shuffle_per_side(spark):
 def test_running_agg_single_shuffle(spark):
     df = QUERIES["running_user_spend"](spark, SF_SMOKE)
     assert plans.exchange_count(df) == 1
+
+
+def test_q6_pushes_all_predicates(spark):
+    """TPC-H Q6: the whole conjunctive WHERE must reach the parquet scan."""
+    df = QUERIES["q6_forecast_revenue"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    pushed = [line for line in s.splitlines() if "PushedFilters" in line]
+    assert pushed
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed[0]
+    read_schema = [line for line in s.splitlines() if "ReadSchema" in line]
+    assert read_schema and "l_orderkey" not in read_schema[0]
+
+
+def test_exists_rewrites_to_semi_join(spark):
+    """Catalyst must turn the correlated EXISTS into a semi join, not a
+    per-row subquery or a cross product."""
+    df = QUERIES["q4_priority_exists"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert "LeftSemi" in s
+    assert not plans.has_cartesian(df)
+
+
+def test_not_exists_rewrites_to_anti_join(spark):
+    df = QUERIES["q22_idle_rich_customers"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert "LeftAnti" in s
+    assert not plans.has_cartesian(df)
+
+
+def test_ivf_search_is_equi_join_no_python(spark):
+    """IVF: assignment is map-side Catalyst (no Python eval), search is an
+    equi-join on cell id — never a cross product over the corpus."""
+    df = QUERIES["ann_ivf_topk"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert not plans.has_cartesian(df)
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
