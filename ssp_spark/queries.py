@@ -932,8 +932,52 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("ann_lsh_topk")  # approximate by construction: compared to itself only
+# The LSH hyperplanes are deterministic functions of (plane, dim) via the
+# md5-portable hash (similarity.lsh_buckets), so the oracle can inline the
+# full 8x64 sign matrix as literals and rebuild identical buckets.
+def _lsh_signs(n_planes: int = 8, dims: int = 64) -> list[list[float]]:
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16) & 1 else -1.0
+            for d in range(dims)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+_SQL_LSH_BUCKET = " + ".join(
+    f"(CASE WHEN list_dot_product(v, [{', '.join(str(s) for s in row)}]) > 0"
+    f" THEN {1 << p} ELSE 0 END)"
+    for p, row in enumerate(_lsh_signs())
+)
+
+
+@_q(
+    "ann_lsh_topk",
+    f"""
+    WITH ve AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
+      FROM embeddings
+    ),
+    b AS (SELECT vec_id, v, vn, {_SQL_LSH_BUCKET} AS bucket FROM ve)
+    SELECT qid, nid, CAST(rank AS INT) AS rank, cos FROM (
+      SELECT q.vec_id AS qid, c.vec_id AS nid,
+             round(list_dot_product(q.v, c.v) / (q.vn * c.vn), 6) AS cos,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY round(list_dot_product(q.v, c.v) / (q.vn * c.vn), 6) DESC, c.vec_id) AS rank
+      FROM b q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+      WHERE q.vec_id % 25 = 0)
+    WHERE rank <= 10
+    """,
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k. The oracle reproduces the exact
+    index: hyperplane signs are md5-derived per (plane, dim), inlined as
+    SQL literals; both engines then bucket, join, score, and rank the
+    same candidate sets."""
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") % 25 == 0)
     return similarity.lsh_topk(queries, emb, k=10)
@@ -1280,8 +1324,21 @@ def stats_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("map_funcs_roundtrip")  # map type has no stable DuckDB comparison form
+@_q(
+    "map_funcs_roundtrip",
+    """
+    SELECT event_id,
+           ['type', 'uid'] AS keys,
+           event_type AS type_val,
+           '{"type":"' || event_type || '","uid":"' || CAST(user_id AS VARCHAR) || '"}' AS as_json
+    FROM events
+    """,
+)
 def map_funcs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function surface (create_map/map_keys/element_at/to_json). The
+    oracle reconstructs Spark's to_json rendering literally — valid here
+    because event_type values need no JSON escaping (asserted nowhere
+    cheaper than the hash match itself)."""
     ev = load_table(spark, "events", sf_dir)
     m = F.create_map(F.lit("type"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string"))
     return ev.select(
@@ -1289,6 +1346,51 @@ def map_funcs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.map_keys(m).alias("keys"),
         F.element_at(m, "type").alias("type_val"),
         F.to_json(m).alias("as_json"),
+    )
+
+
+@_q(
+    "stats_numeric_exact",
+    """
+    WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+    m AS (SELECT event_type, count(*) AS n,
+                 sum(cents) AS s1, sum(cents * cents) AS s2
+          FROM c GROUP BY event_type)
+    SELECT event_type, n,
+           round(s1 / n / 100.0, 4) AS value_mean,
+           round((n * s2 - s1 * s1) / (n * (n - 1)) / 10000.0, 4) AS value_var,
+           round(sqrt((n * s2 - s1 * s1) / (n * (n - 1))) / 100.0, 4) AS value_std
+    FROM m
+    """,
+)
+def stats_numeric_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic two-moment statistics: values are cent-scaled to
+    exact integers, so sums/counts are exact and sample variance
+    (n*S2 - S1^2) / (n*(n-1)) is computed from identical operands in
+    both engines — unlike the built-in stddev/variance (stats_numeric,
+    rows-only), whose FP accumulation order is partition-dependent.
+    Integer moments fit BIGINT up to ~1e8 rows per group at these value
+    magnitudes; beyond that promote S2 to DECIMAL(38,0)."""
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    m = (
+        ev.select("event_type", cents.alias("cents"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cents").alias("s1"),
+            F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+        )
+    )
+    var_cents = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")) / (
+        F.col("n") * (F.col("n") - 1)
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.round(F.col("s1") / F.col("n") / 100.0, 4).alias("value_mean"),
+        F.round(var_cents / 10000.0, 4).alias("value_var"),
+        F.round(F.sqrt(var_cents) / 100.0, 4).alias("value_std"),
     )
 
 
