@@ -205,31 +205,35 @@ def simhash(
 ) -> DataFrame:
     """32-bit SimHash fingerprint per document (token-weighted bit vote).
 
-    Plan: distinct (doc, token) -> explode bit index 0..bits-1 -> vote
-    +-1 by token-hash bit -> groupBy(doc, bit) sum -> groupBy(doc) pack.
-    All integer Catalyst math; DuckDB-reproducible (shiftright on the
-    portable 60-bit hash).
+    Entirely map-side, ZERO shuffles: per doc, hash the distinct tokens
+    once (md5 — the dominant cost), then fold the per-bit +-1 votes and
+    pack the sign bits in a single Catalyst expression over the hash
+    array. The earlier formulation exploded (doc, token, bit) — 32x the
+    rows — through two shuffled groupBys; at 100 TB this version scans,
+    computes, and is done. DuckDB-reproducible (shiftright on the
+    portable 60-bit hash; votes over DISTINCT tokens).
     """
     spread = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
     spread = spread.repartition(spread.sparkSession.sparkContext.defaultParallelism)
-    toks = spread.select(
-        "doc_id", F.explode(F.array_distinct(tokens(F.col("__text")))).alias("tok")
+    ths = spread.select(
+        "doc_id",
+        F.transform(F.array_distinct(tokens(F.col("__text"))), portable_hash64).alias("ths"),
     )
-    hashed = toks.withColumn("th", portable_hash64(F.col("tok")))
-    bit_idx = F.explode(F.sequence(F.lit(0), F.lit(bits - 1)))
-    # shiftright/shiftleft with a COLUMN shift amount needs the SQL form
-    votes = hashed.select("doc_id", "th", bit_idx.alias("bit")).withColumn(
-        "vote", F.expr("(shiftright(th, bit) & 1) * 2 - 1")
+    # per bit b: vote sum = sum over tokens of ((th>>b)&1)*2-1; bit set in
+    # the fingerprint iff the sum is positive (strictly — ties clear it)
+    packed = F.expr(
+        f"""
+        aggregate(
+          sequence(0, {bits - 1}),
+          cast(0 as bigint),
+          (acc, b) -> acc + IF(
+            aggregate(ths, cast(0 as bigint),
+                      (a, th) -> a + (shiftright(th, b) & 1) * 2 - 1) > 0,
+            shiftleft(cast(1 as bigint), b),
+            cast(0 as bigint)))
+        """
     )
-    bit_sums = votes.groupBy("doc_id", "bit").agg(F.sum("vote").alias("s"))
-    packed = bit_sums.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
-    )
-    return packed
+    return ths.select("doc_id", packed.alias("simhash"))
 
 
 def embedding_near_dup(
