@@ -1,0 +1,45 @@
+"""Property test for the cross-engine determinism foundation: every
+oracle-parity claim in this repo ultimately rests on portable_hash64
+(md5-hex -> 60-bit int) computing the SAME value in Spark, DuckDB, and
+Python. Hypothesis drives arbitrary unicode through all three.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+from hypothesis import given, settings, strategies as st
+
+import pyspark.sql.functions as F
+from ssp_spark.functions import portable_hash64
+
+
+def _py_hash64(s: str) -> int:
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+# NUL is excluded: DuckDB VARCHARs are NUL-terminated internally and reject
+# embedded \x00 — Spark and Python handle it, so the engine contract simply
+# documents NUL-free strings (real tokenized text never contains NUL).
+_strings = st.lists(
+    st.text(alphabet=st.characters(blacklist_characters="\x00"), min_size=0, max_size=40),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_strings)
+def test_hash64_identical_across_engines(spark, strings):
+    sdf = spark.createDataFrame([(s,) for s in strings], ["s"])
+    got_spark = [r[0] for r in sdf.select(portable_hash64("s")).collect()]
+    got_duck = [
+        r[0]
+        for r in duckdb.execute(
+            "SELECT ('0x' || substr(md5(s), 1, 15))::BIGINT FROM (SELECT unnest(?) AS s)",
+            [strings],
+        ).fetchall()
+    ]
+    got_py = [_py_hash64(s) for s in strings]
+    assert got_spark == got_py == got_duck
