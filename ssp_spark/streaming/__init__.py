@@ -146,3 +146,65 @@ def wait_all_streams(spark: SparkSession, timeout_s: float = 120.0) -> None:
     deadline = time.time() + timeout_s
     for q in spark.streams.active:
         q.awaitTermination(max(0.1, deadline - time.time()))
+
+
+def has_transform_with_state() -> bool:
+    """transformWithStateInPandas (Spark 4.x arbitrary-stateful API) needs
+    the protobuf python package for its driver-worker protocol; gate on it
+    so environments without protobuf fall back to applyInPandasWithState
+    (same semantics, no timers/TTL)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_count_transform_with_state(
+    sdf: DataFrame, key_col: str, out_col: str = "cnt"
+) -> DataFrame:
+    """The modern (Spark 4.x) form of running_count_stream, on the
+    transformWithStateInPandas API: typed value state, RocksDB-backed,
+    extensible with timers/TTL — the forward path for ssp's
+    NewStatefulNode semantics. Semantically identical to
+    running_count_stream; requires has_transform_with_state().
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    spark = sdf.sparkSession
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    out_schema = T.StructType(
+        [T.StructField(key_col, T.StringType()), T.StructField(out_col, T.LongType())]
+    )
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle):
+            self.cnt = handle.getValueState("cnt", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            n = self.cnt.get()[0] if self.cnt.exists() else 0
+            out = []
+            for pdf in rows:
+                m = len(pdf)
+                out.append(
+                    pd.DataFrame({key_col: [key[0]] * m, out_col: range(n + 1, n + m + 1)})
+                )
+                n += m
+            self.cnt.update((n,))
+            yield from out
+
+        def close(self):
+            pass
+
+    return sdf.groupBy(key_col).transformWithStateInPandas(
+        RunningCount(), outputStructType=out_schema, outputMode="Update", timeMode="None"
+    )

@@ -275,3 +275,19 @@ def test_streaming_session_window(spark, tmpdir):
     got = sorted((r.ws - base, r.we - base, r.n) for r in spark.table(name).collect())
     assert (0, 18, 3) in got  # 0,5,8 merge: session extends to last+gap
     assert (30, 42, 2) in got
+
+
+@pytest.mark.skipif(
+    not ss.has_transform_with_state(),
+    reason="transformWithStateInPandas needs the protobuf package (not in this env)",
+)
+def test_transform_with_state_running_count(spark, tmp_path):
+    """Modern-API twin of test_running_count_stream_update_emission."""
+    src = spark.createDataFrame([("hello",), ("world",), ("hello",), ("hello",)], ["word"])
+    d = str(tmp_path / "tws_src")
+    src.write.json(d)
+    sdf = spark.readStream.schema(src.schema).json(d)
+    res = ss.running_count_transform_with_state(sdf, "word")
+    out = ss.replay_update_to_memory(res, "tws_golden")
+    got = sorted((r["word"], r["cnt"]) for r in out.collect())
+    assert got == [("hello", 1), ("hello", 2), ("hello", 3), ("world", 1)]
