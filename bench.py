@@ -43,6 +43,10 @@ HEADLINE = [
     "lang_id",
     "quality_score",
     "doc_fingerprint",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "ann_ivf_topk",
+    "stats_numeric_exact",
 ]
 
 

@@ -168,37 +168,71 @@ def _py_norm(vals: list[float]) -> float:
     return math.sqrt(acc)
 
 
+def _centroid_frame(spark, codebook: list[tuple[int, list[float]]]) -> DataFrame:
+    """(cid, cv, cn) centroid frame from a driver-side codebook. Norms are
+    computed in Python with sequential index-order adds (_py_norm) — the
+    exact IEEE op sequence the DuckDB oracle's sqrt(list_dot_product)
+    performs — then shipped as data, not recomputed."""
+    rows = [(cid, [float(x) for x in cv], _py_norm(cv)) for cid, cv in codebook]
+    return spark.createDataFrame(rows, "cid long, cv array<double>, cn double")
+
+
 def ivf_cells(
     df: DataFrame,
     codebook: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
     out_col: str = "cells",
 ) -> DataFrame:
-    """array<bigint> of the nprobe nearest centroid ids per vector.
+    """(id, vec, vnorm, array<bigint> of nprobe nearest centroid ids).
 
-    Pure map-side Catalyst expression (no shuffle, no Python at row
-    level): per centroid, an index-order dot product against the literal
-    codebook vector; nearest-cell choice via array_sort on
-    (2 - round(cos, 6), cid) structs. The +2 offset keeps the sort key
-    strictly positive so IEEE ±0.0 can never make engines disagree on
-    ordering; ties break on centroid id, matching the oracle's
-    ORDER BY cos DESC, cid.
+    Broadcast the codebook frame, score every (vector, centroid) pair
+    with one index-order dot product, and pick the nprobe best per vector
+    with a collect_list + array_sort aggregation. The ×n_cells fan-out is
+    collapsed by partial aggregation on the map side (the broadcast join
+    preserves partitioning), so the shuffle carries ONE row per vector —
+    at 100 TB the corpus is scored in place and only (id, cells) moves.
+    Sort key (2 - round(cos, 6), cid): the +2 offset keeps it strictly
+    positive so IEEE ±0.0 can never make engines disagree; ties break on
+    centroid id, matching the oracle's ORDER BY cos DESC, cid.
     """
     from ssp_spark.functions import dot, norm
 
-    vn = norm(F.col(vec_col))
-    entries = []
-    for cid, cv in codebook:
-        arr = F.array(*[F.lit(float(x)).cast("double") for x in cv])
-        cos = F.round(dot(F.col(vec_col), arr) / (vn * F.lit(_py_norm(cv))), 6)
-        entries.append(
-            F.struct((F.lit(2.0) - cos).alias("negkey"), F.lit(cid).cast("long").alias("cid"))
-        )
-    cells = F.transform(
-        F.slice(F.array_sort(F.array(*entries)), 1, nprobe), lambda s: s["cid"]
+    cent = F.broadcast(_centroid_frame(df.sparkSession, codebook))
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).withColumn("__vn", norm("__v"))
+    cand = F.struct(
+        (F.lit(2.0) - F.round(dot("__v", "cv") / (F.col("__vn") * F.col("cn")), 6)).alias(
+            "negkey"
+        ),
+        F.col("cid").alias("cid"),
     )
-    return df.withColumn(out_col, cells)
+    # nprobe=1 (the corpus-assignment hot path): min over lexicographic
+    # (negkey, cid) structs — a constant-size partial aggregate, cheaper
+    # than materializing and sorting the full candidate list per vector
+    top = (
+        F.array(F.min("cand"))
+        if nprobe == 1
+        else F.slice(F.array_sort(F.collect_list("cand")), 1, nprobe)
+    )
+    return (
+        base.join(cent)
+        .select("__id", "__v", "__vn", cand.alias("cand"))
+        .groupBy("__id")
+        .agg(
+            F.first("__v").alias("__v"),
+            F.first("__vn").alias("__vn"),
+            top.alias("__top"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__v").alias(vec_col),
+            F.col("__vn").alias("vnorm"),
+            F.transform("__top", lambda s: s["cid"]).alias(out_col),
+        )
+    )
 
 
 def ivf_topk(
@@ -212,33 +246,28 @@ def ivf_topk(
 ) -> DataFrame:
     """Approximate top-k via an inverted-file index.
 
-    Plan shape (the IVF contract at scale): corpus vectors are assigned
-    map-side to exactly one cell; each query probes its nprobe nearest
+    Plan shape (the IVF contract at scale): corpus vectors are scored
+    against the broadcast codebook and assigned to exactly one cell (one
+    shuffle of (id, cell) rows); each query probes its nprobe nearest
     cells; search is a shuffle-hash equi-join on cell id touching only
     ~nprobe/n_cells of the corpus per query, followed by WindowGroupLimit
     partial top-k. No cross product anywhere.
     """
-    from ssp_spark.functions import dot, norm
+    from ssp_spark.functions import dot
 
     codebook = ivf_codebook(centroids, id_col, vec_col)
     c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
-    c = (
-        ivf_cells(c, codebook, vec_col, nprobe=1)
-        .select(
-            F.col(id_col).alias("nid"),
-            F.col(vec_col).alias("nv"),
-            F.element_at("cells", 1).alias("cell"),
-        )
-        .withColumn("nn", norm("nv"))
+    c = ivf_cells(c, codebook, id_col, vec_col, nprobe=1).select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nv"),
+        F.col("vnorm").alias("nn"),
+        F.element_at("cells", 1).alias("cell"),
     )
-    q = (
-        ivf_cells(queries, codebook, vec_col, nprobe=nprobe)
-        .select(
-            F.col(id_col).alias("qid"),
-            F.col(vec_col).alias("qv"),
-            F.explode("cells").alias("cell"),
-        )
-        .withColumn("qn", norm("qv"))
+    q = ivf_cells(queries, codebook, id_col, vec_col, nprobe=nprobe).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        F.col("vnorm").alias("qn"),
+        F.explode("cells").alias("cell"),
     )
     scored = (
         q.join(c, "cell")
