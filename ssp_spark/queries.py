@@ -1589,21 +1589,27 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: IN over an aggregated subquery (orders with
-    total quantity > 100). The IN becomes a left semi join against the
-    HAVING-filtered aggregate; quantity sums are exact (integral)."""
+    """TPC-H Q18 shape (orders with total quantity > 100). The textbook
+    IN-subquery form makes Catalyst infer the semi-join filter onto BOTH
+    sides of the orders-lineitem join, duplicating the per-order quantity
+    aggregate (two full lineitem scans+aggs — observed in the plan). The
+    scale-correct plan aggregates lineitem ONCE, HAVING-filters, and
+    joins the survivors; identical results, half the heavy lifting. The
+    oracle keeps the classic IN form. Quantity sums are exact (integral)."""
     return spark.sql(
         f"""
+        WITH big AS (
+          SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+          FROM parquet.`{sf_dir}/lineitem.parquet`
+          GROUP BY l_orderkey HAVING sum(l_quantity) > 100
+        )
         SELECT c_custkey, o_orderkey,
                unix_timestamp(CAST(o_orderdate AS TIMESTAMP)) AS orderdate_ep,
                round(o_totalprice, 2) AS total_price,
-               round(sum(l_quantity), 2) AS total_qty
-        FROM parquet.`{sf_dir}/customer.parquet`
-        JOIN parquet.`{sf_dir}/orders.parquet` ON o_custkey = c_custkey
-        JOIN parquet.`{sf_dir}/lineitem.parquet` ON l_orderkey = o_orderkey
-        WHERE o_orderkey IN (SELECT l_orderkey FROM parquet.`{sf_dir}/lineitem.parquet`
-                             GROUP BY l_orderkey HAVING sum(l_quantity) > 100)
-        GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+               total_qty
+        FROM big
+        JOIN parquet.`{sf_dir}/orders.parquet` ON o_orderkey = l_orderkey
+        JOIN parquet.`{sf_dir}/customer.parquet` ON c_custkey = o_custkey
         """
     )
 
@@ -1686,3 +1692,139 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.filter(F.col("vec_id") % 50 == 7)
     queries = emb.filter(F.col("vec_id") % 25 == 0)
     return similarity.ivf_topk(queries, emb, centroids, k=10, nprobe=2)
+
+
+@_q(
+    "q7_nation_volume",
+    """
+    SELECT supp_nation, cust_nation, yr,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0
+               AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(o_orderdate) AS INT) AS yr, l_extendedprice, l_discount
+      FROM lineitem JOIN orders   ON o_orderkey = l_orderkey
+                    JOIN customer ON c_custkey = o_custkey
+                    JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+                    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY supp_nation, cust_nation, yr
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between a nation pair by year.
+    The nation dim joins both roles (supplier-side and customer-side) as
+    broadcasts; the disjunctive pair filter lands after both so the fact
+    chain still shuffles each table once."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")))
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_bp = 100 - F.round(F.col("l_discount") * 100).cast("long")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(n1, supp.s_nationkey == F.col("n1_key"))
+        .join(n2, cust.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("o_orderdate").alias("yr"))
+        .agg((F.sum(cents * disc_bp) / 10000.0).alias("revenue"))
+    )
+
+
+@_q(
+    "q14_promo_revenue",
+    """
+    WITH j AS (
+      SELECT p_type,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS cd
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+    )
+    SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN cd ELSE 0 END) AS BIGINT) / 10000.0
+               AS promo_revenue,
+           CAST(sum(cd) AS BIGINT) / 10000.0 AS total_revenue,
+           round((CAST(sum(CASE WHEN p_type = 'PROMO' THEN cd ELSE 0 END) AS BIGINT) / 10000.0)
+                 / (CAST(sum(cd) AS BIGINT) / 10000.0) * 100.0, 6) AS promo_pct
+    FROM j
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo share of one month's revenue. The shipdate
+    predicate is pushed to the lineitem scan; part joins broadcast under
+    AQE. Both revenue sums are exact integers before one final division."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp_ntz"))
+    )
+    part = load_table(spark, "part", sf_dir)
+    cd = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    agg = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("p_type", cd.alias("cd"))
+        .agg(
+            (F.sum(F.when(F.col("p_type") == "PROMO", F.col("cd")).otherwise(F.lit(0))) / 10000.0).alias(
+                "promo_revenue"
+            ),
+            (F.sum("cd") / 10000.0).alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        F.round(F.col("promo_revenue") / F.col("total_revenue") * 100.0, 6).alias("promo_pct"),
+    )
+
+
+@_q(
+    "q19_disjunctive_revenue",
+    """
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0
+               AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+       OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    predicates across the join. Catalyst extracts the common l_quantity
+    bounds push-down-able to the scan; the full disjunction evaluates
+    post-join on the broadcast part side."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_bp = 100 - F.round(F.col("l_discount") * 100).cast("long")
+
+    def arm(brand: str, smin: int, smax: int, qmin: int, qmax: int):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(smin, smax)
+            & F.col("l_quantity").between(qmin, qmax)
+        )
+
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(arm("Brand#13", 1, 15, 1, 20) | arm("Brand#22", 10, 30, 10, 35) | arm("Brand#25", 20, 50, 20, 50))
+        .agg(
+            (F.sum(cents * disc_bp) / 10000.0).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )

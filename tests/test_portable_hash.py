@@ -19,11 +19,16 @@ def _py_hash64(s: str) -> int:
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
 
 
-# NUL is excluded: DuckDB VARCHARs are NUL-terminated internally and reject
-# embedded \x00 — Spark and Python handle it, so the engine contract simply
-# documents NUL-free strings (real tokenized text never contains NUL).
+# Excluded: NUL (DuckDB VARCHARs reject embedded \x00) and lone surrogates
+# (category Cs — not encodable as UTF-8 at all, so no engine can hash them).
+# The contract is therefore "valid UTF-8, NUL-free", which is what real
+# tokenized text is.
 _strings = st.lists(
-    st.text(alphabet=st.characters(blacklist_characters="\x00"), min_size=0, max_size=40),
+    st.text(
+        alphabet=st.characters(blacklist_characters="\x00", blacklist_categories=("Cs",)),
+        min_size=0,
+        max_size=40,
+    ),
     min_size=1,
     max_size=25,
 )
