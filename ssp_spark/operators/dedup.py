@@ -272,3 +272,47 @@ def embedding_near_dup(
     )
     base.unpersist()
     return out
+
+
+def connected_components(
+    pairs: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Duplicate clusters from a near-dup pair graph: (id, component_id)
+    where component_id = min doc id reachable through pairs.
+
+    Hash-to-min label propagation — the standard large-scale connected
+    components: each round every node takes the min label among itself
+    and its neighbors (one equi-join + one groupBy per round), so rounds
+    needed = graph diameter, which for near-dup graphs (dense template
+    cliques) is tiny. Convergence is detected by the monotone label-sum
+    invariant (strictly decreases until fixpoint) — one scalar per round,
+    no expensive diff join. Lineage is cut with localCheckpoint per
+    round, keeping plans constant-size regardless of iterations.
+
+    The reference has no iterative operators at all; this is the §6
+    training-pipeline extension that turns pair lists (jaccard_pairs /
+    minhash_lsh_pairs) into actionable dedup groups.
+    """
+    edges = pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = sym.localCheckpoint()
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = sym.join(labels, sym.dst == labels.id).select(
+            F.col("src").alias("id"), F.col("label")
+        )
+        new_labels = (
+            labels.union(nbr).groupBy("id").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.select(F.col("id"), F.col("label").alias("component_id"))

@@ -1828,3 +1828,50 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+@_q(
+    "dedup_minhash_clusters",
+    f"""
+    WITH RECURSIVE {_SQL_SHINGLES},
+    base AS (SELECT doc_id, {_SQL_HASH64.format(x="sh")} AS h64 FROM sh),
+    mh AS (
+      SELECT doc_id, seed,
+             min(({_SQL_MIX_A}[seed + 1] * (h64 & 4294967295)
+                  + {_SQL_MIX_B}[seed + 1]) & 4294967295) AS minhash
+      FROM base CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) s
+      GROUP BY doc_id, seed
+    ),
+    banded AS (
+      SELECT doc_id, CAST(seed // 3 AS INT) AS band,
+             string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_sig
+      FROM mh GROUP BY doc_id, band
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM banded a JOIN banded b USING (band, band_sig)
+      WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+              UNION ALL SELECT id2, id1 FROM pairs),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, label) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.id
+    )
+    SELECT id AS doc_id, min(label) AS component_id FROM reach GROUP BY id
+    """,
+)
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: MinHash-LSH candidate pairs resolved into
+    connected components (component_id = min doc id in the cluster) via
+    iterative hash-to-min label propagation (operators.dedup
+    .connected_components). The reference has nothing iterative; the
+    oracle verifies the fixpoint with a recursive CTE over the identical
+    pair graph — an exact, transitive match, not a per-pair check."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=12, bands=4)
+    return dedup.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component_id"
+    )

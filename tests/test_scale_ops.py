@@ -65,3 +65,15 @@ def test_bucketed_groupby_no_shuffle(spark):
         assert agg.count() == 50
     finally:
         spark.sql("DROP TABLE IF EXISTS bk_g")
+
+
+def test_connected_components_chain(spark):
+    """A path graph needs ceil(log/diameter) propagation rounds — labels
+    must traverse transitively, not just to direct neighbors."""
+    from ssp_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 5), (10, 11)], ["id1", "id2"]
+    )
+    got = {(r.id, r.component_id) for r in dedup.connected_components(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (10, 10), (11, 10)}
