@@ -1875,3 +1875,56 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs).select(
         F.col("id").alias("doc_id"), "component_id"
     )
+
+
+@_q(
+    "sample_split_hash",
+    f"""
+    SELECT split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM (
+      SELECT doc_id,
+             CASE WHEN h % 100 < 80 THEN 'train'
+                  WHEN h % 100 < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id, {_SQL_HASH64.format(x="doc_id::VARCHAR")} AS h FROM documents))
+    GROUP BY split
+    """,
+)
+def sample_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split (80/10/10) by content-stable
+    hash of the document id — the scale-correct sampling method: fully
+    map-side, reproducible across engines, runs, partitionings, and
+    cluster sizes (unlike df.sample/sampleBy, whose output depends on
+    partitioning). The same pattern at any rate gives reproducible
+    down-sampling of a 100 TB corpus."""
+    docs = load_table(spark, "documents", sf_dir)
+    h = portable_hash64(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(h < 80, "train").when(h < 90, "valid").otherwise("test")
+    )
+    return (
+        docs.select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("doc_id").alias("id_checksum"))
+    )
+
+
+@_q(
+    "text_normalize_redact",
+    r"""
+    SELECT event_id,
+           regexp_replace(trim(lower(props)), '\s+', ' ', 'g') AS norm_props,
+           regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted
+    FROM events WHERE event_id % 10 = 0
+    """,
+)
+def text_normalize_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization + numeric-PII masking over a text column (the
+    training-data cleaning primitives): lower/trim/whitespace-collapse
+    and global digit-run redaction — all JVM-side regexp expressions."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("event_id") % 10 == 0)
+    return ev.select(
+        "event_id",
+        F.regexp_replace(F.trim(F.lower("props")), r"\s+", " ").alias("norm_props"),
+        F.regexp_replace("props", "[0-9]+", "<NUM>").alias("redacted"),
+    )
