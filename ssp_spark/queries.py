@@ -1928,3 +1928,87 @@ def text_normalize_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(F.trim(F.lower("props")), r"\s+", " ").alias("norm_props"),
         F.regexp_replace("props", "[0-9]+", "<NUM>").alias("redacted"),
     )
+
+
+@_q(
+    "rolling_30d_spend",
+    """
+    SELECT o_orderkey, o_custkey,
+           round(sum(round(o_totalprice, 2))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                       RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 2)
+               AS spend_30d,
+           CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                               RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_orders_30d
+    FROM orders
+    """,
+)
+def rolling_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-interval window frame (event-time rolling aggregate): per
+    customer, spend over the trailing 30 days of each order. RANGE frames
+    bound by VALUE, not row count — Spark needs the order key as seconds
+    for a numeric rangeBetween, which is exactly what the SQL interval
+    frame compiles to. One shuffle on o_custkey."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum(F.round("o_totalprice", 2)).over(w), 2).alias("spend_30d"),
+        F.count("*").over(w).alias("n_orders_30d"),
+    )
+
+
+@_q(
+    "window_frame_funcs",
+    """
+    SELECT o_orderkey, o_custkey,
+           round(first_value(o_totalprice)
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+               AS first_price,
+           round(last_value(o_totalprice)
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+               AS last_price,
+           round(nth_value(o_totalprice, 2)
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+               AS second_price,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+             / (100.0 * count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                       ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING))
+               AS centered_avg3
+    FROM orders
+    """,
+)
+def window_frame_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value over full-partition frames plus a centered
+    3-row moving average (bounded ROWS frame). Deterministic ordering via
+    the (date, orderkey) tiebreak. The centered avg is an exact integer
+    cent sum divided by 100*count and left UNROUNDED: both engines divide
+    identical operands, giving bit-identical doubles — a final round(,2)
+    would flake where the quotient sits on a half-cent (Spark rounds the
+    shortest decimal repr, DuckDB the raw binary double)."""
+    orders = load_table(spark, "orders", sf_dir)
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    near = base.rowsBetween(-1, 1)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.first("o_totalprice").over(full), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(full), 2).alias("last_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(full), 2).alias("second_price"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(near)
+            / (F.lit(100.0) * F.count("*").over(near))
+        ).alias("centered_avg3"),
+    )
