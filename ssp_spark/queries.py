@@ -2012,3 +2012,33 @@ def window_frame_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(100.0) * F.count("*").over(near))
         ).alias("centered_avg3"),
     )
+
+
+@_q(
+    "event_type_pivot_api",
+    """
+    SELECT user_id,
+           round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END), 2)    AS click,
+           round(sum(CASE WHEN event_type = 'error' THEN value ELSE 0 END), 2)    AS error,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase,
+           round(sum(CASE WHEN event_type = 'signup' THEN value ELSE 0 END), 2)   AS signup,
+           round(sum(CASE WHEN event_type = 'view' THEN value ELSE 0 END), 2)     AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def event_type_pivot_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real DataFrame pivot() API (vs user_activity_pivot's manual
+    conditional aggregation): explicit pivot values keep the plan a
+    single pass + one shuffle (no distinct-values pre-query) and the
+    output schema deterministic — the required form at scale, where an
+    unbounded value set would both add a job and blow up the schema."""
+    ev = load_table(spark, "events", sf_dir)
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.round(F.sum("value"), 2))
+    )
+    return out.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0.0)).alias(k) for k in kinds]
+    )
