@@ -316,3 +316,48 @@ def connected_components(
             break
         prev_sum = new_sum
     return labels.select(F.col("id"), F.col("label").alias("component_id"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    bands: int = 4,
+) -> DataFrame:
+    """Hamming-close candidate pairs from SimHash fingerprints via band
+    rotation: split the fingerprint into `bands` equal bit-slices; docs
+    agreeing exactly on any slice are candidates (a pair within Hamming
+    distance d < bands must agree on some slice — pigeonhole). Same
+    equi-self-join shape as MinHash LSH: constant per-doc state,
+    candidates = band collisions, never n². Knob: wider slices (fewer
+    bands) = stricter candidates; production simhash uses 64-bit
+    fingerprints with 16-bit slices."""
+    w = bits // bands
+    mask = (1 << w) - 1
+    sim = simhash(df, id_col, text_col, bits)
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("simhash", b * w).bitwiseAND(F.lit(mask)).alias("band_val"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = (
+        sim.select("doc_id", F.explode(slices).alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_val").alias("band_val"))
+        .persist()
+    )
+    a = banded.select(F.col("doc_id").alias("id1"), "band", "band_val")
+    b = banded.select(F.col("doc_id").alias("id2"), "band", "band_val")
+    out = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+        .localCheckpoint()
+    )
+    banded.unpersist()
+    return out

@@ -2042,3 +2042,39 @@ def event_type_pivot_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", *[F.coalesce(F.col(k), F.lit(0.0)).alias(k) for k in kinds]
     )
+
+
+@_q(
+    "dedup_simhash_pairs",
+    rf"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    h AS (SELECT doc_id, {_SQL_HASH64.format(x="tok")} AS th FROM toks),
+    votes AS (
+      SELECT doc_id, b.bit,
+             CASE WHEN ((th >> b.bit) & 1) = 1 THEN 1 ELSE -1 END AS vote
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit) b
+    ),
+    bits AS (SELECT doc_id, bit, CAST(sum(vote) AS BIGINT) AS s FROM votes GROUP BY doc_id, bit),
+    sim AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, b.band, (simhash >> (b.band * 8)) & 255 AS band_val
+      FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
+    )
+    SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+    FROM banded a JOIN banded b USING (band, band_val)
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-candidate pairs (operators.dedup.simhash_pairs):
+    4×8-bit band rotation over the 32-bit fingerprints — any pair within
+    Hamming distance 3 is guaranteed captured (pigeonhole)."""
+    return dedup.simhash_pairs(load_table(spark, "documents", sf_dir))
