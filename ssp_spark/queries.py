@@ -2078,3 +2078,32 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     4×8-bit band rotation over the 32-bit fingerprints — any pair within
     Hamming distance 3 is guaranteed captured (pigeonhole)."""
     return dedup.simhash_pairs(load_table(spark, "documents", sf_dir))
+
+
+@_q(
+    "lineitem_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    """,
+)
+def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot/melt (the inverse of pivot): wide measure columns to long
+    (metric, value) rows via DataFrame.unpivot — planned as a single-pass
+    Expand (one scan, xN_measures rows), not N self-unions."""
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_orderkey") % 100 == 0)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
