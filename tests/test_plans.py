@@ -103,3 +103,22 @@ def test_ivf_search_is_equi_join_no_python(spark):
     s = plans.plan_string(df)
     assert not plans.has_cartesian(df)
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-partitioned parquet layout: a filter on the partition column
+    must become a PartitionFilter (directories never listed/read), not a
+    post-scan filter — the difference between reading one partition and
+    reading 100 TB."""
+    from ssp_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, "events", SF_SMOKE).select("event_id", "user_id", "event_type")
+    path = str(tmp_path / "ev_part")
+    ev.write.partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    s = plans.plan_string(back)
+    assert "PartitionFilters" in s and "purchase" in s.split("PartitionFilters", 1)[1][:200]
+    got = back.count()
+    want = ev.filter(F.col("event_type") == "purchase").count()
+    assert got == want
