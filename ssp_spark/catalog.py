@@ -43,6 +43,13 @@ ALWAYS_BROADCAST = frozenset({"region", "nation"})
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    if name == "events":
+        # events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark
+        # rejects by default (PARQUET_TYPE_ILLEGAL). The conf is runtime
+        # settable, so set it here rather than relying on session-build-time
+        # config: callers (including the driver's harness) may hand us a
+        # vanilla SparkSession they built themselves.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # int64 ns -> us timestamp. Integer `div`, NOT `/`: double division
