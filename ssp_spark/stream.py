@@ -145,12 +145,51 @@ class Stream:
             out = out.unionByName(d)
         return Stream(out)
 
+    @staticmethod
+    def _with_position(df: DataFrame, order_col: str) -> DataFrame:
+        """Attach a 1-based global position WITHOUT a global sort.
+
+        The naive ``Window.orderBy(monotonically_increasing_id())`` moves
+        the whole dataset to one partition for the global row_number — fine
+        for a 5-element golden, a scale-killer at 100 TB. This is the
+        standard zipWithIndex construction instead:
+
+        1. row_number partitioned by ``spark_partition_id()`` — each
+           partition sorts only its own rows (parallel, spill-safe);
+        2. per-partition counts -> prefix-sum offsets. The offset table has
+           ONE row per partition, so its global window is O(#partitions);
+        3. broadcast-join offsets back; position = offset + local index.
+
+        Global order matches the old plan exactly: monotonically
+        increasing ids are (partition_id << 33) + local offset, so
+        ordering by (partition, id) == ordering by id.
+        """
+        # monotonically_increasing_id() = partition_id << 33 | row offset
+        # within the partition (documented bit layout), so partition and
+        # local index derive map-side with pure bit ops — the big dataset
+        # is never shuffled or sorted here at all.
+        tagged = df.withColumn("__mid", F.monotonically_increasing_id())
+        indexed = tagged.withColumn(
+            "__part", F.shiftright(F.col("__mid"), 33)
+        ).withColumn("__idx", F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)))
+        counts = indexed.groupBy("__part").agg(F.count(F.lit(1)).alias("__cnt"))
+        # One row per partition: a global window here is deliberate and tiny.
+        off_w = Window.orderBy("__part").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = counts.withColumn(
+            "__off", F.coalesce(F.sum("__cnt").over(off_w), F.lit(0))
+        ).select("__part", "__off")
+        return (
+            indexed.join(F.broadcast(offsets), "__part")
+            .withColumn(order_col, (F.col("__off") + F.col("__idx") + F.lit(1)).cast("long"))
+            .drop("__part", "__mid", "__idx", "__off")
+        )
+
     def align(self, other: "Stream", order_col: str = "__pos") -> "Stream":
         """ssp's Align pattern (engine_test.go:558-590): pair two streams
-        1-to-1 in order. Batch form: join on per-stream position index."""
-        w = Window.orderBy(F.monotonically_increasing_id())
-        a = self.df.withColumn(order_col, F.row_number().over(w))
-        b = other.df.withColumn(order_col, F.row_number().over(w))
+        1-to-1 in order. Batch form: join on per-stream position index,
+        built scale-safely (see _with_position)."""
+        a = self._with_position(self.df, order_col)
+        b = self._with_position(other.df, order_col)
         bc = [c for c in b.columns if c != order_col]
         b = b.select(order_col, *[F.col(c).alias(f"r_{c}") for c in bc])
         return Stream(a.join(b, order_col, "inner").drop(order_col))

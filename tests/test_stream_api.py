@@ -106,6 +106,28 @@ def test_align_golden(spark):
     assert got == sorted(["HELLO: 5", "THIS: 4", "IS: 2", "SSP: 3"])
 
 
+def test_align_position_scale_safe(spark):
+    """align must not globally sort the data (round-1 scale-killer:
+    Window.orderBy(monotonically_increasing_id()) with no partitionBy
+    collapsed both streams to ONE partition). The zip-with-index
+    construction derives positions map-side from the monotonic id's bit
+    layout; the only single-partition step is the per-partition count
+    prefix-sum (O(#partitions) rows)."""
+    from ssp_spark import plans
+
+    df = spark.range(0, 100_000).repartition(16)
+    pos = Stream._with_position(df, "__pos")
+    # 1) contiguous 1..N positions across many partitions
+    got = [r["__pos"] for r in pos.orderBy("__pos").collect()]
+    assert got == list(range(1, 100_001))
+    # 2) plan: no row_number window at all, no sort on the monotonic id —
+    #    the full dataset is never globally (or even locally) sorted
+    a = Stream(df)
+    s = plans.plan_string(a.align(Stream(df)).df, "simple")
+    assert "row_number()" not in s
+    assert not [ln for ln in s.splitlines() if "Sort" in ln and "__mid" in ln]
+
+
 def test_same_key_same_partition(spark):
     """O7/O8 invariant (key.go:57-74, key_test.go:9-24): deterministic
     keying — every occurrence of a word lands in the same partition."""
