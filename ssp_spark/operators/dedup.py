@@ -27,8 +27,12 @@ from ssp_spark.functions import cosine, portable_hash64, shingles, tokens
 
 # Drop shingles appearing in more than this many docs (they generate huge
 # candidate lists and carry no dedup signal — the "stop-shingle" cap that
-# keeps the inverted-index join skew-free at scale).
-DEFAULT_MAX_DOC_FREQ = 1000
+# keeps the inverted-index join skew-free at scale). Pair fan-out per
+# shingle is k^2/2, so 100 bounds a hot shingle at ~5k pair structs where
+# 1000 allowed ~500k; boilerplate shared by >100 docs is noise, not a
+# dedup signal — near-dup pairs above any real threshold still share
+# plenty of sub-cap shingles.
+DEFAULT_MAX_DOC_FREQ = 100
 
 
 def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -233,7 +237,11 @@ def simhash(
             cast(0 as bigint)))
         """
     )
-    return ths.select("doc_id", packed.alias("simhash"))
+    # Zero-token docs carry no bit votes: drop them (matching the
+    # explode-based formulation and the DuckDB oracle, which lose such
+    # docs at the unnest) rather than emitting a spurious simhash=0 row
+    # that would band-collide with every other empty doc.
+    return ths.filter(F.size("ths") > 0).select("doc_id", packed.alias("simhash"))
 
 
 def embedding_near_dup(
@@ -303,6 +311,7 @@ def connected_components(
         sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint()
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         nbr = sym.join(labels, sym.dst == labels.id).select(
             F.col("src").alias("id"), F.col("label")
@@ -313,8 +322,18 @@ def connected_components(
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # Silently returning partial labels would be a hard-to-diagnose
+        # parity failure vs the exact-fixpoint oracle on long-chain graphs
+        # (diameter > max_iter).
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds (graph diameter exceeds the iteration budget); "
+            "raise max_iter"
+        )
     return labels.select(F.col("id"), F.col("label").alias("component_id"))
 
 

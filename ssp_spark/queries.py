@@ -698,7 +698,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_SQL_SHINGLES},
     freq AS (SELECT sh, count(*) AS df_ FROM sh GROUP BY sh),
-    kept AS (SELECT s.doc_id, s.sh FROM sh s JOIN freq USING (sh) WHERE df_ <= 1000),
+    kept AS (SELECT s.doc_id, s.sh FROM sh s JOIN freq USING (sh) WHERE df_ <= 100),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
     pairs AS (
       SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
@@ -1548,7 +1548,8 @@ def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "q17_small_qty_revenue",
     """
-    SELECT round(round(sum(l_extendedprice), 2) / 7.0, 2) AS avg_yearly,
+    SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 7e2, 2)
+             AS avg_yearly,
            count(*) AS n_items
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#13'
@@ -1561,10 +1562,13 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity). Catalyst decorrelates it into a per-partkey aggregate
     joined back — one extra scan + one small join instead of a
     per-row subquery. Determinism: l_quantity is integral, so avg is
-    an exact sum/count; the outer revenue sum is cent-rounded."""
+    an exact sum/count; revenue is summed as cent-scaled BIGINT so the
+    accumulation order cannot move the result (a raw double sum is
+    partition-order-dependent before rounding)."""
     return spark.sql(
         f"""
-        SELECT round(round(sum(l_extendedprice), 2) / 7.0, 2) AS avg_yearly,
+        SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 7e2, 2)
+                 AS avg_yearly,
                count(*) AS n_items
         FROM parquet.`{sf_dir}/lineitem.parquet`
         JOIN parquet.`{sf_dir}/part.parquet` ON p_partkey = l_partkey

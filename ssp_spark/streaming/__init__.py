@@ -161,6 +161,21 @@ def has_transform_with_state() -> bool:
         return False
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def require_rocksdb_provider(spark: SparkSession) -> None:
+    """Explicit, caller-visible opt-in to the RocksDB state store.
+
+    Session-global by Spark's design; call it once at session setup (not
+    from inside library functions) and never under a live checkpoint
+    created with a different provider.
+    """
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+
+
 def running_count_transform_with_state(
     sdf: DataFrame, key_col: str, out_col: str = "cnt"
 ) -> DataFrame:
@@ -169,17 +184,21 @@ def running_count_transform_with_state(
     extensible with timers/TTL — the forward path for ssp's
     NewStatefulNode semantics. Semantically identical to
     running_count_stream; requires has_transform_with_state().
+
+    NOTE: transformWithState requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` =
+    ``...state.RocksDBStateStoreProvider``). The caller must set it
+    before STARTING the query — deliberately not set here: a library
+    function mutating session-global conf would silently switch the
+    provider for every other streaming query in the session, and
+    changing provider under an existing checkpoint breaks recovery.
+    ``require_rocksdb_provider(spark)`` below does it explicitly.
     """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
     )
 
-    spark = sdf.sparkSession
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
     out_schema = T.StructType(
         [T.StructField(key_col, T.StringType()), T.StructField(out_col, T.LongType())]
     )

@@ -287,7 +287,15 @@ def test_transform_with_state_running_count(spark, tmp_path):
     d = str(tmp_path / "tws_src")
     src.write.json(d)
     sdf = spark.readStream.schema(src.schema).json(d)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    ss.require_rocksdb_provider(spark)
     res = ss.running_count_transform_with_state(sdf, "word")
-    out = ss.replay_update_to_memory(res, "tws_golden")
-    got = sorted((r["word"], r["cnt"]) for r in out.collect())
-    assert got == [("hello", 1), ("hello", 2), ("hello", 3), ("world", 1)]
+    try:
+        out = ss.replay_update_to_memory(res, "tws_golden")
+        got = sorted((r["word"], r["cnt"]) for r in out.collect())
+        assert got == [("hello", 1), ("hello", 2), ("hello", 3), ("world", 1)]
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
