@@ -151,3 +151,37 @@ def test_fan_out_reuse(spark):
     total = src.df.agg(F.sum("value").alias("s")).collect()[0].s
     assert len(evens.collect()) == 50
     assert total == 4950
+
+
+def test_node_error_propagates_map_in_pandas(spark):
+    """ssp Test_Node_Error (node_test.go:41-49): a user fn returning an
+    error aborts execution with that error. Spark form: an exception
+    raised inside a map_in_pandas user fn must surface to the caller at
+    action time (not be swallowed), carrying the original message."""
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    s = Stream(spark.createDataFrame([(1,), (2,)], ["v"]))
+
+    def boom(batches):
+        for pdf in batches:
+            raise ValueError("an error")
+            yield pdf  # pragma: no cover
+
+    with pytest.raises(PythonException, match="an error"):
+        s.map_in_pandas(boom, "v long").collect()
+
+
+def test_node_error_propagates_stateful_apply(spark):
+    """Same contract on the keyed stateful path (apply_in_pandas): the
+    per-key user fn's exception must reach the caller."""
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    s = Stream(spark.createDataFrame([("k", 1), ("k", 2)], ["k", "v"]))
+
+    def boom(pdf):
+        raise RuntimeError("stateful user fn failed")
+
+    with pytest.raises(PythonException, match="stateful user fn failed"):
+        s.key_by("k").apply_in_pandas(boom, "k string, v long").collect()
