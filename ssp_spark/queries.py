@@ -983,11 +983,23 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(queries, emb, k=10)
 
 
-@_q("streaming_wordcount_replay")  # Structured Streaming: rows-only check
+@_q(
+    "streaming_wordcount_replay",
+    # A bounded replay must end at exactly the batch answer, so the batch
+    # word_count oracle applies verbatim — full row+hash check, not the
+    # weaker rows-only contract.
+    r"""
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS word
+          FROM documents)
+    GROUP BY word
+    """,
+)
 def streaming_wordcount_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded streaming replay of the flagship word count: file stream ->
     explode -> groupBy -> memory sink in complete mode, then read the
-    table back (ssp Close protocol == trigger(availableNow))."""
+    table back (ssp Close protocol == trigger(availableNow)). The result
+    must equal the batch word_count exactly (same oracle)."""
     import uuid
 
     docs_schema = load_table(spark, "documents", sf_dir).schema
@@ -2110,4 +2122,67 @@ def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
         "metric",
         "value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Non-parquet sources (csv / json) exercised end-to-end
+# ---------------------------------------------------------------------------
+
+# Scratch area for source round-trips (inside the repo; driver fixtures are
+# read-only). Small dimension tables only — the export is part of the query.
+_SCRATCH = "/root/repo/.scratch"
+
+
+@_q(
+    "source_csv_scan",
+    """
+    SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_nation
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def source_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source end-to-end: export nation to csv (quoted), scan it back
+    through sources.read_batch with an EXPLICIT schema (no inferSchema
+    pre-scan — that is a second full read at scale), aggregate. The
+    oracle runs the same aggregate on the original parquet view, so the
+    csv hop must be lossless."""
+    import os
+
+    from ssp_spark import sources
+
+    nation = load_table(spark, "nation", sf_dir)
+    path = os.path.join(_SCRATCH, "nation_csv")
+    nation.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+    ddl = "n_nationkey INT, n_name STRING, n_regionkey INT"
+    df = sources.read_batch(spark, "csv", path, schema=ddl, header=True)
+    return df.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"), F.min("n_name").alias("first_nation")
+    )
+
+
+@_q(
+    "source_json_scan",
+    """
+    SELECT r_regionkey, upper(r_name) AS region_uc, length(r_name) AS name_len
+    FROM region
+    """,
+)
+def source_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source end-to-end: export region to json, scan it back
+    with an explicit schema (skips schema inference), project. Oracle
+    runs on the original parquet view — the json hop must round-trip."""
+    import os
+
+    from ssp_spark import sources
+
+    region = load_table(spark, "region", sf_dir)
+    path = os.path.join(_SCRATCH, "region_json")
+    region.coalesce(1).write.mode("overwrite").json(path)
+    ddl = "r_regionkey INT, r_name STRING"
+    df = sources.read_batch(spark, "json", path, schema=ddl)
+    return df.select(
+        "r_regionkey",
+        F.upper("r_name").alias("region_uc"),
+        F.length("r_name").alias("name_len"),
     )

@@ -11,8 +11,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
-def read_batch(spark: SparkSession, fmt: str, path: str, **options) -> DataFrame:
-    return spark.read.format(fmt).options(**options).load(path)
+def read_batch(
+    spark: SparkSession, fmt: str, path: str, schema=None, **options
+) -> DataFrame:
+    """Batch scan of any DataSource format.
+
+    Pass ``schema`` (DDL string or StructType) for text formats: an
+    explicit schema skips the inferSchema pre-scan (a full extra read at
+    100 TB) and pins exact types instead of leaving them to inference.
+    """
+    r = spark.read.format(fmt).options(**options)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)
 
 
 def read_stream(spark: SparkSession, fmt: str, path: str | None = None, schema=None, **options) -> DataFrame:
