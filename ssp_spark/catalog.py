@@ -17,6 +17,7 @@ single-parquet layout here is the driver's fixture contract
 from __future__ import annotations
 
 import os
+import weakref
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -42,7 +43,24 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 ALWAYS_BROADCAST = frozenset({"region", "nation"})
 
 
+# Per-session DataFrame cache. Each spark.read.parquet() call costs a
+# driver-side footer read + py4j round trips (~50-100 ms); a 6-table query
+# paid ~0.6 s of pure plan-build time re-reading footers the session had
+# already seen. DataFrames are immutable lazy plans, so reuse is safe; the
+# driver fixtures never change within a run. Weak-keyed by the session
+# object so a stopped/collected session's plans are never handed to (or
+# leaked into) a new one.
+_DF_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    path = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
+    per_session = _DF_CACHE.setdefault(spark, {})
+    cached = per_session.get(path)
+    if cached is not None:
+        return cached
     if name == "events":
         # events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark
         # rejects by default (PARQUET_TYPE_ILLEGAL). The conf is runtime
@@ -55,6 +73,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         # int64 ns -> us timestamp. Integer `div`, NOT `/`: double division
         # loses precision at 1e18 ns and lands 1 us off the DuckDB value.
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    per_session[path] = df
     return df
 
 

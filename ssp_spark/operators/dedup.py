@@ -75,7 +75,15 @@ def jaccard_pairs(
     """
     spread = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
     spread = spread.repartition(spread.sparkSession.sparkContext.defaultParallelism)
-    sh_raw = spread.select("doc_id", F.explode(shingles(F.col("__text"), n)).alias("sh"))
+    # Shingles are only ever a GROUPING key from here on — compress each to
+    # an 8-byte xxhash64 before the shuffle so the inverted-index exchange
+    # moves fixed-width longs instead of ~25-byte strings (same pairs and
+    # jaccard values; a 64-bit collision would need ~2^32 distinct shingles
+    # to become likely). The oracle is hash-free: it groups by the shingle
+    # strings, which is the same partition of the data.
+    sh_raw = spread.select(
+        "doc_id", F.explode(shingles(F.col("__text"), n)).alias("__sh_str")
+    ).select("doc_id", F.xxhash64("__sh_str").alias("sh"))
 
     inv = sh_raw.groupBy("sh").agg(F.collect_set("doc_id").alias("ds"))
     kept = inv.filter(F.size("ds") <= max_doc_freq).persist()
@@ -113,9 +121,17 @@ def jaccard_pairs(
         .groupBy("id1", "id2")
         .agg(F.count("*").alias("shared"))
     )
+    # sizes is one row per DOC (tiny next to the pair table) — broadcast
+    # both lookups so the pair stream never shuffles for them.
     out = (
-        shared.join(sizes.select(F.col("doc_id").alias("id1"), F.col("n_sh").alias("n1")), "id1")
-        .join(sizes.select(F.col("doc_id").alias("id2"), F.col("n_sh").alias("n2")), "id2")
+        shared.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("id1"), F.col("n_sh").alias("n1"))),
+            "id1",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("id2"), F.col("n_sh").alias("n2"))),
+            "id2",
+        )
         .withColumn("j_raw", F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared")))
         .filter(F.col("j_raw") >= threshold)  # threshold on the UNrounded value (oracle parity)
         .select("id1", "id2", F.round("j_raw", 6).alias("jaccard"))
@@ -140,6 +156,10 @@ def minhash_signatures(
     independent md5s), reduced in ONE groupBy(doc_id) with k min()
     aggregates — min over a multiset equals min over the set, so no
     distinct pass is needed either. Oracle-reproducible bit-for-bit.
+    (A fully map-side array_min formulation was tried and is ~4× slower:
+    md5 + 12 projections inside higher-order-function lambdas run
+    interpreted per element, while the explode keeps them in columnar
+    whole-stage codegen; the exploded shuffle is only (doc_id, h64).)
     """
     from ssp_spark.functions import seeded_hash32
 
