@@ -81,8 +81,11 @@ def jaccard_pairs(
     # jaccard values; a 64-bit collision would need ~2^32 distinct shingles
     # to become likely). The oracle is hash-free: it groups by the shingle
     # strings, which is the same partition of the data.
+    # array_distinct BEFORE the explode: ~half of a doc's shingles repeat
+    # within the doc, and they are pure dead weight for an inverted index
+    # (collect_set would drop them anyway — after paying to shuffle them).
     sh_raw = spread.select(
-        "doc_id", F.explode(shingles(F.col("__text"), n)).alias("__sh_str")
+        "doc_id", F.explode(F.array_distinct(shingles(F.col("__text"), n))).alias("__sh_str")
     ).select("doc_id", F.xxhash64("__sh_str").alias("sh"))
 
     inv = sh_raw.groupBy("sh").agg(F.collect_set("doc_id").alias("ds"))
@@ -165,7 +168,12 @@ def minhash_signatures(
 
     spread = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
     spread = spread.repartition(spread.sparkSession.sparkContext.defaultParallelism)
-    sh = spread.select("doc_id", F.explode(shingles(F.col("__text"), shingle_n)).alias("sh"))
+    # min over the distinct set == min over the multiset, so dedup the
+    # ~2x-repetitive shingle stream map-side and halve the md5 volume.
+    sh = spread.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("__text"), shingle_n))).alias("sh"),
+    )
     base = sh.select("doc_id", portable_hash64(F.col("sh")).alias("h64"))
     hashed = base.select(
         "doc_id",
