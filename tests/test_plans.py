@@ -122,3 +122,32 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     got = back.count()
     want = ev.filter(F.col("event_type") == "purchase").count()
     assert got == want
+
+
+def test_q2_correlated_min_decorrelates(spark):
+    """The per-part MIN subquery must become an aggregate+join (2 bounded
+    scans of lineitem), never a per-row correlated probe or a cartesian."""
+    df = QUERIES["q2_min_cost_supplier"](spark, SF_SMOKE)
+    s = plans.plan_string(df, "simple")
+    assert not plans.has_cartesian(df)
+    assert s.count("lineitem.parquet") <= 2
+    assert "BroadcastHashJoin" in s  # dims (region/nation/supplier) broadcast
+
+
+def test_q11_global_total_subquery_bounded(spark):
+    """The fraction-of-global-total threshold reuses the val CTE as one
+    extra aggregate — two lineitem scans total, no cartesian."""
+    df = QUERIES["q11_important_parts"](spark, SF_SMOKE)
+    s = plans.plan_string(df, "simple")
+    assert not plans.has_cartesian(df)
+    assert s.count("lineitem.parquet") <= 2
+
+
+def test_q21_aggregation_form_bounded_scans(spark):
+    """Q21's EXISTS/NOT-EXISTS pair is written as per-order aggregates:
+    the plan must touch lineitem a bounded number of times (3: late,
+    late_stats, supplier-count) with no correlated re-probe loop."""
+    df = QUERIES["q21_waiting_supplier"](spark, SF_SMOKE)
+    s = plans.plan_string(df, "simple")
+    assert not plans.has_cartesian(df)
+    assert s.count("lineitem.parquet") <= 3
