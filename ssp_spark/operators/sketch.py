@@ -1,0 +1,154 @@
+"""Distributed sketch operators: Count-Min and Bloom.
+
+The reference engine has no sketch operators; these are §6-style
+training-pipeline extensions (the reference's analogue would be a
+stateful node folding per-key counters, node.go:66-73). Both sketches
+are built with plain aggregations, so they inherit Spark's partial
+aggregation: every executor folds its partition into sketch cells
+map-side and only the (tiny, bounded-size) cell space shuffles — the
+defining property that makes a sketch preferable to exact counting at
+100 TB.
+
+Determinism: cell indexes come from the md5-portable hash family
+(functions.portable_hash64 / seeded_hash32), so a DuckDB oracle
+reproduces every cell bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ssp_spark.functions import portable_hash64, seeded_hash32
+
+
+def cms_sketch(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-Min sketch of a column: (d, w, cnt) cell rows.
+
+    One explode by `depth` (constant fan-out), ONE shuffle of at most
+    depth*width cells after map-side partial counts. The sketch is a
+    bounded-size summary regardless of input size — the point at scale.
+    """
+    base = df.select(portable_hash64(F.col(col)).alias("h64"))
+    rows = base.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (seeded_hash32(F.col("h64"), d, depth) % width).alias("w"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("cell")
+    )
+    return (
+        rows.select(F.col("cell.d").alias("d"), F.col("cell.w").alias("w"))
+        .groupBy("d", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point estimates from a CMS: est(key) = min over d of cell(d, h_d(key)).
+
+    The sketch is depth*width rows — broadcast it; keys never shuffle.
+    Overestimates only (classic CMS guarantee), exact when no collision.
+    """
+    probes = keys.select(
+        F.col(key_col), portable_hash64(F.col(key_col)).alias("h64")
+    ).select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (seeded_hash32(F.col("h64"), d, depth) % width).alias("w"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select(key_col, F.col("cell.d").alias("d"), F.col("cell.w").alias("w"))
+    return (
+        probes.join(F.broadcast(sketch), ["d", "w"], "left")
+        .fillna(0, subset=["cnt"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("est"))
+    )
+
+
+def bloom_bits(
+    df: DataFrame,
+    col: str,
+    num_hashes: int = 5,
+    num_bits: int = 4096,
+) -> DataFrame:
+    """Bloom filter as its set-bit positions: one `bit` column, distinct.
+
+    Build = constant fan-out explode + distinct over at most num_bits
+    values; the filter is bounded-size no matter the input. (Spark's own
+    Bloom push-down uses an opaque binary; emitting positions keeps the
+    artifact engine-portable and oracle-checkable.)
+    """
+    base = df.select(portable_hash64(F.col(col)).alias("h64"))
+    return (
+        base.select(
+            F.explode(
+                F.array(
+                    *[
+                        (seeded_hash32(F.col("h64"), s, num_hashes) % num_bits).alias("b")
+                        for s in range(num_hashes)
+                    ]
+                )
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_might_contain(
+    bits: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    num_hashes: int = 5,
+    num_bits: int = 4096,
+) -> DataFrame:
+    """(key, member) — member=true iff ALL k probe bits are set.
+
+    Probe = left join of the key's k positions against the broadcast bit
+    set; no false negatives, bounded false-positive rate (the standard
+    Bloom contract).
+    """
+    probes = keys.select(
+        F.col(key_col), portable_hash64(F.col(key_col)).alias("h64")
+    ).select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    (seeded_hash32(F.col("h64"), s, num_hashes) % num_bits).alias("b")
+                    for s in range(num_hashes)
+                ]
+            )
+        ).alias("bit"),
+    )
+    marked = probes.join(
+        F.broadcast(bits.withColumn("__set", F.lit(1))), "bit", "left"
+    )
+    return marked.groupBy(key_col).agg(
+        (F.count(F.lit(1)) == F.sum(F.coalesce("__set", F.lit(0)))).alias("member")
+    )

@@ -2650,3 +2650,156 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 100
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketches (count-min / bloom), stratified sampling, rank distributions
+# ---------------------------------------------------------------------------
+
+from ssp_spark.functions import seeded_hash32_sql as _sh32_sql  # noqa: E402
+from ssp_spark.operators import sketch as _sketch  # noqa: E402
+
+_CMS_D, _CMS_W = 4, 256
+_SQL_H64_OF = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+_CMS_CELLS_SQL = " UNION ALL ".join(
+    f"SELECT {d} AS d, {_sh32_sql('h64', d, _CMS_D)} % {_CMS_W} AS w FROM base"
+    for d in range(_CMS_D)
+)
+_CMS_PROBES_SQL = " UNION ALL ".join(
+    f"SELECT user_key, {d} AS d, {_sh32_sql('h64', d, _CMS_D)} % {_CMS_W} AS w FROM keys"
+    for d in range(_CMS_D)
+)
+
+
+@_q(
+    "cms_user_counts",
+    f"""
+    WITH base AS (
+      SELECT {_SQL_H64_OF.format(x="CAST(user_id AS VARCHAR)")} AS h64 FROM events
+    ),
+    cells AS (
+      SELECT d, w, CAST(count(*) AS BIGINT) AS cnt
+      FROM ({_CMS_CELLS_SQL}) GROUP BY d, w
+    ),
+    keys AS (
+      SELECT CAST(k AS VARCHAR) AS user_key,
+             {_SQL_H64_OF.format(x="CAST(k AS VARCHAR)")} AS h64
+      FROM (SELECT unnest(generate_series(0, 19)) AS k)
+    ),
+    probes AS ({_CMS_PROBES_SQL})
+    SELECT user_key, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+    FROM probes LEFT JOIN cells USING (d, w)
+    GROUP BY user_key
+    """,
+)
+def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point estimates (operators.sketch): build a 4x256
+    sketch over events.user_id, then estimate counts for user ids 0..19.
+    The sketch is a bounded-size aggregate (map-side partial counts, one
+    shuffle of <=1024 cells regardless of input size) and the estimate
+    join broadcasts it — the reason a sketch beats exact counting at
+    100 TB. md5-portable hash family, so the oracle rebuilds every cell."""
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("user_id").cast("string").alias("uid")
+    )
+    sk = _sketch.cms_sketch(ev, "uid", _CMS_D, _CMS_W)
+    keys = spark.range(0, 20).select(F.col("id").cast("string").alias("user_key"))
+    return _sketch.cms_estimate(sk, keys, "user_key", _CMS_D, _CMS_W)
+
+
+_BLOOM_K, _BLOOM_M = 5, 16384
+
+_BLOOM_BITS_SQL = " UNION ALL ".join(
+    f"SELECT {_sh32_sql('h64', s, _BLOOM_K)} % {_BLOOM_M} AS bit FROM base"
+    for s in range(_BLOOM_K)
+)
+_BLOOM_PROBE_SQL = " UNION ALL ".join(
+    f"SELECT name, {_sh32_sql('h64', s, _BLOOM_K)} % {_BLOOM_M} AS bit FROM keys"
+    for s in range(_BLOOM_K)
+)
+
+
+@_q(
+    "bloom_customer_names",
+    f"""
+    WITH base AS (
+      SELECT {_SQL_H64_OF.format(x="c_name")} AS h64 FROM customer
+    ),
+    bits AS (SELECT DISTINCT bit FROM ({_BLOOM_BITS_SQL})),
+    keys AS (
+      SELECT name, {_SQL_H64_OF.format(x="name")} AS h64
+      FROM (SELECT unnest([
+        'Customer#000000001', 'Customer#000000002', 'Customer#000000003',
+        'Customer#000000004', 'Customer#000000005',
+        'nobody_1', 'nobody_2', 'nobody_3', 'nobody_4', 'nobody_5'
+      ]) AS name)
+    ),
+    probes AS ({_BLOOM_PROBE_SQL})
+    SELECT p.name, count(*) = sum(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) AS member
+    FROM probes p LEFT JOIN bits b USING (bit)
+    GROUP BY p.name
+    """,
+)
+def bloom_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership (operators.sketch): build a 5-hash/16384-bit
+    filter over customer names (emitted as portable set-bit positions, a
+    bounded artifact), then probe 5 present + 5 absent names. No false
+    negatives by construction; the oracle rebuilds identical bits."""
+    cust = load_table(spark, "customer", sf_dir)
+    bits = _sketch.bloom_bits(cust, "c_name", _BLOOM_K, _BLOOM_M)
+    names = [f"Customer#{i:09d}" for i in range(1, 6)] + [
+        f"nobody_{i}" for i in range(1, 6)
+    ]
+    keys = spark.createDataFrame([(n,) for n in names], ["name"])
+    return _sketch.bloom_might_contain(bits, keys, "name", _BLOOM_K, _BLOOM_M)
+
+
+@_q(
+    "stratified_sample_events",
+    f"""
+    SELECT event_id, event_type FROM events
+    WHERE {_SQL_H64_OF.format(x="CAST(event_id AS VARCHAR)")} % 100 <
+          CASE event_type WHEN 'click' THEN 50 WHEN 'view' THEN 10 ELSE 5 END
+    """,
+)
+def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum rates applied via
+    the portable hash of the row key (hash % 100 < rate), so the sample
+    is reproducible across engines, partitionings, and reruns — the
+    property `df.sample()` does NOT give you. Pure map-side filter."""
+    ev = load_table(spark, "events", sf_dir)
+    rate = (
+        F.when(F.col("event_type") == "click", 50)
+        .when(F.col("event_type") == "view", 10)
+        .otherwise(5)
+    )
+    keep = (portable_hash64(F.col("event_id").cast("string")) % 100) < rate
+    return ev.filter(keep).select("event_id", "event_type")
+
+
+@_q(
+    "window_rank_stats",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM orders
+    WHERE o_orderkey % 50 = 0
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-distribution window functions (percent_rank / cume_dist) with
+    a fully deterministic frame order (totalprice, orderkey unique). Both
+    are exact small-integer ratios, so the doubles agree cross-engine."""
+    return spark.sql(
+        f"""
+        SELECT o_orderkey, o_orderpriority,
+               round(percent_rank() OVER w, 6) AS pr,
+               round(cume_dist() OVER w, 6) AS cd
+        FROM parquet.`{sf_dir}/orders.parquet`
+        WHERE o_orderkey % 50 = 0
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        """
+    )
