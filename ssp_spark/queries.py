@@ -2803,3 +2803,71 @@ def window_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# UDTF / UDAF surface (Spark 4 Python UDTF; Arrow grouped-agg pandas UDF)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "udtf_sentence_split",
+    r"""
+    SELECT doc_id, trim(s) AS sentence
+    FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\.')) AS s
+          FROM documents WHERE doc_id % 10 = 0)
+    WHERE trim(s) <> ''
+    """,
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function): 1-row-to-n-rows sentence
+    split — the reference's 0..n collector contract (node.go:57-64) on
+    the TABLE-function surface rather than explode. Row-at-a-time Python
+    is the SLOW path by design here; the query exists to pin the UDTF
+    API and its lateral-join planning, and runs on a 1/10th sample. The
+    bulk-data equivalent is the explode form used everywhere else."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, sentence string")
+    class SentenceSplit:
+        def eval(self, doc_id, text):
+            for part in text.split("."):
+                s = part.strip()
+                if s:
+                    yield doc_id, s
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 10 == 0)
+    spark.udtf.register("sentence_split_udtf", SentenceSplit)
+    docs.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        "SELECT s.doc_id, s.sentence FROM __udtf_docs d, "
+        "LATERAL sentence_split_udtf(d.doc_id, d.text) s"
+    )
+
+
+@_q(
+    "udaf_user_spend",
+    """
+    SELECT user_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS total_spend
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def udaf_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (the UDAF surface): per-user purchase
+    spend summed inside an Arrow-batched numpy kernel. Determinism: the
+    kernel sums cent-scaled int64 (exact, order-free), divides once at
+    the end — same rule as the built-in money sums. The built-in
+    sum() is the production path; this pins the UDAF API."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: this module uses postponed annotation
+    # evaluation (PEP 563), which defeats pandas_udf's signature inference.
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def spend_cents_sum(v):
+        return float((v * 100).round().astype("int64").sum() / 100.0)
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("event_type") == "purchase")
+    return ev.groupBy("user_id").agg(spend_cents_sum("value").alias("total_spend"))
