@@ -2871,3 +2871,57 @@ def udaf_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir).filter(F.col("event_type") == "purchase")
     return ev.groupBy("user_id").agg(spend_cents_sum("value").alias("total_spend"))
+
+
+@_q(
+    "time_rollup_multigrain",
+    """
+    SELECT CASE WHEN grouping(d) = 0 AND grouping(h) = 0 THEN 'hour'
+                WHEN grouping(d) = 0 THEN 'day' ELSE 'week' END AS grain,
+           CAST(epoch(coalesce(h, d, w)) AS BIGINT) AS bucket_ep,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM (
+      SELECT value,
+             date_trunc('hour', ts) AS h,
+             date_trunc('day', ts) AS d,
+             date_trunc('week', ts) AS w
+      FROM events
+    )
+    GROUP BY GROUPING SETS ((w, d, h), (w, d), (w))
+    """,
+)
+def time_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: hour/day/week buckets of
+    the events stream in ONE pass — GROUPING SETS plans as a single scan
+    + Expand(x3) + one exchange, not three scans. The sets are nested
+    ((w,d,h) ⊃ (w,d) ⊃ (w)), exactly a time-series store's continuous-
+    aggregate hierarchy; at 100 TB the Expand multiplies rows by the
+    grain count BEFORE map-side partial aggregation collapses them, so
+    the shuffle carries only |buckets| rows per grain. Buckets exported
+    as epoch seconds; money as cent BIGINTs."""
+    ev = load_table(spark, "events", sf_dir)
+    base = ev.select(
+        "value",
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("week", "ts").alias("w"),
+    )
+    rolled = base.groupingSets([["w", "d", "h"], ["w", "d"], ["w"]], "w", "d", "h").agg(
+        # grouping() is only legal inside the grouping aggregate itself
+        F.grouping("d").alias("__gd"),
+        F.grouping("h").alias("__gh"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("value_cents"),
+    )
+    grain = (
+        F.when((F.col("__gd") == 0) & (F.col("__gh") == 0), "hour")
+        .when(F.col("__gd") == 0, "day")
+        .otherwise("week")
+    )
+    return rolled.select(
+        grain.alias("grain"),
+        F.unix_timestamp(F.coalesce("h", "d", "w")).alias("bucket_ep"),
+        "n_events",
+        "value_cents",
+    )
