@@ -1,0 +1,75 @@
+"""Property tests for operator invariants that goldens can't sweep:
+arbitrary shapes/sizes driven by hypothesis (few examples — each round
+trips through Spark jobs).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+import pyspark.sql.functions as F
+
+from ssp_spark.functions import shingles, tokens
+from ssp_spark.stream import Stream
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=60),
+    parts=st.integers(min_value=1, max_value=8),
+)
+def test_align_pairs_in_order_any_shape(spark, n, parts):
+    """align must pair row i of the left stream with row i of the right,
+    for ANY length and partition count — the invariant behind the
+    reference's multi-input zip (engine_test.go:558-590)."""
+    df = spark.range(0, n).repartition(parts)
+    a = Stream(df.select(F.col("id"), (F.col("id") * 2).alias("v")))
+    b = Stream(df.select(F.col("id"), (F.col("id") * 3).alias("v")))
+    rows = a.align(b).df.collect()
+    assert len(rows) == n
+    # positions came from the same construction on both sides, so each
+    # output row must carry a consistent (2k, 3k) pair
+    assert all(r.v * 3 == r.r_v * 2 for r in rows)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab c")),  # small alphabet -> dup shingles
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_shingles_match_python_reference(spark, texts):
+    """The Catalyst shingle expression must agree with the obvious Python
+    implementation on arbitrary whitespace-laden input (the jaccard /
+    minhash oracles all assume this exact tokenization)."""
+    sdf = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    got = {
+        r.i: list(r.sh)
+        for r in sdf.select("i", shingles(F.col("t"), 3).alias("sh")).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = [w for w in t.split() if w]
+        want = [" ".join(toks[j : j + 3]) for j in range(max(len(toks) - 2, 0))]
+        assert got[i] == want, (t, got[i], want)
+
+
+@settings(max_examples=4, deadline=None)
+@given(parts=st.integers(min_value=1, max_value=8))
+def test_stratified_sample_partitioning_independent(spark, parts):
+    """The hash-threshold sample must select the SAME rows regardless of
+    how the input is partitioned — the property df.sample() lacks and
+    the reason the engine uses deterministic hashing for splits."""
+    from ssp_spark.functions import portable_hash64
+
+    df = spark.range(0, 500).select(F.col("id"))
+    keep = (portable_hash64(F.col("id").cast("string")) % 100) < 20
+    base = {r.id for r in df.filter(keep).collect()}
+    re = {r.id for r in df.repartition(parts).filter(keep).collect()}
+    assert re == base
+    assert 0 < len(base) < 500
