@@ -88,7 +88,9 @@ def jaccard_pairs(
         "doc_id", F.explode(F.array_distinct(shingles(F.col("__text"), n))).alias("__sh_str")
     ).select("doc_id", F.xxhash64("__sh_str").alias("sh"))
 
-    inv = sh_raw.groupBy("sh").agg(F.collect_set("doc_id").alias("ds"))
+    # (doc_id, sh) pairs are already unique after the per-doc distinct, so
+    # collect_list == collect_set minus the per-group hash-set churn.
+    inv = sh_raw.groupBy("sh").agg(F.collect_list("doc_id").alias("ds"))
     kept = inv.filter(F.size("ds") <= max_doc_freq).persist()
 
     # set sizes over the KEPT space (matches the oracle's semantics:
