@@ -2925,3 +2925,40 @@ def time_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "value_cents",
     )
+
+
+@_q(
+    "salted_join_event_spend",
+    """
+    SELECT e.user_id, c.c_mktsegment,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS spend_cents,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    WHERE e.event_type = 'purchase'
+    GROUP BY e.user_id, c.c_mktsegment
+    """,
+)
+def salted_join_event_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated equi-join through the driver gate: events joined to
+    customers via relational.salted_join (deterministic xxhash salt on
+    the big side, small side exploded n_salts ways), then the per-user
+    spend rollup. Results are salt-invariant by construction — the
+    oracle is the plain join — and the salted plan spreads any hot
+    user_id over 8 reducers instead of one (test_scale_ops asserts the
+    spread). This is the heavy-skew fallback; AQE skew-splitting is the
+    zero-cost default."""
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "value")
+    )
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    joined = relational.salted_join(
+        ev, cust.withColumnRenamed("c_custkey", "user_id"), ["user_id"], n_salts=8
+    )
+    return joined.groupBy("user_id", "c_mktsegment").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("spend_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
