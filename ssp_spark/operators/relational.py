@@ -38,31 +38,46 @@ def asof_join(
     right_ts: str,
     right_value_cols: list[str],
     how: str = "inner",
+    direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
-    """As-of join: for each left row, latest right row with
-    right_ts <= left_ts within the same ``on`` key.
+    """As-of join: for each left row, the latest right row with
+    right_ts <= left_ts (direction='backward', default) or the earliest
+    with right_ts >= left_ts (direction='forward'), within the same
+    ``on`` key; ``tolerance`` (a SQL interval string like '7 days')
+    additionally bounds the time gap, un-matching rows beyond it.
 
     Spark has no built-in as-of join; the naive form is a range self-join
-    (quadratic per key). This implementation is the union-and-carry-forward
+    (quadratic per key). This implementation is the union-and-carry
     pattern: tag both sides, sort within key by (ts, side), and carry the
-    most recent right values forward with last(..., ignorenulls=True).
+    nearest right values across with last/first(..., ignorenulls=True).
     Cost: ONE shuffle on the key (the window partitionBy) — linear, no
     pairwise blow-up, safe at 100 TB as long as single keys fit a
-    partition (salt upstream if one key dominates).
+    partition (salt upstream if one key dominates). The tolerance check
+    is a post-carry projection — no extra join.
 
     Equivalent capability in the reference: the "Align" user pattern
     (/root/reference/engine_test.go:558-590, README.md:140-205), which
     pairs two streams in arrival order; as-of is its event-time analogue.
     """
-    lt = left.withColumn("__t", F.col(left_ts)).withColumn("__side", F.lit(1))
-    rt = right.withColumn("__t", F.col(right_ts)).withColumn("__side", F.lit(0))
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    backward = direction == "backward"
+    # side ordering puts qualifying equal-ts right rows on the carried
+    # side of the left row: before it for backward (<=), after for
+    # forward (>=)
+    l_side, r_side = (1, 0) if backward else (0, 1)
+    lt = left.withColumn("__t", F.col(left_ts)).withColumn("__side", F.lit(l_side))
+    rt = right.withColumn("__t", F.col(right_ts)).withColumn("__side", F.lit(r_side))
 
+    ts_type = right.schema[right_ts].dataType
     l_cols = [c for c in left.columns]
     merged = lt.select(
         *on,
         "__t",
         "__side",
         *[F.col(c).alias(f"__l_{c}") for c in l_cols if c not in on],
+        F.lit(None).cast(ts_type).alias("__rt"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_value_cols],
     ).unionByName(
         rt.select(
@@ -70,27 +85,51 @@ def asof_join(
             "__t",
             "__side",
             *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in l_cols if c not in on],
+            F.col("__t").alias("__rt"),
             *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
         )
     )
 
-    # right rows sort before left rows at equal ts => "<=" semantics
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col("__t"), F.col("__side"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    base_w = Window.partitionBy(*on).orderBy(F.col("__t"), F.col("__side"))
+    if backward:
+        w = base_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+        def carry(c):
+            return F.last(c, ignorenulls=True).over(w)
+
+    else:
+        w = base_w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+        def carry(c):
+            return F.first(c, ignorenulls=True).over(w)
+
+    carried_cols = ["__rt", *[f"__r_{c}" for c in right_value_cols]]
     carried = merged.select(
         *on,
         "__t",
         "__side",
         *[F.col(f"__l_{c}") for c in l_cols if c not in on],
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__r_{c}")
-            for c in right_value_cols
-        ],
+        *[carry(F.col(c)).alias(c) for c in carried_cols],
     )
-    out = carried.filter(F.col("__side") == 1).select(
+    out = carried.filter(F.col("__side") == l_side)
+    if tolerance is not None:
+        bound = (
+            F.col("__rt") >= F.col("__t") - F.expr(f"INTERVAL {tolerance}")
+            if backward
+            else F.col("__rt") <= F.col("__t") + F.expr(f"INTERVAL {tolerance}")
+        )
+        # beyond tolerance = no match: null the carried right columns
+        out = out.select(
+            *on,
+            "__t",
+            "__side",
+            *[F.col(f"__l_{c}") for c in l_cols if c not in on],
+            *[
+                F.when(bound, F.col(c)).otherwise(F.lit(None)).alias(c)
+                for c in carried_cols
+            ],
+        )
+    out = out.select(
         *on,
         *[F.col(f"__l_{c}").alias(c) for c in l_cols if c not in on],
         *[F.col(f"__r_{c}").alias(c) for c in right_value_cols],

@@ -2962,3 +2962,52 @@ def salted_join_event_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("spend_cents"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
+
+
+@_q(
+    "asof_join_forward_tolerance",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t, event_type
+      FROM events WHERE event_type IN ('signup', 'purchase')
+    ), carried AS (
+      SELECT user_id, event_id, t, event_type,
+             min(CASE WHEN event_type = 'purchase' THEN t END)
+               OVER (PARTITION BY user_id
+                     ORDER BY t, CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS purchase_us
+      FROM ev
+    )
+    SELECT event_id, user_id, purchase_us
+    FROM carried
+    WHERE event_type = 'signup' AND purchase_us IS NOT NULL
+      AND purchase_us - t <= 604800000000::BIGINT
+    """,
+)
+def asof_join_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with a tolerance bound: each signup matched to
+    the user's FIRST purchase at-or-after it, but only within 7 days —
+    the conversion-window query every funnel pipeline runs. Same linear
+    union+carry plan as the backward form (one shuffle on user_id); the
+    tolerance is a post-carry projection, not an extra join
+    (operators.relational.asof_join, direction='forward')."""
+    ev = load_table(spark, "events", sf_dir)
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.unix_micros("ts").alias("purchase_us"))
+    )
+    return relational.asof_join(
+        signups,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["purchase_us"],
+        how="inner",
+        direction="forward",
+        tolerance="7 days",
+    ).select("event_id", "user_id", "purchase_us")
