@@ -184,6 +184,7 @@ def ivf_cells(
     vec_col: str = "embedding",
     nprobe: int = 1,
     out_col: str = "cells",
+    cent_frame: DataFrame | None = None,
 ) -> DataFrame:
     """(id, vec, vnorm, array<bigint> of nprobe nearest centroid ids).
 
@@ -199,7 +200,9 @@ def ivf_cells(
     """
     from ssp_spark.functions import dot, norm
 
-    cent = F.broadcast(_centroid_frame(df.sparkSession, codebook))
+    if cent_frame is None:
+        cent_frame = _centroid_frame(df.sparkSession, codebook)
+    cent = F.broadcast(cent_frame)
     base = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
     ).withColumn("__vn", norm("__v"))
@@ -238,11 +241,13 @@ def ivf_cells(
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | None,
     k: int = 10,
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: list[tuple[int, list[float]]] | None = None,
+    cent_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via an inverted-file index.
 
@@ -255,15 +260,23 @@ def ivf_topk(
     """
     from ssp_spark.functions import dot
 
-    codebook = ivf_codebook(centroids, id_col, vec_col)
+    if codebook is None:
+        # pass a precollected codebook to skip the collect job — the
+        # artifact is immutable, so callers indexing the same corpus
+        # repeatedly (or a model registry) should reuse it
+        codebook = ivf_codebook(centroids, id_col, vec_col)
+    # ONE centroid frame shared by both ivf_cells calls (createDataFrame
+    # costs ~0.1-0.2 s of py4j round trips; the artifact is identical)
+    if cent_frame is None:
+        cent_frame = _centroid_frame(corpus.sparkSession, codebook)
     c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
-    c = ivf_cells(c, codebook, id_col, vec_col, nprobe=1).select(
+    c = ivf_cells(c, codebook, id_col, vec_col, nprobe=1, cent_frame=cent_frame).select(
         F.col(id_col).alias("nid"),
         F.col(vec_col).alias("nv"),
         F.col("vnorm").alias("nn"),
         F.element_at("cells", 1).alias("cell"),
     )
-    q = ivf_cells(queries, codebook, id_col, vec_col, nprobe=nprobe).select(
+    q = ivf_cells(queries, codebook, id_col, vec_col, nprobe=nprobe, cent_frame=cent_frame).select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qv"),
         F.col("vnorm").alias("qn"),

