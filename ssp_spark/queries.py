@@ -3031,3 +3031,80 @@ def asof_join_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction="forward",
         tolerance="7 days",
     ).select("event_id", "user_id", "purchase_us")
+
+
+@_q(
+    "pipeline_train_manifest",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id, text,
+             CAST(len(toks) AS INT) AS n_tokens,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS INT) AS total_len,
+             CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and'))) AS INT) AS n_stop,
+             len(list_filter(toks, x -> x IN ('the', 'a', 'fast', 'slow'))) AS en,
+             len(list_filter(toks, x -> x IN ('data', 'value', 'row')))     AS de,
+             len(list_filter(toks, x -> x IN ('query', 'filter', 'merge'))) AS fr
+      FROM t
+    ), scored AS (
+      SELECT doc_id, text,
+             round(least(n_tokens / 200.0, 1.0) * 0.5
+                   + least((CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END) * 4, 1.0) * 0.3
+                   + least((CASE WHEN n_tokens > 0 THEN total_len / n_tokens ELSE 0.0 END) / 8.0, 1.0) * 0.2,
+                   4) AS quality,
+             CASE WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
+                  WHEN de >= fr AND de > 0 THEN 'de'
+                  WHEN fr > 0 THEN 'fr'
+                  ELSE 'und' END AS lang_pred
+      FROM m
+    ), keepers AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ), kept AS (
+      SELECT s.doc_id FROM scored s JOIN keepers k ON k.doc_id = s.doc_id
+      WHERE s.quality >= 0.3 AND s.lang_pred = 'en'
+    )
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM (
+      SELECT doc_id,
+             CASE WHEN h % 100 < 80 THEN 'train'
+                  WHEN h % 100 < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id, {{h64}} AS h FROM kept)
+    )
+    GROUP BY split
+    """.replace("{h64}", _SQL_HASH64.format(x="doc_id::VARCHAR")),
+)
+def pipeline_train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite the engine exists for — a full training-data curation
+    pipeline in ONE lazy plan: quality scoring + language ID (pure
+    projections) -> exact-dedup keepers (one hash groupBy, semi-join
+    back) -> deterministic 80/10/10 hash split -> per-split manifest.
+    Catalyst fuses the projection stages into the scan and the whole
+    thing costs two shuffles (dedup groupBy + final rollup) regardless of
+    corpus size; every stage is the §6 operator already verified alone,
+    composed here end-to-end as a user would."""
+    docs = load_table(spark, "documents", sf_dir)
+    scored = text.quality_score(docs).select("doc_id", "quality")
+    lang = text.lang_id(docs).select("doc_id", "lang_pred")
+    keepers = dedup.dedup_exact(docs).select(F.col("keeper_id").alias("doc_id"))
+    kept = (
+        docs.select("doc_id")
+        .join(scored, "doc_id")
+        .join(lang, "doc_id")
+        .join(keepers, "doc_id", "leftsemi")
+        .filter((F.col("quality") >= 0.3) & (F.col("lang_pred") == "en"))
+    )
+    h = portable_hash64(F.col("doc_id").cast("string")) % 100
+    split = F.when(h < 80, "train").when(h < 90, "valid").otherwise("test")
+    return (
+        kept.select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+    )
