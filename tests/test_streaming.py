@@ -344,3 +344,29 @@ def test_checkpoint_recovery_resumes_state(spark, tmpdir):
         "append"
     ).json(src)
     assert run() == [("a", 1), ("a", 2), ("a", 3), ("b", 1), ("c", 1)]
+
+
+def test_stream_static_enrichment_join(spark, tmpdir):
+    """Stream-static join: a streaming fact enriched against a STATIC
+    dimension DataFrame needs no watermark and no state — Spark re-plans
+    the static side per micro-batch (broadcast at this size). The
+    pattern behind every streaming fact -> dimension lookup."""
+    src = os.path.join(tmpdir, "facts")
+    schema = "user_id long, amount long"
+    _write_parquet(spark, [(1, 10), (2, 20), (1, 30)], schema, src)
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    sdf = spark.readStream.schema(schema).parquet(src)
+    joined = sdf.join(dim, "user_id").select("user_id", "tier", "amount")
+    name = f"sse_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r.user_id, r.tier, r.amount) for r in spark.table(name).collect())
+    assert got == [(1, "gold", 10), (1, "gold", 30), (2, "silver", 20)]
