@@ -3083,20 +3083,19 @@ def pipeline_train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline in ONE lazy plan: quality scoring + language ID (pure
     projections) -> exact-dedup keepers (one hash groupBy, semi-join
     back) -> deterministic 80/10/10 hash split -> per-split manifest.
-    Catalyst fuses the projection stages into the scan and the whole
-    thing costs two shuffles (dedup groupBy + final rollup) regardless of
-    corpus size; every stage is the §6 operator already verified alone,
-    composed here end-to-end as a user would."""
+    The text operators APPEND columns, so scoring and language ID chain
+    on ONE scan (no self-joins); the corpus is read exactly twice (once
+    enriched, once for the dedup aggregate) and shuffled twice (dedup
+    groupBy + final rollup) regardless of size; every stage is the §6
+    operator already verified alone, composed here end-to-end as a user
+    would."""
     docs = load_table(spark, "documents", sf_dir)
-    scored = text.quality_score(docs).select("doc_id", "quality")
-    lang = text.lang_id(docs).select("doc_id", "lang_pred")
+    enriched = text.lang_id(text.quality_score(docs))
     keepers = dedup.dedup_exact(docs).select(F.col("keeper_id").alias("doc_id"))
     kept = (
-        docs.select("doc_id")
-        .join(scored, "doc_id")
-        .join(lang, "doc_id")
+        enriched.filter((F.col("quality") >= 0.3) & (F.col("lang_pred") == "en"))
+        .select("doc_id")
         .join(keepers, "doc_id", "leftsemi")
-        .filter((F.col("quality") >= 0.3) & (F.col("lang_pred") == "en"))
     )
     h = portable_hash64(F.col("doc_id").cast("string")) % 100
     split = F.when(h < 80, "train").when(h < 90, "valid").otherwise("test")

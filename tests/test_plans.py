@@ -151,3 +151,14 @@ def test_q21_aggregation_form_bounded_scans(spark):
     s = plans.plan_string(df, "simple")
     assert not plans.has_cartesian(df)
     assert s.count("lineitem.parquet") <= 3
+
+
+def test_pipeline_manifest_two_scans_two_shuffles(spark):
+    """The composed curation pipeline must read the corpus exactly twice
+    (enrichment chain on one scan + the dedup aggregate) and shuffle
+    exactly twice (dedup groupBy + final rollup) — composition must not
+    multiply scans via self-joins."""
+    df = QUERIES["pipeline_train_manifest"](spark, SF_SMOKE)
+    s = plans.plan_string(df, "simple")
+    assert s.count("documents.parquet") == 2
+    assert plans.exchange_count(df) == 2
