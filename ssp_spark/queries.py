@@ -3107,3 +3107,31 @@ def pipeline_train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("long").alias("id_checksum"),
         )
     )
+
+
+@_q(
+    "right_join_order_priority_mix",
+    """
+    SELECT c_custkey, c_mktsegment,
+           CAST(count(o_orderkey) AS BIGINT) AS n_urgent
+    FROM (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+    RIGHT JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def right_join_order_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT outer join (the one outer-join direction not yet declared):
+    urgent orders right-joined to customer, preserving customers with
+    zero urgent orders as count 0. Catalyst canonicalizes it to the
+    mirrored left join with the dimension side buildable — same plan
+    family as left_join_customer_order_counts, declared so every join
+    direction has an oracle row."""
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    cust = load_table(spark, "customer", sf_dir)
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "right")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").cast("long").alias("n_urgent"))
+    )
