@@ -127,3 +127,52 @@ def sample_frames(df: DataFrame, id_col: str, bytes_col: str, every_ms: int = 10
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "offset_ms"])
 
     return df.mapInPandas(fn, schema)
+
+
+def resize_media(
+    df: DataFrame,
+    id_col: str,
+    bytes_col: str,
+    out_w: int = 8,
+    out_h: int = 8,
+) -> DataFrame:
+    """Image-resize plumbing: nearest-neighbor sample of the raw byte
+    stream into an out_w x out_h grid.
+
+    The "decoder" is the deterministic identity-on-bytes stand-in (no
+    codecs in this container): pixel i = data[(i * len) // n]. A real
+    implementation swaps the kernel for PIL/OpenCV; the mapInPandas
+    shape, schema, and Arrow batching are exactly what production uses.
+    pix_checksum (sum of sampled bytes) makes the output independently
+    checkable without shipping the pixel buffer around.
+    """
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("out_w", T.IntegerType()),
+            T.StructField("out_h", T.IntegerType()),
+            T.StructField("n_pixels", T.IntegerType()),
+            T.StructField("pix_checksum", T.LongType()),
+            T.StructField("pixels", T.BinaryType()),
+        ]
+    )
+    n = out_w * out_h
+
+    def fn(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                data = data or b""
+                if len(data) == 0:
+                    pix = bytes(n)
+                else:
+                    pix = bytes(data[(i * len(data)) // n] for i in range(n))
+                rows.append((int(mid), out_w, out_h, n, sum(pix), pix))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "out_w", "out_h", "n_pixels", "pix_checksum", "pixels"],
+            )
+
+    return df.mapInPandas(fn, schema)

@@ -3135,3 +3135,31 @@ def right_join_order_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("c_custkey", "c_mktsegment")
         .agg(F.count("o_orderkey").cast("long").alias("n_urgent"))
     )
+
+
+@_q(
+    "multimodal_resize",
+    """
+    SELECT doc_id AS media_id, 8 AS out_w, 8 AS out_h, 64 AS n_pixels,
+           CASE WHEN length(text) = 0 THEN 0
+                ELSE (SELECT CAST(sum(ascii(substr(text, (i * length(text)) // 64 + 1, 1))) AS BIGINT)
+                      FROM (SELECT unnest(generate_series(0, 63)) AS i))
+           END AS pix_checksum
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing (operators/multimodal.py resize_media):
+    bytes -> 8x8 nearest-neighbor grid through mapInPandas; the decode is
+    a deterministic byte-sampler stand-in (no codecs here), the Arrow
+    batch shape and schema are the real ones. The oracle recomputes the
+    sampled-byte checksum per document (the fixture text is pure ASCII,
+    so per-character ascii() equals per-byte access); the pixel buffer
+    itself is plumbing and projected away."""
+    from ssp_spark.operators import multimodal as mm
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("data")
+    )
+    out = mm.resize_media(docs, "doc_id", "data", out_w=8, out_h=8)
+    return out.select("media_id", "out_w", "out_h", "n_pixels", "pix_checksum")

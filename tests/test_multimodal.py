@@ -60,3 +60,23 @@ def test_sample_frames_fan_out(spark):
 def test_decode_image_is_stubbed():
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"\x89PNG")
+
+
+def test_resize_media_shape_and_edges(spark):
+    """resize_media: fixed-size output grid for any input length,
+    deterministic nearest-neighbor sampling, empty input -> zero pixels
+    (the plumbing contract a real decoder slots into)."""
+    from ssp_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, b"abcd"), (2, b""), (3, bytes(range(200)))],
+        "media_id long, data binary",
+    )
+    rows = {r.media_id: r for r in mm.resize_media(df, "media_id", "data", 4, 4).collect()}
+    assert all(r.n_pixels == 16 and len(r.pixels) == 16 for r in rows.values())
+    # nearest-neighbor on 4 bytes over 16 slots: each byte repeats 4x
+    assert bytes(rows[1].pixels) == b"aaaabbbbccccdddd"
+    assert bytes(rows[2].pixels) == bytes(16) and rows[2].pix_checksum == 0
+    want3 = bytes((i * 200) // 16 for i in range(16))
+    assert bytes(rows[3].pixels) == want3
+    assert rows[3].pix_checksum == sum(want3)
