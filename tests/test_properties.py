@@ -73,3 +73,40 @@ def test_stratified_sample_partitioning_independent(spark, parts):
     re = {r.id for r in df.repartition(parts).filter(keep).collect()}
     assert re == base
     assert 0 < len(base) < 500
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=30), min_size=1, max_size=200
+    )
+)
+def test_cms_never_underestimates(spark, keys):
+    """Count-Min guarantee: est(key) >= true count for EVERY key, with
+    equality when no cell collides — on arbitrary key multisets."""
+    import collections
+
+    from ssp_spark.operators import sketch
+
+    df = spark.createDataFrame([(str(k),) for k in keys], ["k"])
+    sk = sketch.cms_sketch(df, "k", depth=4, width=64)
+    probe = spark.createDataFrame([(str(k),) for k in set(keys)], ["k"])
+    est = {r.k: r.est for r in sketch.cms_estimate(sk, probe, "k", 4, 64).collect()}
+    true = collections.Counter(str(k) for k in keys)
+    assert all(est[k] >= c for k, c in true.items())
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    present=st.lists(st.text(min_size=1, max_size=12), min_size=1, max_size=50),
+)
+def test_bloom_no_false_negatives(spark, present):
+    """Bloom guarantee: every inserted key reports member=true — for any
+    key set (false positives allowed, false negatives never)."""
+    from ssp_spark.operators import sketch
+
+    df = spark.createDataFrame([(k,) for k in present], ["k"])
+    bits = sketch.bloom_bits(df, "k", num_hashes=5, num_bits=1024)
+    probe = spark.createDataFrame([(k,) for k in set(present)], ["k"])
+    got = sketch.bloom_might_contain(bits, probe, "k", 5, 1024).collect()
+    assert all(r.member for r in got)
