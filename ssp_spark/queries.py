@@ -3163,3 +3163,40 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = mm.resize_media(docs, "doc_id", "data", out_w=8, out_h=8)
     return out.select("media_id", "out_w", "out_h", "n_pixels", "pix_checksum")
+
+
+@_q(
+    "array_lateral_explode",
+    """
+    WITH base AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 2 = 0
+                  THEN (embedding::DOUBLE[])[1:3]
+                  ELSE [] END AS arr
+      FROM embeddings WHERE vec_id % 20 = 0
+    )
+    SELECT vec_id, CAST(i - 1 AS INT) AS pos, round(arr[i], 6) AS val
+    FROM base, LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) u
+    UNION ALL
+    SELECT vec_id, CAST(NULL AS INT) AS pos, CAST(NULL AS DOUBLE) AS val
+    FROM base WHERE len(arr) = 0
+    """,
+)
+def array_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode + explode_outer in one declared query: odd vec_ids get
+    an EMPTY array and must SURVIVE as (NULL pos, NULL val) rows — the
+    outer-generator contract plain explode drops. The oracle builds the
+    same lateral unnest plus a union of the empty-array rows."""
+    emb = load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") % 20 == 0)
+    base = emb.select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 2 == 0,
+            F.slice(F.col("embedding").cast("array<double>"), 1, 3),
+        )
+        .otherwise(F.array().cast("array<double>"))
+        .alias("arr"),
+    )
+    return base.select(
+        "vec_id", F.posexplode_outer("arr").alias("pos", "v")
+    ).select("vec_id", F.col("pos").cast("int").alias("pos"), F.round("v", 6).alias("val"))
