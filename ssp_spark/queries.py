@@ -3200,3 +3200,30 @@ def array_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "vec_id", F.posexplode_outer("arr").alias("pos", "v")
     ).select("vec_id", F.col("pos").cast("int").alias("pos"), F.round("v", 6).alias("val"))
+
+
+@_q(
+    "literal_source_wordcount",
+    """
+    SELECT word, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(['hello', 'this', 'is', 'ssp', 'hello', 'this',
+                         'is', 'sparta', 'sparta', 'is', 'leonida']) AS word)
+    GROUP BY word
+    """,
+)
+def literal_source_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 through the driver gate: the reference's literal in-memory
+    source (NewStreamFromElements, datastream.go:15-41) feeding its
+    flagship word count — Stream.from_elements on the engine_test.go:157
+    word list, keyed count via the fluent API. The oracle is the same
+    literal list in SQL. (sf_dir unused: the source IS the literal.)"""
+    from ssp_spark.stream import Stream
+
+    words = ["hello", "this", "is", "ssp", "hello", "this",
+             "is", "sparta", "sparta", "is", "leonida"]
+    s = Stream.from_elements(spark, words, ["word"])
+    return (
+        s.key_by("word")
+        .agg(cnt=F.count(F.lit(1)).cast("long"))
+        .df.select("word", "cnt")
+    )
