@@ -370,3 +370,26 @@ def test_stream_static_enrichment_join(spark, tmpdir):
     q.awaitTermination(120)
     got = sorted((r.user_id, r.tier, r.amount) for r in spark.table(name).collect())
     assert got == [(1, "gold", 10), (1, "gold", 30), (2, "silver", 20)]
+
+
+def test_windowed_update_mode_reemits(spark, tmpdir):
+    """Update-mode windowed aggregation is the ssp-faithful emission for
+    windows (emit the new state on EVERY change — window.go fires per
+    input in the reference), vs append's single emit-on-close. A window
+    receiving rows in two micro-batches must appear twice in the update
+    stream, with the count growing."""
+    src = os.path.join(tmpdir, "upd")
+    schema = "ts timestamp, k string"
+    _write_parquet(spark, [(_ts(s), "x") for s in [11, 15]], schema, src)
+    _write_parquet(spark, [(_ts(17), "x")], schema, src)
+    sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    win = (
+        sdf.groupBy(F.window("ts", "10 seconds").alias("w"), "k")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.unix_timestamp("w.start").alias("ws"), "k", "cnt")
+    )
+    out = ss.replay_update_to_memory(win, f"upd_{uuid.uuid4().hex[:8]}")
+    base = 1704067200
+    got = sorted((r.ws - base, r.cnt) for r in out.collect())
+    # [10,20): cnt=2 after batch 0, re-emitted as cnt=3 after batch 1
+    assert got == [(10, 2), (10, 3)]
