@@ -162,3 +162,39 @@ def test_pipeline_manifest_two_scans_two_shuffles(spark):
     s = plans.plan_string(df, "simple")
     assert s.count("documents.parquet") == 2
     assert plans.exchange_count(df) == 2
+
+
+def test_q8_single_fact_shuffle(spark):
+    """7-table market-share join: dimensions broadcast, the fact chain
+    shuffles once for the final year rollup — never a cartesian."""
+    df = QUERIES["q8_market_share"](spark, SF_SMOKE)
+    assert not plans.has_cartesian(df)
+    assert plans.exchange_count(df) <= 2
+    assert plans.broadcast_join_count(df) >= 4
+
+
+def test_sketch_queries_bounded_shuffles(spark):
+    """CMS build+probe and Bloom build+probe each shuffle only the
+    bounded sketch space (2 exchanges: sketch aggregate + probe rollup);
+    the probe side joins against a BROADCAST sketch."""
+    for name in ("cms_user_counts", "bloom_customer_names"):
+        df = QUERIES[name](spark, SF_SMOKE)
+        assert plans.exchange_count(df) <= 2, name
+        assert plans.broadcast_join_count(df) >= 1, name
+
+
+def test_rollup_single_pass_expand(spark):
+    """Multi-grain time rollup must be one scan + Expand + one exchange,
+    not one scan per granularity."""
+    df = QUERIES["time_rollup_multigrain"](spark, SF_SMOKE)
+    s = plans.plan_string(df, "simple")
+    assert "Expand" in s
+    assert s.count("events.parquet") == 1
+    assert plans.exchange_count(df) == 1
+
+
+def test_stratified_sample_zero_shuffle(spark):
+    """Hash-threshold sampling is a pure map-side filter: no exchange at
+    all — the property that lets it run on 100 TB as a scan."""
+    df = QUERIES["stratified_sample_events"](spark, SF_SMOKE)
+    assert plans.exchange_count(df) == 0
