@@ -100,11 +100,15 @@ def jaccard_pairs(
     )
 
     # i<j pairs generated directly (transform over suffix slices) — half the
-    # struct construction of the naive n^2-then-filter form
+    # construction of the naive n^2-then-filter form.
     # sort ONCE per shingle row (projection), then index into the sorted
     # column — referencing array_sort(...) inside the lambdas would re-sort
     # per element. sequence(1, size-1) degenerates to a DESCENDING [1, 0]
     # for 1-doc sets (sequence infers step -1), so indices are re-filtered.
+    # Each candidate pair is PACKED into one long (id1 << 32 | id2; doc ids
+    # are < 2^31) so the million-row pair explode shuffles and aggregates
+    # 8-byte longs instead of 16-byte structs — measurably faster at the
+    # same semantics; ids are unpacked after the count.
     sorted_sets = kept.select(F.array_sort("ds").alias("sds"))
     sds = F.col("sds")
     idx = F.filter(
@@ -116,15 +120,19 @@ def jaccard_pairs(
             idx,
             lambda i: F.transform(
                 F.slice(sds, i + 1, F.size(sds) - i),
-                lambda y: F.struct(F.element_at(sds, i).alias("id1"), y.alias("id2")),
+                lambda y: F.shiftleft(F.element_at(sds, i), 32) + y,
             ),
         )
     )
     shared = (
         sorted_sets.select(F.explode(pair_arr).alias("p"))
-        .select(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
-        .groupBy("id1", "id2")
+        .groupBy("p")
         .agg(F.count("*").alias("shared"))
+        .select(
+            F.shiftright("p", 32).alias("id1"),
+            F.col("p").bitwiseAND(F.lit((1 << 32) - 1)).alias("id2"),
+            "shared",
+        )
     )
     # sizes is one row per DOC (tiny next to the pair table) — broadcast
     # both lookups so the pair stream never shuffles for them.
