@@ -72,8 +72,22 @@ def jaccard_pairs(
     per-row array combinatorics (no self-join shuffle) -> count shared
     per pair -> jaccard = shared / (n1 + n2 - shared).
     Scale knob: max_doc_freq bounds per-shingle pair fan-out (k^2).
+
+    Id contract: ``id_col`` must be an integral type with NON-NEGATIVE
+    values < 2^31 — candidate pairs are packed as ``id1 << 32 | id2``
+    into one long for the shuffle, and wider/negative ids would collide
+    in the pack. The type is enforced here (the ids are cast to long
+    BEFORE shiftleft: on int columns Java shift counts are mod 32, so
+    ``shiftleft(int, 32)`` would silently be a no-op); the value range
+    is the caller's contract.
     """
-    spread = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+    id_type = dict(df.dtypes).get(id_col)
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"jaccard_pairs requires an integral {id_col!r} (< 2^31, non-negative) "
+            f"for packed-long pair keys; got {id_type}"
+        )
+    spread = df.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("__text"))
     spread = spread.repartition(spread.sparkSession.sparkContext.defaultParallelism)
     # Shingles are only ever a GROUPING key from here on — compress each to
     # an 8-byte xxhash64 before the shuffle so the inverted-index exchange
@@ -105,8 +119,9 @@ def jaccard_pairs(
     # column — referencing array_sort(...) inside the lambdas would re-sort
     # per element. sequence(1, size-1) degenerates to a DESCENDING [1, 0]
     # for 1-doc sets (sequence infers step -1), so indices are re-filtered.
-    # Each candidate pair is PACKED into one long (id1 << 32 | id2; doc ids
-    # are < 2^31) so the million-row pair explode shuffles and aggregates
+    # Each candidate pair is PACKED into one long (id1 << 32 | id2; ids are
+    # long-cast at ingest and contracted < 2^31 non-negative — see
+    # docstring) so the million-row pair explode shuffles and aggregates
     # 8-byte longs instead of 16-byte structs — measurably faster at the
     # same semantics; ids are unpacked after the count.
     sorted_sets = kept.select(F.array_sort("ds").alias("sds"))

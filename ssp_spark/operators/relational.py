@@ -129,14 +129,18 @@ def asof_join(
                 for c in carried_cols
             ],
         )
-    out = out.select(
+    if how == "inner":
+        # Matched-ness is "a right row was carried", i.e. the carried right
+        # TIMESTAMP is non-null — not any value column's nullity (a matched
+        # right row may legitimately carry NULL values; the tolerance
+        # branch nulls __rt together with the value columns, so
+        # out-of-window rows drop here too).
+        out = out.filter(F.col("__rt").isNotNull())
+    return out.select(
         *on,
         *[F.col(f"__l_{c}").alias(c) for c in l_cols if c not in on],
         *[F.col(f"__r_{c}").alias(c) for c in right_value_cols],
     )
-    if how == "inner":
-        out = out.filter(F.coalesce(*[F.col(c).isNotNull() for c in right_value_cols]))
-    return out
 
 
 def range_join_bands(
