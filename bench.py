@@ -80,6 +80,24 @@ def main() -> None:
         timings[name] = round(min(first, second), 3)
 
     total = round(sum(timings.values()), 3)
+
+    # Production hash profile: the md5-based portable_hash64 exists ONLY so
+    # DuckDB oracles can replay hashes bit-for-bit; a deployment would use
+    # the xxhash64 profile (SSP_PORTABLE_HASH=off — same 60-bit domain, no
+    # cross-engine replay). Measure the hash-bound queries under it to
+    # record the md5-parity tax; the headline stays the oracle-checkable
+    # config. Same best-of-2 protocol.
+    HASH_BOUND = ["dedup_minhash_lsh", "dedup_simhash", "doc_fingerprint"]
+    os.environ["SSP_PORTABLE_HASH"] = "off"
+    prod: dict[str, float] = {}
+    try:
+        for name in HASH_BOUND:
+            first = run_once(spark, name, sf_dir)
+            second = run_once(spark, name, sf_dir)
+            prod[name] = round(min(first, second), 3)
+    finally:
+        del os.environ["SSP_PORTABLE_HASH"]
+
     print(
         json.dumps(
             {
@@ -89,6 +107,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cold_total_sec": round(sum(cold.values()), 3),
+                "production_hash_profile": prod,
             }
         )
     )

@@ -15,6 +15,8 @@ from md5 hex (md5 is identical everywhere): conv(substr(md5(x),1,15),16,10).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column
 import pyspark.sql.functions as F
 
@@ -33,8 +35,26 @@ TOKEN_SPLIT_RE = r"\s+"  # whitespace tokenizer; identical semantics in DuckDB r
 
 
 def portable_hash64(col: Column | str) -> Column:
-    """60-bit deterministic hash reproducible in ANSI SQL (md5-hex based)."""
+    """60-bit non-negative deterministic hash.
+
+    Two profiles, same output domain [0, 2^60):
+
+    - **portable** (default): md5-hex prefix — reproducible in ANSI SQL
+      (`('0x'||substr(md5(x),1,15))::BIGINT` in DuckDB), the property the
+      whole oracle harness rests on. md5 is ~2x the per-row cost of the
+      queries that hash every shingle/token (minhash, fingerprints).
+    - **production** (`SSP_PORTABLE_HASH=off|0`): JVM xxhash64 masked to
+      60 bits — same uniformity and sign contract, no cross-engine
+      reproducibility. For real deployments and bench profiling, where
+      nothing replays the hashes in another engine. BASELINE.md records
+      the measured md5-parity tax under this switch.
+
+    The env var is read per call, so a bench process can flip profiles
+    between queries; declared-query/oracle runs never set it.
+    """
     c = F.col(col) if isinstance(col, str) else col
+    if os.environ.get("SSP_PORTABLE_HASH", "on").lower() in ("off", "0", "false"):
+        return F.xxhash64(c).bitwiseAND(F.lit((1 << 60) - 1))
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 

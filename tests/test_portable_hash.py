@@ -48,3 +48,32 @@ def test_hash64_identical_across_engines(spark, strings):
     ]
     got_py = [_py_hash64(s) for s in strings]
     assert got_spark == got_py == got_duck
+
+
+def test_production_profile_same_domain_and_same_minhash_pairs(spark, monkeypatch):
+    """SSP_PORTABLE_HASH=off swaps md5 for xxhash64: values differ, but the
+    60-bit non-negative domain contract holds, and the minhash-LSH pair SET
+    over real documents is profile-invariant (signatures are different
+    uniform hashes of the same shingle sets, so band collisions land on the
+    same near-dup structure at these similarity levels)."""
+    from ssp_spark.operators import dedup
+    from tests.conftest import SF_SMOKE
+    from ssp_spark.catalog import load_table
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+
+    def pair_set():
+        return {
+            (r.id1, r.id2)
+            for r in dedup.minhash_lsh_pairs(docs).select("id1", "id2").collect()
+        }
+
+    sdf = spark.createDataFrame([("a",), ("b c",), ("",)], ["s"])
+
+    portable = pair_set()
+    monkeypatch.setenv("SSP_PORTABLE_HASH", "off")
+    vals = [r[0] for r in sdf.select(portable_hash64("s")).collect()]
+    assert all(0 <= v < 1 << 60 for v in vals)
+    production = pair_set()
+    monkeypatch.delenv("SSP_PORTABLE_HASH")
+    assert production == portable
