@@ -69,9 +69,13 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         # vanilla SparkSession they built themselves.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        # int64 ns -> us timestamp. Integer `div`, NOT `/`: double division
-        # loses precision at 1e18 ns and lands 1 us off the DuckDB value.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) files (the driver fixtures) arrive as int64 ns
+        # under nanosAsLong: convert ns -> us timestamp. Integer `div`,
+        # NOT `/`: double division loses precision at 1e18 ns and lands
+        # 1 us off the DuckDB value. Files with plain TIMESTAMP(MICROS)
+        # (e.g. DuckDB-written copies) already read as a timestamp type
+        # and pass through untouched.
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     per_session[path] = df
     return df

@@ -393,3 +393,70 @@ def test_windowed_update_mode_reemits(spark, tmpdir):
     got = sorted((r.ws - base, r.cnt) for r in out.collect())
     # [10,20): cnt=2 after batch 0, re-emitted as cnt=3 after batch 1
     assert got == [(10, 2), (10, 3)]
+
+
+def test_watermark_evicts_state_under_volume(spark, tmpdir):
+    """Scale soak for the streaming layer's one untested dimension: state
+    EVICTION under volume. Replays the full sf0.1 events table (100k rows,
+    ~30 days) through a watermarked hourly tumbling count in 6 chronological
+    micro-batches and asserts, from the state-store metrics, that state is
+    bounded by the OPEN windows (watermark eviction), not by the ~3.6k
+    (window x key) groups the stream touches — the reference leaks that
+    state forever (engine.go:239-244 never evicts; SURVEY §4.2 calls our
+    eviction an upgrade, this proves it holds under volume)."""
+    from ssp_spark.catalog import load_table
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.1").select(
+        "ts", "event_type"
+    )
+    src = os.path.join(tmpdir, "soak")
+    # 6 chronological chunks -> 6 micro-batches with advancing watermark
+    chunks = ev.withColumn(
+        "__c", F.ntile(6).over(__import__("pyspark").sql.Window.orderBy("ts"))
+    )
+    for i in range(1, 7):
+        chunks.filter(F.col("__c") == i).drop("__c").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _mtime_seq[0] += 10
+        for f in __import__("glob").glob(os.path.join(src, "*.parquet")):
+            if os.path.getmtime(f) > _mtime_seq[0] - 10:
+                os.utime(f, (_mtime_seq[0], _mtime_seq[0]))
+
+    sdf = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    win = (
+        sdf.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.unix_timestamp("w.start").alias("ws"), "event_type", "cnt")
+    )
+    name = f"soak_{uuid.uuid4().hex[:8]}"
+    q = (
+        win.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    emitted = spark.table(name).count()
+
+    progresses = [p for p in q.recentProgress if p["stateOperators"]]
+    assert len(progresses) >= 6  # one per chunk (file) at least
+    final_state_rows = progresses[-1]["stateOperators"][0]["numRowsTotal"]
+    removed_total = sum(
+        p["stateOperators"][0].get("numRowsRemoved", 0) for p in progresses
+    )
+    distinct_groups = (
+        spark.table(name).select("ws", "event_type").distinct().count()
+    )
+    # the stream closed thousands of (window x key) groups...
+    assert emitted > 3000 and distinct_groups > 600
+    # ...but live state stayed bounded by the handful of still-open windows
+    assert final_state_rows <= 50, final_state_rows
+    # ...because eviction actually ran (closed groups left the store)
+    assert removed_total >= emitted * 0.9, (removed_total, emitted)
