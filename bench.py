@@ -66,7 +66,24 @@ def run_once(spark, name: str, sf_dir: str) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    spark = get_spark("ssp-spark-bench")
+    from ssp_spark.session import adaptive_enabled_for, sized_shuffle_partitions
+
+    # Both scale knobs sized from the input volume (see ssp_spark.session):
+    # shuffle partitions ~ input bytes (clamped to [8, 3x cores]) and AQE
+    # gated on >= 1 GiB — at megabyte scale reduce-task scheduling and
+    # AQE's per-exchange re-planning ARE the wall clock, with nothing for
+    # either to win back. Env overrides (SPARK_GRAFT_SHUFFLE_PARTITIONS /
+    # SPARK_GRAFT_AQE_MIN_BYTES) still apply.
+    sp = (
+        None
+        if "SPARK_GRAFT_SHUFFLE_PARTITIONS" in os.environ
+        else sized_shuffle_partitions(sf_dir)
+    )
+    spark = get_spark(
+        "ssp-spark-bench",
+        shuffle_partitions=sp,
+        adaptive=adaptive_enabled_for(sf_dir),
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     run_once(spark, "word_count", sf_dir)  # warmup: JVM + codegen + file listing
