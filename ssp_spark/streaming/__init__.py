@@ -227,3 +227,32 @@ def running_count_transform_with_state(
     return sdf.groupBy(key_col).transformWithStateInPandas(
         RunningCount(), outputStructType=out_schema, outputMode="Update", timeMode="None"
     )
+
+
+def fanout_sinks(
+    sdf: DataFrame,
+    writers: list[Callable[[DataFrame, int], None]],
+    timeout_s: float = 120.0,
+):
+    """One stream -> N sinks (ssp's broadcastCollector fan-out,
+    engine.go:196-211 / topology_test.go:26-33), as ONE streaming query.
+
+    foreachBatch persists each micro-batch once and hands the SAME
+    materialized batch to every writer — the stream is read and computed
+    once, not once per sink (the naive N-queries form recomputes the
+    whole lineage N times and can diverge between sinks on non-replayable
+    sources). Exactly-once still holds per sink if each writer is
+    idempotent on (batch_id, data) — the standard foreachBatch contract.
+    """
+
+    def handle(batch_df: DataFrame, batch_id: int):
+        batch_df.persist()
+        try:
+            for w in writers:
+                w(batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    q = sdf.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination(timeout_s)
+    return q

@@ -73,3 +73,28 @@ def test_rate_source_schema(spark):
     df = sources.rate_source(spark, rows_per_second=5)
     assert df.isStreaming
     assert set(df.columns) == {"timestamp", "value"}
+
+
+def test_partitioned_sink_prunes_partitions(spark, tmp_path):
+    """Hive-partitioned parquet sink + partition-pruned scan: filtering on
+    the partition column must reach the scan as a PartitionFilter (no
+    full-table listing/read at scale), and results must match the
+    unpartitioned data."""
+    from ssp_spark.catalog import load_table
+    from ssp_spark.stream import Stream
+
+    out = str(tmp_path / "by_type")
+    ev = load_table(spark, "events", SF_SMOKE).select("event_id", "event_type", "value")
+    Stream(ev).to_parquet(out, partition_by=["event_type"])
+
+    back = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "event_type" in plan.split("PartitionFilters:")[1][:200]
+
+    want = ev.filter(F.col("event_type") == "purchase").count()
+    assert back.count() == want
+    # and the physical layout really is one directory per type
+    import os as _os
+
+    dirs = [d for d in _os.listdir(out) if d.startswith("event_type=")]
+    assert len(dirs) == ev.select("event_type").distinct().count()

@@ -460,3 +460,81 @@ def test_watermark_evicts_state_under_volume(spark, tmpdir):
     assert final_state_rows <= 50, final_state_rows
     # ...because eviction actually ran (closed groups left the store)
     assert removed_total >= emitted * 0.9, (removed_total, emitted)
+
+
+def test_fanout_sinks_single_read_multi_sink(spark, tmpdir):
+    """O19 broadcast fan-out (engine.go:196-211): one micro-batch stream
+    feeds two parquet sinks through foreachBatch, each batch computed once
+    and delivered to both — both sinks must hold the complete stream."""
+    src = os.path.join(tmpdir, "src")
+    schema = "k string, v long"
+    _write_parquet(spark, [("a", 1), ("b", 2)], schema, src)
+    _write_parquet(spark, [("a", 3)], schema, src)
+    sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out1, out2 = os.path.join(tmpdir, "s1"), os.path.join(tmpdir, "s2")
+
+    ss.fanout_sinks(
+        sdf,
+        [
+            lambda df, bid: df.write.mode("append").parquet(out1),
+            lambda df, bid: df.withColumn("v2", F.col("v") * 2)
+            .write.mode("append")
+            .parquet(out2),
+        ],
+    )
+    got1 = sorted((r.k, r.v) for r in spark.read.parquet(out1).collect())
+    got2 = sorted((r.k, r.v2) for r in spark.read.parquet(out2).collect())
+    assert got1 == [("a", 1), ("a", 3), ("b", 2)]
+    assert got2 == [("a", 2), ("a", 6), ("b", 4)]
+
+
+def test_stream_stream_left_outer_join_emits_null_padded(spark, tmpdir):
+    """Stream-stream LEFT OUTER join under watermarks: unmatched left rows
+    are emitted null-padded only once the watermark proves no right match
+    can still arrive — the outer-join analogue of append-mode emit-on-close
+    (Spark completes the reference's inner-only align surface,
+    engine_test.go:558-590)."""
+    lsrc, rsrc = os.path.join(tmpdir, "l"), os.path.join(tmpdir, "r")
+    schema = "ts timestamp, k string"
+    # batch 0: left a@10, b@12; right a@11. batch 1: watermark pusher @100
+    _write_parquet(spark, [(_ts(10), "a"), (_ts(12), "b")], schema, lsrc)
+    _write_parquet(spark, [(_ts(11), "a")], schema, rsrc)
+    _write_parquet(spark, [(_ts(100), "zz")], schema, lsrc)
+    _write_parquet(spark, [(_ts(100), "zz2")], schema, rsrc)
+
+    left = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(lsrc)
+        .withWatermark("ts", "5 seconds")
+        .select(F.col("ts").alias("lts"), F.col("k"))
+    )
+    right = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(rsrc)
+        .withWatermark("ts", "5 seconds")
+        .select(F.col("ts").alias("rts"), F.col("k").alias("rk"))
+    )
+    joined = left.join(
+        right,
+        F.expr("k = rk AND rts BETWEEN lts - INTERVAL 2 SECONDS AND lts + INTERVAL 2 SECONDS"),
+        "leftOuter",
+    ).select("k", F.unix_timestamp("lts").alias("lep"), F.unix_timestamp("rts").alias("rep"))
+    name = f"ssljoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    base = 1704067200
+    got = sorted(
+        (r.k, r.lep - base, None if r.rep is None else r.rep - base)
+        for r in spark.table(name).collect()
+        if r.k not in ("zz", "zz2")
+    )
+    # a matched within tolerance; b unmatched -> null-padded after watermark
+    assert got == [("a", 10, 11), ("b", 12, None)]
