@@ -15,7 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from ssp_spark.functions import portable_hash64, tokens
+from ssp_spark.functions import portable_hash64, shingles, tokens
 
 # Marker-word language heuristic: score each language by counts of its
 # marker tokens; highest count wins, 'und' when all zero. Deliberately
@@ -78,6 +78,103 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     ws = F.size(tokens(F.col(text_col)))
     pieces = F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0))
     return df.withColumn("ws_tokens", ws).withColumn("piece_tokens", pieces)
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Gopher-style within-document repetition signals, zero-shuffle.
+
+    Adds per-document ``n_bigrams``, ``top_bigram_frac`` (occurrences of
+    the most frequent word n-gram / total n-grams — Gopher's "fraction in
+    most common 2-gram" rule) and ``dup_bigram_frac`` (fraction of n-gram
+    occurrences that are repeats), plus the ``keep`` filter decision.
+
+    Plan shape: sort each row's n-gram array once, then a single
+    ``aggregate`` fold counts the longest equal run (= max frequency,
+    since equal grams are adjacent after the sort) and the distinct count
+    — a pure projection, no explode, no shuffle, whole-stage codegen.
+    This is the 100 TB shape: corpus quality filtering streams through
+    the scan at IO speed.
+
+    Contract: documents with fewer than ``n`` tokens have no n-grams and
+    are EXCLUDED (a repetition score is undefined on them); filter them
+    with a length rule first.
+    """
+    grams = F.array_sort(shingles(F.col(text_col), n))
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("maxr"),
+        F.lit(0).alias("nd"),
+    )
+
+    def step(acc, x):  # noqa: ANN001 - Catalyst lambda
+        run = F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc.maxr, run).alias("maxr"),
+            (acc.nd + F.when(x == acc.prev, F.lit(0)).otherwise(F.lit(1))).alias("nd"),
+        )
+
+    st = F.aggregate(grams, zero, step)
+    ng = F.size(grams)
+    return (
+        df.select(id_col, ng.alias("n_bigrams"), st.maxr.alias("__maxr"), st.nd.alias("__nd"))
+        .filter(F.col("n_bigrams") > 0)
+        .select(
+            id_col,
+            "n_bigrams",
+            F.round(F.col("__maxr") / F.col("n_bigrams"), 4).alias("top_bigram_frac"),
+            F.round((F.col("n_bigrams") - F.col("__nd")) / F.col("n_bigrams"), 4).alias(
+                "dup_bigram_frac"
+            ),
+            (
+                (F.col("__maxr") / F.col("n_bigrams") <= 0.18)
+                & ((F.col("n_bigrams") - F.col("__nd")) / F.col("n_bigrams") <= 0.30)
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
+def corpus_ngram_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 6
+) -> DataFrame:
+    """Cross-document repeated n-gram signal (exact-substring dedup family,
+    per Lee et al. "Deduplicating Training Data Makes Language Models
+    Better" — the scalable approximation: word n-grams instead of suffix
+    arrays).
+
+    For each document: how many of its distinct word n-grams also occur
+    in at least one OTHER document (``n_shared``), the fraction
+    (``shared_frac``), and a ``dup_flag`` at >= 0.5 — the "this document
+    is mostly boilerplate seen elsewhere" signal.
+
+    Plan: explode distinct n-grams -> window count over the n-gram key
+    (one shuffle, partial-combine-free but key-partitioned) -> re-group
+    by document (second shuffle, map-side combined). Both exchanges are
+    on high-cardinality keys; no joins, no all-pairs anything.
+    """
+    from pyspark.sql.window import Window
+
+    sh = df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh")
+    )
+    ndocs = F.count("*").over(Window.partitionBy("sh"))
+    marked = sh.select(id_col, (ndocs > 1).cast("int").alias("is_shared"))
+    per = marked.groupBy(id_col).agg(
+        F.count("*").alias("n_ngrams"), F.sum("is_shared").alias("n_shared")
+    )
+    return per.select(
+        id_col,
+        "n_ngrams",
+        "n_shared",
+        F.round(F.col("n_shared") / F.col("n_ngrams"), 4).alias("shared_frac"),
+        (F.col("n_shared") / F.col("n_ngrams") >= 0.5).cast("int").alias("dup_flag"),
+    )
 
 
 ROLL_B = 31  # polynomial base

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ssp_spark.catalog import load_table
 from ssp_spark.functions import cosine, portable_hash64, tokens
-from ssp_spark.operators import dedup, relational, similarity, text, windows
+from ssp_spark.operators import cluster, dedup, relational, similarity, text, windows
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
@@ -940,6 +940,205 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/text.py::fingerprint)."""
     docs = load_table(spark, "documents", sf_dir)
     return text.fingerprint(docs).select("doc_id", "fp_md5", "fp64", "fp_roll")
+
+
+@_q(
+    "quality_repetition_filter",
+    r"""
+    WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+                  FROM documents),
+    g AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-1, 0))) AS i) u
+    ),
+    per AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+    st AS (SELECT doc_id, CAST(sum(c) AS INT) AS n_bigrams, max(c) AS maxr, count(*) AS nd
+           FROM per GROUP BY doc_id)
+    SELECT doc_id, n_bigrams,
+           round(maxr / n_bigrams, 4) AS top_bigram_frac,
+           round((n_bigrams - nd) / n_bigrams, 4) AS dup_bigram_frac,
+           CAST(maxr / n_bigrams <= 0.18 AND (n_bigrams - nd) / n_bigrams <= 0.30 AS INT) AS keep
+    FROM st
+    """,
+)
+def quality_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter (operators/text.py::repetition_stats):
+    top-bigram fraction + duplicate-bigram fraction per document and the
+    keep decision, computed as a ZERO-SHUFFLE projection (sorted-gram
+    run-length fold). The oracle takes the equivalent explode+group route;
+    both partition the same bigram multiset, so counts agree exactly."""
+    docs = load_table(spark, "documents", sf_dir)
+    return text.repetition_stats(docs)
+
+
+@_q(
+    "dedup_ngram_corpus",
+    f"""
+    WITH {_sql_shingles(6)},
+    marked AS (SELECT doc_id, CAST(count(*) OVER (PARTITION BY sh) > 1 AS INT) AS is_shared
+               FROM sh),
+    per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+                   CAST(sum(is_shared) AS BIGINT) AS n_shared
+            FROM marked GROUP BY doc_id)
+    SELECT doc_id, n_ngrams, n_shared,
+           round(n_shared / n_ngrams, 4) AS shared_frac,
+           CAST(n_shared / n_ngrams >= 0.5 AS INT) AS dup_flag
+    FROM per
+    """,
+)
+def dedup_ngram_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-6-gram signal (exact-substring-dedup family,
+    Lee et al. 2022 scaled to word n-grams — operators/text.py::
+    corpus_ngram_stats): per document, how many of its distinct 6-grams
+    appear in other documents, and the >= 0.5 boilerplate flag. Two
+    key-partitioned exchanges (n-gram, then doc), no joins."""
+    docs = load_table(spark, "documents", sf_dir)
+    return text.corpus_ngram_stats(docs)
+
+
+def _sql_kmeans(k: int, iters: int, final: str | None = None) -> str:
+    """DuckDB replay of the fixed-iteration Lloyd's run (operators/
+    cluster.py::kmeans): same seeds (k lowest vec_ids), same (d2, cid)
+    argmin tie-break, same mean update, iteration by iteration. ``final``
+    overrides the tail select; ``{b}`` is the last assignment CTE."""
+    parts = [
+        "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        f"""c0 AS (SELECT vec_id AS cid, e AS ce FROM emb
+           WHERE vec_id IN (SELECT vec_id FROM emb ORDER BY vec_id LIMIT {k}))""",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"""
+    x{t} AS (
+      SELECT v.vec_id, v.e, c.cid, power(list_distance(v.e, c.ce), 2) AS d2
+      FROM emb v CROSS JOIN c{t} c
+    ),
+    a{t} AS (
+      SELECT vec_id, e, cid, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+      FROM x{t}
+    ),
+    b{t} AS (SELECT vec_id, e, cid, d2 FROM a{t} WHERE rk = 1)"""
+        )
+        if t < iters - 1:
+            parts.append(
+                f"""
+    c{t + 1} AS (
+      SELECT cid, list(m ORDER BY p) AS ce
+      FROM (
+        SELECT cid, p, avg(e[p]) AS m
+        FROM b{t}, LATERAL (SELECT unnest(generate_series(1, len(e))) AS p) u
+        GROUP BY cid, p
+      )
+      GROUP BY cid
+    )"""
+            )
+    final = final or "SELECT vec_id, cid AS cluster, round(d2, 4) AS dist2 FROM {b}"
+    return "WITH " + ",".join(parts) + "\n    " + final.format(b=f"b{iters - 1}")
+
+
+@_q("kmeans_embeddings", _sql_kmeans(8, 3))
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering for data curation: 3-iteration Lloyd's k-means
+    (k=8) over the embedding column — deterministic seeds + fixed
+    iterations make an iterative ML algorithm exactly oracle-checkable.
+    Assignment is a zero-shuffle projection against driver-side centroids
+    (broadcast-a-model); each update is one k x d-bounded partial-agg
+    shuffle. See operators/cluster.py for the 100 TB cost model."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return cluster.kmeans(emb, k=8, iters=3)
+
+
+@_q(
+    "cluster_balanced_sample",
+    _sql_kmeans(
+        8,
+        3,
+        final="""SELECT cluster, CAST(rk AS INT) AS rk, vec_id, dist2 FROM (
+      SELECT cid AS cluster, vec_id, round(d2, 4) AS dist2,
+             row_number() OVER (PARTITION BY cid ORDER BY round(d2, 4), vec_id) AS rk
+      FROM {b}
+    ) WHERE rk <= 2""",
+    ),
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity sampling for training mixes: the 2 most central vectors
+    per k-means cluster (representative selection — the k-means medoid
+    approximation used to build cluster-balanced data mixes). Composes
+    the kmeans operator with a per-cluster WindowGroupLimit; ordering is
+    (rounded distance, vec_id) so the cut is engine-deterministic."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    km = cluster.kmeans(emb, k=8, iters=3)
+    w = Window.partitionBy("cluster").orderBy("dist2", "vec_id")
+    return (
+        km.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("cluster", "rk", "vec_id", "dist2")
+    )
+
+
+@_q(
+    "tfidf_top_terms",
+    r"""
+    WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+                  FROM documents),
+    tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term),
+    tot AS (SELECT doc_id, term, c, sum(c) OVER (PARTITION BY doc_id) AS tot FROM tf),
+    dfreq AS (SELECT term, count(*) AS df_ FROM tf GROUP BY term),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, round((c / tot) * ln(n_docs / df_), 6) AS score
+      FROM tot JOIN dfreq USING (term) CROSS JOIN nd
+    ),
+    ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+      FROM scored
+    )
+    SELECT doc_id, CAST(rk AS INT) AS rk, term, score FROM ranked WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms: tf = term count / doc length,
+    idf = ln(n_docs / doc_freq), ranked by (rounded score desc, term asc)
+    so the cut is deterministic in both engines.
+
+    Plan shape (asserted in test_plans): ONE tokenize+aggregate pass —
+    doc-frequency and doc-length are windows over the same (doc,term)
+    table, so the token stream is exploded and shuffled exactly once —
+    then a per-doc WindowGroupLimit takes the top 3 on the partitioning
+    the previous window already established. The corpus-size scalar joins
+    in as a broadcast of a 1-row aggregate, never a collected literal.
+    Every stage is key-partitioned; vocabulary and document cardinality
+    bound the windows."""
+    docs = load_table(spark, "documents", sf_dir)
+    from pyspark.sql.window import Window
+
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf0 = tok.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    # doc-frequency as a window over the SAME aggregate (tf0 rows are
+    # distinct (doc,term) pairs, so count-over-term == docs containing the
+    # term): one token pass, one aggregation, no self-join of the token
+    # stream — the two-branch groupBy form double-scans the corpus.
+    # term-window first, doc-window second: the doc_id partitioning then
+    # carries straight into the final per-doc top-k (no re-exchange).
+    tf = tf0.withColumn("df_", F.count("*").over(Window.partitionBy("term"))).withColumn(
+        "tot", F.sum("c").over(Window.partitionBy("doc_id"))
+    )
+    nd = docs.agg(F.count("*").alias("n_docs"))
+    scored = tf.crossJoin(F.broadcast(nd)).withColumn(
+        "score",
+        F.round((F.col("c") / F.col("tot")) * F.log(F.col("n_docs") / F.col("df_")), 6),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "rk", "term", "score")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -198,3 +198,53 @@ def test_stratified_sample_zero_shuffle(spark):
     all — the property that lets it run on 100 TB as a scan."""
     df = QUERIES["stratified_sample_events"](spark, SF_SMOKE)
     assert plans.exchange_count(df) == 0
+
+
+def test_repetition_filter_zero_shuffle(spark):
+    """The Gopher repetition filter is a sorted-gram run-length fold — a
+    pure projection. Zero exchanges, zero Python: corpus quality
+    filtering must stream through the scan at IO speed."""
+    df = QUERIES["quality_repetition_filter"](spark, SF_SMOKE)
+    assert plans.exchange_count(df) == 0
+    s = plans.plan_string(df)
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_corpus_ngram_two_keyed_exchanges(spark):
+    """Cross-doc repeated n-grams: exactly the two key-partitioned
+    exchanges (n-gram window, then doc re-group) — no joins, nothing
+    all-pairs."""
+    df = QUERIES["dedup_ngram_corpus"](spark, SF_SMOKE)
+    assert plans.exchange_count(df) == 2
+    assert not plans.has_cartesian(df)
+
+
+def test_tfidf_single_token_pass(spark):
+    """tf, doc-frequency and the top-k all hang off ONE tokenize+aggregate
+    pass (df_ and tot are windows over the same tf table, and the final
+    per-doc top-k inherits the doc_id partitioning): exactly one Generate
+    (explode), 3 exchanges total, corpus size joined as a broadcast."""
+    df = QUERIES["tfidf_top_terms"](spark, SF_SMOKE)
+    tree = plans.plan_string(df).split("\n\n")[0]
+    assert tree.count("Generate") == 1  # the token stream is scanned once
+    assert plans.exchange_count(df) == 3
+    # the 1-row corpus-size agg rides in as a broadcast (nested-loop cross
+    # of a single row), never a collected literal or a shuffle
+    assert "BroadcastExchange" in tree and not plans.has_cartesian(df)
+    assert "WindowGroupLimit" in tree  # partial top-k before the final window
+
+
+def test_kmeans_assignment_is_projection(spark):
+    """Lloyd's assignment against the driver-side model compiles to a
+    zero-exchange, JVM-only projection — per iteration the only shuffle
+    is the k x d-bounded centroid update."""
+    from ssp_spark.catalog import load_table
+    from ssp_spark.operators import cluster
+
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    pts = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("__v"))
+    seed = [(r["vec_id"], list(r["__v"])) for r in pts.orderBy("vec_id").limit(4).collect()]
+    assigned = cluster.assign(pts, seed, vec_col="__v")
+    assert plans.exchange_count(assigned) == 0
+    s = plans.plan_string(assigned)
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
