@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ssp_spark.catalog import load_table
 from ssp_spark.functions import cosine, portable_hash64, tokens
-from ssp_spark.operators import cluster, dedup, relational, similarity, text, windows
+from ssp_spark.operators import cluster, dedup, graph, relational, similarity, text, windows
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
@@ -1077,6 +1077,59 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 2)
         .select("cluster", "rk", "vec_id", "dist2")
     )
+
+
+def _sql_pagerank(iters: int, d: float) -> str:
+    """DuckDB replay of the fixed-iteration PageRank (operators/graph.py):
+    identical seeds (uniform 1/N), literals, and update rule, iteration
+    by iteration over the same symmetric customer-supplier edge list."""
+    steps = [
+        """base AS (SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+                           CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
+        "edges AS (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base)",
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        "nn AS (SELECT count(DISTINCT src) AS n FROM edges)",
+        "r0 AS (SELECT DISTINCT src AS node, 1.0 / n AS rank FROM edges CROSS JOIN nn)",
+    ]
+    for t in range(iters):
+        steps.append(
+            f"""
+    r{t + 1} AS (
+      SELECT e.dst AS node,
+             (1 - {d}) / (SELECT n FROM nn) + {d} * sum(r.rank / dg.deg) AS rank
+      FROM edges e JOIN r{t} r ON e.src = r.node JOIN deg dg ON e.src = dg.src
+      GROUP BY e.dst
+    )"""
+        )
+    return (
+        "WITH " + ",".join(steps) + f"\n    SELECT node, round(rank, 6) AS rank FROM r{iters}"
+    )
+
+
+@_q("pagerank_customer_supplier", _sql_pagerank(3, 0.85))
+def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the bipartite customer-supplier
+    interaction graph (who-bought-from-whom via orders x lineitem, made
+    symmetric so no dangling mass exists) — authority scoring as a
+    curation signal, and the canonical iterative join+re-aggregate Spark
+    workload. Node ids are parity-disjoint (cust*2, supp*2+1). 3 rounds,
+    damping 0.85; the oracle replays each round. See operators/graph.py
+    for the per-iteration exchange accounting."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    base = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).cast("long").alias("src"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    # reversed copy: src/dst parities are disjoint, so the union is
+    # already duplicate-free — no second distinct pass
+    edges = base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return graph.pagerank(edges, iters=3, damping=0.85)
 
 
 @_q(
@@ -2480,6 +2533,35 @@ def source_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_regionkey",
         F.upper("r_name").alias("region_uc"),
         F.length("r_name").alias("name_len"),
+    )
+
+
+@_q(
+    "source_orc_scan",
+    """
+    SELECT s_nationkey, count(*) AS n_suppliers,
+           CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def source_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source end-to-end (the third columnar/file format after
+    parquet+csv+json): export supplier to ORC, scan it back, aggregate
+    with cent-scaled exact money sums. ORC carries types natively so no
+    explicit schema is needed — but predicate pushdown and column pruning
+    apply the same as parquet. The oracle aggregates the original parquet
+    view; the ORC hop must be lossless."""
+    import os
+
+    from ssp_spark import sources
+
+    supplier = load_table(spark, "supplier", sf_dir)
+    path = os.path.join(_SCRATCH, "supplier_orc")
+    supplier.coalesce(1).write.mode("overwrite").orc(path)
+    df = sources.read_batch(spark, "orc", path)
+    return df.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum(F.round(F.col("s_acctbal") * 100).cast("long")).alias("acctbal_cents"),
     )
 
 

@@ -48,7 +48,9 @@ def test_driver_window_is_the_round3_target_set():
 
 
 def test_registry_is_complete_and_fully_oracled():
-    assert len(QUERIES) == 94
+    # 94 through round 2, +7 round-3 additions (repetition filter, corpus
+    # n-grams, tfidf, kmeans, cluster sample, pagerank, orc source)
+    assert len(QUERIES) == 101
     # Round 3: every declared query has an exact DuckDB oracle (the two
     # r2 rows-only queries were rewritten as bounded-error booleans).
     assert set(ORACLE) == set(QUERIES)

@@ -538,3 +538,44 @@ def test_stream_stream_left_outer_join_emits_null_padded(spark, tmpdir):
     )
     # a matched within tolerance; b unmatched -> null-padded after watermark
     assert got == [("a", 10, 11), ("b", 12, None)]
+
+
+def test_chained_stateful_dedup_then_windowed_count(spark, tmpdir):
+    """Two stateful operators in ONE streaming query (dedup state feeding
+    window state — Spark's multiple-stateful-operator support, the
+    composition the reference cannot express at all): re-deliveries are
+    suppressed by dropDuplicates BEFORE the tumbling count, and both
+    operators' state evicts by the same watermark."""
+    src = os.path.join(tmpdir, "chain")
+    schema = "ts timestamp, id long, user string"
+    _write_parquet(
+        spark,
+        [(_ts(0), 1, "u"), (_ts(1), 1, "u"), (_ts(5), 2, "u")],
+        schema,
+        src,
+    )
+    # id 1 re-delivered across batches: still a duplicate
+    _write_parquet(spark, [(_ts(12), 3, "u"), (_ts(2), 1, "u")], schema, src)
+    # watermark closer: advances past both earlier windows
+    _write_parquet(spark, [(_ts(100), 9, "v")], schema, src)
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "10 seconds")
+        .dropDuplicates(["id"])
+        .groupBy(F.window("ts", "10 seconds"), "user")
+        .agg(F.count("*").alias("n"))
+    )
+    name = f"chain_{uuid.uuid4().hex[:8]}"
+    q = sdf.writeStream.format("memory").queryName(name).outputMode("append").trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+    got = sorted(
+        (r["window"].start.second + 60 * r["window"].start.minute, r.user, r.n)
+        for r in spark.table(name).collect()
+    )
+    # [0,10): ids 1,2 once each (both re-deliveries dropped); [10,20): id 3.
+    # [100,110) is still open at the final watermark (90 s) -> not emitted.
+    assert got == [(0, "u", 2), (10, "u", 1)]
