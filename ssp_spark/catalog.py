@@ -57,26 +57,42 @@ _DF_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     path = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
-    per_session = _DF_CACHE.setdefault(spark, {})
+    per_session = _DF_CACHE.get(spark)
+    if per_session is None:
+        per_session = _DF_CACHE.setdefault(spark, {})
+        # First touch of a (possibly driver-owned) session: pin the session
+        # timezone. The fixtures' timestamp columns are TIMESTAMP_NTZ wall
+        # clocks meant as UTC; every epoch export (unix_timestamp/unix_micros,
+        # ntz->timestamp casts) goes through the session tz, so an unpinned
+        # host tz would shift all exported epochs relative to the DuckDB
+        # oracle's epoch()/epoch_us() reads.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     cached = per_session.get(path)
     if cached is not None:
         return cached
     if name == "events":
-        # events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark
-        # rejects by default (PARQUET_TYPE_ILLEGAL). The conf is runtime
+        # Older driver fixtures stored ts as parquet TIMESTAMP(NANOS), which
+        # Spark rejects by default (PARQUET_TYPE_ILLEGAL). The conf is runtime
         # settable, so set it here rather than relying on session-build-time
         # config: callers (including the driver's harness) may hand us a
         # vanilla SparkSession they built themselves.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) files (the driver fixtures) arrive as int64 ns
-        # under nanosAsLong: convert ns -> us timestamp. Integer `div`,
-        # NOT `/`: double division loses precision at 1e18 ns and lands
-        # 1 us off the DuckDB value. Files with plain TIMESTAMP(MICROS)
-        # (e.g. DuckDB-written copies) already read as a timestamp type
-        # and pass through untouched.
+    ts_type = dict(df.dtypes).get("ts") if name == "events" else None
+    if ts_type == "bigint":
+        # TIMESTAMP(NANOS) files arrive as int64 ns under nanosAsLong:
+        # convert ns -> us timestamp. Integer `div`, NOT `/`: double
+        # division loses precision at 1e18 ns and lands 1 us off the
+        # DuckDB value.
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # TIMESTAMP(MICROS, isAdjustedToUTC=false) files (the current
+        # fixtures) read as TIMESTAMP_NTZ. The engine's event-time layer
+        # (watermarks, window(), unix_* exports) is built on session-tz
+        # TIMESTAMP, so reinterpret the wall-clock as UTC. With the session
+        # tz pinned above, the cast is a pure type relabel (verified equal
+        # to DuckDB's epoch_us read of the same file).
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     per_session[path] = df
     return df
 
