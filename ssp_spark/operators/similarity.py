@@ -293,3 +293,42 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "rank", "cos")
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization (the standard
+    vector-store compression: 4x smaller than float32, recall loss ~0 at
+    rerank time).
+
+    Per vector: ``scale = max(|v|)/127`` and ``q_i = floor(v_i/scale + 0.5)``
+    (half-up via floor so Spark and ANSI SQL agree bit-for-bit — both
+    engines' ``round()`` families disagree on ties). Emits the quantized
+    array, the scale, and the reconstruction RMSE — the quality metric a
+    pipeline thresholds on before swapping the float column out.
+
+    Plan: one zero-shuffle projection over the scan (array HOFs, all
+    whole-stage codegen). At 100 TB this runs at IO speed and is the
+    map stage of an index build; all-zero vectors get scale=1 so the
+    quantized form is well-defined (all zeros).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    q = F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
+    # reconstruction error: sqrt(mean((v - q*scale)^2)), folded in index
+    # order so the oracle's list fold reproduces the same IEEE sum
+    err2 = F.aggregate(
+        F.zip_with(v, q, lambda x, qi: F.pow(x - qi * scale, F.lit(2.0))),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    return df.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        q.alias("q"),
+        F.sqrt(err2 / F.size(q)).alias("rmse"),
+    )

@@ -177,6 +177,54 @@ def corpus_ngram_stats(
     )
 
 
+def contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Benchmark-contamination scan: for each corpus document, the
+    fraction of its distinct word n-grams that also occur in an
+    evaluation/benchmark corpus (the pre-training hygiene check that
+    keeps test sets out of training data; the n-gram-overlap method used
+    by GPT-3/PaLM-style decontamination).
+
+    Returns per-document ``n_grams`` (distinct n-grams), ``n_hit``
+    (those present in the benchmark), ``contamination_frac``, and
+    ``contaminated`` (frac >= threshold). Documents with fewer than
+    ``n`` tokens have no n-grams and are excluded — a contamination
+    fraction is undefined on them.
+
+    Scale shape: benchmark suites are tiny (MBs) next to a 100 TB
+    corpus, so the benchmark's distinct n-gram set is BROADCAST and the
+    corpus side never shuffles for the membership test — explode is
+    followed by a broadcast left-semi-ish join (left join + null test,
+    so misses are countable) and one groupBy(doc) with map-side
+    combine. The corpus is read once.
+    """
+    bench = benchmark.select(
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("bsh")
+    ).distinct()
+    grams = corpus.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh")
+    )
+    hit = grams.join(F.broadcast(bench), grams.sh == bench.bsh, "left")
+    per = hit.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.count("bsh").alias("n_hit"),
+    )
+    frac = F.round(F.col("n_hit") / F.col("n_grams"), 4)
+    return per.select(
+        id_col,
+        "n_grams",
+        "n_hit",
+        frac.alias("contamination_frac"),
+        (frac >= threshold).cast("int").alias("contaminated"),
+    )
+
+
 ROLL_B = 31  # polynomial base
 ROLL_P = 1_000_000_007  # modulus; acc < p (~2^30), acc*B + h64 < 2^63: no overflow
 

@@ -26,7 +26,16 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ssp_spark.catalog import load_table
 from ssp_spark.functions import cosine, portable_hash64, tokens
-from ssp_spark.operators import cluster, dedup, graph, relational, similarity, text, windows
+from ssp_spark.operators import (
+    cluster,
+    dedup,
+    graph,
+    packing,
+    relational,
+    similarity,
+    text,
+    windows,
+)
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
@@ -3592,6 +3601,137 @@ def literal_source_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.key_by("word")
         .agg(cnt=F.count(F.lit(1)).cast("long"))
         .df.select("word", "cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 training-pipeline additions: contamination, packing, quantization,
+# skew diagnostics
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "contamination_check",
+    rf"""
+    WITH {_SQL_SHINGLES},
+    bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 3),
+    corp AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 3)
+    SELECT c.doc_id,
+           count(*) AS n_grams,
+           count(b.sh) AS n_hit,
+           round(count(b.sh)::DOUBLE / count(*), 4) AS contamination_frac,
+           CAST(round(count(b.sh)::DOUBLE / count(*), 4) >= 0.2 AS INT) AS contaminated
+    FROM corp c LEFT JOIN bench b ON c.sh = b.sh
+    GROUP BY c.doc_id
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination scan (operators/text.contamination):
+    docs with doc_id % 97 == 3 stand in for a held-out eval suite; every
+    other document reports what fraction of its distinct 3-grams leak
+    from it. The eval n-gram set is broadcast — the corpus never
+    shuffles for the membership test."""
+    docs = load_table(spark, "documents", sf_dir)
+    is_bench = F.col("doc_id") % 97 == 3
+    return text.contamination(
+        docs.filter(~is_bench), docs.filter(is_bench), n=3, threshold=0.2
+    )
+
+
+@_q(
+    "sequence_packing",
+    r"""
+    WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+                  FROM documents),
+    nt AS (SELECT doc_id, CAST(doc_id % 32 AS INT) AS shard, CAST(len(t) AS INT) AS n_tok
+           FROM toks WHERE len(t) > 0),
+    cum AS (SELECT doc_id, shard, n_tok,
+                   sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING)::BIGINT AS c
+            FROM nt)
+    SELECT doc_id, shard, n_tok,
+           (c - n_tok) // 512 AS seq_in_shard,
+           CAST((c - n_tok) % 512 AS INT) AS seq_offset,
+           CAST((c - 1) // 512 - (c - n_tok) // 512 + 1 AS INT) AS n_seqs
+    FROM cum
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing manifest (operators/packing): documents
+    hash-sharded 32 ways, each shard an independent token stream cut
+    every 512 tokens. One shuffle (by shard) + per-shard window cumsum —
+    no global order anywhere."""
+    docs = load_table(spark, "documents", sf_dir)
+    return packing.pack_sequences(docs, budget=512, n_shards=32)
+
+
+@_q(
+    "embedding_quantize_int8",
+    """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END AS scale
+          FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM v)),
+    q AS (SELECT vec_id, v, scale,
+                 list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)) AS q
+          FROM s)
+    SELECT vec_id,
+           CAST(floor(scale * 1e9 + 0.5) AS BIGINT) AS scale_e9,
+           array_to_string(q, ',') AS q_str,
+           CAST(floor(sqrt(list_sum(list_transform(list_zip(v, q),
+                                                   x -> power(x[1] - x[2] * scale, 2)))
+                           / len(q)) * 1e7 + 0.5) AS BIGINT) AS rmse_e7
+    FROM q
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization
+    (operators/similarity.quantize_int8): zero-shuffle projection. The
+    quantized array is exported as a comma-joined string (the driver's
+    canonicalizer cannot sort list-valued cells); scale/rmse are exported
+    as floor(x*10^k + 0.5) integers — Spark's round() (HALF_UP on the
+    decimal form) and DuckDB's disagree by 1 ulp near .5 boundaries,
+    while the floor form is pure IEEE arithmetic, identical everywhere."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = similarity.quantize_int8(emb)
+    return out.select(
+        "vec_id",
+        F.floor(F.col("scale") * 1e9 + 0.5).cast("bigint").alias("scale_e9"),
+        F.array_join(F.transform("q", lambda x: x.cast("string")), ",").alias("q_str"),
+        F.floor(F.col("rmse") * 1e7 + 0.5).cast("bigint").alias("rmse_e7"),
+    )
+
+
+@_q(
+    "skew_key_stats",
+    """
+    WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+    t AS (SELECT count(*)::BIGINT AS total FROM events)
+    SELECT user_id, cnt,
+           round(cnt::DOUBLE / total, 6) AS share,
+           CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS INT) AS rank
+    FROM c, t
+    ORDER BY cnt DESC, user_id
+    LIMIT 10
+    """,
+)
+def skew_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter diagnostic: top-10 hottest keys with their share of
+    all rows — the measurement that decides whether a join needs salting
+    (operators/relational.salted_join) before it runs. Plan: one groupBy
+    shuffle at |keys| with the top-10 pruned map-side
+    (TakeOrderedAndProject), plus a column-less count(*) scan (answered
+    from parquet row-group metadata) broadcast as the 1-row total."""
+    ev = load_table(spark, "events", sf_dir)
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    total = ev.agg(F.count("*").cast("long").alias("total"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("user_id"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share", F.round(F.col("cnt") / F.col("total"), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("user_id", "cnt", "share", "rank")
     )
 
 

@@ -76,3 +76,93 @@ def test_kmeans_assign_tiebreak_lowest_cid(spark):
     # equidistant centroids: the (d2, cid) struct-min must pick cid 3
     out = cluster.assign(pts, [(9, [1.0, 1.0]), (3, [0.0, 0.0])], vec_col="__v").collect()
     assert out[0]["cluster"] == 3
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: contamination, sequence packing, int8 quantization
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_golden(spark):
+    # benchmark doc: "a b c d" -> 3-grams {a b c, b c d}
+    # corpus doc 1 "a b c d e": grams {a b c, b c d, c d e} -> 2/3 hit
+    # corpus doc 2 "x y z w":   grams {x y z, y z w}        -> 0/2 hit
+    bench = _docs(spark, [(100, "a b c d")])
+    corpus = _docs(spark, [(1, "a b c d e"), (2, "x y z w")])
+    out = {r["doc_id"]: r for r in text.contamination(corpus, bench, n=3).collect()}
+    assert out[1]["n_grams"] == 3 and out[1]["n_hit"] == 2
+    assert out[1]["contamination_frac"] == round(2 / 3, 4)
+    assert out[1]["contaminated"] == 1
+    assert out[2]["n_hit"] == 0 and out[2]["contaminated"] == 0
+
+
+def test_contamination_excludes_gramless_docs(spark):
+    bench = _docs(spark, [(100, "a b c d")])
+    corpus = _docs(spark, [(1, "too short")])  # 2 tokens < n=3: no grams
+    assert text.contamination(corpus, bench, n=3).count() == 0
+
+
+def test_pack_sequences_golden(spark):
+    from ssp_spark.operators import packing
+
+    # one shard (n_shards=1), budget 5; docs of 3/4/6 tokens in id order:
+    #   d1 tokens 0-2  -> seq 0 offset 0, ends tok 2  -> spans seq 0 only
+    #   d2 tokens 3-6  -> seq 0 offset 3, ends tok 6  -> spans seqs 0-1
+    #   d3 tokens 7-12 -> seq 1 offset 2, ends tok 12 -> spans seqs 1-2
+    docs = _docs(spark, [(1, "a b c"), (2, "d e f g"), (3, "h i j k l m")])
+    out = {
+        r["doc_id"]: r
+        for r in packing.pack_sequences(docs, budget=5, n_shards=1).collect()
+    }
+    assert (out[1]["seq_in_shard"], out[1]["seq_offset"], out[1]["n_seqs"]) == (0, 0, 1)
+    assert (out[2]["seq_in_shard"], out[2]["seq_offset"], out[2]["n_seqs"]) == (0, 3, 2)
+    assert (out[3]["seq_in_shard"], out[3]["seq_offset"], out[3]["n_seqs"]) == (1, 2, 2)
+
+
+def test_pack_sequences_shards_are_independent(spark):
+    from ssp_spark.operators import packing
+
+    # ids 0..5 over 2 shards: each shard's stream starts at position 0
+    docs = _docs(spark, [(i, "t " * 4) for i in range(6)])  # 4 tokens each
+    out = packing.pack_sequences(docs, budget=8, n_shards=2).collect()
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) == {0, 1}
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        # 3 docs x 4 tokens at budget 8: offsets 0, 4, 0 within the shard
+        assert [r["seq_offset"] for r in rows] == [0, 4, 0]
+        assert [r["seq_in_shard"] for r in rows] == [0, 0, 1]
+
+
+def test_quantize_int8_reconstruction_bound(spark):
+    """|v - q*scale| <= scale/2 per element, and q fits int8 for the
+    max-|v| element by construction (|q| <= 127)."""
+    from ssp_spark.catalog import load_table
+    from ssp_spark.operators.similarity import quantize_int8
+
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, "embeddings", SF_SMOKE).limit(50)
+    joined = (
+        quantize_int8(emb)
+        .join(emb, "vec_id")
+        .select(
+            "vec_id",
+            "scale",
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("q"),
+                lambda x, q: F.abs(x - q * F.col("scale")),
+            ).alias("errs"),
+            F.array_max(F.transform("q", lambda q: F.abs(q))).alias("qmax"),
+        )
+    )
+    rows = joined.select(
+        "vec_id", "scale", F.array_max("errs").alias("maxerr"), "qmax"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["maxerr"] <= r["scale"] / 2 + 1e-12
+        assert r["qmax"] <= 127

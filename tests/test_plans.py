@@ -248,3 +248,47 @@ def test_kmeans_assignment_is_projection(spark):
     assert plans.exchange_count(assigned) == 0
     s = plans.plan_string(assigned)
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """The eval-suite n-gram set rides in as a broadcast; the corpus side
+    never shuffles for the membership probe (its only exchange is the
+    final per-doc aggregation)."""
+    df = QUERIES["contamination_check"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s and not plans.has_cartesian(df)
+
+
+def test_sequence_packing_single_shard_exchange(spark):
+    """Concat-and-chunk packs per shard: one hash exchange on the shard
+    key feeds the window cumsum; there is no global sort (a total order
+    would serialize the corpus through one task)."""
+    df = QUERIES["sequence_packing"](spark, SF_SMOKE)
+    assert plans.exchange_count(df) == 1
+    tree = plans.plan_string(df).split("\n\n")[0]
+    # rangepartitioning = global sort; the only exchange must be hash
+    assert "rangepartitioning" not in tree.lower()
+
+
+def test_quantize_int8_zero_shuffle(spark):
+    """Quantization is a pure projection over the scan: zero exchanges,
+    no Python in the plan (array HOFs are Catalyst expressions)."""
+    df = QUERIES["embedding_quantize_int8"](spark, SF_SMOKE)
+    assert plans.exchange_count(df) == 0
+    s = plans.plan_string(df)
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_skew_stats_partial_topk(spark):
+    """Heavy-hitter diagnostic: the global top-10 is pruned map-side
+    (Spark 4 rewrites the rank filter to TakeOrderedAndProject — partial
+    per-partition top-k, same property as WindowGroupLimit); the grand
+    total joins as a broadcast, not a collected literal, and its scan
+    reads zero columns (parquet metadata count)."""
+    df = QUERIES["skew_key_stats"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert "TakeOrderedAndProject" in s or "WindowGroupLimit" in s
+    assert "BroadcastExchange" in s
+    read_schemas = [l for l in s.splitlines() if "ReadSchema" in l]
+    assert any("struct<>" in l for l in read_schemas)  # metadata-only count scan
