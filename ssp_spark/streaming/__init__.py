@@ -256,3 +256,26 @@ def fanout_sinks(
     q = sdf.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
     q.awaitTermination(timeout_s)
     return q
+
+
+def dedup_stream(
+    sdf: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key, with state
+    BOUNDED by the watermark (dropDuplicatesWithinWatermark — keys older
+    than the horizon are evicted, so state is O(keys per horizon), not
+    O(all keys ever)).
+
+    The batch twin is dedup.dedup_exact / dedup_events_keeper; this is
+    the stream form a 100 TB/day ingest pipeline runs: duplicates almost
+    always arrive close together (retries, at-least-once sources), so a
+    horizon-bounded state store catches them without the unbounded-state
+    cliff of plain dropDuplicates on a stream. Contract: a duplicate
+    arriving AFTER the watermark horizon passes is emitted again —
+    exactness within the horizon, at-least-once beyond it; a downstream
+    batch dedup_exact sweep restores global exactness.
+    """
+    return sdf.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)

@@ -579,3 +579,47 @@ def test_chained_stateful_dedup_then_windowed_count(spark, tmpdir):
     # [0,10): ids 1,2 once each (both re-deliveries dropped); [10,20): id 3.
     # [100,110) is still open at the final watermark (90 s) -> not emitted.
     assert got == [(0, "u", 2), (10, "u", 1)]
+
+
+def test_dedup_stream_within_watermark(spark, tmpdir):
+    """Streaming exact dedup with horizon-bounded state
+    (dropDuplicatesWithinWatermark): duplicates inside the watermark are
+    suppressed across micro-batches; state for expired keys is evicted
+    so a duplicate arriving after the horizon is re-emitted (the
+    documented at-least-once-beyond-horizon contract)."""
+    src = os.path.join(tmpdir, "dd")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "event_id long, ts timestamp"
+
+    # batch 1: ids 1,2 at t0; batch 2: dup id 1 at t0+1min (inside the
+    # 10-min horizon) plus id 3 at t0+2min
+    _write_parquet(spark, [(1, base), (2, base)], schema, src)
+    _write_parquet(
+        spark,
+        [(1, base + dt.timedelta(minutes=1)), (3, base + dt.timedelta(minutes=2))],
+        schema,
+        src,
+    )
+    # batch 3: watermark advances far past the horizon (t0+60min). The
+    # watermark lags one batch and state cleanup runs at batch END, so
+    # batch 4 (another late-advancing row) is the one that actually
+    # evicts key 1's expired state; batch 5 then re-sends id 1 — state
+    # gone, so it re-emits.
+    _write_parquet(spark, [(90, base + dt.timedelta(minutes=60))], schema, src)
+    _write_parquet(spark, [(91, base + dt.timedelta(minutes=62))], schema, src)
+    _write_parquet(spark, [(1, base + dt.timedelta(minutes=63))], schema, src)
+
+    sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    dd = ss.dedup_stream(sdf, ["event_id"], ts_col="ts", watermark="10 minutes")
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    q = (
+        dd.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.event_id for r in spark.table(name).collect())
+    # 1 (first), 2, 3, 90, 91, and 1 AGAIN after horizon eviction
+    assert got == [1, 1, 2, 3, 90, 91]
