@@ -190,13 +190,26 @@ def ivf_cells(
 
     Broadcast the codebook frame, score every (vector, centroid) pair
     with one index-order dot product, and pick the nprobe best per vector
-    with a collect_list + array_sort aggregation. The ×n_cells fan-out is
-    collapsed by partial aggregation on the map side (the broadcast join
-    preserves partitioning), so the shuffle carries ONE row per vector —
-    at 100 TB the corpus is scored in place and only (id, cells) moves.
+    with a constant-size partial aggregate. The ×n_cells fan-out is
+    collapsed map-side (the broadcast join preserves partitioning), so
+    the assignment shuffle carries ONE row per vector.
     Sort key (2 - round(cos, 6), cid): the +2 offset keeps it strictly
     positive so IEEE ±0.0 can never make engines disagree; ties break on
     centroid id, matching the oracle's ORDER BY cos DESC, cid.
+
+    MEASURED negative result (kept as the design record): compiling the
+    codebook into one literal-array projection (the cluster.assign
+    pattern — zero exchanges on paper) is 3-5x SLOWER end-to-end for a
+    40x64 codebook. Built with per-element F.lit it costs ~6 000 py4j
+    round trips (~15 s of plan construction); built as one SQL string it
+    parses fast but the resulting expression exceeds the codegen method
+    limit, so the whole projection falls back to INTERPRETED evaluation
+    (~5 s of execution vs sub-second in codegen). The broadcast-join form
+    keeps each row's dot product small enough for whole-stage codegen;
+    its one-row-per-vector shuffle is the price, and at 100 TB the
+    assignment output is what you'd persist (write_bucketed on cell)
+    anyway — the index build is a one-time materialization, not a
+    per-query cost.
     """
     from ssp_spark.functions import dot, norm
 
@@ -251,12 +264,15 @@ def ivf_topk(
 ) -> DataFrame:
     """Approximate top-k via an inverted-file index.
 
-    Plan shape (the IVF contract at scale): corpus vectors are scored
-    against the broadcast codebook and assigned to exactly one cell (one
-    shuffle of (id, cell) rows); each query probes its nprobe nearest
-    cells; search is a shuffle-hash equi-join on cell id touching only
-    ~nprobe/n_cells of the corpus per query, followed by WindowGroupLimit
-    partial top-k. No cross product anywhere.
+    Plan shape (the IVF contract at scale): corpus vectors are assigned
+    to their cell by a zero-shuffle literal-codebook projection on the
+    scan; each query probes its nprobe nearest cells; search is a
+    BROADCAST equi-join on cell id (the probe set — nprobe x |queries|
+    rows — is broadcast-sized by the IVF contract, so the corpus streams
+    map-side and touches only ~nprobe/n_cells of its rows past the
+    filter), followed by WindowGroupLimit partial top-k whose shuffle
+    carries only candidate rows. The corpus is never shuffled, never
+    cross-joined.
     """
     from ssp_spark.functions import dot
 
@@ -269,8 +285,7 @@ def ivf_topk(
     # costs ~0.1-0.2 s of py4j round trips; the artifact is identical)
     if cent_frame is None:
         cent_frame = _centroid_frame(corpus.sparkSession, codebook)
-    c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
-    c = ivf_cells(c, codebook, id_col, vec_col, nprobe=1, cent_frame=cent_frame).select(
+    c = ivf_cells(corpus, codebook, id_col, vec_col, nprobe=1, cent_frame=cent_frame).select(
         F.col(id_col).alias("nid"),
         F.col(vec_col).alias("nv"),
         F.col("vnorm").alias("nn"),
@@ -283,7 +298,7 @@ def ivf_topk(
         F.explode("cells").alias("cell"),
     )
     scored = (
-        q.join(c, "cell")
+        c.join(F.broadcast(q), "cell")
         .filter(F.col("qid") != F.col("nid"))
         .withColumn("cos", F.round(dot("qv", "nv") / (F.col("qn") * F.col("nn")), 6))
     )
