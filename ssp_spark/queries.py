@@ -3735,6 +3735,36 @@ def skew_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "approx_percentile_value",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50_exact,
+           TRUE AS approx_within_2pct_rank
+    FROM events GROUP BY event_type
+    """,
+)
+def approx_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch (GK/KLL family via percentile_approx) made
+    oracle-checkable the same way as approx_distinct_users: the declared
+    output is the exact interpolated median plus a boolean asserting the
+    sketch's estimate lands between the exact 0.48 and 0.52 quantiles —
+    a ±2% rank window. accuracy=10000 bounds rank error at 1e-4 (~2 rows
+    per group here), ~200x headroom, so the boolean is deterministic
+    while the sketch path stays exercised. At 100 TB the sketch is the
+    only viable percentile: exact needs a full sort per group, the
+    sketch is one map-side mergeable summary of bounded size."""
+    ev = load_table(spark, "events", sf_dir)
+    approx = F.percentile_approx("value", F.lit(0.5), F.lit(10000))
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50_exact"),
+        (
+            (approx >= F.percentile("value", F.lit(0.48)))
+            & (approx <= F.percentile("value", F.lit(0.52)))
+        ).alias("approx_within_2pct_rank"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering
 # ---------------------------------------------------------------------------
