@@ -166,3 +166,32 @@ def test_quantize_int8_reconstruction_bound(spark):
     for r in rows:
         assert r["maxerr"] <= r["scale"] / 2 + 1e-12
         assert r["qmax"] <= 127
+
+
+def test_pack_sequences_invariants_on_fixture(spark):
+    """Whole-corpus invariants on the real fixture: within every shard the
+    token stream is contiguous (each doc starts where the previous ended),
+    offsets stay inside the budget, and n_seqs matches the chunk span."""
+    from ssp_spark.catalog import load_table
+    from ssp_spark.operators import packing
+
+    from tests.conftest import SF_SMOKE
+
+    budget = 512
+    docs = load_table(spark, "documents", SF_SMOKE)
+    rows = packing.pack_sequences(docs, budget=budget, n_shards=32).collect()
+    assert rows
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert r["shard"] == r["doc_id"] % 32
+        assert 0 <= r["seq_offset"] < budget
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        pos = 0
+        for r in rs:
+            assert r["seq_in_shard"] == pos // budget
+            assert r["seq_offset"] == pos % budget
+            last = pos + r["n_tok"] - 1
+            assert r["n_seqs"] == last // budget - pos // budget + 1
+            pos += r["n_tok"]
