@@ -2546,6 +2546,38 @@ def source_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "source_text_scan",
+    r"""
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS word
+          FROM documents WHERE doc_id % 10 = 4)
+    GROUP BY word
+    """,
+)
+def source_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text source end-to-end: export a document subset as raw .txt
+    (spark.write.text, one value column), read it back as lines, and run
+    the flagship word count over the lines. The comparison is on the
+    TOKEN MULTISET, which a text round-trip preserves exactly even if a
+    document ever contained newlines (line re-segmentation cannot create
+    or destroy whitespace-delimited tokens) — so the oracle counts words
+    from the original parquet view. Text is the lowest-common-denominator
+    ingest format for LLM corpora; at scale the same plan streams a
+    directory of .txt shards."""
+    import os
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 10 == 4)
+    path = os.path.join(_SCRATCH, "documents_txt")
+    docs.select("text").coalesce(1).write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    return (
+        lines.select(F.explode(tokens("value")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@_q(
     "source_orc_scan",
     """
     SELECT s_nationkey, count(*) AS n_suppliers,
