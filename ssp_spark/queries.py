@@ -3810,6 +3810,15 @@ def approx_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_minhash_lsh, word_count as flagship canary) — so the union of the
 # r2 + r3 recorded runs covers the full registry with driver evidence.
 # Declaration order above stays thematic; only iteration order changes.
+#
+# ROUND-4 TODO: rotate the 13 round-3 additions into the window — they
+# have local sf0.001+sf0.01 parity but no driver row yet:
+# quality_repetition_filter, dedup_ngram_corpus, kmeans_embeddings,
+# cluster_balanced_sample, pagerank_customer_supplier, tfidf_top_terms,
+# source_orc_scan, contamination_check, sequence_packing,
+# embedding_quantize_int8, skew_key_stats, approx_percentile_value,
+# source_text_scan. (All driver-canonicalizable: a registry-wide schema
+# scan confirms every query emits scalar-only columns.)
 _CHECK_FIRST = [
     # changed / previously-unverifiable this round
     "word_count",
