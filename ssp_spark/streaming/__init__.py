@@ -279,3 +279,62 @@ def dedup_stream(
     batch dedup_exact sweep restores global exactness.
     """
     return sdf.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
+def upsert_parquet_sink(
+    sdf: DataFrame,
+    path: str,
+    key_cols: list[str],
+    timeout_s: float = 120.0,
+):
+    """Streaming materialized view: maintain a parquet table keyed by
+    ``key_cols`` from an update-mode aggregate (the reference's collect
+    sink kept its running map in process memory, collect.go:20-35; this
+    is the durable equivalent).
+
+    foreachBatch merges each micro-batch into the table with
+    last-writer-wins per key (new rows replace matching keys, other rows
+    carry over), writing to a temp dir and atomically renaming — a
+    re-run of the same batch converges to the same table, which is the
+    idempotence foreachBatch needs for effective exactly-once.
+
+    Scale note: full-table rewrite per batch is the LOCAL-FS simplification.
+    On a real deployment this operator is the one place to swap in a
+    format with MERGE/row-level upsert (or hash-partition the table and
+    rewrite only the partitions a batch touches — the merge plan below
+    already joins on the key, so partition pruning applies unchanged).
+    """
+    import os
+    import shutil
+
+    spark = sdf.sparkSession
+
+    def merge(batch_df: DataFrame, batch_id: int):
+        batch_df.persist()
+        try:
+            if os.path.isdir(path):
+                current = spark.read.parquet(path)
+                keep = current.join(
+                    batch_df.select(*key_cols).distinct(), key_cols, "left_anti"
+                )
+                merged = keep.unionByName(batch_df)
+            else:
+                merged = batch_df
+            tmp = path + f".__tmp_{batch_id}"
+            merged.write.mode("overwrite").parquet(tmp)
+            old = path + ".__old"
+            if os.path.isdir(path):
+                os.rename(path, old)
+            os.rename(tmp, path)
+            shutil.rmtree(old, ignore_errors=True)
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        sdf.writeStream.outputMode("update")
+        .foreachBatch(merge)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q

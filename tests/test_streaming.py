@@ -623,3 +623,25 @@ def test_dedup_stream_within_watermark(spark, tmpdir):
     got = sorted(r.event_id for r in spark.table(name).collect())
     # 1 (first), 2, 3, 90, 91, and 1 AGAIN after horizon eviction
     assert got == [1, 1, 2, 3, 90, 91]
+
+
+def test_upsert_sink_materializes_running_counts(spark, tmpdir):
+    """Streaming materialized view: replay the word list in two
+    micro-batches through an update-mode count into the upsert sink; the
+    final parquet table must equal the one-shot batch aggregation (per
+    key latest-wins across batches)."""
+    src = os.path.join(tmpdir, "upsert_src")
+    half = len(WORDS) // 2
+    _write_parquet(spark, [(w,) for w in WORDS[:half]], "word string", src)
+    _write_parquet(spark, [(w,) for w in WORDS[half:]], "word string", src)
+
+    sdf = spark.readStream.schema("word string").option("maxFilesPerTrigger", 1).parquet(src)
+    counts = sdf.groupBy("word").count()
+    out = os.path.join(tmpdir, "wc_view")
+    ss.upsert_parquet_sink(counts, out, ["word"])
+
+    got = sorted((r["word"], r["count"]) for r in spark.read.parquet(out).collect())
+    from collections import Counter
+
+    want = sorted(Counter(WORDS).items())
+    assert got == [(w, c) for w, c in want]
