@@ -323,6 +323,9 @@ def upsert_parquet_sink(
             tmp = path + f".__tmp_{batch_id}"
             merged.write.mode("overwrite").parquet(tmp)
             old = path + ".__old"
+            # a crashed earlier run may have left .__old behind; clear it
+            # or the rename below fails on the existing directory
+            shutil.rmtree(old, ignore_errors=True)
             if os.path.isdir(path):
                 os.rename(path, old)
             os.rename(tmp, path)
