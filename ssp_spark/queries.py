@@ -3797,6 +3797,70 @@ def approx_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "null_safe_join_props",
+    """
+    WITH e AS (SELECT event_id, user_id,
+                      CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS et
+               FROM events WHERE event_id % 20 = 0),
+    d AS (SELECT DISTINCT CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS et
+          FROM events WHERE event_id % 20 = 0)
+    SELECT count(*) AS n_pairs,
+           CAST(sum(CASE WHEN e.et IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_matches
+    FROM e JOIN d ON e.et IS NOT DISTINCT FROM d.et
+    """,
+)
+def null_safe_join_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (Spark `eqNullSafe` / SQL `<=>` == ANSI
+    IS NOT DISTINCT FROM): NULL keys MATCH each other instead of
+    dropping — the semantics a dimension join needs when 'unknown' is a
+    legitimate key value. Still a hash-equi-join physically (null-safe
+    equality is a valid hash key), not a nested loop."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("event_id") % 20 == 0)
+    et = F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("event_type"))
+    e = ev.select("event_id", "user_id", et.alias("et"))
+    d = e.select("et").distinct().select(F.col("et").alias("d_et"))
+    joined = e.join(d, e.et.eqNullSafe(d.d_et))
+    return joined.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.when(F.col("et").isNull(), 1).otherwise(0)).cast("long").alias("null_matches"),
+    )
+
+
+@_q(
+    "value_histogram",
+    """
+    SELECT event_type,
+           CASE WHEN value < 0.0 THEN 0
+                WHEN value >= 1000.0 THEN 21
+                ELSE CAST(floor(value / 50.0) AS BIGINT) + 1 END AS bucket,
+           count(*) AS cnt,
+           round(min(value), 6) AS lo,
+           round(max(value), 6) AS hi
+    FROM events
+    GROUP BY event_type, bucket
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket (bucket 0 below the range,
+    n_buckets+1 above). DuckDB has no width_bucket, so the oracle states
+    the same function arithmetically (floor(value/width)+1 with range
+    clamps — a boundary value could in principle disagree by one ulp
+    between the two formulations, but bucket edges here are exact
+    binary fractions). One groupBy with map-side combine — the shuffle
+    is |types| x |buckets| cells regardless of row count; the building
+    block for numeric profiling/drift dashboards over a 100 TB table."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy(
+        "event_type",
+        F.width_bucket("value", F.lit(0.0), F.lit(1000.0), F.lit(20)).alias("bucket"),
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering
 # ---------------------------------------------------------------------------

@@ -50,10 +50,10 @@ def test_driver_window_is_the_round3_target_set():
 def test_registry_is_complete_and_fully_oracled():
     # 94 through round 2, +7 early round-3 additions (repetition filter,
     # corpus n-grams, tfidf, kmeans, cluster sample, pagerank, orc source),
-    # +6 late round-3 additions (contamination check, sequence packing,
+    # +8 late round-3 additions (contamination check, sequence packing,
     # int8 quantization, skew diagnostics, bounded-error approx percentile,
-    # text source round-trip)
-    assert len(QUERIES) == 107
+    # text source round-trip, null-safe join, width_bucket histogram)
+    assert len(QUERIES) == 109
     # Round 3: every declared query has an exact DuckDB oracle (the two
     # r2 rows-only queries were rewritten as bounded-error booleans).
     assert set(ORACLE) == set(QUERIES)
