@@ -3881,8 +3881,9 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cluster_balanced_sample, pagerank_customer_supplier, tfidf_top_terms,
 # source_orc_scan, contamination_check, sequence_packing,
 # embedding_quantize_int8, skew_key_stats, approx_percentile_value,
-# source_text_scan. (All driver-canonicalizable: a registry-wide schema
-# scan confirms every query emits scalar-only columns.)
+# source_text_scan, null_safe_join_props, value_histogram. (All
+# driver-canonicalizable: a registry-wide schema scan confirms every
+# query emits scalar-only columns.)
 _CHECK_FIRST = [
     # changed / previously-unverifiable this round
     "word_count",
