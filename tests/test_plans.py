@@ -292,3 +292,21 @@ def test_skew_stats_partial_topk(spark):
     assert "BroadcastExchange" in s
     read_schemas = [l for l in s.splitlines() if "ReadSchema" in l]
     assert any("struct<>" in l for l in read_schemas)  # metadata-only count scan
+
+
+def test_null_safe_join_is_hash_join(spark):
+    """eqNullSafe must still plan as a hash-equi-join (null-safe equality
+    is a valid hash key) — never a nested-loop over the fact side."""
+    df = QUERIES["null_safe_join_props"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert "HashJoin" in s  # Broadcast- or ShuffledHashJoin both fine
+    assert not plans.has_cartesian(df)
+
+
+def test_histogram_partial_aggregates(spark):
+    """The histogram's shuffle is |types| x |buckets| cells: map-side
+    partial aggregation must appear before the exchange."""
+    df = QUERIES["value_histogram"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert "partial_count" in s
+    assert plans.exchange_count(df) == 1
