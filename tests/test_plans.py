@@ -303,6 +303,18 @@ def test_null_safe_join_is_hash_join(spark):
     assert not plans.has_cartesian(df)
 
 
+def test_lsh_buckets_no_per_row_constant_hashing(spark):
+    """The LSH hyperplane sign matrix is row-independent: it must be baked
+    into the plan as literals (precomputed driver-side), never recomputed
+    per row — the plan must contain NO md5 (VERDICT r3 inefficiency #1),
+    no Python, and no cartesian join."""
+    df = QUERIES["ann_lsh_topk"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert "md5" not in s.lower()
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    assert not plans.has_cartesian(df)
+
+
 def test_histogram_partial_aggregates(spark):
     """The histogram's shuffle is |types| x |buckets| cells: map-side
     partial aggregation must appear before the exchange."""
