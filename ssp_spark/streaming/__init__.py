@@ -292,44 +292,105 @@ def upsert_parquet_sink(
     sink kept its running map in process memory, collect.go:20-35; this
     is the durable equivalent).
 
-    foreachBatch merges each micro-batch into the table with
-    last-writer-wins per key (new rows replace matching keys, other rows
-    carry over), writing to a temp dir and atomically renaming — a
-    re-run of the same batch converges to the same table, which is the
-    idempotence foreachBatch needs for effective exactly-once.
+    Durability layout (round 4 — replaces the rename-pair whose crash
+    window could strand the only copy in a ``.__old`` backup): table data
+    lives in versioned directories ``path.__vN``; ``path`` itself is a
+    SYMLINK to the current version. Each micro-batch merges
+    last-writer-wins per key into a NEW version dir, then repoints the
+    symlink with one atomic os.replace — a reader resolving ``path``
+    sees the previous complete table or the new complete table, never a
+    missing or partial one. Superseded versions are deleted only AFTER
+    the pointer flip, so at every instant at least one complete copy
+    exists on disk. merge() opens by re-adopting whatever a crash left
+    behind: a lost pointer is recreated from the newest _SUCCESS-complete
+    version, a legacy real-directory table (or stranded ``.__old``
+    backup) is adopted as the next version, and stale temp/incomplete
+    dirs are swept. A re-delivered batch converges because the per-key
+    merge is idempotent — the foreachBatch exactly-once contract.
 
-    Scale note: full-table rewrite per batch is the LOCAL-FS simplification.
-    On a real deployment this operator is the one place to swap in a
-    format with MERGE/row-level upsert (or hash-partition the table and
-    rewrite only the partitions a batch touches — the merge plan below
-    already joins on the key, so partition pruning applies unchanged).
+    Scale note: full-table rewrite per batch is the LOCAL-FS
+    simplification. On a real deployment this operator is the one place
+    to swap in a table format with MERGE/row-level upsert (or
+    hash-partition the table and rewrite only touched partitions — the
+    merge plan below already joins on the key, so partition pruning
+    applies unchanged); the version-dir + atomic-pointer swap here is
+    exactly the commit-protocol shape those formats implement with a
+    manifest pointer instead of a symlink.
     """
     import os
     import shutil
 
     spark = sdf.sparkSession
+    apath = os.path.abspath(path)
+    parent, base = os.path.split(apath)
+
+    def versions() -> list[tuple[int, str]]:
+        out = []
+        if os.path.isdir(parent):
+            for d in os.listdir(parent):
+                if d.startswith(base + ".__v"):
+                    try:
+                        out.append((int(d[len(base) + 4 :]), os.path.join(parent, d)))
+                    except ValueError:
+                        pass
+        return sorted(out)
+
+    def complete(d: str) -> bool:
+        return os.path.exists(os.path.join(d, "_SUCCESS"))
+
+    def recover():
+        old = apath + ".__old"
+        if not os.path.lexists(apath) and os.path.isdir(old):
+            # a pre-round-4 run died between its two renames: the only
+            # copy lives in the backup — restore it, never delete it
+            os.rename(old, apath)
+        if os.path.islink(apath) and not os.path.isdir(apath):
+            os.remove(apath)  # dangling pointer; re-created just below
+        if not os.path.lexists(apath):
+            done = [d for _, d in versions() if complete(d)]
+            if done:
+                os.symlink(os.path.basename(done[-1]), apath)
+        if os.path.isdir(apath) and not os.path.islink(apath):
+            # legacy layout (real directory): adopt it as a version so
+            # every later swap is one atomic symlink replace
+            vs = versions()
+            v0 = f"{apath}.__v{(vs[-1][0] + 1) if vs else 0}"
+            os.rename(apath, v0)
+            os.symlink(os.path.basename(v0), apath)
+        # sweep leftovers that are provably not the live table: the old
+        # sink's temp dirs, a now-redundant backup, incomplete writes
+        live = os.path.realpath(apath)
+        shutil.rmtree(old, ignore_errors=True)
+        for d in os.listdir(parent) if os.path.isdir(parent) else []:
+            full = os.path.join(parent, d)
+            if d.startswith(base + ".__tmp_") or (
+                d.startswith(base + ".__v") and full != live and not complete(full)
+            ):
+                shutil.rmtree(full, ignore_errors=True)
 
     def merge(batch_df: DataFrame, batch_id: int):
         batch_df.persist()
         try:
-            if os.path.isdir(path):
-                current = spark.read.parquet(path)
+            recover()
+            if os.path.isdir(apath):
+                current = spark.read.parquet(apath)
                 keep = current.join(
                     batch_df.select(*key_cols).distinct(), key_cols, "left_anti"
                 )
                 merged = keep.unionByName(batch_df)
             else:
                 merged = batch_df
-            tmp = path + f".__tmp_{batch_id}"
-            merged.write.mode("overwrite").parquet(tmp)
-            old = path + ".__old"
-            # a crashed earlier run may have left .__old behind; clear it
-            # or the rename below fails on the existing directory
-            shutil.rmtree(old, ignore_errors=True)
-            if os.path.isdir(path):
-                os.rename(path, old)
-            os.rename(tmp, path)
-            shutil.rmtree(old, ignore_errors=True)
+            vs = versions()
+            new_v = f"{apath}.__v{(vs[-1][0] + 1) if vs else 0}"
+            merged.write.mode("overwrite").parquet(new_v)  # executes the merge read
+            swap = apath + ".__swap"
+            if os.path.lexists(swap):
+                os.remove(swap)
+            os.symlink(os.path.basename(new_v), swap)
+            os.replace(swap, apath)  # atomic pointer flip
+            for _, d in versions():  # superseded copies die only now
+                if d != os.path.realpath(apath):
+                    shutil.rmtree(d, ignore_errors=True)
         finally:
             batch_df.unpersist()
 

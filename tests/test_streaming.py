@@ -645,3 +645,60 @@ def test_upsert_sink_materializes_running_counts(spark, tmpdir):
 
     want = sorted(Counter(WORDS).items())
     assert got == [(w, c) for w, c in want]
+    # the table pointer is a symlink to a complete version dir: the swap
+    # is one atomic os.replace, so a reader NEVER resolves a missing path
+    assert os.path.islink(out)
+    assert os.path.exists(os.path.join(os.path.realpath(out), "_SUCCESS"))
+
+
+def _run_upsert(spark, tmpdir, out, rows, tag):
+    """One availableNow upsert pass over a fresh single-file source."""
+    src = os.path.join(tmpdir, f"upsert_src_{tag}")
+    _write_parquet(spark, rows, "word string", src)
+    sdf = spark.readStream.schema("word string").parquet(src)
+    ss.upsert_parquet_sink(sdf.groupBy("word").count(), out, ["word"])
+
+
+def _table(spark, out):
+    return sorted((r["word"], r["count"]) for r in spark.read.parquet(out).collect())
+
+
+def test_upsert_sink_recovers_stranded_old_backup(spark, tmpdir):
+    """The pre-round-4 crash window: a run that died between its two
+    renames leaves the ONLY copy of the table in `path.__old` and no
+    `path`. The next batch must restore the backup and merge into it —
+    not rebuild from the batch alone and delete the backup."""
+    import shutil
+
+    out = os.path.join(tmpdir, "view")
+    _run_upsert(spark, tmpdir, out, [("a",), ("a",), ("b",)], "r1")
+    assert _table(spark, out) == [("a", 2), ("b", 1)]
+    # simulate the legacy crash: table exists only as a real-dir backup
+    backup = out + ".__old"
+    shutil.copytree(os.path.realpath(out), backup)
+    real = os.path.realpath(out)
+    os.remove(out)
+    shutil.rmtree(real)
+    # leave a stale temp dir from the crashed run too; it must be swept
+    os.makedirs(out + ".__tmp_7")
+    _run_upsert(spark, tmpdir, out, [("b",), ("c",)], "r2")
+    # 'a' survives ONLY if the backup was recovered; 'b' is overwritten
+    assert _table(spark, out) == [("a", 2), ("b", 1), ("c", 1)]
+    assert not os.path.exists(out + ".__old")
+    assert not os.path.exists(out + ".__tmp_7")
+
+
+def test_upsert_sink_recovers_lost_pointer_and_converges(spark, tmpdir):
+    """Crash after writing a version but before (or while) repointing:
+    the symlink is gone but a complete version dir survives. Recovery
+    must repoint to the newest complete version; re-delivering the same
+    input converges (idempotent per-key merge)."""
+    out = os.path.join(tmpdir, "view")
+    _run_upsert(spark, tmpdir, out, [("x",), ("y",)], "r1")
+    os.remove(out)  # pointer lost, version dir intact
+    _run_upsert(spark, tmpdir, out, [("x",), ("y",)], "r2")  # same batch again
+    assert _table(spark, out) == [("x", 1), ("y", 1)]
+    # exactly one live version remains; no strays accumulate
+    parent, base = os.path.split(out)
+    strays = [d for d in os.listdir(parent) if d.startswith(base + ".__")]
+    assert strays == [os.path.basename(os.path.realpath(out))]
