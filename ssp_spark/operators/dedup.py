@@ -403,8 +403,9 @@ def simhash_pairs(
     distance d < bands must agree on some slice — pigeonhole). Same
     equi-self-join shape as MinHash LSH: constant per-doc state,
     candidates = band collisions, never n². Knob: wider slices (fewer
-    bands) = stricter candidates; production simhash uses 64-bit
-    fingerprints with 16-bit slices."""
+    bands) = stricter candidates; the production-width profile is
+    bits=60 (the portable hash's full width) with 4×15-bit slices —
+    shipped as the dedup_simhash64_pairs query."""
     w = bits // bands
     mask = (1 << w) - 1
     sim = simhash(df, id_col, text_col, bits)

@@ -2446,6 +2446,50 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_simhash64_pairs",
+    rf"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    h AS (SELECT doc_id, {_SQL_HASH64.format(x="tok")} AS th FROM toks),
+    votes AS (
+      SELECT doc_id, b.bit,
+             CASE WHEN ((th >> b.bit) & 1) = 1 THEN 1 ELSE -1 END AS vote
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) b
+    ),
+    bits AS (SELECT doc_id, bit, CAST(sum(vote) AS BIGINT) AS s FROM votes GROUP BY doc_id, bit),
+    sim AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, b.band, (simhash >> (b.band * 15)) & 32767 AS band_val
+      FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
+    )
+    SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+    FROM banded a JOIN banded b USING (band, band_val)
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-width simhash variant (the 32-bit query's docstring
+    knob made real): 60-bit fingerprints — the full width of the portable
+    hash, the honest stand-in for production's 64 — banded into 4×15-bit
+    slices. Wider fingerprints resolve more token evidence per doc; wider
+    slices (2^15 values vs 2^8) make band collisions ~128× rarer, so the
+    candidate set is far tighter at the same pigeonhole guarantee
+    (Hamming distance ≤ 3 always captured). The fingerprint stage is the
+    same ZERO-shuffle map-side fold — band width changes constants, not
+    the plan."""
+    return dedup.simhash_pairs(
+        load_table(spark, "documents", sf_dir), bits=60, bands=4
+    )
+
+
+@_q(
     "lineitem_unpivot",
     """
     SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
@@ -3872,68 +3916,73 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r2 + r3 recorded runs covers the full registry with driver evidence.
 # Declaration order above stays thematic; only iteration order changes.
 #
-# ROUND-4 TODO: rotate the 13 round-3 additions into the window — they
-# have local sf0.001+sf0.01 parity but no driver row yet:
-# quality_repetition_filter, dedup_ngram_corpus, kmeans_embeddings,
-# cluster_balanced_sample, pagerank_customer_supplier, tfidf_top_terms,
-# source_orc_scan, contamination_check, sequence_packing,
-# embedding_quantize_int8, skew_key_stats, approx_percentile_value,
-# source_text_scan, null_safe_join_props, value_histogram. (All
-# driver-canonicalizable: a registry-wide schema scan confirms every
-# query emits scalar-only columns.)
+# ROUND-4 rotation (the r3 TODO, executed): window = (a) the canary plus
+# every query whose implementation changed or that is new this round,
+# (b) the 15 round-3 additions that had local sf0.001+sf0.01 parity but
+# no driver row yet, (c) 32 of the 43 queries whose latest driver row is
+# round 2 — prioritizing session_windows (oldest §2 evidence), the
+# perf-suspect ANN/dedup family, streaming/window shapes, and joins.
+# Left outside (11, all with TWO green driver rows r1+r2 and untouched
+# since: string_funcs, math_funcs, date_funcs_monthly_orders,
+# json_extract_events, set_ops_users, distinct_event_users,
+# user_activity_pivot, cube_order_stats, grouping_sets_orders,
+# left_join_customer_order_counts, full_outer_user_activity). With this
+# window, every query in the registry has a driver-green row and none is
+# more than two rounds stale.
 _CHECK_FIRST = [
-    # changed / previously-unverifiable this round
+    # canary + changed/new in round 4
     "word_count",
-    "map_funcs_roundtrip",
-    "approx_distinct_users",
-    "stats_numeric",
-    "dedup_jaccard_pairs",
-    "dedup_minhash_lsh",
-    # the 44 queries with no r1/r2 driver row (registry positions 51-94)
-    "regexp_funcs",
-    "q6_forecast_revenue",
-    "q4_priority_exists",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q22_idle_rich_customers",
-    "ann_ivf_topk",
-    "q7_nation_volume",
-    "q14_promo_revenue",
-    "q19_disjunctive_revenue",
-    "dedup_minhash_clusters",
-    "sample_split_hash",
-    "text_normalize_redact",
-    "rolling_30d_spend",
-    "window_frame_funcs",
-    "event_type_pivot_api",
-    "dedup_simhash_pairs",
-    "lineitem_unpivot",
-    "source_csv_scan",
-    "source_json_scan",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_ship_priority_class",
-    "q13_custdist",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q20_qty_suppliers",
-    "q21_waiting_supplier",
-    "cms_user_counts",
-    "bloom_customer_names",
-    "stratified_sample_events",
-    "window_rank_stats",
-    "udtf_sentence_split",
-    "udaf_user_spend",
-    "time_rollup_multigrain",
-    "salted_join_event_spend",
-    "asof_join_forward_tolerance",
-    "pipeline_train_manifest",
-    "right_join_order_priority_mix",
-    "multimodal_resize",
-    "array_lateral_explode",
-    "literal_source_wordcount",
+    "ann_lsh_topk",          # lsh_buckets sign-matrix rewrite
+    "dedup_simhash64_pairs", # new production-width simhash
+    "source_text_scan",      # null-text filter before the .txt write
+    # the 15 round-3 additions with no driver row yet
+    "quality_repetition_filter",
+    "dedup_ngram_corpus",
+    "kmeans_embeddings",
+    "cluster_balanced_sample",
+    "pagerank_customer_supplier",
+    "tfidf_top_terms",
+    "source_orc_scan",
+    "contamination_check",
+    "sequence_packing",
+    "embedding_quantize_int8",
+    "skew_key_stats",
+    "approx_percentile_value",
+    "null_safe_join_props",
+    "value_histogram",
+    # stale-r2 queries rotated back in (latest row = round 2)
+    "session_windows",
+    "dedup_embedding_cosine",
+    "ann_topk_bruteforce",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_events_keeper",
+    "doc_fingerprint",
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "q10_top_customers_by_revenue",
+    "top_customers_per_nation",
+    "running_user_spend",
+    "sliding_window_counts",
+    "tumbling_hourly_stats",
+    "streaming_wordcount_replay",
+    "semi_join_open_orders",
+    "anti_join_inactive_customers",
+    "range_join_value_bands",
+    "asof_join_purchase_signup",
+    "rollup_order_stats",
+    "cust_above_nation_avg",
+    "window_funcs_showcase",
+    "array_funcs_embeddings",
+    "percentiles_by_flag",
+    "date_trunc_weekly_orders",
+    "stats_numeric_exact",
+    "multimodal_features",
+    "multimodal_frame_sampling",
 ]
 assert len(_CHECK_FIRST) == 50 and len(set(_CHECK_FIRST)) == 50
 _ORDERED = _CHECK_FIRST + sorted(

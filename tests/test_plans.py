@@ -315,6 +315,21 @@ def test_lsh_buckets_no_per_row_constant_hashing(spark):
     assert not plans.has_cartesian(df)
 
 
+def test_simhash64_fingerprint_stays_map_side(spark):
+    """The production-width simhash: the fingerprint fold must stay a
+    map-side projection (no per-doc aggregation exchange — the only
+    exchanges are the input rebalance and the band self-join), with no
+    Python and no cartesian anywhere."""
+    df = QUERIES["dedup_simhash64_pairs"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    assert not plans.has_cartesian(df)
+    # the vote fold is one expression over the token-hash array: the plan
+    # must contain no hash-aggregate keyed on doc_id for the fingerprint
+    # (banding explodes AFTER the fingerprint; distinct dedups pairs)
+    assert "partial_min" not in s and "partial_sum" not in s
+
+
 def test_histogram_partial_aggregates(spark):
     """The histogram's shuffle is |types| x |buckets| cells: map-side
     partial aggregation must appear before the exchange."""

@@ -8,54 +8,54 @@ from __future__ import annotations
 
 from ssp_spark.queries import _CHECK_FIRST, ORACLE, QUERIES
 
-# Queries changed (or first made oracle-checkable) in round 3 — they need a
-# fresh driver row regardless of earlier green records.
-_R3_CHANGED = {
+# Round 4 group (a): the canary plus queries changed or added this round.
+_R4_CHANGED = {
     "word_count",
-    "map_funcs_roundtrip",
-    "approx_distinct_users",
-    "stats_numeric",
-    "dedup_jaccard_pairs",
-    "dedup_minhash_lsh",
+    "ann_lsh_topk",
+    "dedup_simhash64_pairs",
+    "source_text_scan",
 }
 
-# The 44 queries that had no driver CORRECTNESS row in rounds 1-2
-# (they sat at registry positions 51-94).
-_R2_UNCHECKED = {
-    "regexp_funcs", "q6_forecast_revenue", "q4_priority_exists",
-    "q17_small_qty_revenue", "q18_large_orders", "q22_idle_rich_customers",
-    "ann_ivf_topk", "q7_nation_volume", "q14_promo_revenue",
-    "q19_disjunctive_revenue", "dedup_minhash_clusters", "sample_split_hash",
-    "text_normalize_redact", "rolling_30d_spend", "window_frame_funcs",
-    "event_type_pivot_api", "dedup_simhash_pairs", "lineitem_unpivot",
-    "source_csv_scan", "source_json_scan", "q2_min_cost_supplier",
-    "q8_market_share", "q9_product_profit", "q11_important_parts",
-    "q12_ship_priority_class", "q13_custdist", "q15_top_supplier",
-    "q16_supplier_cnt", "q20_qty_suppliers", "q21_waiting_supplier",
-    "cms_user_counts", "bloom_customer_names", "stratified_sample_events",
-    "window_rank_stats", "udtf_sentence_split", "udaf_user_spend",
-    "time_rollup_multigrain", "salted_join_event_spend",
-    "asof_join_forward_tolerance", "pipeline_train_manifest",
-    "right_join_order_priority_mix", "multimodal_resize",
-    "array_lateral_explode", "literal_source_wordcount",
+# Round 4 group (b): the round-3 additions that had local parity at both
+# scales but no driver CORRECTNESS row through round 3.
+_R3_UNCHECKED = {
+    "quality_repetition_filter", "dedup_ngram_corpus", "kmeans_embeddings",
+    "cluster_balanced_sample", "pagerank_customer_supplier",
+    "tfidf_top_terms", "source_orc_scan", "contamination_check",
+    "sequence_packing", "embedding_quantize_int8", "skew_key_stats",
+    "approx_percentile_value", "null_safe_join_props", "value_histogram",
+}
+
+# Round 4 group (c): queries whose latest driver row is round 2, rotated
+# back in so no green row is more than two rounds stale.
+_R2_STALE_ROTATED = {
+    "session_windows", "dedup_embedding_cosine", "ann_topk_bruteforce",
+    "dedup_exact", "dedup_simhash", "dedup_events_keeper",
+    "doc_fingerprint", "lang_id", "quality_score", "token_count",
+    "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
+    "q10_top_customers_by_revenue", "top_customers_per_nation",
+    "running_user_spend", "sliding_window_counts", "tumbling_hourly_stats",
+    "streaming_wordcount_replay", "semi_join_open_orders",
+    "anti_join_inactive_customers", "range_join_value_bands",
+    "asof_join_purchase_signup", "rollup_order_stats",
+    "cust_above_nation_avg", "window_funcs_showcase",
+    "array_funcs_embeddings", "percentiles_by_flag",
+    "date_trunc_weekly_orders", "stats_numeric_exact",
+    "multimodal_features", "multimodal_frame_sampling",
 }
 
 
-def test_driver_window_is_the_round3_target_set():
+def test_driver_window_is_the_round4_target_set():
     window = list(QUERIES)[:50]
     assert window == _CHECK_FIRST
-    assert set(window) == _R3_CHANGED | _R2_UNCHECKED
+    assert set(window) == _R4_CHANGED | _R3_UNCHECKED | _R2_STALE_ROTATED
 
 
 def test_registry_is_complete_and_fully_oracled():
-    # 94 through round 2, +7 early round-3 additions (repetition filter,
-    # corpus n-grams, tfidf, kmeans, cluster sample, pagerank, orc source),
-    # +8 late round-3 additions (contamination check, sequence packing,
-    # int8 quantization, skew diagnostics, bounded-error approx percentile,
-    # text source round-trip, null-safe join, width_bucket histogram)
-    assert len(QUERIES) == 109
-    # Round 3: every declared query has an exact DuckDB oracle (the two
-    # r2 rows-only queries were rewritten as bounded-error booleans).
+    # 109 through round 3, +1 round-4 addition (the production-width
+    # 60-bit simhash band query).
+    assert len(QUERIES) == 110
+    # Since round 3: every declared query has an exact DuckDB oracle.
     assert set(ORACLE) == set(QUERIES)
 
 
