@@ -127,6 +127,9 @@ def with_late_side_output(
     state = {"max_ts": None}
 
     def handle(batch_df: DataFrame, batch_id: int):
+        # One extra scalar aggregation job per micro-batch to advance the
+        # watermark — the same cost class as Spark's own event-time
+        # tracking (a per-batch max), constant in batch size.
         mx = batch_df.agg(smax(col(ts_col))).collect()[0][0]
         wm = state["max_ts"]
         if wm is None:
