@@ -28,6 +28,61 @@ from pyspark.sql import DataFrame, Window
 from ssp_spark.functions import tokens
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking — the other half of sequence
+    preparation (pack_sequences lays SHORT docs end-to-end; this splits
+    LONG docs into model-window-sized pieces with ``overlap`` tokens of
+    context carried across each boundary, the standard long-document
+    treatment before packing).
+
+    Per input doc: rows (doc_id, chunk_idx, chunk_text, n_tok_chunk),
+    chunk i covering tokens [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the final chunk is the remainder
+    (never an extra chunk fully contained in the previous one). Chunk
+    count is exact integer arithmetic — 1 if n <= chunk_tokens else
+    (n - chunk_tokens + stride - 1) div stride + 1 — so any SQL engine
+    reproduces the boundaries bit-for-bit. Zero-token docs are dropped
+    (no chunk is defined for them).
+
+    Plan: scan -> tokenize projection -> generate(explode over the chunk
+    index sequence) -> slice/concat projection. ZERO shuffles — at 100 TB
+    this is a pure map stage that runs at IO speed, and the output
+    inherits the input's partitioning (no chunk_idx skew: fan-out per doc
+    is ~n/stride, bounded by the longest document).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t")
+    ).filter(F.size("__t") > 0)
+    n_chunks = F.expr(
+        f"CASE WHEN size(__t) <= {chunk_tokens} THEN 1 "
+        f"ELSE ((size(__t) - {chunk_tokens} + {stride - 1}) div {stride}) + 1 END"
+    )
+    return (
+        base.select(
+            "doc_id", "__t", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("__i")
+        )
+        .select(
+            "doc_id",
+            F.col("__i").cast("int").alias("chunk_idx"),
+            F.concat_ws(
+                " ", F.slice("__t", F.col("__i") * stride + 1, chunk_tokens)
+            ).alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), F.size("__t") - F.col("__i") * stride)
+            .cast("int")
+            .alias("n_tok_chunk"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int = 512,

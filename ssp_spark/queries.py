@@ -3739,6 +3739,31 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "doc_chunk_overlap",
+    r"""
+    WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+                  FROM documents),
+    nt AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+    nc AS (SELECT doc_id, t, n,
+                  CASE WHEN n <= 32 THEN 1 ELSE ((n - 32 + 23) // 24) + 1 END AS n_chunks
+           FROM nt)
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           array_to_string(t[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text,
+           CAST(least(32, n - i * 24) AS INT) AS n_tok_chunk
+    FROM nc, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) u
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (operators/packing.chunk_documents):
+    32-token chunks with 8 tokens of overlap (stride 24) — the long-
+    document half of sequence preparation. Chunk boundaries are exact
+    integer arithmetic, so the oracle slices the identical windows;
+    the plan is a zero-shuffle tokenize -> explode -> slice projection."""
+    docs = load_table(spark, "documents", sf_dir)
+    return packing.chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+@_q(
     "embedding_quantize_int8",
     """
     WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
@@ -3922,11 +3947,12 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no driver row yet, (c) 32 of the 43 queries whose latest driver row is
 # round 2 — prioritizing session_windows (oldest §2 evidence), the
 # perf-suspect ANN/dedup family, streaming/window shapes, and joins.
-# Left outside (11, all with TWO green driver rows r1+r2 and untouched
+# Left outside (12, all with TWO green driver rows r1+r2 and untouched
 # since: string_funcs, math_funcs, date_funcs_monthly_orders,
-# json_extract_events, set_ops_users, distinct_event_users,
-# user_activity_pivot, cube_order_stats, grouping_sets_orders,
-# left_join_customer_order_counts, full_outer_user_activity). With this
+# date_trunc_weekly_orders, json_extract_events, set_ops_users,
+# distinct_event_users, user_activity_pivot, cube_order_stats,
+# grouping_sets_orders, left_join_customer_order_counts,
+# full_outer_user_activity). With this
 # window, every query in the registry has a driver-green row and none is
 # more than two rounds stale.
 _CHECK_FIRST = [
@@ -3934,6 +3960,7 @@ _CHECK_FIRST = [
     "word_count",
     "ann_lsh_topk",          # lsh_buckets sign-matrix rewrite
     "dedup_simhash64_pairs", # new production-width simhash
+    "doc_chunk_overlap",     # new sliding-window chunking
     "source_text_scan",      # null-text filter before the .txt write
     # the 15 round-3 additions with no driver row yet
     "quality_repetition_filter",
@@ -3979,7 +4006,6 @@ _CHECK_FIRST = [
     "window_funcs_showcase",
     "array_funcs_embeddings",
     "percentiles_by_flag",
-    "date_trunc_weekly_orders",
     "stats_numeric_exact",
     "multimodal_features",
     "multimodal_frame_sampling",

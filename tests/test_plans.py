@@ -330,6 +330,17 @@ def test_simhash64_fingerprint_stays_map_side(spark):
     assert "partial_min" not in s and "partial_sum" not in s
 
 
+def test_doc_chunking_zero_shuffle(spark):
+    """Sliding-window chunking is a pure map stage: tokenize -> explode
+    -> slice projection, NO exchange anywhere — at 100 TB it must run at
+    IO speed with the input's partitioning."""
+    df = QUERIES["doc_chunk_overlap"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert plans.exchange_count(df) == 0
+    assert "Generate" in s  # the explode over the chunk-index sequence
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
 def test_histogram_partial_aggregates(spark):
     """The histogram's shuffle is |types| x |buckets| cells: map-side
     partial aggregation must appear before the exchange."""

@@ -13,6 +13,7 @@ _R4_CHANGED = {
     "word_count",
     "ann_lsh_topk",
     "dedup_simhash64_pairs",
+    "doc_chunk_overlap",
     "source_text_scan",
 }
 
@@ -40,7 +41,7 @@ _R2_STALE_ROTATED = {
     "asof_join_purchase_signup", "rollup_order_stats",
     "cust_above_nation_avg", "window_funcs_showcase",
     "array_funcs_embeddings", "percentiles_by_flag",
-    "date_trunc_weekly_orders", "stats_numeric_exact",
+    "stats_numeric_exact",
     "multimodal_features", "multimodal_frame_sampling",
 }
 
@@ -52,9 +53,9 @@ def test_driver_window_is_the_round4_target_set():
 
 
 def test_registry_is_complete_and_fully_oracled():
-    # 109 through round 3, +1 round-4 addition (the production-width
-    # 60-bit simhash band query).
-    assert len(QUERIES) == 110
+    # 109 through round 3, +2 round-4 additions (the production-width
+    # 60-bit simhash band query; sliding-window document chunking).
+    assert len(QUERIES) == 111
     # Since round 3: every declared query has an exact DuckDB oracle.
     assert set(ORACLE) == set(QUERIES)
 
