@@ -1203,6 +1203,69 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "vocab_coverage",
+    r"""
+    WITH wc AS (
+      SELECT word, count(*)::BIGINT AS cnt
+      FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS word
+            FROM documents)
+      GROUP BY word
+    ),
+    tot AS (SELECT sum(cnt)::BIGINT AS total FROM wc),
+    ranked AS (
+      SELECT word, cnt,
+             row_number() OVER (ORDER BY cnt DESC, word) AS rank,
+             sum(cnt) OVER (ORDER BY cnt DESC, word ROWS UNBOUNDED PRECEDING) AS cum
+      FROM wc
+    )
+    SELECT word, cnt, CAST(rank AS INT) AS rank,
+           CAST((cum * 1000000) // total AS BIGINT) AS coverage_e6
+    FROM ranked, tot
+    WHERE rank <= 1000
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary with cumulative corpus coverage — the
+    tokenizer-training primitive ("how many types cover 99% of tokens").
+    coverage_e6 = floor(cumulative_count * 1e6 / total) is pure BIGINT
+    arithmetic, exact in any engine and summation order.
+
+    Scale shape: the token stream aggregates to the VOCABULARY (one
+    map-side-combined shuffle on word — the word_count plan); the global
+    rank/cumsum/total windows then all run over vocab-sized data on ONE
+    single-partition exchange, not corpus-sized data (a natural-language
+    vocabulary is millions of types at any corpus size — model-sized,
+    the same argument as the IVF codebook). Getting the corpus total as
+    a full-frame window over the same vocab table (instead of a separate
+    aggregate branch) keeps the plan at a SINGLE corpus scan — the
+    two-branch form re-tokenizes 100 TB to compute one number
+    (asserted: one scan, two exchanges)."""
+    docs = load_table(spark, "documents", sf_dir)
+    wc = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("word"))
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        wc.withColumn("rank", F.row_number().over(w))
+        .withColumn("cum", F.sum("cnt").over(wcum))
+        .withColumn("total", F.sum("cnt").over(wall))
+        .filter(F.col("rank") <= 1000)
+        .select(
+            "word",
+            "cnt",
+            F.col("rank").cast("int").alias("rank"),
+            F.expr("(cum * 1000000) div total").alias("coverage_e6"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Non-SQL-expressible / approximate (rows-only checks)
 # ---------------------------------------------------------------------------
@@ -3947,12 +4010,12 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no driver row yet, (c) 32 of the 43 queries whose latest driver row is
 # round 2 — prioritizing session_windows (oldest §2 evidence), the
 # perf-suspect ANN/dedup family, streaming/window shapes, and joins.
-# Left outside (12, all with TWO green driver rows r1+r2 and untouched
+# Left outside (13, all with TWO green driver rows r1+r2 and untouched
 # since: string_funcs, math_funcs, date_funcs_monthly_orders,
 # date_trunc_weekly_orders, json_extract_events, set_ops_users,
-# distinct_event_users, user_activity_pivot, cube_order_stats,
-# grouping_sets_orders, left_join_customer_order_counts,
-# full_outer_user_activity). With this
+# distinct_event_users, user_activity_pivot, window_funcs_showcase,
+# cube_order_stats, grouping_sets_orders,
+# left_join_customer_order_counts, full_outer_user_activity). With this
 # window, every query in the registry has a driver-green row and none is
 # more than two rounds stale.
 _CHECK_FIRST = [
@@ -3961,6 +4024,7 @@ _CHECK_FIRST = [
     "ann_lsh_topk",          # lsh_buckets sign-matrix rewrite
     "dedup_simhash64_pairs", # new production-width simhash
     "doc_chunk_overlap",     # new sliding-window chunking
+    "vocab_coverage",        # new tokenizer-vocabulary coverage
     "source_text_scan",      # null-text filter before the .txt write
     # the 15 round-3 additions with no driver row yet
     "quality_repetition_filter",
@@ -4003,7 +4067,6 @@ _CHECK_FIRST = [
     "asof_join_purchase_signup",
     "rollup_order_stats",
     "cust_above_nation_avg",
-    "window_funcs_showcase",
     "array_funcs_embeddings",
     "percentiles_by_flag",
     "stats_numeric_exact",

@@ -341,6 +341,21 @@ def test_doc_chunking_zero_shuffle(spark):
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
 
 
+def test_vocab_coverage_single_scan_two_exchanges(spark):
+    """The corpus must be tokenized ONCE: the total comes from a window
+    over the aggregated vocab, not a second aggregate branch (which
+    would re-scan 100 TB for one number). Exactly two exchanges — the
+    word hash shuffle (with map-side combine) and the single partition
+    the vocab-sized windows share."""
+    df = QUERIES["vocab_coverage"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert s.count("Location:") == 1  # ONE parquet scan feeds everything
+    assert plans.exchange_count(df) == 1  # the word hash shuffle
+    assert plans.plan_string(df, "simple").count("Exchange SinglePartition") == 1
+    assert "partial_count" in s
+    assert not plans.has_cartesian(df)
+
+
 def test_histogram_partial_aggregates(spark):
     """The histogram's shuffle is |types| x |buckets| cells: map-side
     partial aggregation must appear before the exchange."""

@@ -14,6 +14,7 @@ _R4_CHANGED = {
     "ann_lsh_topk",
     "dedup_simhash64_pairs",
     "doc_chunk_overlap",
+    "vocab_coverage",
     "source_text_scan",
 }
 
@@ -39,7 +40,7 @@ _R2_STALE_ROTATED = {
     "streaming_wordcount_replay", "semi_join_open_orders",
     "anti_join_inactive_customers", "range_join_value_bands",
     "asof_join_purchase_signup", "rollup_order_stats",
-    "cust_above_nation_avg", "window_funcs_showcase",
+    "cust_above_nation_avg",
     "array_funcs_embeddings", "percentiles_by_flag",
     "stats_numeric_exact",
     "multimodal_features", "multimodal_frame_sampling",
@@ -53,9 +54,10 @@ def test_driver_window_is_the_round4_target_set():
 
 
 def test_registry_is_complete_and_fully_oracled():
-    # 109 through round 3, +2 round-4 additions (the production-width
-    # 60-bit simhash band query; sliding-window document chunking).
-    assert len(QUERIES) == 111
+    # 109 through round 3, +3 round-4 additions (production-width 60-bit
+    # simhash bands; sliding-window document chunking; tokenizer
+    # vocabulary-coverage table).
+    assert len(QUERIES) == 112
     # Since round 3: every declared query has an exact DuckDB oracle.
     assert set(ORACLE) == set(QUERIES)
 
