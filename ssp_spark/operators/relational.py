@@ -160,6 +160,43 @@ def range_join_bands(
     return df.join(F.broadcast(bands), cond, "left")
 
 
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Batch SCD-1 MERGE: apply a changes table to a base table —
+    matching keys are replaced by the change row (last-writer-wins),
+    unmatched base rows carry over, and rows flagged in ``delete_col``
+    (if given) are removed. The engine-level primitive behind warehouse
+    `MERGE INTO`; also exactly the per-batch merge the streaming
+    upsert_parquet_sink performs, exposed as a reusable batch operator.
+
+    Plan: one left_anti join on the keys (base rows not touched by any
+    change) + union with the non-delete change rows. Each side shuffles
+    at most once on the key; when the changes side is small Catalyst
+    broadcasts the anti join and the base never shuffles at all — the
+    common CDC case at 100 TB (big base, small delta). No window, no
+    full-table sort.
+
+    ``changes`` must carry the full base schema (plus the optional
+    delete flag) and AT MOST ONE ROW PER KEY — the compacted-CDC
+    contract (a multi-row delta must be reduced to last-per-key first,
+    or the union below would emit duplicates). Relying on that contract
+    lets the key set skip a distinct: left_anti is duplicate-insensitive
+    anyway, so the merge plans with ZERO exchanges when the delta
+    broadcasts.
+    """
+    chg = changes
+    if delete_col is not None:
+        upserts = chg.filter(~F.col(delete_col)).drop(delete_col)
+    else:
+        upserts = chg
+    keep = base.join(chg.select(*keys), keys, "left_anti")  # deletes suppress too
+    return keep.unionByName(upserts)
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

@@ -3990,6 +3990,48 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "scd1_customer_merge",
+    """
+    WITH base AS (
+      SELECT c_custkey, c_name,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+      FROM customer
+    ),
+    chg AS (
+      SELECT c_custkey, c_name, acctbal_cents + 10000 AS acctbal_cents,
+             (c_custkey % 57 = 3) AS is_del
+      FROM base WHERE c_custkey % 19 = 3
+    )
+    SELECT b.c_custkey, b.c_name, b.acctbal_cents
+    FROM base b WHERE b.c_custkey NOT IN (SELECT c_custkey FROM chg)
+    UNION ALL
+    SELECT c_custkey, c_name, acctbal_cents FROM chg WHERE NOT is_del
+    """,
+)
+def scd1_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch SCD-1 MERGE (operators.relational.merge_upsert): a
+    deterministic CDC delta — every 19th customer gets +100.00 on the
+    account balance, every 57th (a subset) is deleted — applied to the
+    customer table with last-writer-wins per key. Money is cent-scaled
+    BIGINT so the merged values compare exactly. The anti join
+    broadcasts the delta's key set (the common big-base/small-delta CDC
+    shape), so the base never shuffles."""
+    cust = load_table(spark, "customer", sf_dir)
+    base = cust.select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+    )
+    chg = base.filter(F.col("c_custkey") % 19 == 3).select(
+        "c_custkey",
+        "c_name",
+        (F.col("acctbal_cents") + 10000).alias("acctbal_cents"),
+        (F.col("c_custkey") % 57 == 3).alias("is_del"),
+    )
+    return relational.merge_upsert(base, chg, ["c_custkey"], delete_col="is_del")
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering
 # ---------------------------------------------------------------------------
@@ -4010,11 +4052,11 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no driver row yet, (c) 32 of the 43 queries whose latest driver row is
 # round 2 — prioritizing session_windows (oldest §2 evidence), the
 # perf-suspect ANN/dedup family, streaming/window shapes, and joins.
-# Left outside (13, all with TWO green driver rows r1+r2 and untouched
+# Left outside (14, all with TWO green driver rows r1+r2 and untouched
 # since: string_funcs, math_funcs, date_funcs_monthly_orders,
 # date_trunc_weekly_orders, json_extract_events, set_ops_users,
 # distinct_event_users, user_activity_pivot, window_funcs_showcase,
-# cube_order_stats, grouping_sets_orders,
+# percentiles_by_flag, cube_order_stats, grouping_sets_orders,
 # left_join_customer_order_counts, full_outer_user_activity). With this
 # window, every query in the registry has a driver-green row and none is
 # more than two rounds stale.
@@ -4025,6 +4067,7 @@ _CHECK_FIRST = [
     "dedup_simhash64_pairs", # new production-width simhash
     "doc_chunk_overlap",     # new sliding-window chunking
     "vocab_coverage",        # new tokenizer-vocabulary coverage
+    "scd1_customer_merge",   # new batch MERGE / CDC upsert
     "source_text_scan",      # null-text filter before the .txt write
     # the 15 round-3 additions with no driver row yet
     "quality_repetition_filter",
@@ -4068,7 +4111,6 @@ _CHECK_FIRST = [
     "rollup_order_stats",
     "cust_above_nation_avg",
     "array_funcs_embeddings",
-    "percentiles_by_flag",
     "stats_numeric_exact",
     "multimodal_features",
     "multimodal_frame_sampling",

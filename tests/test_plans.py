@@ -356,6 +356,17 @@ def test_vocab_coverage_single_scan_two_exchanges(spark):
     assert not plans.has_cartesian(df)
 
 
+def test_scd1_merge_broadcasts_delta_keys(spark):
+    """The CDC shape: big base, small delta. The left_anti key-suppression
+    join must broadcast the delta's key set so the base table never
+    shuffles; no cartesian anywhere."""
+    df = QUERIES["scd1_customer_merge"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert "BroadcastHashJoin" in s and "LeftAnti" in s
+    assert plans.exchange_count(df) == 0  # base carries over unshuffled
+    assert not plans.has_cartesian(df)
+
+
 def test_histogram_partial_aggregates(spark):
     """The histogram's shuffle is |types| x |buckets| cells: map-side
     partial aggregation must appear before the exchange."""

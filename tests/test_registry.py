@@ -15,6 +15,7 @@ _R4_CHANGED = {
     "dedup_simhash64_pairs",
     "doc_chunk_overlap",
     "vocab_coverage",
+    "scd1_customer_merge",
     "source_text_scan",
 }
 
@@ -41,7 +42,7 @@ _R2_STALE_ROTATED = {
     "anti_join_inactive_customers", "range_join_value_bands",
     "asof_join_purchase_signup", "rollup_order_stats",
     "cust_above_nation_avg",
-    "array_funcs_embeddings", "percentiles_by_flag",
+    "array_funcs_embeddings",
     "stats_numeric_exact",
     "multimodal_features", "multimodal_frame_sampling",
 }
@@ -54,10 +55,10 @@ def test_driver_window_is_the_round4_target_set():
 
 
 def test_registry_is_complete_and_fully_oracled():
-    # 109 through round 3, +3 round-4 additions (production-width 60-bit
+    # 109 through round 3, +4 round-4 additions (production-width 60-bit
     # simhash bands; sliding-window document chunking; tokenizer
-    # vocabulary-coverage table).
-    assert len(QUERIES) == 112
+    # vocabulary-coverage table; batch SCD-1 merge).
+    assert len(QUERIES) == 113
     # Since round 3: every declared query has an exact DuckDB oracle.
     assert set(ORACLE) == set(QUERIES)
 
