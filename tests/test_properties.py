@@ -110,3 +110,79 @@ def test_bloom_no_false_negatives(spark, present):
     probe = spark.createDataFrame([(k,) for k in set(present)], ["k"])
     got = sketch.bloom_might_contain(bits, probe, "k", 5, 1024).collect()
     assert all(r.member for r in got)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.sampled_from(list("xy z")), min_size=0, max_size=120),
+        min_size=1,
+        max_size=8,
+    ),
+    chunk=st.integers(min_value=2, max_value=12),
+    overlap=st.integers(min_value=0, max_value=6),
+)
+def test_chunking_reconstructs_every_token(spark, texts, chunk, overlap):
+    """Chunking invariants for ANY doc lengths and (chunk, overlap):
+    chunks are contiguous stride-spaced token windows whose union covers
+    the document exactly — dropping each chunk's first `overlap` tokens
+    (except chunk 0) reconstructs the original token stream — and only
+    the final chunk may be short."""
+    from ssp_spark.operators.packing import chunk_documents
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    stride = chunk - overlap
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    rows = chunk_documents(sdf, chunk, overlap).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, t in enumerate(texts):
+        toks = [w for w in t.split() if w]
+        got = sorted(by_doc.get(i, []), key=lambda r: r.chunk_idx)
+        if not toks:
+            assert got == []  # zero-token docs are dropped
+            continue
+        assert [r.chunk_idx for r in got] == list(range(len(got)))
+        # each chunk is the exact token window at its stride offset
+        for r in got:
+            want = toks[r.chunk_idx * stride : r.chunk_idx * stride + chunk]
+            assert r.chunk_text.split() == want
+            assert r.n_tok_chunk == len(want)
+        # non-final chunks are full; the union reconstructs the doc
+        assert all(r.n_tok_chunk == chunk for r in got[:-1])
+        rebuilt = got[0].chunk_text.split()
+        for r in got[1:]:
+            rebuilt += r.chunk_text.split()[overlap:]
+        assert rebuilt == toks
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    base_keys=st.lists(st.integers(min_value=0, max_value=30), min_size=0, max_size=20, unique=True),
+    chg_keys=st.lists(st.integers(min_value=0, max_value=30), min_size=0, max_size=20, unique=True),
+    del_mask=st.lists(st.booleans(), min_size=20, max_size=20),
+)
+def test_merge_upsert_key_semantics(spark, base_keys, chg_keys, del_mask):
+    """MERGE invariants for ANY key overlap pattern: result keys =
+    (base - delta keys) + non-delete delta keys; changed keys carry the
+    DELTA's value (last-writer-wins); untouched keys carry the base's."""
+    from ssp_spark.operators.relational import merge_upsert
+
+    base = spark.createDataFrame(
+        [(k, f"b{k}") for k in base_keys], "k int, v string"
+    )
+    chg = spark.createDataFrame(
+        [(k, f"c{k}", del_mask[j]) for j, k in enumerate(chg_keys)],
+        "k int, v string, is_del boolean",
+    )
+    got = {r.k: r.v for r in merge_upsert(base, chg, ["k"], "is_del").collect()}
+    deletes = {k for j, k in enumerate(chg_keys) if del_mask[j]}
+    upserts = {k for j, k in enumerate(chg_keys) if not del_mask[j]}
+    want = {k: f"b{k}" for k in base_keys if k not in set(chg_keys)}
+    want.update({k: f"c{k}" for k in upserts})
+    assert got == want
+    assert deletes.isdisjoint(got.keys() & deletes)
