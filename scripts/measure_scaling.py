@@ -36,6 +36,13 @@ NAMES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "doc_fingerprint",
+    # round-4 additions
+    "ann_lsh_topk",
+    "dedup_simhash64_pairs",
+    "doc_chunk_overlap",
+    "vocab_coverage",
+    "scd1_customer_merge",
+    "leakage_safe_split",
 ]
 
 

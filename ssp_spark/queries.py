@@ -2306,6 +2306,86 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "leakage_safe_split",
+    f"""
+    WITH RECURSIVE {_SQL_SHINGLES},
+    base AS (SELECT doc_id, {_SQL_HASH64.format(x="sh")} AS h64 FROM sh),
+    mh AS (
+      SELECT doc_id, seed,
+             min(({_SQL_MIX_A}[seed + 1] * (h64 & 4294967295)
+                  + {_SQL_MIX_B}[seed + 1]) & 4294967295) AS minhash
+      FROM base CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) s
+      GROUP BY doc_id, seed
+    ),
+    banded AS (
+      SELECT doc_id, CAST(seed // 3 AS INT) AS band,
+             string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_sig
+      FROM mh GROUP BY doc_id, band
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM banded a JOIN banded b USING (band, band_sig)
+      WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+              UNION ALL SELECT id2, id1 FROM pairs),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, label) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.id
+    ),
+    comp AS (SELECT id AS doc_id, min(label) AS g FROM reach GROUP BY id),
+    grouped AS (
+      SELECT d.doc_id, COALESCE(c.g, d.doc_id) AS g
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    assigned AS (
+      SELECT doc_id, g,
+             CASE WHEN {_SQL_HASH64.format(x="g::VARCHAR")} % 100 < 80 THEN 'train'
+                  WHEN {_SQL_HASH64.format(x="g::VARCHAR")} % 100 < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM grouped
+    )
+    SELECT split, count(*) AS n_docs,
+           CAST(count(DISTINCT g) AS BIGINT) AS n_groups,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM assigned GROUP BY split
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/valid/test split: the unit of assignment is the
+    NEAR-DUP CLUSTER, not the document — a doc and its near-duplicates
+    always land on the same side, so evaluation can't score memorized
+    training text (the leakage sample_split_hash's per-doc hash cannot
+    rule out). Composition of shipped operators: MinHash-LSH pairs →
+    connected components → singleton docs fall back to their own id as
+    the group key → the SAME content-stable hash split, keyed by group.
+
+    Scale: adds exactly one broadcast-or-shuffle left join (docs ×
+    component labels, label table ≤ docs) and one aggregation on top of
+    the clusters plan; the output is split-level stats with an id
+    checksum, so the oracle verifies every assignment transitively."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=12, bands=4)
+    comp = dedup.connected_components(pairs).withColumnRenamed("id", "doc_id")
+    grouped = docs.join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("component_id", F.col("doc_id")).alias("g")
+    )
+    h = portable_hash64(F.col("g").cast("string"))
+    split = (
+        F.when(h % 100 < 80, F.lit("train"))
+        .when(h % 100 < 90, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return grouped.select("doc_id", "g", split.alias("split")).groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("g").cast("long").alias("n_groups"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )
+
+
+@_q(
     "sample_split_hash",
     f"""
     SELECT split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_checksum
@@ -4052,12 +4132,14 @@ def scd1_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no driver row yet, (c) 32 of the 43 queries whose latest driver row is
 # round 2 — prioritizing session_windows (oldest §2 evidence), the
 # perf-suspect ANN/dedup family, streaming/window shapes, and joins.
-# Left outside (14, all with TWO green driver rows r1+r2 and untouched
+# Left outside (15, all with TWO green driver rows r1+r2 and untouched
 # since: string_funcs, math_funcs, date_funcs_monthly_orders,
 # date_trunc_weekly_orders, json_extract_events, set_ops_users,
 # distinct_event_users, user_activity_pivot, window_funcs_showcase,
-# percentiles_by_flag, cube_order_stats, grouping_sets_orders,
-# left_join_customer_order_counts, full_outer_user_activity). With this
+# percentiles_by_flag, rollup_order_stats, cube_order_stats,
+# grouping_sets_orders, left_join_customer_order_counts,
+# full_outer_user_activity). ROUND-5 TODO: rotate these 15 back in —
+# by then they will be three rounds stale. With this
 # window, every query in the registry has a driver-green row and none is
 # more than two rounds stale.
 _CHECK_FIRST = [
@@ -4068,6 +4150,7 @@ _CHECK_FIRST = [
     "doc_chunk_overlap",     # new sliding-window chunking
     "vocab_coverage",        # new tokenizer-vocabulary coverage
     "scd1_customer_merge",   # new batch MERGE / CDC upsert
+    "leakage_safe_split",    # new dedup-aware split
     "source_text_scan",      # null-text filter before the .txt write
     # the 15 round-3 additions with no driver row yet
     "quality_repetition_filter",
@@ -4108,7 +4191,6 @@ _CHECK_FIRST = [
     "anti_join_inactive_customers",
     "range_join_value_bands",
     "asof_join_purchase_signup",
-    "rollup_order_stats",
     "cust_above_nation_avg",
     "array_funcs_embeddings",
     "stats_numeric_exact",

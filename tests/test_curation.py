@@ -195,3 +195,45 @@ def test_pack_sequences_invariants_on_fixture(spark):
             last = pos + r["n_tok"] - 1
             assert r["n_seqs"] == last // budget - pos // budget + 1
             pos += r["n_tok"]
+
+
+def test_leakage_safe_split_no_pair_straddles(spark):
+    """The defining invariant of the dedup-aware split: for EVERY
+    near-dup candidate pair, both docs land in the same split (the
+    per-doc hash split cannot guarantee this; the group-keyed one must)."""
+    from tests.conftest import SF_SMOKE
+
+    from ssp_spark.catalog import load_table
+    from ssp_spark.operators import dedup
+    from ssp_spark.queries import QUERIES
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=12, bands=4)
+    comp = dedup.connected_components(pairs).withColumnRenamed("id", "doc_id")
+    from ssp_spark.functions import portable_hash64
+
+    grouped = docs.join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("component_id", F.col("doc_id")).alias("g")
+    )
+    h = portable_hash64(F.col("g").cast("string"))
+    split = (
+        F.when(h % 100 < 80, F.lit("train"))
+        .when(h % 100 < 90, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    assign = grouped.select("doc_id", split.alias("split"))
+    straddlers = (
+        pairs.join(assign.withColumnRenamed("doc_id", "id1"), "id1")
+        .withColumnRenamed("split", "s1")
+        .join(assign.withColumnRenamed("doc_id", "id2"), "id2")
+        .filter(F.col("s1") != F.col("split"))
+    )
+    assert pairs.count() > 0  # the invariant is vacuous without pairs
+    assert straddlers.count() == 0
+    # and the summary query agrees with the raw assignment
+    summary = {
+        r["split"]: r["n_docs"]
+        for r in QUERIES["leakage_safe_split"](spark, SF_SMOKE).collect()
+    }
+    raw = {r["split"]: r["cnt"] for r in assign.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    assert summary == raw

@@ -16,6 +16,7 @@ _R4_CHANGED = {
     "doc_chunk_overlap",
     "vocab_coverage",
     "scd1_customer_merge",
+    "leakage_safe_split",
     "source_text_scan",
 }
 
@@ -40,7 +41,7 @@ _R2_STALE_ROTATED = {
     "running_user_spend", "sliding_window_counts", "tumbling_hourly_stats",
     "streaming_wordcount_replay", "semi_join_open_orders",
     "anti_join_inactive_customers", "range_join_value_bands",
-    "asof_join_purchase_signup", "rollup_order_stats",
+    "asof_join_purchase_signup",
     "cust_above_nation_avg",
     "array_funcs_embeddings",
     "stats_numeric_exact",
@@ -55,10 +56,11 @@ def test_driver_window_is_the_round4_target_set():
 
 
 def test_registry_is_complete_and_fully_oracled():
-    # 109 through round 3, +4 round-4 additions (production-width 60-bit
+    # 109 through round 3, +5 round-4 additions (production-width 60-bit
     # simhash bands; sliding-window document chunking; tokenizer
-    # vocabulary-coverage table; batch SCD-1 merge).
-    assert len(QUERIES) == 113
+    # vocabulary-coverage table; batch SCD-1 merge; dedup-aware
+    # leakage-safe split).
+    assert len(QUERIES) == 114
     # Since round 3: every declared query has an exact DuckDB oracle.
     assert set(ORACLE) == set(QUERIES)
 
