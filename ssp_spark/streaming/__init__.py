@@ -376,11 +376,12 @@ def upsert_parquet_sink(
         try:
             recover()
             if os.path.isdir(apath):
-                current = spark.read.parquet(apath)
-                keep = current.join(
-                    batch_df.select(*key_cols).distinct(), key_cols, "left_anti"
-                )
-                merged = keep.unionByName(batch_df)
+                # the batch IS a compacted delta (one row per key — it
+                # comes out of an update-mode aggregate), so this is the
+                # batch MERGE operator applied per micro-batch
+                from ssp_spark.operators.relational import merge_upsert
+
+                merged = merge_upsert(spark.read.parquet(apath), batch_df, key_cols)
             else:
                 merged = batch_df
             vs = versions()
