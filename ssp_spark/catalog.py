@@ -112,6 +112,7 @@ def write_bucketed(
     table: str,
     bucket_cols: list[str],
     n_buckets: int = 32,
+    path: str | None = None,
 ) -> None:
     """Persist a table bucketed (and sorted) by the join/agg key.
 
@@ -122,11 +123,17 @@ def write_bucketed(
     edge routing (/root/reference/arch.go:3-6, engine.go:374-386) —
     there, co-location exists only inside one process's channels; here it
     survives on disk across jobs.
+
+    ``path`` makes the table external at that location (instead of the
+    session's warehouse dir, which defaults to the caller's cwd) —
+    required when the writer must control where data lands.
     """
-    (
+    w = (
         df.write.mode("overwrite")
         .bucketBy(n_buckets, *bucket_cols)
         .sortBy(*bucket_cols)
         .format("parquet")
-        .saveAsTable(table)
     )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)

@@ -2386,6 +2386,61 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "bucketed_join_order_revenue",
+    """
+    SELECT o_orderpriority,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+               AS revenue_e4,
+           count(*) AS n_items
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def bucketed_join_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join end-to-end: orders and lineitem are
+    persisted bucketed+sorted by the order key (catalog.write_bucketed,
+    external tables under the repo scratch dir), then joined WITHOUT any
+    exchange on either fact side — the disk layout carries the
+    partitioning, the physical plan is a SortMergeJoin whose only
+    shuffle is the tiny per-priority aggregate (asserted). This is THE
+    batch co-location strategy at 100 TB: the one-time bucketed write
+    amortizes across every subsequent join/agg on the key. The oracle
+    joins the original tables — bucketing must not change results.
+    Revenue is cent×percent-scaled BIGINT (exact in any engine); the
+    merge hint pins the sort-merge path so the demonstration doesn't
+    degrade into a broadcast at toy scale."""
+    import os
+    import re
+
+    from ssp_spark import catalog
+
+    tag = re.sub(r"[^0-9A-Za-z]", "_", os.path.basename(sf_dir.rstrip("/")))
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    od = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderpriority")
+    li_t, od_t = f"li_bkt_{tag}", f"od_bkt_{tag}"
+    catalog.write_bucketed(
+        li, li_t, ["l_orderkey"], 16, path=os.path.join(_SCRATCH, li_t)
+    )
+    catalog.write_bucketed(
+        od, od_t, ["o_orderkey"], 16, path=os.path.join(_SCRATCH, od_t)
+    )
+    lib, odb = spark.table(li_t), spark.table(od_t)
+    joined = odb.hint("merge").join(lib, lib.l_orderkey == odb.o_orderkey)
+    return joined.groupBy("o_orderpriority").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        )
+        .cast("long")
+        .alias("revenue_e4"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@_q(
     "sample_split_hash",
     f"""
     SELECT split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_checksum
@@ -4132,14 +4187,15 @@ def scd1_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no driver row yet, (c) 32 of the 43 queries whose latest driver row is
 # round 2 — prioritizing session_windows (oldest §2 evidence), the
 # perf-suspect ANN/dedup family, streaming/window shapes, and joins.
-# Left outside (15, all with TWO green driver rows r1+r2 and untouched
+# Left outside (16, all with TWO green driver rows r1+r2 and untouched
 # since: string_funcs, math_funcs, date_funcs_monthly_orders,
 # date_trunc_weekly_orders, json_extract_events, set_ops_users,
 # distinct_event_users, user_activity_pivot, window_funcs_showcase,
 # percentiles_by_flag, rollup_order_stats, cube_order_stats,
 # grouping_sets_orders, left_join_customer_order_counts,
-# full_outer_user_activity). ROUND-5 TODO: rotate these 15 back in —
-# by then they will be three rounds stale. With this
+# full_outer_user_activity, cust_above_nation_avg). ROUND-5 TODO:
+# rotate these 16 back in — by then they will be three rounds stale.
+# With this
 # window, every query in the registry has a driver-green row and none is
 # more than two rounds stale.
 _CHECK_FIRST = [
@@ -4151,6 +4207,7 @@ _CHECK_FIRST = [
     "vocab_coverage",        # new tokenizer-vocabulary coverage
     "scd1_customer_merge",   # new batch MERGE / CDC upsert
     "leakage_safe_split",    # new dedup-aware split
+    "bucketed_join_order_revenue",  # new bucketed co-located join
     "source_text_scan",      # null-text filter before the .txt write
     # the 15 round-3 additions with no driver row yet
     "quality_repetition_filter",
@@ -4191,7 +4248,6 @@ _CHECK_FIRST = [
     "anti_join_inactive_customers",
     "range_join_value_bands",
     "asof_join_purchase_signup",
-    "cust_above_nation_avg",
     "array_funcs_embeddings",
     "stats_numeric_exact",
     "multimodal_features",

@@ -367,6 +367,17 @@ def test_scd1_merge_broadcasts_delta_keys(spark):
     assert not plans.has_cartesian(df)
 
 
+def test_bucketed_join_no_fact_exchange(spark):
+    """The bucketed co-located join: both fact sides must read their
+    bucketed layout with NO exchange feeding the SortMergeJoin — the
+    only shuffle is the tiny per-priority aggregate."""
+    df = QUERIES["bucketed_join_order_revenue"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert "SortMergeJoin" in s
+    assert plans.exchange_count(df) == 1  # groupBy(o_orderpriority) only
+    assert not plans.has_cartesian(df)
+
+
 def test_histogram_partial_aggregates(spark):
     """The histogram's shuffle is |types| x |buckets| cells: map-side
     partial aggregation must appear before the exchange."""

@@ -17,6 +17,7 @@ _R4_CHANGED = {
     "vocab_coverage",
     "scd1_customer_merge",
     "leakage_safe_split",
+    "bucketed_join_order_revenue",
     "source_text_scan",
 }
 
@@ -42,7 +43,6 @@ _R2_STALE_ROTATED = {
     "streaming_wordcount_replay", "semi_join_open_orders",
     "anti_join_inactive_customers", "range_join_value_bands",
     "asof_join_purchase_signup",
-    "cust_above_nation_avg",
     "array_funcs_embeddings",
     "stats_numeric_exact",
     "multimodal_features", "multimodal_frame_sampling",
@@ -56,11 +56,11 @@ def test_driver_window_is_the_round4_target_set():
 
 
 def test_registry_is_complete_and_fully_oracled():
-    # 109 through round 3, +5 round-4 additions (production-width 60-bit
+    # 109 through round 3, +6 round-4 additions (production-width 60-bit
     # simhash bands; sliding-window document chunking; tokenizer
     # vocabulary-coverage table; batch SCD-1 merge; dedup-aware
-    # leakage-safe split).
-    assert len(QUERIES) == 114
+    # leakage-safe split; bucketed co-located join).
+    assert len(QUERIES) == 115
     # Since round 3: every declared query has an exact DuckDB oracle.
     assert set(ORACLE) == set(QUERIES)
 
