@@ -225,6 +225,68 @@ def contamination(
     )
 
 
+def lm_score(
+    corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-trained bigram language-model document scoring (the
+    CCNet/Wikipedia-LM-perplexity quality-filter family, with the
+    KenLM swapped for an in-engine word-bigram MLE model so the whole
+    thing is one Spark job and exactly oracle-checkable).
+
+    Model: P(w2 | w1) = c(w1 w2) / c(w1 ·) over the corpus itself
+    (maximum-likelihood, no smoothing needed — every scored bigram is by
+    construction in the training counts). Per document: ``n_bigrams``,
+    ``avg_logprob`` = mean ln P over its bigram stream, and ``ppl`` =
+    exp(-avg_logprob), the per-token perplexity. Low-perplexity docs are
+    repetitive/templated; high-perplexity docs are noise — the standard
+    curation signal cuts both tails. Documents with < 2 tokens have no
+    bigrams and are excluded (score undefined).
+
+    Plan shape at 100 TB: the exploded bigram stream feeds ONE
+    map-side-combined aggregation (bigram counts); the prefix counts
+    c(w1 ·) are a window over that MODEL frame (partitions = bigrams per
+    prefix word) — a model-sized pass, not another corpus scan and not a
+    self-join — so the corpus is scanned exactly twice (model build +
+    scoring). The model is groupBy output, bounded by text entropy
+    (vocab²), not corpus size, and joins back to the stream on the
+    bigram key as a broadcast (word-bigram models are GBs at worst); the
+    fallback is a plain shuffle join on the high-cardinality bigram key
+    — never anything quadratic.
+
+    The reference has no modeling operators at all; this is a §6
+    extension over the same tokenizer contract as quality_score.
+    """
+    bi = corpus.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), 2)).alias("bg")
+    )
+    # bigram counts from the exploded stream; prefix counts c(w1 ·) are
+    # DERIVED from the bigram counts as a window over the MODEL frame
+    # (partitions = bigrams per prefix word, model-sized) — not a second
+    # corpus pass and not a self-join that would duplicate the aggregate
+    # subtree. The corpus is scanned exactly twice: model build + scoring.
+    from pyspark.sql.window import Window
+
+    c2 = bi.groupBy("bg").agg(F.count("*").alias("n2")).withColumn(
+        "w1", F.split("bg", " ")[0]
+    )
+    n1 = F.sum("n2").over(Window.partitionBy("w1"))
+    model = c2.select("bg", F.log(F.col("n2") / n1).alias("logp"))
+    per = (
+        bi.join(F.broadcast(model), "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_bigrams"),
+            F.avg("logp").alias("__alp"),
+        )
+    )
+    return per.select(
+        id_col,
+        "n_bigrams",
+        F.round(F.col("__alp"), 4).alias("avg_logprob"),
+        F.round(F.exp(-F.col("__alp")), 4).alias("ppl"),
+    )
+
+
 ROLL_B = 31  # polynomial base
 ROLL_P = 1_000_000_007  # modulus; acc < p (~2^30), acc*B + h64 < 2^63: no overflow
 

@@ -4167,6 +4167,230 @@ def scd1_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.merge_upsert(base, chg, ["c_custkey"], delete_col="is_del")
 
 
+@_q(
+    "domain_mixture_weights",
+    r"""
+    WITH per AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    t AS (
+      SELECT source, n_docs, tokens,
+             sum(tokens) OVER () AS tot_tokens,
+             sum(n_docs) OVER () AS tot_docs
+      FROM per
+    ),
+    w AS (SELECT *, sqrt(tokens / tot_tokens) AS wr FROM t)
+    SELECT source, n_docs, tokens,
+           round(tokens / tot_tokens, 6) AS token_share,
+           round(wr / sum(wr) OVER (), 6) AS mix_weight,
+           CAST(floor(wr / sum(wr) OVER () * tot_docs) AS BIGINT) AS target_docs
+    FROM w
+    """,
+)
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing (the multilingual/Pile-style
+    sampling rule: weight ∝ share^α with α=0.5): per source-domain token
+    counts → sqrt-damped, renormalized sampling weights and a floor-ed
+    per-domain target document count. Up-weights tail domains without
+    letting the head dominate — the standard pre-training mixture knob.
+
+    Scale: one map-side-combined groupBy on the (low-cardinality) domain
+    key collapses 100 TB to one row per domain; the unpartitioned windows
+    run on that DOMAIN-level frame (rows = #domains, constant), so the
+    single-partition window is O(domains), never O(corpus). floor (not
+    round) on target_docs keeps the integerization engine-exact."""
+    docs = load_table(spark, "documents", sf_dir)
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).alias("tokens"),
+    )
+    w = Window.partitionBy()  # domain-level frame: #domains rows, constant
+    t = per.select(
+        "source",
+        "n_docs",
+        "tokens",
+        F.sum("tokens").over(w).alias("tot_tokens"),
+        F.sum("n_docs").over(w).alias("tot_docs"),
+    ).withColumn("wr", F.sqrt(F.col("tokens") / F.col("tot_tokens")))
+    return t.select(
+        "source",
+        "n_docs",
+        "tokens",
+        F.round(F.col("tokens") / F.col("tot_tokens"), 6).alias("token_share"),
+        F.round(F.col("wr") / F.sum("wr").over(w), 6).alias("mix_weight"),
+        F.floor(F.col("wr") / F.sum("wr").over(w) * F.col("tot_docs"))
+        .cast("long")
+        .alias("target_docs"),
+    )
+
+
+@_q(
+    "cluster_dedup_keeper",
+    f"""
+    WITH RECURSIVE {_SQL_SHINGLES},
+    base AS (SELECT doc_id, {_SQL_HASH64.format(x="sh")} AS h64 FROM sh),
+    mh AS (
+      SELECT doc_id, seed,
+             min(({_SQL_MIX_A}[seed + 1] * (h64 & 4294967295)
+                  + {_SQL_MIX_B}[seed + 1]) & 4294967295) AS minhash
+      FROM base CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) s
+      GROUP BY doc_id, seed
+    ),
+    banded AS (
+      SELECT doc_id, CAST(seed // 3 AS INT) AS band,
+             string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_sig
+      FROM mh GROUP BY doc_id, band
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM banded a JOIN banded b USING (band, band_sig)
+      WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+              UNION ALL SELECT id2, id1 FROM pairs),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, label) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.id
+    ),
+    comp AS (SELECT id AS doc_id, min(label) AS g FROM reach GROUP BY id),
+    qt AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS qtoks
+           FROM documents),
+    qm AS (
+      SELECT doc_id,
+             CAST(len(qtoks) AS INT) AS n_tokens,
+             CAST(list_sum(list_transform(qtoks, x -> length(x))) AS INT) AS total_len,
+             CAST(len(list_filter(qtoks, x -> x IN ('the', 'a', 'of', 'and'))) AS INT) AS n_stop
+      FROM qt
+    ),
+    q AS (
+      SELECT doc_id,
+             round(least(n_tokens / 200.0, 1.0) * 0.5
+                   + least((CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END) * 4, 1.0) * 0.3
+                   + least((CASE WHEN n_tokens > 0 THEN total_len / n_tokens ELSE 0.0 END) / 8.0, 1.0) * 0.2,
+                   4) AS quality
+      FROM qm
+    ),
+    grouped AS (
+      SELECT d.doc_id, COALESCE(c.g, d.doc_id) AS group_id
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    )
+    SELECT g.doc_id, g.group_id, q.quality,
+           CAST(row_number() OVER (PARTITION BY g.group_id
+                                   ORDER BY q.quality DESC, g.doc_id) = 1 AS INT) AS keep
+    FROM grouped g JOIN q ON q.doc_id = g.doc_id
+    """,
+)
+def cluster_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: near-dup clusters (MinHash-LSH →
+    connected components) each keep exactly ONE document — the highest
+    quality-score member, ties broken by lowest doc id; singletons keep
+    themselves. This is the curation step after candidate clustering:
+    "of these N near-duplicates, which copy enters the training set?"
+    (quality-ranked keeper selection, as in the dedup stages of
+    large-corpus pipelines — keep-best rather than keep-first).
+
+    Composition of shipped operators only: minhash_lsh_pairs →
+    connected_components → quality_score → one row_number window keyed
+    by cluster. Scale: adds one left join (labels ≤ docs) and one
+    window whose partitions are cluster-sized (bounded by near-dup
+    cluster width, not corpus size) on top of the clusters plan.
+
+    Ordering is engine-exact: quality is rounded to 4 decimals BEFORE
+    the sort on both sides (the quality_score parity query proves the
+    rounded values hash-identical), and the doc-id tiebreaker makes the
+    row_number total."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=12, bands=4)
+    comp = dedup.connected_components(pairs).withColumnRenamed("id", "doc_id")
+    q = text.quality_score(docs).select("doc_id", "quality")
+    grouped = docs.join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("component_id", F.col("doc_id")).alias("group_id")
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        grouped.join(q, "doc_id")
+        .select(
+            "doc_id",
+            "group_id",
+            "quality",
+            (F.row_number().over(w) == 1).cast("int").alias("keep"),
+        )
+    )
+
+
+@_q(
+    "bigram_lm_score",
+    r"""
+    WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+                  FROM documents),
+    bi AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS bg, t[i] AS w1
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-1, 0))) AS i) u
+    ),
+    c2 AS (SELECT bg, count(*) AS n2 FROM bi GROUP BY bg),
+    c1 AS (SELECT w1, count(*) AS n1 FROM bi GROUP BY w1),
+    model AS (SELECT bg, ln(n2 / n1) AS logp
+              FROM c2 JOIN c1 ON split_part(bg, ' ', 1) = w1)
+    SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+           round(avg(logp), 4) AS avg_logprob,
+           round(exp(-avg(logp)), 4) AS ppl
+    FROM bi JOIN model USING (bg)
+    GROUP BY doc_id
+    """,
+)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity scoring (operators.text.lm_score): the
+    CCNet-style LM quality filter with the model trained in-engine on
+    the corpus itself — per-document mean log P(w2|w1) and perplexity,
+    for cutting both the too-predictable (templated) and the
+    too-surprising (noise) tails. The oracle rebuilds the identical MLE
+    model and scores in SQL."""
+    docs = load_table(spark, "documents", sf_dir)
+    return text.lm_score(docs)
+
+
+@_q(
+    "sink_partitioned_scan",
+    """
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE lang = 'en' GROUP BY source
+    """,
+)
+def sink_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet sink + partition-PRUNED scan end-to-end:
+    documents are written ``partitionBy(lang)`` (the data-layout move
+    that makes every later per-language read touch 1/|langs| of the
+    corpus), read back through the partition discovery path, and
+    filtered to one language — the filter must resolve at PLANNING time
+    as a PartitionFilter, scanning only the lang=en directory (asserted
+    in test_plans). This is the 100 TB layout contract: partition
+    pruning turns a full-corpus scan into a directory listing + one
+    subtree. The oracle aggregates the original unpartitioned table —
+    the partitioned round-trip must be lossless (nulls excluded by the
+    lang filter on both sides)."""
+    import os
+
+    docs = load_table(spark, "documents", sf_dir)
+    path = os.path.join(_SCRATCH, "documents_by_lang")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("lang") == "en")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering
 # ---------------------------------------------------------------------------
@@ -4193,9 +4417,13 @@ def scd1_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distinct_event_users, user_activity_pivot, window_funcs_showcase,
 # percentiles_by_flag, rollup_order_stats, cube_order_stats,
 # grouping_sets_orders, left_join_customer_order_counts,
-# full_outer_user_activity, cust_above_nation_avg). ROUND-5 TODO:
-# rotate these 16 back in — by then they will be three rounds stale.
-# With this
+# full_outer_user_activity, cust_above_nation_avg) — plus 4 bumped
+# late in round 4 to make room for the new curation queries (lang_id,
+# token_count, doc_fingerprint, stats_numeric_exact; all single-r2
+# green, untouched, each a pure projection exercised transitively by
+# in-window queries: cluster_dedup_keeper replays quality_score's
+# tokenizer, bigram_lm_score the token stream). ROUND-5 TODO: rotate
+# all 20 back in — by then they will be three rounds stale. With this
 # window, every query in the registry has a driver-green row and none is
 # more than two rounds stale.
 _CHECK_FIRST = [
@@ -4209,6 +4437,10 @@ _CHECK_FIRST = [
     "leakage_safe_split",    # new dedup-aware split
     "bucketed_join_order_revenue",  # new bucketed co-located join
     "source_text_scan",      # null-text filter before the .txt write
+    "cluster_dedup_keeper",  # new quality-ranked keeper selection
+    "domain_mixture_weights",  # new temperature-scaled domain mixing
+    "bigram_lm_score",       # new bigram-LM perplexity scoring
+    "sink_partitioned_scan", # new partitioned sink + pruned scan
     # the 15 round-3 additions with no driver row yet
     "quality_repetition_filter",
     "dedup_ngram_corpus",
@@ -4231,10 +4463,7 @@ _CHECK_FIRST = [
     "dedup_exact",
     "dedup_simhash",
     "dedup_events_keeper",
-    "doc_fingerprint",
-    "lang_id",
     "quality_score",
-    "token_count",
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_nation_revenue",
@@ -4249,7 +4478,6 @@ _CHECK_FIRST = [
     "range_join_value_bands",
     "asof_join_purchase_signup",
     "array_funcs_embeddings",
-    "stats_numeric_exact",
     "multimodal_features",
     "multimodal_frame_sampling",
 ]

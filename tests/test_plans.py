@@ -378,6 +378,57 @@ def test_bucketed_join_no_fact_exchange(spark):
     assert not plans.has_cartesian(df)
 
 
+def test_sink_partitioned_scan_prunes(spark):
+    """The partitioned-sink round-trip query: the lang filter must be a
+    PartitionFilter on the read-back scan (one directory subtree read),
+    never a post-scan predicate over all partitions."""
+    df = QUERIES["sink_partitioned_scan"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert "PartitionFilters" in s
+    assert "lang" in s.split("PartitionFilters", 1)[1][:200]
+    assert plans.exchange_count(df) == 1  # the per-source aggregate only
+
+
+def test_mixture_weights_windows_on_domain_frame(spark):
+    """Temperature mixing: the corpus collapses through ONE map-side-
+    combined groupBy before any window — the single-partition windows run
+    on the #domains-row aggregate, so the plan is partial agg -> exchange
+    -> final agg -> single-partition exchange, with the corpus scanned
+    once."""
+    df = QUERIES["domain_mixture_weights"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert s.count("Location:") == 1  # one documents scan
+    assert "partial_count" in s  # map-side combine before the shuffle
+    assert plans.exchange_count(df) == 1  # hash(source) for the groupBy
+    assert plans.plan_string(df, "simple").count("Exchange SinglePartition") == 1
+
+
+def test_cluster_keeper_no_cartesian_cluster_sized_window(spark):
+    """Keeper selection: label join + quality join + one row_number window
+    keyed by cluster — no cartesian, no Python, and the window is
+    PARTITIONED (never a move-everything-to-one-task window)."""
+    df = QUERIES["cluster_dedup_keeper"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert not plans.has_cartesian(df)
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    assert "row_number" in s
+    assert "Exchange SinglePartition" not in plans.plan_string(df, "simple")
+
+
+def test_bigram_lm_two_corpus_scans_broadcast_model(spark):
+    """The LM scorer reads the corpus exactly twice (model build +
+    scoring); the prefix counts are a model-sized rollup of the bigram
+    counts, not a third corpus pass; the model joins back as a broadcast
+    with no Python and no cartesian."""
+    df = QUERIES["bigram_lm_score"](spark, SF_SMOKE)
+    s = plans.plan_string(df, "simple")
+    assert s.count("documents.parquet") == 2
+    assert plans.broadcast_join_count(df) >= 1  # model into the stream
+    full = plans.plan_string(df)
+    assert "BatchEvalPython" not in full and "ArrowEvalPython" not in full
+    assert not plans.has_cartesian(df)
+
+
 def test_histogram_partial_aggregates(spark):
     """The histogram's shuffle is |types| x |buckets| cells: map-side
     partial aggregation must appear before the exchange."""

@@ -19,6 +19,10 @@ _R4_CHANGED = {
     "leakage_safe_split",
     "bucketed_join_order_revenue",
     "source_text_scan",
+    "cluster_dedup_keeper",
+    "domain_mixture_weights",
+    "bigram_lm_score",
+    "sink_partitioned_scan",
 }
 
 # Round 4 group (b): the round-3 additions that had local parity at both
@@ -32,11 +36,14 @@ _R3_UNCHECKED = {
 }
 
 # Round 4 group (c): queries whose latest driver row is round 2, rotated
-# back in so no green row is more than two rounds stale.
+# back in so no green row is more than two rounds stale. (lang_id,
+# token_count, doc_fingerprint, stats_numeric_exact were bumped late in
+# round 4 for the new curation queries — see the ROUND-5 TODO in
+# queries.py.)
 _R2_STALE_ROTATED = {
     "session_windows", "dedup_embedding_cosine", "ann_topk_bruteforce",
     "dedup_exact", "dedup_simhash", "dedup_events_keeper",
-    "doc_fingerprint", "lang_id", "quality_score", "token_count",
+    "quality_score",
     "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
     "q10_top_customers_by_revenue", "top_customers_per_nation",
     "running_user_spend", "sliding_window_counts", "tumbling_hourly_stats",
@@ -44,7 +51,6 @@ _R2_STALE_ROTATED = {
     "anti_join_inactive_customers", "range_join_value_bands",
     "asof_join_purchase_signup",
     "array_funcs_embeddings",
-    "stats_numeric_exact",
     "multimodal_features", "multimodal_frame_sampling",
 }
 
@@ -56,11 +62,13 @@ def test_driver_window_is_the_round4_target_set():
 
 
 def test_registry_is_complete_and_fully_oracled():
-    # 109 through round 3, +6 round-4 additions (production-width 60-bit
+    # 109 through round 3, +10 round-4 additions (production-width 60-bit
     # simhash bands; sliding-window document chunking; tokenizer
     # vocabulary-coverage table; batch SCD-1 merge; dedup-aware
-    # leakage-safe split; bucketed co-located join).
-    assert len(QUERIES) == 115
+    # leakage-safe split; bucketed co-located join; quality-ranked
+    # cluster keeper; temperature-scaled domain mixing; bigram-LM
+    # perplexity scoring; partitioned sink + pruned scan).
+    assert len(QUERIES) == 119
     # Since round 3: every declared query has an exact DuckDB oracle.
     assert set(ORACLE) == set(QUERIES)
 
