@@ -67,6 +67,11 @@ HEADLINE = [
     # row to show the win; the production-width simhash is a new operator
     "ann_lsh_topk",
     "dedup_simhash64_pairs",
+    # late round-4 additions: the two heaviest new curation operators
+    # (cluster-composition dedup keeper; corpus-model LM scoring) — the
+    # r3_comparable_total subset below stays untouched for comparability
+    "cluster_dedup_keeper",
+    "bigram_lm_score",
 ]
 
 # The 22-query set rounds 1-3 benched: sum reported as r3_comparable_total

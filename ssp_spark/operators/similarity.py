@@ -111,6 +111,24 @@ def lsh_buckets(
     return df.withColumn("bucket", bucket)
 
 
+def probe_masks(n_planes: int, radius: int) -> list[int]:
+    """All XOR masks of Hamming weight <= radius over n_planes bits, in a
+    deterministic order (weight-major, then numeric) — the multi-probe
+    LSH probe sequence (Lv et al., "Multi-Probe LSH", VLDB 2007)."""
+    masks = [0]
+    if radius >= 1:
+        masks += [1 << p for p in range(n_planes)]
+    if radius >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    if radius >= 3:
+        raise ValueError("probe_radius > 2 not supported (candidate blow-up)")
+    return masks
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -119,17 +137,40 @@ def lsh_topk(
     vec_col: str = "embedding",
     n_planes: int = 8,
     dims: int = 64,
+    probe_radius: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates limited to the query's LSH bucket.
+    """Approximate top-k via MULTI-PROBE LSH: candidates are the corpus
+    vectors whose bucket is within Hamming distance ``probe_radius`` of
+    the query's bucket (radius 0 = classic single-bucket LSH).
 
-    Join is an equi-join on bucket (shuffle-hash, no cross product) —
-    the 100 TB-scale path when the query set itself is large.
+    Why multi-probe: with sign-random-projection LSH, a true neighbor at
+    angle θ agrees with the query on each plane with p = 1 - θ/π, so a
+    single 8-plane bucket finds it with p^8 — ~2% when neighbor cosines
+    sit around 0.3 (this corpus; measured in test_curation's recall
+    test). Probing the Hamming-≤r neighborhood lifts recall to
+    P(≥ n-r planes agree) — ~10% at r=1, ~31% at r=2 for the same data —
+    WITHOUT building more index tables: the corpus side is bucketed once,
+    zero-shuffle, exactly as before, and only the (small) query side
+    explodes into sum_{i<=r} C(n_planes, i) probe rows. Candidate cost is
+    that same fraction of the corpus per query (37/256 at n=8, r=2),
+    against brute force's 100% — the recall/compute knob at 100 TB.
+
+    Each candidate pair appears via exactly ONE mask (the XOR of the two
+    buckets), so the probe explode creates no duplicate pairs and needs
+    no distinct. The join stays a pure equi-join on bucket — shuffle-
+    hash, no cross product — the both-sides-huge path.
     """
     from ssp_spark.functions import dot, norm
 
+    masks = probe_masks(n_planes, probe_radius)
     qb = lsh_buckets(queries, id_col, vec_col, n_planes, dims).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), "bucket"
     ).withColumn("qn", norm("qv"))
+    qb = (
+        qb.withColumn("__m", F.explode(F.array(*[F.lit(m) for m in masks])))
+        .withColumn("bucket", F.col("bucket").bitwiseXOR(F.col("__m")))
+        .drop("__m")
+    )
     cb = lsh_buckets(
         corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism),
         id_col,

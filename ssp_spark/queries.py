@@ -1311,6 +1311,10 @@ _SQL_LSH_BUCKET = " + ".join(
     for p, row in enumerate(_lsh_signs())
 )
 
+# Multi-probe mask list (Hamming weight <= 2 over 8 planes) as a SQL
+# literal — the same deterministic sequence similarity.probe_masks builds.
+_SQL_LSH_MASKS = ", ".join(str(m) for m in similarity.probe_masks(8, 2))
+
 
 @_q(
     "ann_lsh_topk",
@@ -1320,25 +1324,34 @@ _SQL_LSH_BUCKET = " + ".join(
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
       FROM embeddings
     ),
-    b AS (SELECT vec_id, v, vn, {_SQL_LSH_BUCKET} AS bucket FROM ve)
+    b AS (SELECT vec_id, v, vn, {_SQL_LSH_BUCKET} AS bucket FROM ve),
+    probes AS (
+      SELECT vec_id, v, vn, xor(bucket, m) AS bucket
+      FROM (SELECT * FROM b WHERE vec_id % 25 = 0),
+           LATERAL (SELECT unnest([{_SQL_LSH_MASKS}]) AS m) u
+    )
     SELECT qid, nid, CAST(rank AS INT) AS rank, cos FROM (
       SELECT q.vec_id AS qid, c.vec_id AS nid,
              round(list_dot_product(q.v, c.v) / (q.vn * c.vn), 6) AS cos,
              row_number() OVER (PARTITION BY q.vec_id
                ORDER BY round(list_dot_product(q.v, c.v) / (q.vn * c.vn), 6) DESC, c.vec_id) AS rank
-      FROM b q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
-      WHERE q.vec_id % 25 = 0)
+      FROM probes q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id)
     WHERE rank <= 10
     """,
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k. The oracle reproduces the exact
-    index: hyperplane signs are md5-derived per (plane, dim), inlined as
-    SQL literals; both engines then bucket, join, score, and rank the
-    same candidate sets."""
+    """MULTI-PROBE LSH approximate top-k (probe radius 2: the query's
+    bucket plus every bucket within Hamming distance 2 — 37 of 256
+    probes, lifting measured recall@10 from ~2% single-bucket to ~30% on
+    this corpus's weak-similarity neighbors; see
+    similarity.lsh_topk's docstring and the recall test). The oracle
+    reproduces the exact index: hyperplane signs are md5-derived per
+    (plane, dim), inlined as SQL literals, and the probe mask sequence is
+    inlined the same way; both engines bucket, probe, join, score, and
+    rank identical candidate sets."""
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") % 25 == 0)
-    return similarity.lsh_topk(queries, emb, k=10)
+    return similarity.lsh_topk(queries, emb, k=10, probe_radius=2)
 
 
 @_q(

@@ -237,3 +237,33 @@ def test_leakage_safe_split_no_pair_straddles(spark):
     }
     raw = {r["split"]: r["cnt"] for r in assign.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
     assert summary == raw
+
+
+def test_ann_recall_multiprobe_vs_bruteforce(spark):
+    """Recall@10 evaluation of the approximate ANN paths against the
+    exact brute-force baseline on the embeddings fixture. This corpus's
+    true neighbors sit at cosine ~0.3 (near-random synthetic vectors), so
+    single-bucket 8-plane LSH finds them with only ~p^8 ≈ 2% — the
+    multi-probe upgrade (radius 2) must lift that into IVF's range.
+    Thresholds sit under the measured values (r0 0.025/0.01, r2
+    0.31/0.275, IVF 0.315/0.375 at sf0.001/sf0.01) with margin."""
+    from ssp_spark.catalog import load_table
+    from ssp_spark.operators import similarity
+    from ssp_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = {(r.qid, r.nid) for r in QUERIES["ann_topk_bruteforce"](spark, SF_SMOKE).collect()}
+    single = {(r.qid, r.nid) for r in similarity.lsh_topk(q, emb, k=10, probe_radius=0).collect()}
+    multi = {(r.qid, r.nid) for r in QUERIES["ann_lsh_topk"](spark, SF_SMOKE).collect()}
+    ivf = {(r.qid, r.nid) for r in QUERIES["ann_ivf_topk"](spark, SF_SMOKE).collect()}
+    n = len(exact)
+    assert n == 200
+    recall_single = len(single & exact) / n
+    recall_multi = len(multi & exact) / n
+    recall_ivf = len(ivf & exact) / n
+    assert recall_multi >= 0.2
+    assert recall_ivf >= 0.25
+    # the probe sequence must strictly buy recall over the single bucket
+    assert recall_multi > recall_single + 0.1
