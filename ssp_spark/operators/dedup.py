@@ -209,6 +209,40 @@ def minhash_signatures(
     )
 
 
+def _banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> DataFrame:
+    """(doc_id, band, band_sig) rows: the LSH band index of a corpus.
+
+    Band signatures are assembled by projection from the wide minhash
+    signature row, then unpivoted — constant per-doc state. This IS the
+    persisted artifact of an incremental dedup index: band it once, keep
+    it, and every future batch joins against it.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ",", *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)]
+            ).alias("band_sig"),
+        )
+        for b in range(bands)
+    ]
+    return (
+        sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb"))
+        .select(
+            "doc_id", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig")
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -223,24 +257,9 @@ def minhash_lsh_pairs(
     classic S-curve. Self-join is on (band, band_signature) — constant
     per-doc state, so candidate generation is O(near-dups), not O(n^2).
     """
-    rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    # band signatures assembled by projection from the wide signature row,
-    # then unpivoted to (doc, band, band_sig) for the self-join
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                ",", *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)]
-            ).alias("band_sig"),
-        )
-        for b in range(bands)
-    ]
-    banded = (
-        sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb"))
-        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig"))
-        .persist()  # feeds both sides of the band self-join; avoid recomputing
-    )
+    banded = _banded_signatures(
+        df, id_col, text_col, num_hashes, bands, shingle_n
+    ).persist()  # feeds both sides of the band self-join; avoid recomputing
     a = banded.select(F.col("doc_id").alias("id1"), "band", "band_sig")
     b = banded.select(F.col("doc_id").alias("id2"), "band", "band_sig")
     out = (
@@ -252,6 +271,37 @@ def minhash_lsh_pairs(
     )
     banded.unpersist()
     return out
+
+
+def minhash_lsh_pairs_between(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cross-corpus candidate pairs: (id1 from ``left``, id2 from
+    ``right``) agreeing on a full minhash band — the INCREMENTAL-ingest
+    dedup shape: dedupe a new batch against an existing corpus without
+    ever re-pairing the corpus against itself.
+
+    At 100 TB the right side's band index (_banded_signatures output) is
+    the persisted artifact — computed once when the corpus was ingested,
+    reused by every subsequent batch; the per-batch cost is banding the
+    (small) batch plus ONE equi-join on (band, band_sig). Candidate
+    volume follows the same S-curve as the self-join case, restricted to
+    cross pairs. No self-pairs arise because the sides are disjoint id
+    sets by contract (enforce upstream if ids can collide).
+    """
+    a = _banded_signatures(left, id_col, text_col, num_hashes, bands, shingle_n).select(
+        F.col("doc_id").alias("id1"), "band", "band_sig"
+    )
+    b = _banded_signatures(right, id_col, text_col, num_hashes, bands, shingle_n).select(
+        F.col("doc_id").alias("id2"), "band", "band_sig"
+    )
+    return a.join(b, ["band", "band_sig"]).select("id1", "id2").distinct()
 
 
 def simhash(

@@ -406,3 +406,61 @@ def quantize_int8(
         q.alias("q"),
         F.sqrt(err2 / F.size(q)).alias("rmse"),
     )
+
+
+def contrastive_pairs(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    k_pos: int = 2,
+    k_neg: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive training-pair mining: for each anchor, the ``k_pos``
+    most-similar SAME-label vectors (positives) and the ``k_neg``
+    most-similar DIFFERENT-label vectors (hard negatives — the highest-
+    cosine wrong-label examples are exactly the ones a contrastive or
+    triplet loss learns most from; random negatives are trivially easy).
+
+    Returns (qid, nid, is_positive, rank, cos); rank restarts per
+    (anchor, side) and ties break by neighbor id, so output is total-
+    ordered and engine-exact.
+
+    Plan: anchors broadcast, corpus streams once, per-partition partial
+    top-k (WindowGroupLimit over the (qid, is_positive) window) before
+    the final shuffle — same contract as brute_force_topk, valid at
+    100 TB while the anchor set is broadcast-sized. For huge anchor sets
+    swap the candidate generator for lsh_topk/ivf_topk (per side) and
+    keep the same ranking tail.
+    """
+    from ssp_spark.functions import dot, norm
+
+    q = anchors.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("qlabel"),
+    ).withColumn("qn", norm("qv"))
+    c = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nv"),
+        F.col(label_col).alias("nlabel"),
+    )
+    c = c.repartition(c.sparkSession.sparkContext.defaultParallelism).withColumn(
+        "nn", norm("nv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("nid"))
+        .withColumn("cos", F.round(dot("qv", "nv") / (F.col("qn") * F.col("nn")), 6))
+        .withColumn("is_positive", (F.col("qlabel") == F.col("nlabel")).cast("int"))
+    )
+    w = Window.partitionBy("qid", "is_positive").orderBy(
+        F.col("cos").desc(), F.col("nid")
+    )
+    keep = F.when(F.col("is_positive") == 1, F.lit(k_pos)).otherwise(F.lit(k_neg))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= keep)
+        .select("qid", "nid", "is_positive", F.col("rank").cast("int").alias("rank"), "cos")
+    )

@@ -4404,6 +4404,103 @@ def sink_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "dedup_incremental_batch",
+    f"""
+    WITH {_SQL_SHINGLES},
+    base AS (SELECT doc_id, {_SQL_HASH64.format(x="sh")} AS h64 FROM sh),
+    mh AS (
+      SELECT doc_id, seed,
+             min(({_SQL_MIX_A}[seed + 1] * (h64 & 4294967295)
+                  + {_SQL_MIX_B}[seed + 1]) & 4294967295) AS minhash
+      FROM base CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) s
+      GROUP BY doc_id, seed
+    ),
+    banded AS (
+      SELECT doc_id, CAST(seed // 3 AS INT) AS band,
+             string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_sig
+      FROM mh GROUP BY doc_id, band
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM banded a JOIN banded b USING (band, band_sig)
+      WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
+    ),
+    per AS (SELECT id1 AS doc_id, count(*) AS n_matches FROM pairs GROUP BY id1)
+    SELECT d.doc_id, COALESCE(p.n_matches, 0) AS n_matches,
+           CAST(p.doc_id IS NOT NULL AS INT) AS is_dup
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
+    LEFT JOIN per p ON p.doc_id = d.doc_id
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup (operators.dedup.minhash_lsh_pairs_between):
+    a new batch (every 10th doc) is checked against the EXISTING corpus
+    (the rest) for near-duplicates — per batch doc, how many corpus docs
+    share a full minhash band, and the keep/drop flag. This is the
+    production ingest shape: the corpus's band index is computed once and
+    persisted; each arriving batch pays only its own banding plus one
+    equi-join — the corpus is never re-paired against itself (no
+    quadratic re-run of the full dedup on every ingest).
+
+    The oracle rebuilds both band indexes from the identical minhash
+    pipeline and checks every flag, including the no-match batch docs
+    (left join, COALESCE 0)."""
+    docs = load_table(spark, "documents", sf_dir)
+    batch = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    pairs = dedup.minhash_lsh_pairs_between(batch, corpus, num_hashes=12, bands=4)
+    per = pairs.groupBy("id1").agg(F.count("*").alias("n_matches"))
+    return (
+        batch.select("doc_id")
+        .join(per.withColumnRenamed("id1", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+            F.col("n_matches").isNotNull().cast("int").alias("is_dup"),
+        )
+    )
+
+
+@_q(
+    "contrastive_pairs_mining",
+    """
+    WITH ve AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS qid, c.vec_id AS nid,
+             CAST(q.label = c.label AS INT) AS is_positive,
+             round(list_dot_product(q.v, c.v) / (q.vn * c.vn), 6) AS cos
+      FROM ve q JOIN ve c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id % 50 = 0
+    ),
+    ranked AS (
+      SELECT qid, nid, is_positive, cos,
+             row_number() OVER (PARTITION BY qid, is_positive
+                                ORDER BY cos DESC, nid) AS rank
+      FROM scored
+    )
+    SELECT qid, nid, is_positive, CAST(rank AS INT) AS rank, cos
+    FROM ranked
+    WHERE rank <= 2
+    """,
+)
+def contrastive_pairs_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining (similarity.contrastive_pairs):
+    per anchor (every 50th vector), the 2 nearest same-label positives
+    and the 2 nearest different-label HARD negatives by cosine — the
+    pair-construction step of a contrastive/triplet embedding trainer,
+    where hard negatives (highest-similarity wrong-label examples)
+    carry most of the gradient signal. Anchors broadcast, corpus
+    streams once, WindowGroupLimit partial top-k per (anchor, side)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    anchors = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.contrastive_pairs(anchors, emb, k_pos=2, k_neg=2)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering
 # ---------------------------------------------------------------------------
@@ -4430,15 +4527,17 @@ def sink_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distinct_event_users, user_activity_pivot, window_funcs_showcase,
 # percentiles_by_flag, rollup_order_stats, cube_order_stats,
 # grouping_sets_orders, left_join_customer_order_counts,
-# full_outer_user_activity, cust_above_nation_avg) — plus 4 bumped
+# full_outer_user_activity, cust_above_nation_avg) — plus 6 bumped
 # late in round 4 to make room for the new curation queries (lang_id,
-# token_count, doc_fingerprint, stats_numeric_exact; all single-r2
-# green, untouched, each a pure projection exercised transitively by
-# in-window queries: cluster_dedup_keeper replays quality_score's
-# tokenizer, bigram_lm_score the token stream). ROUND-5 TODO: rotate
-# all 20 back in — by then they will be three rounds stale. With this
-# window, every query in the registry has a driver-green row and none is
-# more than two rounds stale.
+# token_count, doc_fingerprint, stats_numeric_exact,
+# array_funcs_embeddings, q10_top_customers_by_revenue; all r2-green,
+# untouched, each exercised transitively by in-window queries:
+# cluster_dedup_keeper replays quality_score's tokenizer,
+# bigram_lm_score the token stream, every ANN query the array math,
+# q3/top_customers_per_nation the join+agg+top-k shape). ROUND-5 TODO:
+# rotate all 22 back in — by then they will be three rounds stale. With
+# this window, every query in the registry has a driver-green row and
+# none is more than two rounds stale.
 _CHECK_FIRST = [
     # canary + changed/new in round 4
     "word_count",
@@ -4454,6 +4553,8 @@ _CHECK_FIRST = [
     "domain_mixture_weights",  # new temperature-scaled domain mixing
     "bigram_lm_score",       # new bigram-LM perplexity scoring
     "sink_partitioned_scan", # new partitioned sink + pruned scan
+    "dedup_incremental_batch",  # new batch-vs-corpus ingest dedup
+    "contrastive_pairs_mining", # new hard-negative pair mining
     # the 15 round-3 additions with no driver row yet
     "quality_repetition_filter",
     "dedup_ngram_corpus",
@@ -4480,7 +4581,6 @@ _CHECK_FIRST = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_nation_revenue",
-    "q10_top_customers_by_revenue",
     "top_customers_per_nation",
     "running_user_spend",
     "sliding_window_counts",
@@ -4490,7 +4590,6 @@ _CHECK_FIRST = [
     "anti_join_inactive_customers",
     "range_join_value_bands",
     "asof_join_purchase_signup",
-    "array_funcs_embeddings",
     "multimodal_features",
     "multimodal_frame_sampling",
 ]
