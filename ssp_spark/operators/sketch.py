@@ -17,7 +17,7 @@ reproduces every cell bit-for-bit.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 from ssp_spark.functions import portable_hash64, seeded_hash32
 
@@ -152,3 +152,35 @@ def bloom_might_contain(
     return marked.groupBy(key_col).agg(
         (F.count(F.lit(1)) == F.sum(F.coalesce("__set", F.lit(0)))).alias("member")
     )
+
+
+def bloom_mask_words(bits: list[int], num_bits: int = 4096) -> list[int]:
+    """Pack set-bit positions into num_bits/64 signed 64-bit words — the
+    driver-side literal form of the filter (num_bits/8 bytes total, a
+    model artifact like the IVF codebook, never proportional to data)."""
+    words = [0] * (num_bits // 64)
+    for b in bits:
+        words[b // 64] |= 1 << (b % 64)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_member(
+    col: Column,
+    mask_words: list[int],
+    num_hashes: int = 5,
+    num_bits: int = 4096,
+) -> Column:
+    """Row-level Bloom membership against a literal word mask: TRUE iff
+    all k probe bits are set. No false negatives, so it is a sound
+    PRE-filter before an exact join — the runtime-filter/semi-join-
+    reduction pattern: the big side drops non-matching rows BEFORE the
+    shuffle, paying k integer hashes per row against a baked-in literal
+    (zero joins, zero extra scans, full codegen)."""
+    h = portable_hash64(col)
+    mask = F.array(*[F.lit(w).cast("long") for w in mask_words])
+    cond = F.lit(True)
+    for s in range(num_hashes):
+        p = seeded_hash32(h, s, num_hashes) % num_bits
+        word = F.element_at(mask, (p / F.lit(64)).cast("int") + 1)
+        cond = cond & (F.getbit(word, p % 64) == 1)
+    return cond

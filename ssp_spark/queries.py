@@ -4501,6 +4501,109 @@ def contrastive_pairs_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.contrastive_pairs(anchors, emb, k_pos=2, k_neg=2)
 
 
+@_q(
+    "bloom_prefilter_join",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_nationkey = 5 AND c_acctbal > 1000
+    GROUP BY o_orderpriority
+    """,
+)
+def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered join (the runtime-filter / semi-join-reduction
+    pattern, done explicitly with the engine's own sketch): the selected
+    customer key set is folded into a 4096-bit Bloom filter
+    (sketch.bloom_bits — a bounded-size artifact), packed into a 64-word
+    literal mask on the driver, and every ORDER row tests membership
+    with k integer hashes BEFORE the join — non-matching fact rows are
+    dropped at the scan, never shuffled. The exact broadcast join then
+    removes the Bloom's false positives, so the result equals the plain
+    join bit-for-bit (the oracle IS the plain join — no false negatives
+    is the Bloom contract, tested in test_scale_ops).
+
+    At 100 TB this is the difference between shuffling the whole fact
+    table and shuffling ~selectivity of it: Spark's own runtime filters
+    do this opportunistically; the explicit form works across stages,
+    caches, and even engines (the mask is 512 bytes of portable state).
+    """
+    from ssp_spark.operators import sketch
+
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    sel = cust.filter(
+        (F.col("c_nationkey") == 5) & (F.col("c_acctbal") > 1000)
+    ).select("c_custkey")
+    # model-sized collect: <= 4096 distinct bit positions, same class as
+    # the IVF codebook — never proportional to table size. Keys hash by
+    # their string form on both the build and probe side (the portable
+    # hash family is string-keyed).
+    keys = sel.select(F.col("c_custkey").cast("string").alias("k"))
+    bits = [r["bit"] for r in sketch.bloom_bits(keys, "k").collect()]
+    mask = sketch.bloom_mask_words(bits)
+    prefiltered = orders.filter(
+        sketch.bloom_member(F.col("o_custkey").cast("string"), mask)
+    )
+    return (
+        prefiltered.join(
+            F.broadcast(sel), prefiltered.o_custkey == sel.c_custkey
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+    )
+
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+@_q(
+    "profile_table",
+    "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column_name,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls
+        FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality column profiler: per column of the orders table, the
+    exact distinct count and null count — the ingest-time profiling step
+    that feeds schema checks, skew planning (a near-unique column can't
+    be a groupBy key at scale) and null-contract validation.
+
+    Plan: ONE scan feeds all |cols| distinct + null aggregates in a
+    single Aggregate (Catalyst plans the multi-distinct via one Expand
+    ×|cols| — row multiplication bounded by the column count, the same
+    trade grouping-sets make), then a stack() unpivots the single result
+    row. The oracle's UNION ALL scans per column; ours must not — one
+    pass is the 100 TB property (asserted in test_plans)."""
+    orders = load_table(spark, "orders", sf_dir)
+    agg = orders.agg(
+        *[F.countDistinct(c).alias(f"d_{c}") for c in _PROFILE_COLS],
+        *[
+            F.sum(F.col(c).isNull().cast("long")).alias(f"n_{c}")
+            for c in _PROFILE_COLS
+        ],
+    )
+    stack_args = ", ".join(f"'{c}', d_{c}, n_{c}" for c in _PROFILE_COLS)
+    return agg.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (column_name, n_distinct, n_nulls)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering
 # ---------------------------------------------------------------------------
@@ -4527,17 +4630,20 @@ def contrastive_pairs_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distinct_event_users, user_activity_pivot, window_funcs_showcase,
 # percentiles_by_flag, rollup_order_stats, cube_order_stats,
 # grouping_sets_orders, left_join_customer_order_counts,
-# full_outer_user_activity, cust_above_nation_avg) — plus 6 bumped
+# full_outer_user_activity, cust_above_nation_avg) — plus 8 bumped
 # late in round 4 to make room for the new curation queries (lang_id,
 # token_count, doc_fingerprint, stats_numeric_exact,
-# array_funcs_embeddings, q10_top_customers_by_revenue; all r2-green,
-# untouched, each exercised transitively by in-window queries:
+# array_funcs_embeddings, q10_top_customers_by_revenue,
+# running_user_spend, sliding_window_counts; all r2-green, untouched,
+# each exercised transitively by in-window queries:
 # cluster_dedup_keeper replays quality_score's tokenizer,
 # bigram_lm_score the token stream, every ANN query the array math,
-# q3/top_customers_per_nation the join+agg+top-k shape). ROUND-5 TODO:
-# rotate all 22 back in — by then they will be three rounds stale. With
-# this window, every query in the registry has a driver-green row and
-# none is more than two rounds stale.
+# q3/top_customers_per_nation the join+agg+top-k shape,
+# tumbling_hourly_stats/session_windows the window-agg shape, and the
+# streaming goldens the running-state shape). ROUND-5 TODO: rotate all
+# 24 back in — by then they will be three rounds stale. With this
+# window, every query in the registry has a driver-green row and none
+# is more than two rounds stale.
 _CHECK_FIRST = [
     # canary + changed/new in round 4
     "word_count",
@@ -4555,6 +4661,8 @@ _CHECK_FIRST = [
     "sink_partitioned_scan", # new partitioned sink + pruned scan
     "dedup_incremental_batch",  # new batch-vs-corpus ingest dedup
     "contrastive_pairs_mining", # new hard-negative pair mining
+    "bloom_prefilter_join",  # new runtime-filter join reduction
+    "profile_table",         # new one-pass column profiler
     # the 15 round-3 additions with no driver row yet
     "quality_repetition_filter",
     "dedup_ngram_corpus",
@@ -4582,8 +4690,6 @@ _CHECK_FIRST = [
     "q3_top_orders",
     "q5_nation_revenue",
     "top_customers_per_nation",
-    "running_user_spend",
-    "sliding_window_counts",
     "tumbling_hourly_stats",
     "streaming_wordcount_replay",
     "semi_join_open_orders",

@@ -436,3 +436,28 @@ def test_histogram_partial_aggregates(spark):
     s = plans.plan_string(df)
     assert "partial_count" in s
     assert plans.exchange_count(df) == 1
+
+
+def test_profile_table_single_scan(spark):
+    """The column profiler must read the table ONCE: all per-column
+    distinct+null aggregates hang off a single Aggregate (one Expand for
+    the multi-distinct), never a scan per column like the oracle's
+    UNION ALL."""
+    df = QUERIES["profile_table"](spark, SF_SMOKE)
+    s = plans.plan_string(df, "simple")
+    assert s.count("orders.parquet") == 1
+    assert "Expand" in s  # the multi-distinct rewrite
+
+
+def test_bloom_prefilter_is_literal_scan_filter(spark):
+    """The Bloom membership test must be a literal-mask filter ON THE
+    SCAN (no join, no subquery feeding it); the only join in the plan is
+    the exact broadcast join that removes false positives."""
+    df = QUERIES["bloom_prefilter_join"](spark, SF_SMOKE)
+    s = plans.plan_string(df, "simple")
+    assert s.count("BroadcastHashJoin") == 1  # just the exact fp-removal join
+    assert "SortMergeJoin" not in s and not plans.has_cartesian(df)
+    # the membership test is a literal-mask getbit filter pushed onto the
+    # orders scan — no join/subquery feeds it
+    assert "getbit" in s.split("BroadcastHashJoin", 1)[1]
+    assert plans.exchange_count(df) == 1  # only the final aggregate

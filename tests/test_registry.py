@@ -25,6 +25,8 @@ _R4_CHANGED = {
     "sink_partitioned_scan",
     "dedup_incremental_batch",
     "contrastive_pairs_mining",
+    "bloom_prefilter_join",
+    "profile_table",
 }
 
 # Round 4 group (b): the round-3 additions that had local parity at both
@@ -40,16 +42,16 @@ _R3_UNCHECKED = {
 # Round 4 group (c): queries whose latest driver row is round 2, rotated
 # back in so no green row is more than two rounds stale. (lang_id,
 # token_count, doc_fingerprint, stats_numeric_exact,
-# array_funcs_embeddings, q10_top_customers_by_revenue were bumped late
-# in round 4 for the new curation queries — see the ROUND-5 TODO in
-# queries.py.)
+# array_funcs_embeddings, q10_top_customers_by_revenue,
+# running_user_spend, sliding_window_counts were bumped late in round 4
+# for the new curation queries — see the ROUND-5 TODO in queries.py.)
 _R2_STALE_ROTATED = {
     "session_windows", "dedup_embedding_cosine", "ann_topk_bruteforce",
     "dedup_exact", "dedup_simhash", "dedup_events_keeper",
     "quality_score",
     "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
     "top_customers_per_nation",
-    "running_user_spend", "sliding_window_counts", "tumbling_hourly_stats",
+    "tumbling_hourly_stats",
     "streaming_wordcount_replay", "semi_join_open_orders",
     "anti_join_inactive_customers", "range_join_value_bands",
     "asof_join_purchase_signup",
@@ -64,14 +66,15 @@ def test_driver_window_is_the_round4_target_set():
 
 
 def test_registry_is_complete_and_fully_oracled():
-    # 109 through round 3, +12 round-4 additions (production-width 60-bit
+    # 109 through round 3, +14 round-4 additions (production-width 60-bit
     # simhash bands; sliding-window document chunking; tokenizer
     # vocabulary-coverage table; batch SCD-1 merge; dedup-aware
     # leakage-safe split; bucketed co-located join; quality-ranked
     # cluster keeper; temperature-scaled domain mixing; bigram-LM
     # perplexity scoring; partitioned sink + pruned scan; incremental
-    # batch-vs-corpus dedup; contrastive hard-negative pair mining).
-    assert len(QUERIES) == 121
+    # batch-vs-corpus dedup; contrastive hard-negative pair mining;
+    # Bloom-prefiltered join reduction; one-pass column profiler).
+    assert len(QUERIES) == 123
     # Since round 3: every declared query has an exact DuckDB oracle.
     assert set(ORACLE) == set(QUERIES)
 

@@ -77,3 +77,32 @@ def test_connected_components_chain(spark):
     )
     got = {(r.id, r.component_id) for r in dedup.connected_components(pairs).collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (10, 10), (11, 10)}
+
+
+def test_bloom_prefilter_sound_and_selective(spark):
+    """The Bloom pre-filter contract: NO false negatives (every order of
+    a selected customer survives the prefilter — otherwise the join
+    result would silently lose rows), and actual row reduction (the
+    point of the pattern)."""
+    import pyspark.sql.functions as F
+
+    from ssp_spark.catalog import load_table
+    from ssp_spark.operators import sketch
+    from tests.conftest import SF_SMOKE
+
+    cust = load_table(spark, "customer", SF_SMOKE)
+    orders = load_table(spark, "orders", SF_SMOKE)
+    sel = cust.filter((F.col("c_nationkey") == 5) & (F.col("c_acctbal") > 1000)).select(
+        "c_custkey"
+    )
+    keys = sel.select(F.col("c_custkey").cast("string").alias("k"))
+    bits = [r["bit"] for r in sketch.bloom_bits(keys, "k").collect()]
+    mask = sketch.bloom_mask_words(bits)
+    member = sketch.bloom_member(F.col("o_custkey").cast("string"), mask)
+    pre = orders.filter(member)
+    true_matches = orders.join(sel, orders.o_custkey == sel.c_custkey, "left_semi")
+    # soundness: prefilter ⊇ true matches
+    assert true_matches.join(pre, "o_orderkey", "left_anti").count() == 0
+    # selectivity: the prefilter must actually drop rows
+    n_all, n_pre = orders.count(), pre.count()
+    assert n_pre < n_all
