@@ -4604,6 +4604,46 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "source_schema_evolution",
+    """
+    SELECT count(*) AS n_rows,
+           CAST(sum(CASE WHEN n_nationkey >= 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_region,
+           CAST(sum(CASE WHEN n_nationkey >= 12 THEN n_regionkey ELSE 0 END) AS BIGINT) AS region_sum
+    FROM nation
+    """,
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet shards of the same logical
+    table written under DIFFERENT schemas (an old ingest without
+    n_regionkey, a new one with it) are read back as one dataset with
+    ``mergeSchema`` — rows from the old shard surface the added column
+    as NULL, nothing errors, nothing is silently dropped. This is the
+    long-lived-corpus reality at 100 TB: columns get added over years of
+    ingest and a reader must span the history in one scan. mergeSchema
+    costs one footer read per FILE at planning (fine for shard counts;
+    for 10^6-file tables pin the schema explicitly — the same read then
+    needs no merge pass). The oracle computes the identical aggregate
+    from the never-split table, so the evolution round-trip must be
+    lossless, null-fill included."""
+    import os
+
+    nation = load_table(spark, "nation", sf_dir)
+    path = os.path.join(_SCRATCH, "nation_evolving")
+    nation.filter(F.col("n_nationkey") < 12).select(
+        "n_nationkey", "n_name"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "shard=old"))
+    nation.filter(F.col("n_nationkey") >= 12).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "shard=new"))
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return merged.agg(
+        F.count("*").alias("n_rows"),
+        F.count("n_regionkey").alias("n_with_region"),
+        F.sum(F.coalesce("n_regionkey", F.lit(0))).cast("long").alias("region_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering
 # ---------------------------------------------------------------------------
@@ -4630,18 +4670,19 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distinct_event_users, user_activity_pivot, window_funcs_showcase,
 # percentiles_by_flag, rollup_order_stats, cube_order_stats,
 # grouping_sets_orders, left_join_customer_order_counts,
-# full_outer_user_activity, cust_above_nation_avg) — plus 8 bumped
+# full_outer_user_activity, cust_above_nation_avg) — plus 9 bumped
 # late in round 4 to make room for the new curation queries (lang_id,
 # token_count, doc_fingerprint, stats_numeric_exact,
 # array_funcs_embeddings, q10_top_customers_by_revenue,
-# running_user_spend, sliding_window_counts; all r2-green, untouched,
+# running_user_spend, sliding_window_counts, tumbling_hourly_stats;
+# all r2-green, untouched,
 # each exercised transitively by in-window queries:
 # cluster_dedup_keeper replays quality_score's tokenizer,
 # bigram_lm_score the token stream, every ANN query the array math,
 # q3/top_customers_per_nation the join+agg+top-k shape,
-# tumbling_hourly_stats/session_windows the window-agg shape, and the
+# session_windows the window-agg shape, and the
 # streaming goldens the running-state shape). ROUND-5 TODO: rotate all
-# 24 back in — by then they will be three rounds stale. With this
+# 25 back in — by then they will be three rounds stale. With this
 # window, every query in the registry has a driver-green row and none
 # is more than two rounds stale.
 _CHECK_FIRST = [
@@ -4663,6 +4704,7 @@ _CHECK_FIRST = [
     "contrastive_pairs_mining", # new hard-negative pair mining
     "bloom_prefilter_join",  # new runtime-filter join reduction
     "profile_table",         # new one-pass column profiler
+    "source_schema_evolution",  # new mergeSchema evolution read
     # the 15 round-3 additions with no driver row yet
     "quality_repetition_filter",
     "dedup_ngram_corpus",
@@ -4690,7 +4732,6 @@ _CHECK_FIRST = [
     "q3_top_orders",
     "q5_nation_revenue",
     "top_customers_per_nation",
-    "tumbling_hourly_stats",
     "streaming_wordcount_replay",
     "semi_join_open_orders",
     "anti_join_inactive_customers",

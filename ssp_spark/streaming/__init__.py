@@ -406,3 +406,86 @@ def upsert_parquet_sink(
     )
     q.awaitTermination(timeout_s)
     return q
+
+
+def incremental_dedup_sink(
+    sdf: DataFrame,
+    index_path: str,
+    flags_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    timeout_s: float = 120.0,
+):
+    """Streaming ingest dedup against ALL history: each micro-batch of
+    documents is checked for near-duplicates against the accumulated
+    MinHash band index of every prior batch, then its own signatures are
+    appended to the index — the streaming twin of
+    dedup.minhash_lsh_pairs_between, with the index as the persisted
+    state (parquet, one subdirectory per batch).
+
+    Per batch: band the batch (batch-sized work), ONE equi-join against
+    the index on (band, band_sig), write per-doc ``is_dup`` flags. The
+    corpus is never re-paired against itself; per-batch cost is
+    O(batch + candidates), and the state is a parquet table any batch
+    job can also read — no private state-store format.
+
+    Exactly-once: both the flags and the index append land in a
+    ``batch=N`` subdirectory written with overwrite, so a re-delivered
+    micro-batch replaces its own output instead of duplicating it (the
+    idempotent-per-(batch_id) foreachBatch contract). Contract: flags
+    are computed BEFORE the batch joins the index, so within-batch
+    duplicates do not flag each other — run a batch dedup_exact inside
+    the pipeline for that, as the batch path does.
+    """
+    import os
+
+    from ssp_spark.operators import dedup
+
+    def handle(batch_df: DataFrame, batch_id: int):
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            banded = dedup._banded_signatures(
+                batch_df, id_col, text_col, num_hashes, bands, 3
+            ).persist()
+            have_index = os.path.isdir(index_path) and any(
+                d.startswith("batch=") for d in os.listdir(index_path)
+            )
+            if have_index:
+                idx = spark.read.parquet(index_path).select(
+                    "band", "band_sig"
+                )
+                hits = (
+                    banded.join(idx, ["band", "band_sig"])
+                    .select("doc_id")
+                    .distinct()
+                    .withColumn("__dup", F.lit(1))
+                )
+            else:
+                hits = spark.createDataFrame([], "doc_id long").withColumn(
+                    "__dup", F.lit(1)
+                )
+            flags = (
+                batch_df.select(F.col(id_col).alias("doc_id"))
+                .distinct()
+                .join(hits, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("__dup", F.lit(0)).alias("is_dup"),
+                )
+            )
+            flags.write.mode("overwrite").parquet(
+                os.path.join(flags_path, f"batch={batch_id}")
+            )
+            banded.write.mode("overwrite").parquet(
+                os.path.join(index_path, f"batch={batch_id}")
+            )
+            banded.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    q = sdf.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination(timeout_s)
+    return q

@@ -27,6 +27,7 @@ _R4_CHANGED = {
     "contrastive_pairs_mining",
     "bloom_prefilter_join",
     "profile_table",
+    "source_schema_evolution",
 }
 
 # Round 4 group (b): the round-3 additions that had local parity at both
@@ -43,15 +44,15 @@ _R3_UNCHECKED = {
 # back in so no green row is more than two rounds stale. (lang_id,
 # token_count, doc_fingerprint, stats_numeric_exact,
 # array_funcs_embeddings, q10_top_customers_by_revenue,
-# running_user_spend, sliding_window_counts were bumped late in round 4
-# for the new curation queries — see the ROUND-5 TODO in queries.py.)
+# running_user_spend, sliding_window_counts, tumbling_hourly_stats were
+# bumped late in round 4 for the new curation queries — see the ROUND-5
+# TODO in queries.py.)
 _R2_STALE_ROTATED = {
     "session_windows", "dedup_embedding_cosine", "ann_topk_bruteforce",
     "dedup_exact", "dedup_simhash", "dedup_events_keeper",
     "quality_score",
     "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
     "top_customers_per_nation",
-    "tumbling_hourly_stats",
     "streaming_wordcount_replay", "semi_join_open_orders",
     "anti_join_inactive_customers", "range_join_value_bands",
     "asof_join_purchase_signup",
@@ -73,8 +74,9 @@ def test_registry_is_complete_and_fully_oracled():
     # cluster keeper; temperature-scaled domain mixing; bigram-LM
     # perplexity scoring; partitioned sink + pruned scan; incremental
     # batch-vs-corpus dedup; contrastive hard-negative pair mining;
-    # Bloom-prefiltered join reduction; one-pass column profiler).
-    assert len(QUERIES) == 123
+    # Bloom-prefiltered join reduction; one-pass column profiler;
+    # mergeSchema evolution read).
+    assert len(QUERIES) == 124
     # Since round 3: every declared query has an exact DuckDB oracle.
     assert set(ORACLE) == set(QUERIES)
 
