@@ -43,6 +43,14 @@ NAMES = [
     "vocab_coverage",
     "scd1_customer_merge",
     "leakage_safe_split",
+    # late round-4 additions
+    "bigram_lm_score",
+    "cluster_dedup_keeper",
+    "domain_mixture_weights",
+    "dedup_incremental_batch",
+    "contrastive_pairs_mining",
+    "bloom_prefilter_join",
+    "profile_table",
 ]
 
 

@@ -137,3 +137,43 @@ def write_bucketed(
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def compact_dataset(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_bytes: int = 128 << 20,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into
+    ceil(total_bytes / target_bytes) files of ~target size. Returns the
+    output file count.
+
+    Why it's a first-class op at 100 TB: streaming sinks, incremental
+    ingests and per-batch writers leave thousands of KB-scale files; every
+    later scan then pays a task (plus an open/footer read, plus a
+    NameNode/object-store round trip) PER FILE — scan cost becomes
+    O(files), not O(bytes). Periodic compaction restores O(bytes) reads;
+    table formats run exactly this as their OPTIMIZE/rewrite action.
+
+    Plan: one scan + one round-robin repartition (AQE-coalescible) + one
+    write — no key shuffle, no ordering claim. Compaction intentionally
+    targets a NEW location: the swap-into-place commit belongs to the
+    table-format/pointer layer (cf. upsert_parquet_sink's versioned-dir
+    protocol), not to this rewrite.
+    """
+    import math
+
+    total = 0
+    for root, _dirs, files in os.walk(src_path):
+        for f in files:
+            if not f.startswith((".", "_")):
+                total += os.path.getsize(os.path.join(root, f))
+    n_out = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(src_path)
+    df.repartition(n_out).write.mode("overwrite").parquet(dst_path)
+    return sum(
+        1
+        for f in os.listdir(dst_path)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )

@@ -38,3 +38,25 @@ def test_events_ts_microsecond_truncation(spark):
     ).fetchone()[0]
     con.close()
     assert first["ts"] == oracle
+
+
+def test_compact_dataset_reduces_files_preserves_rows(spark, tmp_path):
+    """Compaction: a many-tiny-files dataset rewrites into the computed
+    file count with every row (and value) preserved — the O(files) ->
+    O(bytes) scan-cost restoration."""
+    import os
+
+    from ssp_spark.catalog import compact_dataset, load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    src = str(tmp_path / "fragmented")
+    docs.repartition(64).write.parquet(src)  # 64 tiny files
+    n_src = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    assert n_src == 64
+    dst = str(tmp_path / "compacted")
+    n_out = compact_dataset(spark, src, dst, target_bytes=1 << 20)
+    assert n_out < n_src
+    a = {tuple(r) for r in spark.read.parquet(src).collect()}
+    b = {tuple(r) for r in spark.read.parquet(dst).collect()}
+    assert a == b
