@@ -385,6 +385,70 @@ def embedding_near_dup(
     return out
 
 
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_planes: int = 8,
+    probe_radius: int = 1,
+) -> DataFrame:
+    """Cosine near-dup pairs blocked by LSH bucket — the model-free,
+    both-sides-huge variant embedding_near_dup's docstring promises ("at
+    scale the block key would be an LSH bucket"): candidates are pairs
+    whose sign-hyperplane buckets differ in at most ``probe_radius``
+    bits, generated by exploding one side into the multi-probe mask
+    sequence (similarity.probe_masks) and equi-joining on the probed
+    bucket. Each qualifying pair arises via exactly ONE mask (the XOR of
+    its two buckets), so there are no duplicates to prune, and the
+    quadratic stage is Σ (bucket × its Hamming-ball) — never n².
+
+    Recall follows the same P(≥ n-r planes agree) curve as multi-probe
+    search; pairs the hash misses are the documented trade (raise
+    probe_radius or lower n_planes to loosen the blocking).
+    """
+    from ssp_spark.functions import dot, norm
+    from ssp_spark.operators import similarity
+
+    base = similarity.lsh_buckets(
+        df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")),
+        id_col="vid",
+        vec_col="v",
+        n_planes=n_planes,
+    )
+    base = base.repartition(
+        base.sparkSession.sparkContext.defaultParallelism
+    ).withColumn("nrm", norm("v")).persist()
+    masks = similarity.probe_masks(n_planes, probe_radius)
+    a = (
+        base.select(
+            F.col("vid").alias("id1"),
+            F.col("v").alias("v1"),
+            F.col("nrm").alias("n1"),
+            "bucket",
+        )
+        .withColumn("__m", F.explode(F.array(*[F.lit(m) for m in masks])))
+        .withColumn("bucket", F.col("bucket").bitwiseXOR(F.col("__m")))
+        .drop("__m")
+    )
+    b = base.select(
+        F.col("vid").alias("id2"),
+        F.col("v").alias("v2"),
+        F.col("nrm").alias("n2"),
+        "bucket",
+    )
+    out = (
+        a.join(b, "bucket")
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("cos", F.round(dot("v1", "v2") / (F.col("n1") * F.col("n2")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id1", "id2", "cos")
+        .localCheckpoint()
+    )
+    base.unpersist()
+    return out
+
+
 def connected_components(
     pairs: DataFrame,
     id1: str = "id1",

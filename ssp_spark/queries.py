@@ -4644,6 +4644,36 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "dedup_embedding_lsh",
+    f"""
+    WITH ve AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
+      FROM embeddings
+    ),
+    b AS (SELECT vec_id, v, vn, {_SQL_LSH_BUCKET} AS bucket FROM ve)
+    SELECT a.vec_id AS id1, c.vec_id AS id2,
+           round(list_dot_product(a.v, c.v) / (a.vn * c.vn), 6) AS cos
+    FROM b a JOIN b c
+      ON a.vec_id < c.vec_id
+     AND bit_count(xor(a.bucket, c.bucket)) <= 1
+    WHERE round(list_dot_product(a.v, c.v) / (a.vn * c.vn), 6) >= 0.4
+    """,
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs blocked by LSH bucket
+    (dedup.embedding_near_dup_lsh): the model-free scale path where no
+    label/metadata block key exists — candidate pairs are vectors whose
+    sign-hyperplane buckets differ in <= 1 bit (multi-probe explode +
+    bucket equi-join; never an n² self-join), scored exactly and kept at
+    cosine >= 0.4. The oracle joins on the same Hamming condition
+    (bit_count of the bucket XOR) over the identical inlined sign
+    matrix, so the candidate set — not just the survivors — is verified."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return dedup.embedding_near_dup_lsh(emb, threshold=0.4, probe_radius=1)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering
 # ---------------------------------------------------------------------------
@@ -4670,19 +4700,19 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distinct_event_users, user_activity_pivot, window_funcs_showcase,
 # percentiles_by_flag, rollup_order_stats, cube_order_stats,
 # grouping_sets_orders, left_join_customer_order_counts,
-# full_outer_user_activity, cust_above_nation_avg) — plus 9 bumped
+# full_outer_user_activity, cust_above_nation_avg) — plus 10 bumped
 # late in round 4 to make room for the new curation queries (lang_id,
 # token_count, doc_fingerprint, stats_numeric_exact,
 # array_funcs_embeddings, q10_top_customers_by_revenue,
-# running_user_spend, sliding_window_counts, tumbling_hourly_stats;
-# all r2-green, untouched,
+# running_user_spend, sliding_window_counts, tumbling_hourly_stats,
+# q3_top_orders; all r2-green, untouched,
 # each exercised transitively by in-window queries:
 # cluster_dedup_keeper replays quality_score's tokenizer,
 # bigram_lm_score the token stream, every ANN query the array math,
 # q3/top_customers_per_nation the join+agg+top-k shape,
 # session_windows the window-agg shape, and the
 # streaming goldens the running-state shape). ROUND-5 TODO: rotate all
-# 25 back in — by then they will be three rounds stale. With this
+# 26 back in — by then they will be three rounds stale. With this
 # window, every query in the registry has a driver-green row and none
 # is more than two rounds stale.
 _CHECK_FIRST = [
@@ -4705,6 +4735,7 @@ _CHECK_FIRST = [
     "bloom_prefilter_join",  # new runtime-filter join reduction
     "profile_table",         # new one-pass column profiler
     "source_schema_evolution",  # new mergeSchema evolution read
+    "dedup_embedding_lsh",   # new LSH-blocked embedding near-dup
     # the 15 round-3 additions with no driver row yet
     "quality_repetition_filter",
     "dedup_ngram_corpus",
@@ -4729,7 +4760,6 @@ _CHECK_FIRST = [
     "dedup_events_keeper",
     "quality_score",
     "q1_pricing_summary",
-    "q3_top_orders",
     "q5_nation_revenue",
     "top_customers_per_nation",
     "streaming_wordcount_replay",

@@ -461,3 +461,15 @@ def test_bloom_prefilter_is_literal_scan_filter(spark):
     # orders scan — no join/subquery feeds it
     assert "getbit" in s.split("BroadcastHashJoin", 1)[1]
     assert plans.exchange_count(df) == 1  # only the final aggregate
+
+
+def test_embedding_lsh_dedup_equi_join_no_cartesian(spark):
+    """The LSH-blocked embedding near-dup must be a bucket equi-join fed
+    by the probe-mask explode — no cartesian/nested-loop over the vector
+    set, no Python, no per-row md5 of constants (the sign matrix is
+    literal)."""
+    df = QUERIES["dedup_embedding_lsh"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert not plans.has_cartesian(df)
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    assert "md5" not in s.lower()

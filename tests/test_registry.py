@@ -28,6 +28,7 @@ _R4_CHANGED = {
     "bloom_prefilter_join",
     "profile_table",
     "source_schema_evolution",
+    "dedup_embedding_lsh",
 }
 
 # Round 4 group (b): the round-3 additions that had local parity at both
@@ -51,7 +52,7 @@ _R2_STALE_ROTATED = {
     "session_windows", "dedup_embedding_cosine", "ann_topk_bruteforce",
     "dedup_exact", "dedup_simhash", "dedup_events_keeper",
     "quality_score",
-    "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
+    "q1_pricing_summary", "q5_nation_revenue",
     "top_customers_per_nation",
     "streaming_wordcount_replay", "semi_join_open_orders",
     "anti_join_inactive_customers", "range_join_value_bands",
@@ -75,8 +76,8 @@ def test_registry_is_complete_and_fully_oracled():
     # perplexity scoring; partitioned sink + pruned scan; incremental
     # batch-vs-corpus dedup; contrastive hard-negative pair mining;
     # Bloom-prefiltered join reduction; one-pass column profiler;
-    # mergeSchema evolution read).
-    assert len(QUERIES) == 124
+    # mergeSchema evolution read; LSH-blocked embedding near-dup).
+    assert len(QUERIES) == 125
     # Since round 3: every declared query has an exact DuckDB oracle.
     assert set(ORACLE) == set(QUERIES)
 
