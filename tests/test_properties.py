@@ -186,3 +186,50 @@ def test_merge_upsert_key_semantics(spark, base_keys, chg_keys, del_mask):
     want.update({k: f"c{k}" for k in upserts})
     assert got == want
     assert deletes.isdisjoint(got.keys() & deletes)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    bits=st.lists(st.integers(min_value=0, max_value=4095), min_size=0, max_size=200, unique=True),
+)
+def test_bloom_mask_words_roundtrip(bits):
+    """Packing set-bit positions into 64-bit words is lossless: bit b is
+    set in word b//64 at offset b%64 iff b was in the input — for ANY
+    position set, including the sign-bit positions (word must stay a
+    valid signed 64-bit long for the JVM literal)."""
+    from ssp_spark.operators.sketch import bloom_mask_words
+
+    words = bloom_mask_words(bits)
+    assert len(words) == 64
+    assert all(-(1 << 63) <= w < (1 << 63) for w in words)
+    got = {
+        i * 64 + j
+        for i, w in enumerate(words)
+        for j in range(64)
+        if ((w + (1 << 64)) if w < 0 else w) >> j & 1
+    }
+    assert got == set(bits)
+
+
+@settings(max_examples=30, deadline=None)
+@given(n_planes=st.integers(min_value=1, max_value=12), radius=st.integers(min_value=0, max_value=2))
+def test_probe_masks_cover_exact_hamming_ball(n_planes, radius):
+    """The probe mask sequence is EXACTLY the Hamming ball of the given
+    radius over n_planes bits: right count, unique, every mask within
+    radius, every weight<=radius mask present."""
+    from itertools import combinations
+
+    from ssp_spark.operators.similarity import probe_masks
+
+    masks = probe_masks(n_planes, radius)
+    import math
+
+    want_n = sum(math.comb(n_planes, i) for i in range(radius + 1))
+    assert len(masks) == want_n and len(set(masks)) == want_n
+    assert all(bin(m).count("1") <= radius and m < (1 << n_planes) for m in masks)
+    want = {0}
+    if radius >= 1:
+        want |= {1 << p for p in range(n_planes)}
+    if radius >= 2:
+        want |= {(1 << i) | (1 << j) for i, j in combinations(range(n_planes), 2)}
+    assert set(masks) == want
