@@ -4674,6 +4674,154 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup_lsh(emb, threshold=0.4, probe_radius=1)
 
 
+@_q(
+    "pipeline_curation_v2",
+    f"""
+    WITH RECURSIVE {_SQL_SHINGLES},
+    base AS (SELECT doc_id, {_SQL_HASH64.format(x="sh")} AS h64 FROM sh),
+    mh AS (
+      SELECT doc_id, seed,
+             min(({_SQL_MIX_A}[seed + 1] * (h64 & 4294967295)
+                  + {_SQL_MIX_B}[seed + 1]) & 4294967295) AS minhash
+      FROM base CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) s
+      GROUP BY doc_id, seed
+    ),
+    banded AS (
+      SELECT doc_id, CAST(seed // 3 AS INT) AS band,
+             string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_sig
+      FROM mh GROUP BY doc_id, band
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM banded a JOIN banded b USING (band, band_sig)
+      WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+              UNION ALL SELECT id2, id1 FROM pairs),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, label) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.id
+    ),
+    comp AS (SELECT id AS doc_id, min(label) AS g FROM reach GROUP BY id),
+    qt AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS qtoks
+           FROM documents),
+    qm AS (
+      SELECT doc_id,
+             CAST(len(qtoks) AS INT) AS n_tokens,
+             CAST(list_sum(list_transform(qtoks, x -> length(x))) AS INT) AS total_len,
+             CAST(len(list_filter(qtoks, x -> x IN ('the', 'a', 'of', 'and'))) AS INT) AS n_stop
+      FROM qt
+    ),
+    q AS (
+      SELECT doc_id,
+             round(least(n_tokens / 200.0, 1.0) * 0.5
+                   + least((CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END) * 4, 1.0) * 0.3
+                   + least((CASE WHEN n_tokens > 0 THEN total_len / n_tokens ELSE 0.0 END) / 8.0, 1.0) * 0.2,
+                   4) AS quality
+      FROM qm
+    ),
+    grouped AS (
+      SELECT d.doc_id, COALESCE(c.g, d.doc_id) AS group_id
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    keeper AS (
+      SELECT g.doc_id,
+             CAST(row_number() OVER (PARTITION BY g.group_id
+                                     ORDER BY q.quality DESC, g.doc_id) = 1 AS INT) AS keep
+      FROM grouped g JOIN q ON q.doc_id = g.doc_id
+    ),
+    bbi AS (
+      SELECT qt.doc_id, qtoks[i] || ' ' || qtoks[i+1] AS bg, qtoks[i] AS w1
+      FROM qt, LATERAL (SELECT unnest(generate_series(1, greatest(len(qtoks)-1, 0))) AS i) u
+    ),
+    bc2 AS (SELECT bg, count(*) AS n2 FROM bbi GROUP BY bg),
+    bc1 AS (SELECT w1, count(*) AS n1 FROM bbi GROUP BY w1),
+    bmodel AS (SELECT bg, ln(n2 / n1) AS logp
+               FROM bc2 JOIN bc1 ON split_part(bg, ' ', 1) = w1),
+    blm AS (
+      SELECT doc_id, round(exp(-avg(logp)), 4) AS ppl
+      FROM bbi JOIN bmodel USING (bg) GROUP BY doc_id
+    ),
+    rg AS (
+      SELECT qt.doc_id, qtoks[i] || ' ' || qtoks[i+1] AS g2
+      FROM qt, LATERAL (SELECT unnest(generate_series(1, greatest(len(qtoks)-1, 0))) AS i) u
+    ),
+    rper AS (SELECT doc_id, g2, count(*) AS c FROM rg GROUP BY doc_id, g2),
+    rst AS (SELECT doc_id, CAST(sum(c) AS INT) AS n_bigrams, max(c) AS maxr, count(*) AS nd
+            FROM rper GROUP BY doc_id),
+    rkeep AS (
+      SELECT doc_id,
+             CAST(maxr / n_bigrams <= 0.18 AND (n_bigrams - nd) / n_bigrams <= 0.30 AS INT) AS keep
+      FROM rst
+    )
+    SELECT d.source, count(*) AS n_docs,
+           CAST(sum(len(list_filter(regexp_split_to_array(d.text, '\\s+'), x -> x <> ''))) AS BIGINT) AS total_tokens,
+           CAST(sum(d.doc_id) AS BIGINT) AS id_checksum
+    FROM documents d
+    JOIN blm ON blm.doc_id = d.doc_id
+    JOIN rkeep ON rkeep.doc_id = d.doc_id
+    JOIN keeper ON keeper.doc_id = d.doc_id
+    WHERE blm.ppl <= 30.0 AND rkeep.keep = 1 AND keeper.keep = 1
+    GROUP BY d.source
+    """,
+)
+def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 flagship composition: every late-round curation signal
+    in ONE lazy plan. Per document — bigram-LM perplexity (drop the
+    too-surprising tail, ppl > 30), Gopher repetition flags (drop
+    repetitive boilerplate), and quality-ranked near-dup keeper selection
+    (one survivor per MinHash cluster) — intersected, then rolled up to a
+    per-source manifest (doc counts, token budget, id checksum so every
+    retained membership is transitively verified by the oracle).
+
+    Semantics notes: docs with < 2 tokens carry no LM score or
+    repetition stats and are excluded by the inner joins (undefined
+    signals drop, as each operator documents); the ppl threshold
+    compares the ROUNDED value both engines hash-match on, so the band
+    edge is engine-exact.
+
+    Scale: pure composition of shipped plans — the corpus is scanned a
+    bounded number of times (LM model+score, minhash signatures,
+    quality, repetition, final rollup; each scan-bounded operator keeps
+    its own asserted shuffle budget) and every join is on doc_id. At
+    100 TB you'd materialize the per-doc signal table once (one write)
+    and run the intersection off it; the lazy form here proves the
+    operators compose without driver-side glue."""
+    docs = load_table(spark, "documents", sf_dir)
+    lm = text.lm_score(docs).select("doc_id", "ppl")
+    rep = text.repetition_stats(docs).select(
+        "doc_id", F.col("keep").alias("rep_keep")
+    )
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=12, bands=4)
+    comp = dedup.connected_components(pairs).withColumnRenamed("id", "doc_id")
+    q = text.quality_score(docs).select("doc_id", "quality")
+    grouped = docs.join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("component_id", F.col("doc_id")).alias("group_id")
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    keeper = (
+        grouped.join(q, "doc_id")
+        .select("doc_id", (F.row_number().over(w) == 1).cast("int").alias("keep"))
+    )
+    retained = (
+        docs.join(lm, "doc_id")
+        .join(rep, "doc_id")
+        .join(keeper, "doc_id")
+        .filter(
+            (F.col("ppl") <= 30.0) & (F.col("rep_keep") == 1) & (F.col("keep") == 1)
+        )
+    )
+    return retained.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("total_tokens"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering
 # ---------------------------------------------------------------------------
@@ -4700,19 +4848,19 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distinct_event_users, user_activity_pivot, window_funcs_showcase,
 # percentiles_by_flag, rollup_order_stats, cube_order_stats,
 # grouping_sets_orders, left_join_customer_order_counts,
-# full_outer_user_activity, cust_above_nation_avg) — plus 10 bumped
+# full_outer_user_activity, cust_above_nation_avg) — plus 11 bumped
 # late in round 4 to make room for the new curation queries (lang_id,
 # token_count, doc_fingerprint, stats_numeric_exact,
 # array_funcs_embeddings, q10_top_customers_by_revenue,
 # running_user_spend, sliding_window_counts, tumbling_hourly_stats,
-# q3_top_orders; all r2-green, untouched,
+# q3_top_orders, dedup_exact; all r2-green, untouched,
 # each exercised transitively by in-window queries:
 # cluster_dedup_keeper replays quality_score's tokenizer,
 # bigram_lm_score the token stream, every ANN query the array math,
 # q3/top_customers_per_nation the join+agg+top-k shape,
 # session_windows the window-agg shape, and the
 # streaming goldens the running-state shape). ROUND-5 TODO: rotate all
-# 26 back in — by then they will be three rounds stale. With this
+# 27 back in — by then they will be three rounds stale. With this
 # window, every query in the registry has a driver-green row and none
 # is more than two rounds stale.
 _CHECK_FIRST = [
@@ -4736,6 +4884,7 @@ _CHECK_FIRST = [
     "profile_table",         # new one-pass column profiler
     "source_schema_evolution",  # new mergeSchema evolution read
     "dedup_embedding_lsh",   # new LSH-blocked embedding near-dup
+    "pipeline_curation_v2",  # new flagship composition of the above
     # the 15 round-3 additions with no driver row yet
     "quality_repetition_filter",
     "dedup_ngram_corpus",
@@ -4755,7 +4904,6 @@ _CHECK_FIRST = [
     "session_windows",
     "dedup_embedding_cosine",
     "ann_topk_bruteforce",
-    "dedup_exact",
     "dedup_simhash",
     "dedup_events_keeper",
     "quality_score",

@@ -29,6 +29,7 @@ _R4_CHANGED = {
     "profile_table",
     "source_schema_evolution",
     "dedup_embedding_lsh",
+    "pipeline_curation_v2",
 }
 
 # Round 4 group (b): the round-3 additions that had local parity at both
@@ -50,7 +51,7 @@ _R3_UNCHECKED = {
 # TODO in queries.py.)
 _R2_STALE_ROTATED = {
     "session_windows", "dedup_embedding_cosine", "ann_topk_bruteforce",
-    "dedup_exact", "dedup_simhash", "dedup_events_keeper",
+    "dedup_simhash", "dedup_events_keeper",
     "quality_score",
     "q1_pricing_summary", "q5_nation_revenue",
     "top_customers_per_nation",
@@ -76,8 +77,9 @@ def test_registry_is_complete_and_fully_oracled():
     # perplexity scoring; partitioned sink + pruned scan; incremental
     # batch-vs-corpus dedup; contrastive hard-negative pair mining;
     # Bloom-prefiltered join reduction; one-pass column profiler;
-    # mergeSchema evolution read; LSH-blocked embedding near-dup).
-    assert len(QUERIES) == 125
+    # mergeSchema evolution read; LSH-blocked embedding near-dup;
+    # the pipeline_curation_v2 flagship composition).
+    assert len(QUERIES) == 126
     # Since round 3: every declared query has an exact DuckDB oracle.
     assert set(ORACLE) == set(QUERIES)
 
