@@ -289,6 +289,7 @@ def upsert_parquet_sink(
     path: str,
     key_cols: list[str],
     timeout_s: float = 120.0,
+    keep_versions: int = 1,
 ):
     """Streaming materialized view: maintain a parquet table keyed by
     ``key_cols`` from an update-mode aggregate (the reference's collect
@@ -392,8 +393,13 @@ def upsert_parquet_sink(
                 os.remove(swap)
             os.symlink(os.path.basename(new_v), swap)
             os.replace(swap, apath)  # atomic pointer flip
-            for _, d in versions():  # superseded copies die only now
-                if d != os.path.realpath(apath):
+            # superseded copies die only now; ``keep_versions`` newest
+            # complete snapshots are RETAINED (time travel — the manifest
+            # history a table format keeps; read_table_version reads one)
+            done = [d for _, d in versions() if complete(d)]
+            keep = set(done[-max(keep_versions, 1) :]) | {os.path.realpath(apath)}
+            for _, d in versions():
+                if d not in keep:
                     shutil.rmtree(d, ignore_errors=True)
         finally:
             batch_df.unpersist()
@@ -489,3 +495,43 @@ def incremental_dedup_sink(
     q = sdf.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
     q.awaitTermination(timeout_s)
     return q
+
+
+def table_versions(path: str) -> list[int]:
+    """Retained complete snapshot versions of an upsert_parquet_sink
+    table, oldest first (the readable time-travel history)."""
+    import os
+
+    apath = os.path.abspath(path)
+    parent, base = os.path.split(apath)
+    out = []
+    if os.path.isdir(parent):
+        for d in os.listdir(parent):
+            if d.startswith(base + ".__v"):
+                full = os.path.join(parent, d)
+                if os.path.exists(os.path.join(full, "_SUCCESS")):
+                    try:
+                        out.append(int(d[len(base) + 4 :]))
+                    except ValueError:
+                        pass
+    return sorted(out)
+
+
+def read_table_version(spark: SparkSession, path: str, version: int | None = None):
+    """Time-travel read of an upsert_parquet_sink table: ``version=None``
+    resolves the live pointer (current state); an integer reads that
+    retained snapshot — the "AS OF version" query a table format serves
+    from its manifest history. Raises if the snapshot was not retained
+    (``keep_versions`` bounds the history).
+    """
+    import os
+
+    if version is None:
+        return spark.read.parquet(os.path.abspath(path))
+    target = f"{os.path.abspath(path)}.__v{version}"
+    if not os.path.exists(os.path.join(target, "_SUCCESS")):
+        raise ValueError(
+            f"version {version} of {path} is not retained "
+            f"(available: {table_versions(path)})"
+        )
+    return spark.read.parquet(target)

@@ -746,3 +746,33 @@ def test_incremental_dedup_sink_flags_against_history(spark, tmpdir):
     assert {p[0] for p in batch_pairs} == {3}
     # convergence: a fresh replay of the same bounded source agrees
     assert run("b") == got
+
+
+def test_upsert_sink_time_travel_versions(spark, tmpdir):
+    """keep_versions retains snapshot history: after a two-batch replay
+    with keep_versions=2, the PREVIOUS version reads as the state after
+    batch 1 alone, the live pointer as the final merged state, and
+    version listing reflects exactly the retained history."""
+    src = os.path.join(tmpdir, "tt_src")
+    _write_parquet(spark, [("a",), ("b",), ("a",)], "word string", src)
+    _write_parquet(spark, [("b",), ("c",)], "word string", src)
+
+    sdf = spark.readStream.schema("word string").option("maxFilesPerTrigger", 1).parquet(src)
+    counts = sdf.groupBy("word").count()
+    out = os.path.join(tmpdir, "tt_view")
+    ss.upsert_parquet_sink(counts, out, ["word"], keep_versions=2)
+
+    vs = ss.table_versions(out)
+    assert len(vs) == 2
+    prev = {
+        (r["word"], r["count"])
+        for r in ss.read_table_version(spark, out, vs[0]).collect()
+    }
+    assert prev == {("a", 2), ("b", 1)}
+    live = {
+        (r["word"], r["count"])
+        for r in ss.read_table_version(spark, out).collect()
+    }
+    assert live == {("a", 2), ("b", 2), ("c", 1)}
+    with pytest.raises(ValueError):
+        ss.read_table_version(spark, out, 999)
