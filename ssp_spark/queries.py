@@ -4822,6 +4822,76 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "quality_zscore_by_source",
+    r"""
+    WITH qt AS (SELECT doc_id, source,
+                       list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS qtoks
+                FROM documents),
+    qm AS (
+      SELECT doc_id, source,
+             CAST(len(qtoks) AS INT) AS n_tokens,
+             CAST(list_sum(list_transform(qtoks, x -> length(x))) AS INT) AS total_len,
+             CAST(len(list_filter(qtoks, x -> x IN ('the', 'a', 'of', 'and'))) AS INT) AS n_stop
+      FROM qt
+    ),
+    q AS (
+      SELECT doc_id, source,
+             round(least(n_tokens / 200.0, 1.0) * 0.5
+                   + least((CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END) * 4, 1.0) * 0.3
+                   + least((CASE WHEN n_tokens > 0 THEN total_len / n_tokens ELSE 0.0 END) / 8.0, 1.0) * 0.2,
+                   4) AS quality
+      FROM qm
+    ),
+    i AS (SELECT doc_id, source, quality,
+                 CAST(round(quality * 10000) AS BIGINT) AS qi FROM q),
+    s AS (SELECT *, count(*) OVER (PARTITION BY source) AS n,
+                 sum(qi) OVER (PARTITION BY source) AS s1,
+                 sum(qi * qi) OVER (PARTITION BY source) AS s2
+          FROM i)
+    SELECT doc_id, source, quality,
+           round(CASE WHEN (s2 - s1 * s1 / n) / n > 0
+                      THEN (qi - s1 / n) / sqrt((s2 - s1 * s1 / n) / n)
+                      ELSE 0.0 END, 4) AS quality_z
+    FROM s
+    """,
+)
+def quality_zscore_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality calibration: standardize each document's
+    quality score WITHIN its source domain (z = (q - μ_src)/σ_src) — the
+    step that makes one global quality threshold meaningful across
+    domains whose raw score distributions differ (a threshold tuned on
+    web text would otherwise mass-drop a stylistically different domain).
+
+    Exactness device: quality is rounded to 4 decimals (hash-proven
+    equal cross-engine), so quality×10⁴ is an EXACT integer; μ and σ
+    come from integer sums (Σqi, Σqi², n — all order-independent), so
+    the z-score is a deterministic chain of exact-input double ops in
+    both engines — no FP-order-dependent variance (the same trick as
+    stats_numeric_exact). σ=0 domains emit z=0 (constant-quality domain
+    has nothing to rank).
+
+    Scale: one quality projection + ONE hash exchange on the domain key
+    for the moment windows; per-domain moments are 3 numbers, rows flow
+    through once."""
+    docs = load_table(spark, "documents", sf_dir)
+    q = text.quality_score(docs).select("doc_id", "source", "quality")
+    qi = F.round(F.col("quality") * 10000).cast("long")
+    w = Window.partitionBy("source")
+    s = (
+        q.withColumn("qi", qi)
+        .withColumn("n", F.count("*").over(w))
+        .withColumn("s1", F.sum("qi").over(w))
+        .withColumn("s2", F.sum(F.col("qi") * F.col("qi")).over(w))
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.col("n")
+    z = F.when(
+        var > 0,
+        (F.col("qi") - F.col("s1") / F.col("n")) / F.sqrt(var),
+    ).otherwise(F.lit(0.0))
+    return s.select("doc_id", "source", "quality", F.round(z, 4).alias("quality_z"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering
 # ---------------------------------------------------------------------------
@@ -4848,19 +4918,20 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distinct_event_users, user_activity_pivot, window_funcs_showcase,
 # percentiles_by_flag, rollup_order_stats, cube_order_stats,
 # grouping_sets_orders, left_join_customer_order_counts,
-# full_outer_user_activity, cust_above_nation_avg) — plus 11 bumped
+# full_outer_user_activity, cust_above_nation_avg) — plus 12 bumped
 # late in round 4 to make room for the new curation queries (lang_id,
 # token_count, doc_fingerprint, stats_numeric_exact,
 # array_funcs_embeddings, q10_top_customers_by_revenue,
 # running_user_spend, sliding_window_counts, tumbling_hourly_stats,
-# q3_top_orders, dedup_exact; all r2-green, untouched,
+# q3_top_orders, dedup_exact, semi_join_open_orders; all r2-green,
+# untouched,
 # each exercised transitively by in-window queries:
 # cluster_dedup_keeper replays quality_score's tokenizer,
 # bigram_lm_score the token stream, every ANN query the array math,
 # q3/top_customers_per_nation the join+agg+top-k shape,
 # session_windows the window-agg shape, and the
 # streaming goldens the running-state shape). ROUND-5 TODO: rotate all
-# 27 back in — by then they will be three rounds stale. With this
+# 28 back in — by then they will be three rounds stale. With this
 # window, every query in the registry has a driver-green row and none
 # is more than two rounds stale.
 _CHECK_FIRST = [
@@ -4885,6 +4956,7 @@ _CHECK_FIRST = [
     "source_schema_evolution",  # new mergeSchema evolution read
     "dedup_embedding_lsh",   # new LSH-blocked embedding near-dup
     "pipeline_curation_v2",  # new flagship composition of the above
+    "quality_zscore_by_source",  # new per-domain quality calibration
     # the 15 round-3 additions with no driver row yet
     "quality_repetition_filter",
     "dedup_ngram_corpus",
@@ -4911,7 +4983,6 @@ _CHECK_FIRST = [
     "q5_nation_revenue",
     "top_customers_per_nation",
     "streaming_wordcount_replay",
-    "semi_join_open_orders",
     "anti_join_inactive_customers",
     "range_join_value_bands",
     "asof_join_purchase_signup",

@@ -30,6 +30,7 @@ _R4_CHANGED = {
     "source_schema_evolution",
     "dedup_embedding_lsh",
     "pipeline_curation_v2",
+    "quality_zscore_by_source",
 }
 
 # Round 4 group (b): the round-3 additions that had local parity at both
@@ -55,7 +56,7 @@ _R2_STALE_ROTATED = {
     "quality_score",
     "q1_pricing_summary", "q5_nation_revenue",
     "top_customers_per_nation",
-    "streaming_wordcount_replay", "semi_join_open_orders",
+    "streaming_wordcount_replay",
     "anti_join_inactive_customers", "range_join_value_bands",
     "asof_join_purchase_signup",
     "multimodal_features", "multimodal_frame_sampling",
@@ -78,8 +79,9 @@ def test_registry_is_complete_and_fully_oracled():
     # batch-vs-corpus dedup; contrastive hard-negative pair mining;
     # Bloom-prefiltered join reduction; one-pass column profiler;
     # mergeSchema evolution read; LSH-blocked embedding near-dup;
-    # the pipeline_curation_v2 flagship composition).
-    assert len(QUERIES) == 126
+    # the pipeline_curation_v2 flagship composition; per-domain quality
+    # z-score calibration).
+    assert len(QUERIES) == 127
     # Since round 3: every declared query has an exact DuckDB oracle.
     assert set(ORACLE) == set(QUERIES)
 
