@@ -26,6 +26,7 @@ __all__ = [
     "tokens",
     "distinct_tokens",
     "shingles",
+    "qgrams",
     "dot",
     "norm",
     "cosine",
@@ -112,6 +113,21 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     idx = F.sequence(F.lit(1), n_sh)  # 1-based for slice()
     return F.when(n_sh <= 0, F.array().cast("array<string>")).otherwise(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def qgrams(text: Column | str, q: int = 2) -> Column:
+    """array<string> of character q-grams, order-preserving.
+
+    Pure Catalyst (transform over an index sequence + substr), the
+    character-level sibling of ``shingles``; feeds the fuzzy-join
+    blocking in operators/fuzzy.py.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    n_g = F.greatest(F.length(c) - F.lit(q - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), n_g)  # 1-based for substr()
+    return F.when(n_g <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: c.substr(i, F.lit(q)))
     )
 
 

@@ -1,0 +1,141 @@
+"""Approximate string matching: q-gram-blocked fuzzy (edit-distance) join.
+
+The reference has no string-similarity surface at all (its closest
+analogue is user Go closures over strings, engine_test.go:549-573); this
+module is part of the §6 training-pipeline extension family — entity
+resolution over noisy names/titles is a standard curation step (merging
+near-identical source names before per-domain mixing, collapsing scraped
+title variants before dedup).
+
+Design for 100 TB — never n² on strings:
+
+- Candidate generation is **prefix-filtered q-gram blocking** (the
+  classic filter from the similarity-join literature, e.g. Chaudhuri et
+  al. SSJoin / Xiao et al. ppjoin): a single edit operation destroys at
+  most ``q`` character q-grams, so two strings within edit distance
+  ``d`` share all but at most ``d*q`` of their grams. By the prefix
+  filter, if every string keeps only its ``d*q + 1`` globally RAREST
+  grams (rarest-first is the universal order that minimizes candidates),
+  any qualifying pair still collides on at least one kept gram. Each
+  string therefore feeds a CONSTANT number of index entries regardless
+  of its length — the inverted index is O(n), not O(n·len).
+- The gram document-frequency table used for the rarest-first order is
+  bounded by the alphabet: |Σ|^q distinct grams (~thousands for q=2), so
+  it is ALWAYS broadcast — the corpus never shuffles to learn gram
+  frequencies; it shuffles once keyed by string id to pick its prefix,
+  and once keyed by gram to build the inverted index.
+- Verification is exact ``levenshtein`` on the candidate pairs only,
+  after a free length prefilter (|len(a)-len(b)| <= d is implied by
+  edit distance <= d). Candidate volume tracks the true match density.
+
+Exactness contract: the prefix filter's overlap bound is stated on the
+positional gram multiset; this implementation indexes DISTINCT grams,
+which can only weaken the bound for strings with internally repeated
+grams, and short strings (fewer than ``q*(d+1) - q + 1`` characters,
+i.e. gram count <= d*q) keep ALL their grams but may still share none
+with a qualifying partner. Callers needing provable losslessness should
+ensure min string length >= q*(d+1) and low internal gram repetition —
+both hold for the word-like name columns this targets; the oracle query
+verifies the blocked result hash-equals the naive all-pairs ground truth
+at two scales.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ssp_spark.functions import qgrams
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str = "name",
+    str_col: str = "name",
+    max_dist: int = 2,
+    q: int = 2,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """All pairs (id1 < id2) with levenshtein(str1, str2) <= max_dist.
+
+    Plan shape (asserted in test_plans.py): gram doc-freq aggregate
+    (|Σ|^q rows) broadcast back onto the exploded grams; one shuffle
+    keyed by id collects each string's grams and keeps the d*q+1 rarest
+    (array_sort on (freq, gram) structs + slice — no per-id window); one
+    shuffle keyed by gram builds the inverted index; candidate pairs by
+    per-row sorted-array combinatorics (the jaccard_pairs pattern — no
+    self-join); distinct; then a broadcast-joined length prefilter and
+    the exact levenshtein verify. No stage is quadratic in n.
+    """
+    keep = max_dist * q + 1
+    base = (
+        df.select(F.col(id_col).alias("fid"), F.col(str_col).alias("fstr"))
+        .filter(F.col("fstr").isNotNull())
+        .distinct()
+    )
+    base = base.repartition(base.sparkSession.sparkContext.defaultParallelism).persist()
+
+    grams = base.select("fid", F.explode(F.array_distinct(qgrams(F.col("fstr"), q))).alias("g"))
+    # Gram vocabulary is alphabet-bounded (|Σ|^q) — broadcast by contract.
+    gram_df = grams.groupBy("g").agg(F.count("*").alias("gdf"))
+
+    # Per-string prefix: rarest keep grams under the universal
+    # (frequency, gram) order. collect_list + array_sort + slice keeps
+    # the whole selection in one keyed exchange.
+    prefix = (
+        grams.join(F.broadcast(gram_df), "g")
+        .groupBy("fid")
+        .agg(F.array_sort(F.collect_list(F.struct("gdf", "g"))).alias("sg"))
+        .select("fid", F.explode(F.slice("sg", 1, keep)).alias("kg"))
+        .select("fid", F.col("kg.g").alias("g"))
+    )
+
+    # Inverted index -> i<j candidate pairs via suffix-slice combinatorics
+    # (see jaccard_pairs for the degenerate-sequence re-filter rationale).
+    inv = prefix.groupBy("g").agg(F.array_sort(F.collect_set("fid")).alias("ids"))
+    ids = F.col("ids")
+    idx = F.filter(
+        F.sequence(F.lit(1), F.size(ids) - 1),
+        lambda i: (i >= 1) & (i < F.size(ids)),
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.slice(ids, i + 1, F.size(ids) - i),
+                lambda y: F.struct(F.element_at(ids, i).alias("id1"), y.alias("id2")),
+            ),
+        )
+    )
+    cand = (
+        inv.select(F.explode(pair_arr).alias("p"))
+        .select("p.id1", "p.id2")
+        .distinct()
+    )
+
+    # Verify: length prefilter (free: |len1-len2| <= d is implied by
+    # edit distance <= d) then exact levenshtein. The name table is tiny
+    # next to the pair stream — broadcast both lookups.
+    names = base.select(F.col("fid"), F.col("fstr"), F.length("fstr").alias("flen"))
+    out = (
+        cand.join(
+            F.broadcast(names.select(F.col("fid").alias("id1"), F.col("fstr").alias("s1"), F.col("flen").alias("l1"))),
+            "id1",
+        )
+        .join(
+            F.broadcast(names.select(F.col("fid").alias("id2"), F.col("fstr").alias("s2"), F.col("flen").alias("l2"))),
+            "id2",
+        )
+        .filter(F.abs(F.col("l1") - F.col("l2")) <= max_dist)
+        .withColumn("dist", F.levenshtein("s1", "s2"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id1", "id2", "s1", "s2", "dist")
+    )
+    if not checkpoint:
+        # plan-inspection path (tests assert on the REAL plan; eager
+        # localCheckpoint would truncate it to an ExistingRDD scan) —
+        # callers keep `base` persisted for the plan's lifetime
+        return out
+    out = out.localCheckpoint()
+    base.unpersist()
+    return out

@@ -29,6 +29,7 @@ from ssp_spark.functions import cosine, portable_hash64, tokens
 from ssp_spark.operators import (
     cluster,
     dedup,
+    fuzzy,
     graph,
     packing,
     relational,
@@ -4890,6 +4891,117 @@ def quality_zscore_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("qi") - F.col("s1") / F.col("n")) / F.sqrt(var),
     ).otherwise(F.lit(0.0))
     return s.select("doc_id", "source", "quality", F.round(z, 4).alias("quality_z"))
+
+
+# ---------------------------------------------------------------------------
+# Round-4 continuation: approximate string matching + entity resolution
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "fuzzy_name_pairs",
+    """
+    WITH n AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL)
+    SELECT a.p_name AS name1, b.p_name AS name2,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM n a JOIN n b ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join on part names: all distinct-name pairs within
+    levenshtein distance 2, found by prefix-filtered q-gram blocking
+    (operators.fuzzy — constant index entries per string, broadcast
+    gram-frequency table, no n² stage). The ORACLE is the naive
+    all-pairs ground truth, so the hash match proves the blocking chain
+    lossless on this column (min name length 7 >= q*(d+1) = 6, the
+    prefix-filter exactness precondition). Both engines' levenshtein
+    is the unweighted edit distance."""
+    part = load_table(spark, "part", sf_dir)
+    pairs = fuzzy.fuzzy_pairs(part, id_col="p_name", str_col="p_name", max_dist=2, q=2)
+    return pairs.select(
+        F.col("s1").alias("name1"),
+        F.col("s2").alias("name2"),
+        F.col("dist").cast("int").alias("dist"),
+    )
+
+
+@_q(
+    "entity_resolution_parts",
+    """
+    WITH RECURSIVE names AS (
+      SELECT p_name, min(p_partkey) AS nid, count(*) AS n_parts
+      FROM part WHERE p_name IS NOT NULL GROUP BY p_name
+    ),
+    pairs AS (
+      SELECT a.nid AS id1, b.nid AS id2
+      FROM names a JOIN names b ON a.nid < b.nid
+      WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ),
+    edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+              UNION ALL SELECT id2, id1 FROM pairs),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, label) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.id
+    ),
+    comp AS (SELECT id, min(label) AS component_id FROM reach GROUP BY id),
+    labeled AS (
+      SELECT n.p_name, n.n_parts, coalesce(c.component_id, n.nid) AS component_id
+      FROM names n LEFT JOIN comp c ON c.id = n.nid
+    )
+    SELECT l.component_id,
+           min(n2.p_name) AS canonical_name,
+           CAST(count(*) AS BIGINT) AS n_names,
+           CAST(sum(l.n_parts) AS BIGINT) AS n_parts
+    FROM labeled l JOIN names n2 ON n2.nid = l.component_id
+    GROUP BY l.component_id
+    """,
+)
+def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over noisy part names: fuzzy pairs (q-gram
+    blocked, levenshtein <= 2) -> connected components -> one canonical
+    record per entity cluster (canonical = the name holding the min
+    part key in the cluster), with variant and row coverage counts.
+    The standard curation step for collapsing scraped name variants
+    before per-entity aggregation; reuses the iterative CC operator, so
+    the oracle's recursive CTE verifies the fixpoint transitively.
+    Singleton names (no fuzzy partner) are their own component."""
+    part = load_table(spark, "part", sf_dir)
+    names = (
+        part.filter(F.col("p_name").isNotNull())
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("nid"), F.count("*").alias("n_parts"))
+    ).persist()
+    pairs = fuzzy.fuzzy_pairs(names, id_col="nid", str_col="p_name", max_dist=2, q=2)
+    comp = dedup.connected_components(pairs)
+    labeled = (
+        names.join(comp, names.nid == comp.id, "left")
+        .select(
+            "p_name",
+            "n_parts",
+            F.coalesce("component_id", "nid").alias("component_id"),
+        )
+    )
+    canon = names.select(F.col("nid").alias("component_id"), F.col("p_name").alias("__cn"))
+    out = (
+        labeled.groupBy("component_id")
+        .agg(
+            F.count("*").alias("n_names"),
+            F.sum("n_parts").cast("long").alias("n_parts"),
+        )
+        .join(F.broadcast(canon), "component_id")
+        .select(
+            "component_id",
+            F.col("__cn").alias("canonical_name"),
+            F.col("n_names").cast("long").alias("n_names"),
+            "n_parts",
+        )
+    )
+    out = out.localCheckpoint()
+    names.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,108 @@
+"""Fuzzy (edit-distance) join: q-gram expression semantics, blocking
+losslessness on constructed corpora, and the scale-shape plan asserts.
+
+The driver-facing correctness signal is the fuzzy_name_pairs /
+entity_resolution_parts oracle rows (the DuckDB side is the NAIVE
+all-pairs ground truth, so a hash match proves the prefix-filtered
+blocking lossless end-to-end); these tests pin the pieces in isolation.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ssp_spark import plans
+from ssp_spark.functions import qgrams
+from ssp_spark.operators import fuzzy
+from ssp_spark.queries import QUERIES
+from tests.conftest import SF_SMOKE
+
+
+def test_qgrams_expression(spark):
+    df = spark.createDataFrame(
+        [("abcd",), ("ab",), ("a",), ("",), (None,)], ["s"]
+    ).select(qgrams("s", 2).alias("g"))
+    got = [r.g for r in df.collect()]
+    assert got[0] == ["ab", "bc", "cd"]
+    assert got[1] == ["ab"]
+    assert got[2] == []  # shorter than q
+    assert got[3] == []
+    # null in -> empty out (greatest(NULL-1, 0) = 0 — greatest skips
+    # nulls — so the guard branch fires); the operator filters nulls
+    # before gram extraction anyway
+    assert got[4] == []
+
+
+def test_fuzzy_pairs_finds_known_edits(spark):
+    rows = [
+        (1, "small ring"),
+        (2, "small ping"),   # dist 1 from #1 (substitution)
+        (3, "small rings"),  # dist 1 from #1 (insertion), 2 from #2
+        (4, "large gear"),   # no partner within 2
+        (5, "larger gear"),  # dist 1 from #4
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {
+        (r.id1, r.id2): r.dist
+        for r in fuzzy.fuzzy_pairs(df, "id", "name", max_dist=2).collect()
+    }
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 2, (4, 5): 1}
+
+
+def test_fuzzy_pairs_distinct_despite_multiple_shared_grams(spark):
+    # a pair colliding on SEVERAL kept grams must still appear once
+    df = spark.createDataFrame([(1, "abcdefgh"), (2, "abcdefgx")], ["id", "name"])
+    out = fuzzy.fuzzy_pairs(df, "id", "name", max_dist=2).collect()
+    assert len(out) == 1 and out[0].dist == 1
+
+
+def test_fuzzy_pairs_respects_threshold(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, "abxxefgh"), (3, "abxxxfgh")], ["id", "name"]
+    )
+    got = {(r.id1, r.id2) for r in fuzzy.fuzzy_pairs(df, "id", "name", max_dist=2).collect()}
+    # 1-2 dist 2 (in), 2-3 dist 1 (in), 1-3 dist 3 (out)
+    assert got == {(1, 2), (2, 3)}
+
+
+def test_fuzzy_prefix_index_is_constant_per_string(spark):
+    # every string contributes at most d*q+1 index entries regardless of
+    # length — the property that keeps the inverted index O(n) at 100 TB
+    long_names = [(i, "x" * i + "abcdefghijklmnop") for i in range(1, 8)]
+    df = spark.createDataFrame(long_names, ["id", "name"])
+    # reach into the plan: count index entries by reproducing the prefix
+    # selection (the operator's contract, not its internals)
+    out = fuzzy.fuzzy_pairs(df, "id", "name", max_dist=1, q=2)
+    assert out.count() >= 0  # runs; the real bound assert is on the plan
+    s = plans.plan_string(
+        fuzzy.fuzzy_pairs(df, "id", "name", max_dist=1, q=2, checkpoint=False), "simple"
+    )
+    assert ", 1, 3)" in s  # slice(sg, 1, 3): d*q+1 = 3 rarest grams kept
+
+
+def test_fuzzy_pairs_plan_shape(spark):
+    """The 100 TB contract: gram-frequency lookup is a BROADCAST join,
+    no cartesian/nested-loop anywhere, candidate pairs come from the
+    sorted-array combinatorics (no self-join), and verification is
+    JVM-side levenshtein — no Python at row level."""
+    part = spark.read.parquet(f"{SF_SMOKE}/part.parquet")
+    df = fuzzy.fuzzy_pairs(part, "p_name", "p_name", max_dist=2, checkpoint=False)
+    s = plans.plan_string(df, "simple")
+    assert not plans.has_cartesian(df)
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    assert "levenshtein" in s
+    assert plans.broadcast_join_count(df) >= 3  # gram-df + two name lookups
+
+
+def test_entity_resolution_singletons_kept(spark):
+    out = {
+        r.canonical_name: (r.n_names, r.n_parts)
+        for r in QUERIES["entity_resolution_parts"](spark, SF_SMOKE).collect()
+    }
+    part = spark.read.parquet(f"{SF_SMOKE}/part.parquet")
+    n_names = part.select("p_name").distinct().count()
+    n_rows = part.count()
+    # every name lands in exactly one cluster; row coverage is total
+    assert sum(v[0] for v in out.values()) == n_names
+    assert sum(v[1] for v in out.values()) == n_rows
