@@ -1,0 +1,173 @@
+"""Distributed linear algebra over embedding columns: exact quantized
+covariance/gram moments and a driver-side PCA power iteration.
+
+Not in the reference (no numeric-array surface exists there); this is a
+§6-extension family — covariance structure and principal components are
+standard curation diagnostics (embedding-drift checks, whitening,
+low-rank projection before clustering).
+
+Design for 100 TB:
+
+- **One pass, one bounded shuffle.** All first moments (S_i), second
+  moments (S_ij, upper triangle) and the row count ride ONE groupBy:
+  each row explodes its d(d+1)/2 in-row products plus d first-moment
+  cells, and map-side combine collapses every partition to <= d(d+3)/2
+  cells before the exchange — shuffle volume is O(d² × partitions),
+  independent of row count (the kmeans-update pattern, one order up).
+  The d² result is model-sized; assembling covariance from moments is
+  arithmetic on a tiny frame.
+- **Exact by quantization.** Float sums are summation-order-dependent,
+  so cross-engine/cross-partitioning bit-parity is impossible in
+  doubles. Instead values are fixed-point quantized (floor(x·2^s),
+  BIGINT) and the moments are summed in EXACT integer arithmetic —
+  order-independent, partitioning-independent, replayable in ANSI SQL.
+  The statistic is the covariance OF THE QUANTIZED values — within
+  2^-s of the float covariance, and a legitimate statistic in its own
+  right (the int8-quantization query already establishes the pattern).
+  Overflow bound: |q|_max² · n_rows must stay under 2^63 — for unit-ish
+  embeddings at s=13 that is n < ~1e10 rows per aggregation; drop s as
+  n grows (documented knob, same trade as any fixed-point sketch).
+- **PCA is broadcast-a-model.** The d×d matrix collects driver-side
+  (model-sized, like the IVF codebook / kmeans centroids — O(d²), not
+  O(data)); power iteration runs on the driver and the resulting
+  component vector is compiled back into a zero-shuffle projection
+  expression for scoring.
+
+At d beyond a few hundred the in-row explode (d²/2 cells) dominates
+CPU; the documented upgrade path is block-wise gram accumulation via
+mapInPandas + BLAS (Arrow-batched, still one bounded shuffle), which
+changes the kernel, not the plan shape.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def quantize_expr(x: F.Column, scale_bits: int) -> F.Column:
+    """floor(x · 2^scale_bits) as BIGINT — floor, not round: no tie
+    semantics to match across engines."""
+    return F.floor(x.cast("double") * F.lit(float(1 << scale_bits))).cast("long")
+
+
+def covariance_moments(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale_bits: int = 13,
+) -> DataFrame:
+    """(i, j, s, n) exact integer moments of the quantized vectors.
+
+    Rows with j >= 0 carry S_ij = Σ q_i·q_j for the upper triangle
+    (j >= i); rows with j = -1 carry the first moments S_i = Σ q_i.
+    n is the contributing-row count (identical across cells for
+    fixed-width vectors). ONE explode + ONE partial-aggregated shuffle.
+    """
+    q = F.transform(F.col(vec_col), lambda x: quantize_expr(x, scale_bits))
+    d = F.size(q)
+    # in-row cells: (i, -1, q_i) first moments, then (i, j, q_i*q_j)
+    # for j >= i — all from one transform/flatten, no joins
+    firsts = F.transform(
+        F.sequence(F.lit(0), d - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("i"),
+            F.lit(-1).cast("int").alias("j"),
+            F.element_at(q, i + 1).alias("v"),
+        ),
+    )
+    prods = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), d - 1),
+            lambda i: F.transform(
+                F.sequence(i, d - 1),
+                lambda j: F.struct(
+                    i.cast("int").alias("i"),
+                    j.cast("int").alias("j"),
+                    (F.element_at(q, i + 1) * F.element_at(q, j + 1)).alias("v"),
+                ),
+            ),
+        )
+    )
+    cells = df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)).select(
+        F.explode(F.concat(firsts, prods)).alias("c")
+    )
+    return (
+        cells.groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+        .agg(F.sum("c.v").alias("s"), F.count("*").alias("n"))
+    )
+
+
+def covariance_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale_bits: int = 13,
+) -> DataFrame:
+    """(i, j, cov) population covariance of the quantized vectors,
+    upper triangle (j >= i), de-scaled back to value units.
+
+    cov = ((S_ij - S_i·S_j / n) / n) / 2^(2·scale_bits), evaluated in
+    doubles over EXACT integer moments — the division sequence is fixed
+    so any engine replaying the integer moments lands on the identical
+    float (S_ij and S_i·S_j stay < 2^53 at model sizes, so even the
+    double casts are exact).
+
+    The moment frame is localCheckpointed before the branch split:
+    without it the first-moment lookups would re-run the full data
+    scan+explode per branch (three scans in the static plan); the
+    checkpoint pins the d(d+3)/2-row result (model-sized — same
+    materialize-the-model rule as the IVF codebook) so the corpus is
+    scanned exactly once.
+    """
+    m = covariance_moments(df, vec_col, scale_bits).localCheckpoint()
+    firsts = m.filter(F.col("j") == -1).select(
+        F.col("i").alias("fi"), F.col("s").alias("fs"), F.col("n").alias("fn")
+    )
+    cross = m.filter(F.col("j") >= 0)
+    descale = float(1 << (2 * scale_bits))
+    return (
+        cross.join(F.broadcast(firsts.select(F.col("fi").alias("i"), F.col("fs").alias("si"), F.col("fn").alias("n0"))), "i")
+        .join(F.broadcast(firsts.select(F.col("fi").alias("j"), F.col("fs").alias("sj"))), "j")
+        .select(
+            "i",
+            "j",
+            (
+                (
+                    F.col("s").cast("double")
+                    - F.col("si").cast("double") * F.col("sj").cast("double") / F.col("n0").cast("double")
+                )
+                / F.col("n0").cast("double")
+                / F.lit(descale)
+            ).alias("cov"),
+        )
+    )
+
+
+def top_component(cov_rows: list, d: int, iters: int = 50) -> list[float]:
+    """Driver-side power iteration on the collected (i, j, cov) upper
+    triangle — the model artifact is O(d²), never data-sized. Fixed
+    iteration count and a fixed all-ones start vector keep it exactly
+    reproducible; the sign convention is component[argmax|component|]>0."""
+    mat = [[0.0] * d for _ in range(d)]
+    for r in cov_rows:
+        mat[r["i"]][r["j"]] = r["cov"]
+        mat[r["j"]][r["i"]] = r["cov"]
+    v = [1.0] * d
+    for _ in range(iters):
+        w = [sum(mat[i][k] * v[k] for k in range(d)) for i in range(d)]
+        nrm = sum(x * x for x in w) ** 0.5
+        if nrm == 0.0:
+            return v
+        v = [x / nrm for x in w]
+    mx = max(range(d), key=lambda i: abs(v[i]))
+    if v[mx] < 0:
+        v = [-x for x in v]
+    return v
+
+
+def project_expr(vec_col: str, component: list[float]) -> F.Column:
+    """Zero-shuffle scoring expression: dot(vec, component) with the
+    component compiled in as literals (broadcast-a-model, cf.
+    cluster.assign)."""
+    lit = F.array(*[F.lit(float(x)) for x in component])
+    prods = F.zip_with(F.col(vec_col), lit, lambda a, b: a.cast("double") * b)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)

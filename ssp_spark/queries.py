@@ -31,6 +31,7 @@ from ssp_spark.operators import (
     dedup,
     fuzzy,
     graph,
+    linalg,
     packing,
     relational,
     similarity,
@@ -5002,6 +5003,43 @@ def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint()
     names.unpersist()
     return out
+
+
+@_q(
+    "embedding_covariance",
+    """
+    WITH q AS (
+      SELECT vec_id, CAST(u.i - 1 AS INT) AS i,
+             CAST(floor(embedding[u.i] * 8192.0) AS BIGINT) AS qv
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+    ),
+    f AS (SELECT i, sum(qv) AS s, count(*) AS n FROM q GROUP BY i),
+    p AS (
+      SELECT a.i AS i, b.i AS j, sum(a.qv * b.qv) AS sij
+      FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
+      GROUP BY a.i, b.i
+    )
+    SELECT p.i, p.j,
+           ((CAST(p.sij AS DOUBLE)
+             - CAST(fa.s AS DOUBLE) * CAST(fb.s AS DOUBLE) / CAST(fa.n AS DOUBLE))
+            / CAST(fa.n AS DOUBLE)) / 67108864.0 AS cov
+    FROM p JOIN f fa ON fa.i = p.i JOIN f fb ON fb.i = p.j
+    """,
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact population covariance matrix (upper triangle) of the
+    int13-quantized embeddings in ONE pass: every S_i / S_ij moment and
+    the row count ride a single partial-aggregated shuffle bounded by
+    d(d+3)/2 cells per partition (operators.linalg) — shuffle volume is
+    independent of row count, the covariance assembly is arithmetic on
+    the model-sized moment frame. Integer moments make the float output
+    bit-deterministic across engines and partitionings (the oracle
+    replays the identical quantization and division sequence; a raw
+    float covariance could never hash-match)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return linalg.covariance_matrix(emb, vec_col="embedding", scale_bits=13)
 
 
 # ---------------------------------------------------------------------------

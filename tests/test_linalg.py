@@ -1,0 +1,74 @@
+"""Distributed linear algebra: quantized covariance semantics vs numpy,
+power-iteration PCA vs numpy.linalg.eigh, and the one-scan/one-shuffle
+plan contract. The cross-engine bit-parity signal is the
+embedding_covariance oracle row; these pin the numeric semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from ssp_spark import plans
+from ssp_spark.operators import linalg
+
+
+def _toy(spark, n=40, d=6, seed=7):
+    rng = np.random.RandomState(seed)
+    base = rng.randn(n, 2) @ rng.randn(2, d) + 0.05 * rng.randn(n, d)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    return base, spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_covariance_matches_numpy_on_quantized_values(spark):
+    base, df = _toy(spark)
+    got = {(r.i, r.j): r.cov for r in linalg.covariance_matrix(df, scale_bits=13).collect()}
+    q = np.floor(base * 8192.0) / 8192.0
+    expected = np.cov(q, rowvar=False, bias=True)  # population covariance
+    d = base.shape[1]
+    assert len(got) == d * (d + 1) // 2
+    for (i, j), c in got.items():
+        assert abs(c - expected[i][j]) < 1e-9, (i, j, c, expected[i][j])
+
+
+def test_power_iteration_matches_numpy_eigh(spark):
+    base, df = _toy(spark, n=60, d=8)
+    cov_rows = linalg.covariance_matrix(df, scale_bits=13).collect()
+    v = np.array(linalg.top_component(cov_rows, d=8))
+    mat = np.zeros((8, 8))
+    for r in cov_rows:
+        mat[r.i][r.j] = mat[r.j][r.i] = r.cov
+    w, vecs = np.linalg.eigh(mat)
+    top = vecs[:, np.argmax(w)]
+    assert abs(abs(float(np.dot(v, top))) - 1.0) < 1e-6  # same direction
+    assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-9
+
+
+def test_projection_is_zero_shuffle_jvm_side(spark):
+    base, df = _toy(spark)
+    comp = [1.0 / (i + 1) for i in range(6)]
+    proj = df.select("vec_id", linalg.project_expr("embedding", comp).alias("score"))
+    s = plans.plan_string(proj, "simple")
+    assert plans.exchange_count(proj) == 0
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    # spot-check one value
+    row = {r.vec_id: r.score for r in proj.collect()}
+    assert abs(row[0] - float(np.dot(base[0], comp))) < 1e-6
+
+
+def test_covariance_moments_single_scan_single_shuffle(spark):
+    _, df = _toy(spark)
+    m = linalg.covariance_moments(df)
+    s = plans.plan_string(m, "simple")
+    assert plans.exchange_count(m) == 1
+    assert s.count("Scan") == 1
+    assert "partial_sum" in plans.plan_string(m)  # map-side combine
+
+
+def test_covariance_handles_null_and_empty_vectors(spark):
+    rows = [(1, [1.0, 2.0]), (2, [3.0, 5.0]), (3, None), (4, [])]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    got = {(r.i, r.j): r.cov for r in linalg.covariance_matrix(df).collect()}
+    # only the two real rows contribute: var over {1,3} and {2,5}
+    assert abs(got[(0, 0)] - 1.0) < 1e-6
+    assert abs(got[(1, 1)] - 2.25) < 1e-6
+    assert abs(got[(0, 1)] - 1.5) < 1e-6
