@@ -1,0 +1,84 @@
+"""Data-layout operators: total-order range sharding (and the boundary
+computation that drives it).
+
+Not in the reference (it has no storage-layout surface); §6-extension
+territory: producing globally-ordered output shards is how a 100 TB
+export gets both balanced files and range-prunable reads (time-ordered
+training shards, key-range handoffs to downstream systems).
+
+Design for scale — total order WITHOUT a global sort:
+
+- A global ``orderBy`` funnels everything through one task chain; the
+  scalable shape is the one Spark itself uses in ``repartitionByRange``:
+  pick S-1 split points, then assign each row to its range map-side
+  (zero-shuffle projection) and let each shard sort locally if needed.
+- Here the split points are EXACT rank-based order statistics computed
+  from the value histogram (groupBy(value).count -> cumulative count):
+  one partial-aggregated shuffle over the distinct-value space, a
+  window over the histogram (value-cardinality-sized, far smaller than
+  the data), and a model-sized collect of S-1 boundary values — the
+  broadcast-a-model pattern (cf. cluster.assign, similarity.ivf_topk).
+  Exactness makes the assignment deterministic and SQL-replayable —
+  the oracle property. At 100 TB with near-unique keys the histogram
+  approaches data size; the documented swap is approximate boundaries
+  (``percentile_approx`` or reservoir sampling, exactly what
+  repartitionByRange does) — the assignment stage is unchanged.
+- Boundary semantics: b_k = the r_k-th smallest value (1-based,
+  multiset rank), r_k = max(1, floor(n·k/S)); a row lands in shard
+  ``count(b_k < value)``, so ties never straddle a shard boundary and
+  every engine computing the same definition lands identical shards.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def exact_range_boundaries(df: DataFrame, value_col: str, n_shards: int) -> list:
+    """S-1 exact rank-based split points of ``value_col``.
+
+    One histogram shuffle + a histogram-sized window + an S-1-row
+    collect (the model artifact). The single-partition window runs over
+    DISTINCT values with counts — the exact path; swap for
+    percentile_approx at near-unique-key scale (see module docstring).
+    """
+    n = df.count()
+    hist = df.groupBy(F.col(value_col).alias("v")).agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.withColumn("cumn", F.sum("cnt").over(w))
+    ranks = [max(1, (n * k) // n_shards) for k in range(1, n_shards)]
+    bounds = (
+        cum.select("v", "cumn", F.explode(F.array(*[F.lit(r) for r in ranks])).alias("rk"))
+        .filter(F.col("cumn") >= F.col("rk"))
+        .groupBy("rk")
+        .agg(F.min("v").alias("b"))
+        .collect()
+    )
+    return [r["b"] for r in sorted(bounds, key=lambda r: r["rk"])]
+
+
+def shard_expr(value_col: str, boundaries: list) -> F.Column:
+    """Zero-shuffle shard assignment: count of boundaries strictly below
+    the value, with the boundaries compiled in as literals."""
+    lit = F.array(*[F.lit(b) for b in boundaries])
+    return F.size(F.filter(lit, lambda b: b < F.col(value_col))).cast("int")
+
+
+def range_shard_manifest(
+    df: DataFrame, value_col: str, n_shards: int = 8
+) -> DataFrame:
+    """(shard, n_rows, min_v, max_v) for the exact range sharding —
+    the manifest a writer would use to emit globally-ordered shards
+    (shard s holds exactly the rows between split points s-1 and s)."""
+    bounds = exact_range_boundaries(df, value_col, n_shards)
+    return (
+        df.select(F.col(value_col).alias("v"))
+        .withColumn("shard", shard_expr("v", bounds))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+    )

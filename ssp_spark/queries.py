@@ -31,6 +31,7 @@ from ssp_spark.operators import (
     dedup,
     fuzzy,
     graph,
+    layout,
     linalg,
     packing,
     relational,
@@ -5040,6 +5041,49 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     float covariance could never hash-match)."""
     emb = load_table(spark, "embeddings", sf_dir)
     return linalg.covariance_matrix(emb, vec_col="embedding", scale_bits=13)
+
+
+@_q(
+    "range_shard_manifest",
+    """
+    WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+    n AS (SELECT count(*) AS n FROM v),
+    ranked AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rk FROM v),
+    ks AS (SELECT unnest(generate_series(1, 7)) AS k),
+    bounds AS (
+      SELECT k, (SELECT cents FROM ranked, n
+                 WHERE rk = greatest(1, (n.n * k) // 8)) AS b
+      FROM ks
+    )
+    SELECT CAST((SELECT count(*) FROM bounds b WHERE b.b < v.cents) AS INT)
+             AS shard,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(cents) AS min_v, max(cents) AS max_v
+    FROM v
+    GROUP BY shard
+    """,
+)
+def range_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-order export manifest WITHOUT a global sort: exact
+    rank-based split points of the order-value distribution (histogram
+    shuffle + histogram-sized window + S-1-row model collect,
+    operators.layout), then a zero-shuffle literal-boundary shard
+    assignment and one bounded aggregate. The oracle recomputes the
+    identical rank definition with a window over the full sort — the
+    thing the engine deliberately avoids — proving the shard assignment
+    equals the global-sort answer. Values are cent-integers (exact
+    cross-engine arithmetic); ties share a shard by construction."""
+    orders = load_table(spark, "orders", sf_dir)
+    cents = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    return layout.range_shard_manifest(cents, "cents", n_shards=8).select(
+        F.col("shard"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("min_v"),
+        F.col("max_v"),
+    )
 
 
 # ---------------------------------------------------------------------------

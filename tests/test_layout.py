@@ -1,0 +1,50 @@
+"""Range-shard layout: exact boundary semantics, tie handling, and the
+no-global-sort plan contract."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ssp_spark import plans
+from ssp_spark.operators import layout
+
+
+def test_exact_boundaries_uniform(spark):
+    df = spark.createDataFrame([(i,) for i in range(1, 101)], ["v"])
+    assert layout.exact_range_boundaries(df, "v", 4) == [25, 50, 75]
+
+
+def test_shard_counts_balanced(spark):
+    df = spark.createDataFrame([(i,) for i in range(1, 101)], ["v"])
+    out = {r.shard: r.n_rows for r in layout.range_shard_manifest(df, "v", 4).collect()}
+    assert out == {0: 25, 1: 25, 2: 25, 3: 25}
+
+
+def test_ties_never_straddle_a_boundary(spark):
+    # heavy tie mass right at a split point: all equal values share a shard
+    df = spark.createDataFrame([(5,)] * 50 + [(9,)] * 50, ["v"])
+    out = {r.shard: (r.n_rows, r.min_v, r.max_v) for r in layout.range_shard_manifest(df, "v", 4).collect()}
+    # boundaries are [5, 5, 9] -> 5s in shard 0, 9s in shard 2
+    assert out == {0: (50, 5, 5), 2: (50, 9, 9)}
+
+
+def test_shards_partition_the_value_range(spark):
+    df = spark.createDataFrame([((i * 37) % 1000,) for i in range(500)], ["v"])
+    rows = sorted(
+        layout.range_shard_manifest(df, "v", 8).collect(), key=lambda r: r.shard
+    )
+    assert sum(r.n_rows for r in rows) == 500
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_v < b.min_v  # disjoint, globally ordered ranges
+
+
+def test_manifest_plan_has_no_global_sort(spark):
+    """After the model-sized boundary collect, the manifest is one scan,
+    a literal-boundary projection, and ONE hash aggregate exchange — no
+    range partitioning, no sort, nothing data-sized on the driver."""
+    df = spark.createDataFrame([(i,) for i in range(1, 2001)], ["v"])
+    man = layout.range_shard_manifest(df, "v", 8)
+    s = plans.plan_string(man, "simple")
+    assert plans.exchange_count(man) == 1
+    assert "rangepartitioning" not in s and "Sort " not in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
