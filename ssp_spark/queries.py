@@ -5086,6 +5086,167 @@ def range_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "event_cooccurrence",
+    """
+    WITH ue AS (SELECT DISTINCT user_id, event_type FROM events),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_both
+      FROM ue a JOIN ue b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    ),
+    t AS (SELECT event_type, count(*) AS n_users FROM ue GROUP BY 1)
+    SELECT type_a, type_b, CAST(n_both AS BIGINT) AS n_both,
+           round(CAST(n_both AS DOUBLE) / (ta.n_users + tb.n_users - n_both), 6)
+             AS affinity
+    FROM p
+    JOIN t ta ON ta.event_type = type_a
+    JOIN t tb ON tb.event_type = type_b
+    """,
+)
+def event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavior co-occurrence mining: for every event-type pair, how many
+    users did both, plus the Jaccard affinity n_both/(n_a+n_b-n_both).
+    The engine never self-joins the event stream: distinct (user, type)
+    -> per-user sorted type-set -> in-row i<j pair combinatorics (the
+    jaccard_pairs pattern) -> one |types|²-bounded aggregate; per-type
+    user counts broadcast onto the pair frame. The oracle takes the
+    naive self-join route — same answer, the scalable plan is the point.
+    Affinity is an exact small-integer ratio (cross-engine-stable)."""
+    ev = load_table(spark, "events", sf_dir)
+    ue = ev.select("user_id", "event_type").distinct()
+    sets = ue.groupBy("user_id").agg(F.array_sort(F.collect_set("event_type")).alias("ts"))
+    ts = F.col("ts")
+    idx = F.filter(
+        F.sequence(F.lit(1), F.size(ts) - 1),
+        lambda i: (i >= 1) & (i < F.size(ts)),
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.slice(ts, i + 1, F.size(ts) - i),
+                lambda y: F.struct(F.element_at(ts, i).alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pairs = (
+        sets.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.a").alias("type_a"), F.col("p.b").alias("type_b"))
+        .agg(F.count("*").alias("n_both"))
+    )
+    counts = ue.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    return (
+        pairs.join(
+            F.broadcast(counts.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("na"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(counts.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("nb"))),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.round(
+                F.col("n_both").cast("double") / (F.col("na") + F.col("nb") - F.col("n_both")), 6
+            ).alias("affinity"),
+        )
+    )
+
+
+@_q(
+    "mixture_resample",
+    rf"""
+    WITH per AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                      x -> x <> ''))) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    t AS (
+      SELECT source, n_docs, tokens,
+             sum(tokens) OVER () AS tot_tokens,
+             sum(n_docs) OVER () AS tot_docs
+      FROM per
+    ),
+    w AS (SELECT *, sqrt(tokens / tot_tokens) AS wr FROM t),
+    rates AS (
+      SELECT source, n_docs,
+             CAST(floor(wr / sum(wr) OVER () * tot_docs / 2) AS BIGINT)
+               AS target_docs,
+             least(1000000,
+                   CAST(floor(wr / sum(wr) OVER () * tot_docs / 2) AS BIGINT)
+                     * 1000000 // n_docs) AS rate_ppm
+      FROM w
+    ),
+    kept AS (
+      SELECT d.source, count(*) AS kept_docs
+      FROM documents d JOIN rates r ON r.source = d.source
+      WHERE {_SQL_H64_OF.format(x="CAST(doc_id AS VARCHAR)")} % 1000000
+            < r.rate_ppm
+      GROUP BY d.source
+    )
+    SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs, r.target_docs,
+           r.rate_ppm, CAST(coalesce(k.kept_docs, 0) AS BIGINT) AS kept_docs
+    FROM rates r LEFT JOIN kept k ON k.source = r.source
+    """,
+)
+def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-targeted resampling: turn the temperature-scaled domain
+    weights (domain_mixture_weights) into per-domain deterministic
+    sampling rates targeting HALF the corpus, then actually draw the
+    sample with the portable-hash threshold (reproducible across
+    engines/partitionings/reruns, unlike df.sample). Per-domain rate
+    math runs on the #domains-row weight frame; the draw is a map-side
+    filter under a broadcast rate lookup; kept counts are one bounded
+    aggregate. Integer ppm rates keep the threshold engine-exact."""
+    docs = load_table(spark, "documents", sf_dir)
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).alias("tokens"),
+    )
+    w = Window.partitionBy()  # domain-level frame: #domains rows, constant
+    t = per.select(
+        "source",
+        "n_docs",
+        "tokens",
+        F.sum("tokens").over(w).alias("tot_tokens"),
+        F.sum("n_docs").over(w).alias("tot_docs"),
+    ).withColumn("wr", F.sqrt(F.col("tokens") / F.col("tot_tokens")))
+    target = F.floor(
+        F.col("wr") / F.sum("wr").over(w) * F.col("tot_docs") / 2
+    ).cast("long")
+    rates = (
+        t.select("source", "n_docs", target.alias("target_docs"))
+        .withColumn(
+            "rate_ppm",
+            F.least(
+                F.lit(1000000).cast("long"),
+                F.expr("target_docs * 1000000 div n_docs"),
+            ),
+        )
+        .localCheckpoint()  # #domains rows — model-sized, scanned by two branches
+    )
+    drawn = docs.join(F.broadcast(rates.select("source", "rate_ppm")), "source").filter(
+        (portable_hash64(F.col("doc_id").cast("string")) % 1000000) < F.col("rate_ppm")
+    )
+    kept = drawn.groupBy("source").agg(F.count("*").alias("kept_docs"))
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "target_docs",
+            "rate_ppm",
+            F.coalesce("kept_docs", F.lit(0)).cast("long").alias("kept_docs"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering
 # ---------------------------------------------------------------------------
@@ -5124,10 +5285,13 @@ def range_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bigram_lm_score the token stream, every ANN query the array math,
 # q3/top_customers_per_nation the join+agg+top-k shape,
 # session_windows the window-agg shape, and the
-# streaming goldens the running-state shape). ROUND-5 TODO: rotate all
-# 28 back in — by then they will be three rounds stale. With this
-# window, every query in the registry has a driver-green row and none
-# is more than two rounds stale.
+# streaming goldens the running-state shape). Six more were bumped for
+# the six late-round-4 additions (fuzzy join/ER, covariance, range
+# sharding, co-occurrence, mixture resample — see the note after
+# _CHECK_FIRST). ROUND-5 TODO: rotate all 34 bumped/outside queries
+# back in — by then they will be three rounds stale. With this window,
+# every query in the registry has a driver-green row and none is more
+# than two rounds stale.
 _CHECK_FIRST = [
     # canary + changed/new in round 4
     "word_count",
@@ -5151,6 +5315,12 @@ _CHECK_FIRST = [
     "dedup_embedding_lsh",   # new LSH-blocked embedding near-dup
     "pipeline_curation_v2",  # new flagship composition of the above
     "quality_zscore_by_source",  # new per-domain quality calibration
+    "fuzzy_name_pairs",          # new q-gram-blocked fuzzy join
+    "entity_resolution_parts",   # new fuzzy ER composition
+    "embedding_covariance",      # new one-pass quantized covariance
+    "range_shard_manifest",      # new total-order range sharding
+    "event_cooccurrence",        # new co-occurrence mining
+    "mixture_resample",          # new mixture-targeted resampler
     # the 15 round-3 additions with no driver row yet
     "quality_repetition_filter",
     "dedup_ngram_corpus",
@@ -5176,13 +5346,12 @@ _CHECK_FIRST = [
     "q1_pricing_summary",
     "q5_nation_revenue",
     "top_customers_per_nation",
-    "streaming_wordcount_replay",
-    "anti_join_inactive_customers",
-    "range_join_value_bands",
-    "asof_join_purchase_signup",
-    "multimodal_features",
-    "multimodal_frame_sampling",
 ]
+# (streaming_wordcount_replay, anti_join_inactive_customers,
+# range_join_value_bands, asof_join_purchase_signup, multimodal_features,
+# multimodal_frame_sampling were bumped for the six new round-4 queries —
+# all r2-green twice and untouched; the never-checked additions outrank
+# a third confirmation.)
 assert len(_CHECK_FIRST) == 50 and len(set(_CHECK_FIRST)) == 50
 _ORDERED = _CHECK_FIRST + sorted(
     (n for n in QUERIES if n not in set(_CHECK_FIRST)),

@@ -473,3 +473,25 @@ def test_embedding_lsh_dedup_equi_join_no_cartesian(spark):
     assert not plans.has_cartesian(df)
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
     assert "md5" not in s.lower()
+
+
+def test_cooccurrence_never_self_joins_events(spark):
+    """Pair generation is per-user in-row combinatorics: the only joins
+    in the plan are the two broadcast per-type count lookups on the
+    |types|²-bounded pair frame — no event-stream self-join."""
+    df = QUERIES["event_cooccurrence"](spark, SF_SMOKE)
+    s = plans.plan_string(df, "simple")
+    assert not plans.has_cartesian(df)
+    assert "SortMergeJoin" not in s and "ShuffledHashJoin" not in s
+    assert s.count("BroadcastHashJoin") == 2
+
+
+def test_mixture_resample_draw_is_broadcast_filter(spark):
+    """The sampling draw must read the corpus once under a broadcast
+    rate lookup (map-side filter) — the corpus never shuffles on the
+    domain key for the draw; only the kept-count aggregate exchanges."""
+    df = QUERIES["mixture_resample"](spark, SF_SMOKE)
+    s = plans.plan_string(df, "simple")
+    assert not plans.has_cartesian(df)
+    assert "BroadcastHashJoin" in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s

@@ -31,6 +31,12 @@ _R4_CHANGED = {
     "dedup_embedding_lsh",
     "pipeline_curation_v2",
     "quality_zscore_by_source",
+    "fuzzy_name_pairs",
+    "entity_resolution_parts",
+    "embedding_covariance",
+    "range_shard_manifest",
+    "event_cooccurrence",
+    "mixture_resample",
 }
 
 # Round 4 group (b): the round-3 additions that had local parity at both
@@ -56,10 +62,11 @@ _R2_STALE_ROTATED = {
     "quality_score",
     "q1_pricing_summary", "q5_nation_revenue",
     "top_customers_per_nation",
-    "streaming_wordcount_replay",
-    "anti_join_inactive_customers", "range_join_value_bands",
-    "asof_join_purchase_signup",
-    "multimodal_features", "multimodal_frame_sampling",
+    # (streaming_wordcount_replay, anti_join_inactive_customers,
+    # range_join_value_bands, asof_join_purchase_signup,
+    # multimodal_features, multimodal_frame_sampling were bumped late in
+    # round 4 for the six newest queries — all r2-green twice and
+    # untouched; never-checked additions outrank a third confirmation.)
 }
 
 
@@ -80,8 +87,11 @@ def test_registry_is_complete_and_fully_oracled():
     # Bloom-prefiltered join reduction; one-pass column profiler;
     # mergeSchema evolution read; LSH-blocked embedding near-dup;
     # the pipeline_curation_v2 flagship composition; per-domain quality
-    # z-score calibration).
-    assert len(QUERIES) == 127
+    # z-score calibration), +6 late-round-4 additions (q-gram-blocked
+    # fuzzy join; fuzzy entity resolution; one-pass quantized covariance;
+    # total-order range sharding; event co-occurrence mining;
+    # mixture-targeted deterministic resampler).
+    assert len(QUERIES) == 133
     # Since round 3: every declared query has an exact DuckDB oracle.
     assert set(ORACLE) == set(QUERIES)
 
