@@ -72,6 +72,14 @@ HEADLINE = [
     # r3_comparable_total subset below stays untouched for comparability
     "cluster_dedup_keeper",
     "bigram_lm_score",
+    # latest round-4 additions: the new operator families that carry real
+    # compute (fuzzy blocking+verify, iterative CC composition, the d²
+    # moment explode, the histogram-window sharding)
+    "fuzzy_name_pairs",
+    "entity_resolution_parts",
+    "embedding_covariance",
+    "range_shard_manifest",
+    "interval_overlap_orders",
 ]
 
 # The 22-query set rounds 1-3 benched: sum reported as r3_comparable_total

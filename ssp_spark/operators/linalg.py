@@ -63,7 +63,15 @@ def covariance_moments(
     n is the contributing-row count (identical across cells for
     fixed-width vectors). ONE explode + ONE partial-aggregated shuffle.
     """
-    q = F.transform(F.col(vec_col), lambda x: quantize_expr(x, scale_bits))
+    # Materialize the quantized array as a named column FIRST: the cell
+    # builders below read it via element_at ~d² times per row, and if
+    # ``q`` stayed an expression each element_at would re-evaluate the
+    # whole d-element quantize transform (measured: 41 s -> ~2 s at
+    # sf0.1 for d=64 — the d³ trap).
+    base = df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)).select(
+        F.transform(F.col(vec_col), lambda x: quantize_expr(x, scale_bits)).alias("__q")
+    )
+    q = F.col("__q")
     d = F.size(q)
     # in-row cells: (i, -1, q_i) first moments, then (i, j, q_i*q_j)
     # for j >= i — all from one transform/flatten, no joins
@@ -88,9 +96,7 @@ def covariance_moments(
             ),
         )
     )
-    cells = df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)).select(
-        F.explode(F.concat(firsts, prods)).alias("c")
-    )
+    cells = base.select(F.explode(F.concat(firsts, prods)).alias("c"))
     return (
         cells.groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
         .agg(F.sum("c.v").alias("s"), F.count("*").alias("n"))

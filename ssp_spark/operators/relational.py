@@ -160,6 +160,62 @@ def range_join_bands(
     return df.join(F.broadcast(bands), cond, "left")
 
 
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    keys: list[str],
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    bucket_width: int = 64,
+) -> DataFrame:
+    """Overlap join of two INTEGER-interval sets, both sides large.
+
+    Spark plans a raw ``s1 <= e2 AND s2 <= e1`` predicate as a
+    nested-loop join (per-key cartesian when equi-keys exist, full
+    cartesian otherwise) — quadratic at scale. The scalable shape is
+    fixed-width bucket blocking: each interval explodes into the
+    buckets it spans (span/bucket_width + 1 rows, a small constant for
+    width ~ typical interval length), the join is an EQUI-join on
+    (keys..., bucket), and each qualifying pair is emitted exactly once
+    without a distinct pass — only the bucket containing
+    ``max(a_start, b_start)`` (the overlap's left edge, which both
+    sides provably explode) keeps the pair. Shuffle volume is
+    O(n · avg_span/width); per-bucket skew is bounded by the width knob
+    (a hot bucket at scale gets the salted-join treatment on top).
+
+    Interval contract: starts/ends are integers (days, epoch seconds —
+    caller's unit), inclusive on both ends; intervals with end < start
+    never match.
+    """
+    ab = a.withColumn(
+        "__bk",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(a_start) / bucket_width),
+                F.floor(F.col(a_end) / bucket_width),
+            )
+        ),
+    )
+    bb = b.withColumn(
+        "__bk",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(b_start) / bucket_width),
+                F.floor(F.col(b_end) / bucket_width),
+            )
+        ),
+    )
+    overlap = (F.col(a_start) <= F.col(b_end)) & (F.col(b_start) <= F.col(a_end))
+    left_edge_bucket = F.floor(F.greatest(F.col(a_start), F.col(b_start)) / bucket_width)
+    return (
+        ab.join(bb, keys + ["__bk"])
+        .filter(overlap & (F.col("__bk") == left_edge_bucket))
+        .drop("__bk")
+    )
+
+
 def merge_upsert(
     base: DataFrame,
     changes: DataFrame,

@@ -5247,6 +5247,67 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "interval_overlap_orders",
+    """
+    WITH iv AS (
+      SELECT o_custkey, o_orderkey, o_orderpriority,
+             CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS s,
+             CAST(epoch(o_orderdate) AS BIGINT) // 86400
+               + o_orderkey % 30 + 1 AS e
+      FROM orders
+    )
+    SELECT a.o_custkey AS custkey,
+           a.o_orderkey AS urgent_key, b.o_orderkey AS high_key,
+           CAST(least(a.e, b.e) - greatest(a.s, b.s) + 1 AS BIGINT)
+             AS overlap_days
+    FROM iv a JOIN iv b ON a.o_custkey = b.o_custkey
+    WHERE a.o_orderpriority = '1-URGENT' AND b.o_orderpriority = '2-HIGH'
+      AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def interval_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap join with BOTH sides large: per-customer urgent
+    vs high order activity windows (start = order day, deterministic
+    o_orderkey-derived duration) that overlap in time. Spark would plan
+    the raw overlap predicate as a per-key nested loop; the engine
+    instead bucket-blocks (operators.relational.interval_overlap_join):
+    intervals explode into 64-day buckets, the join is an equi-join on
+    (custkey, bucket), and the left-edge-bucket rule emits each pair
+    exactly once with no distinct pass. Integer day arithmetic keeps
+    every value engine-exact; the oracle takes the naive overlap join."""
+    orders = load_table(spark, "orders", sf_dir)
+    iv = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("unix_timestamp(cast(o_orderdate as timestamp)) div 86400").alias("s"),
+    ).withColumn("e", F.col("s") + F.col("o_orderkey") % 30 + 1)
+    a = iv.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("urgent_key"),
+        F.col("s").alias("s1"),
+        F.col("e").alias("e1"),
+    )
+    b = iv.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("high_key"),
+        F.col("s").alias("s2"),
+        F.col("e").alias("e2"),
+    )
+    joined = relational.interval_overlap_join(
+        a, b, ["custkey"], "s1", "e1", "s2", "e2", bucket_width=64
+    )
+    return joined.select(
+        "custkey",
+        "urgent_key",
+        "high_key",
+        (F.least("e1", "e2") - F.greatest("s1", "s2") + 1)
+        .cast("long")
+        .alias("overlap_days"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering
 # ---------------------------------------------------------------------------
@@ -5321,6 +5382,7 @@ _CHECK_FIRST = [
     "range_shard_manifest",      # new total-order range sharding
     "event_cooccurrence",        # new co-occurrence mining
     "mixture_resample",          # new mixture-targeted resampler
+    "interval_overlap_orders",   # new bucket-blocked interval join
     # the 15 round-3 additions with no driver row yet
     "quality_repetition_filter",
     "dedup_ngram_corpus",
@@ -5345,7 +5407,6 @@ _CHECK_FIRST = [
     "quality_score",
     "q1_pricing_summary",
     "q5_nation_revenue",
-    "top_customers_per_nation",
 ]
 # (streaming_wordcount_replay, anti_join_inactive_customers,
 # range_join_value_bands, asof_join_purchase_signup, multimodal_features,

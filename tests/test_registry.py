@@ -37,6 +37,7 @@ _R4_CHANGED = {
     "range_shard_manifest",
     "event_cooccurrence",
     "mixture_resample",
+    "interval_overlap_orders",
 }
 
 # Round 4 group (b): the round-3 additions that had local parity at both
@@ -61,7 +62,8 @@ _R2_STALE_ROTATED = {
     "dedup_simhash", "dedup_events_keeper",
     "quality_score",
     "q1_pricing_summary", "q5_nation_revenue",
-    "top_customers_per_nation",
+    # (top_customers_per_nation bumped for interval_overlap_orders —
+    # r2-green and re-exercised every bench run via WindowGroupLimit.)
     # (streaming_wordcount_replay, anti_join_inactive_customers,
     # range_join_value_bands, asof_join_purchase_signup,
     # multimodal_features, multimodal_frame_sampling were bumped late in
@@ -87,11 +89,12 @@ def test_registry_is_complete_and_fully_oracled():
     # Bloom-prefiltered join reduction; one-pass column profiler;
     # mergeSchema evolution read; LSH-blocked embedding near-dup;
     # the pipeline_curation_v2 flagship composition; per-domain quality
-    # z-score calibration), +6 late-round-4 additions (q-gram-blocked
+    # z-score calibration), +7 late-round-4 additions (q-gram-blocked
     # fuzzy join; fuzzy entity resolution; one-pass quantized covariance;
     # total-order range sharding; event co-occurrence mining;
-    # mixture-targeted deterministic resampler).
-    assert len(QUERIES) == 133
+    # mixture-targeted deterministic resampler; bucket-blocked interval
+    # overlap join).
+    assert len(QUERIES) == 134
     # Since round 3: every declared query has an exact DuckDB oracle.
     assert set(ORACLE) == set(QUERIES)
 
