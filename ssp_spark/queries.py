@@ -5308,6 +5308,151 @@ def interval_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "funnel_conversion",
+    """
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+               FROM events),
+    v AS (
+      SELECT user_id, t, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) rn
+      FROM e WHERE event_type = 'view' QUALIFY rn = 1
+    ),
+    c AS (
+      -- rn2/rn3: a bare 'rn' here would resolve to the JOINED v.rn
+      -- (always 1) instead of this select's window alias, keeping
+      -- every click row
+      SELECT ec.user_id, ec.t, ec.event_id,
+             row_number() OVER (PARTITION BY ec.user_id
+                                ORDER BY ec.t, ec.event_id) rn2
+      FROM e ec JOIN v ON v.user_id = ec.user_id
+      WHERE ec.event_type = 'click'
+        AND (ec.t, ec.event_id) > (v.t, v.event_id)
+        AND ec.t <= v.t + 86400000000
+      QUALIFY rn2 = 1
+    ),
+    p AS (
+      SELECT ep.user_id,
+             row_number() OVER (PARTITION BY ep.user_id
+                                ORDER BY ep.t, ep.event_id) rn3
+      FROM e ep JOIN c ON c.user_id = ep.user_id
+      WHERE ep.event_type = 'purchase'
+        AND (ep.t, ep.event_id) > (c.t, c.event_id)
+        AND ep.t <= c.t + 86400000000
+      QUALIFY rn3 = 1
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_view_click,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_full_funnel
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (view -> click-within-24h ->
+    purchase-within-24h): users whose FIRST view is followed by a click
+    inside 24h, whose first such click is followed by a purchase inside
+    24h. Stage k is one filtered aggregate (min over a (ts, event_id)
+    struct — total order, ties exact) joined to stage k-1 on the user
+    key: three keyed exchanges total, state per user is ONE struct per
+    stage, never the event list. Timestamps ride as exact
+    epoch-microsecond integers; the oracle expresses the same strict
+    (t, id) tuple ordering with QUALIFY windows."""
+    ev = load_table(spark, "events", sf_dir)
+    e = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("t"),
+        "event_id",
+    )
+    k = F.struct(F.col("t").alias("t"), F.col("event_id").alias("i"))
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(k).alias("k1"))
+    )
+    day_us = 86400000000
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((k > F.col("k1")) & (F.col("t") <= F.col("k1.t") + day_us))
+        .groupBy("user_id")
+        .agg(F.min(k).alias("k2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((k > F.col("k2")) & (F.col("t") <= F.col("k2.t") + day_us))
+        .groupBy("user_id")
+        .agg(F.min(k).alias("k3"))
+    )
+    return (
+        v.join(c.select("user_id", "k2"), "user_id", "left")
+        .join(p.select("user_id", "k3"), "user_id", "left")
+        .agg(
+            F.count("k1").cast("long").alias("n_view"),
+            F.count("k2").cast("long").alias("n_view_click"),
+            F.count("k3").cast("long").alias("n_full_funnel"),
+        )
+    )
+
+
+def _zorder_terms_sql(x: str, y: str, bits: int) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({x} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({y} >> {b}) & 1) << {2 * b + 1})")
+    return " + ".join(terms)
+
+
+@_q(
+    "zorder_cells",
+    f"""
+    WITH d AS (
+      SELECT (CAST(epoch(o_orderdate) AS BIGINT) // 86400) & 16383 AS x,
+             o_custkey & 16383 AS y
+      FROM orders
+    ),
+    z AS (SELECT x, y, ({_zorder_terms_sql('x', 'y', 14)}) >> 12 AS cell
+          FROM d)
+    SELECT cell, CAST(count(*) AS BIGINT) AS n,
+           min(x) AS min_day, max(x) AS max_day,
+           min(y) AS min_cust, max(y) AS max_cust
+    FROM z GROUP BY cell
+    """,
+)
+def zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout cells over (order day, customer key):
+    interleave 14 bits of each dimension into a z-value, group rows by
+    coarse z-cell, and report the per-cell bounding box in BOTH
+    dimensions — the zone-map statistic that makes a z-ordered 100 TB
+    layout prunable by either dimension. The interleave is an UNROLLED
+    static shift/mask expression (28 JVM integer terms, fully inside
+    whole-stage codegen — no lambda, no Python); one |cells|-bounded
+    aggregate is the only shuffle. Exact integer arithmetic end to end;
+    the oracle evaluates the identical bit expression."""
+    orders = load_table(spark, "orders", sf_dir)
+    x = F.expr("unix_timestamp(cast(o_orderdate as timestamp)) div 86400").bitwiseAND(
+        F.lit(16383)
+    )
+    y = F.col("o_custkey").bitwiseAND(F.lit(16383))
+    d = orders.select(x.alias("x"), y.alias("y"))
+    z = None
+    for b in range(14):
+        tx = F.shiftleft(F.shiftright(F.col("x"), b).bitwiseAND(F.lit(1)), 2 * b)
+        ty = F.shiftleft(F.shiftright(F.col("y"), b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        z = tx + ty if z is None else z + tx + ty
+    return (
+        d.withColumn("cell", F.shiftright(z, 12))
+        .groupBy("cell")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("x").alias("min_day"),
+            F.max("x").alias("max_day"),
+            F.min("y").alias("min_cust"),
+            F.max("y").alias("max_cust"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering
 # ---------------------------------------------------------------------------
@@ -5383,6 +5528,8 @@ _CHECK_FIRST = [
     "event_cooccurrence",        # new co-occurrence mining
     "mixture_resample",          # new mixture-targeted resampler
     "interval_overlap_orders",   # new bucket-blocked interval join
+    "funnel_conversion",         # new ordered-sequence funnel
+    "zorder_cells",              # new z-order layout cells
     # the 15 round-3 additions with no driver row yet
     "quality_repetition_filter",
     "dedup_ngram_corpus",
@@ -5403,8 +5550,6 @@ _CHECK_FIRST = [
     "dedup_embedding_cosine",
     "ann_topk_bruteforce",
     "dedup_simhash",
-    "dedup_events_keeper",
-    "quality_score",
     "q1_pricing_summary",
     "q5_nation_revenue",
 ]

@@ -38,6 +38,8 @@ _R4_CHANGED = {
     "event_cooccurrence",
     "mixture_resample",
     "interval_overlap_orders",
+    "funnel_conversion",
+    "zorder_cells",
 }
 
 # Round 4 group (b): the round-3 additions that had local parity at both
@@ -59,9 +61,12 @@ _R3_UNCHECKED = {
 # TODO in queries.py.)
 _R2_STALE_ROTATED = {
     "session_windows", "dedup_embedding_cosine", "ann_topk_bruteforce",
-    "dedup_simhash", "dedup_events_keeper",
-    "quality_score",
+    "dedup_simhash",
     "q1_pricing_summary", "q5_nation_revenue",
+    # (dedup_events_keeper, quality_score bumped for funnel_conversion /
+    # zorder_cells — r2-green; quality_score's tokenizer+score replays
+    # inside cluster_dedup_keeper, the keeper shape inside
+    # cluster_dedup_keeper's row_number-per-cluster.)
     # (top_customers_per_nation bumped for interval_overlap_orders —
     # r2-green and re-exercised every bench run via WindowGroupLimit.)
     # (streaming_wordcount_replay, anti_join_inactive_customers,
@@ -89,12 +94,13 @@ def test_registry_is_complete_and_fully_oracled():
     # Bloom-prefiltered join reduction; one-pass column profiler;
     # mergeSchema evolution read; LSH-blocked embedding near-dup;
     # the pipeline_curation_v2 flagship composition; per-domain quality
-    # z-score calibration), +7 late-round-4 additions (q-gram-blocked
+    # z-score calibration), +9 late-round-4 additions (q-gram-blocked
     # fuzzy join; fuzzy entity resolution; one-pass quantized covariance;
     # total-order range sharding; event co-occurrence mining;
     # mixture-targeted deterministic resampler; bucket-blocked interval
-    # overlap join).
-    assert len(QUERIES) == 134
+    # overlap join; time-windowed ordered-sequence funnel; z-order
+    # locality cells).
+    assert len(QUERIES) == 136
     # Since round 3: every declared query has an exact DuckDB oracle.
     assert set(ORACLE) == set(QUERIES)
 
