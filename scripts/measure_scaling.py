@@ -51,6 +51,16 @@ NAMES = [
     "contrastive_pairs_mining",
     "bloom_prefilter_join",
     "profile_table",
+    # latest round-4 additions
+    "fuzzy_name_pairs",
+    "entity_resolution_parts",
+    "embedding_covariance",
+    "range_shard_manifest",
+    "event_cooccurrence",
+    "mixture_resample",
+    "interval_overlap_orders",
+    "funnel_conversion",
+    "zorder_cells",
 ]
 
 

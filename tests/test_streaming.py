@@ -776,3 +776,86 @@ def test_upsert_sink_time_travel_versions(spark, tmpdir):
     assert live == {("a", 2), ("b", 2), ("c", 1)}
     with pytest.raises(ValueError):
         ss.read_table_version(spark, out, 999)
+
+
+# ---------------------------------------------------------------------------
+# Kafka-shaped file-backed log source (sources/log.py)
+# ---------------------------------------------------------------------------
+
+
+def test_log_source_replays_all_batches_in_order(spark, tmpdir):
+    """The broker contract over files: contiguous per-partition offsets,
+    one micro-batch per appended file, every record delivered once."""
+    from ssp_spark.sources import log
+
+    d = os.path.join(tmpdir, "log")
+    log.log_append(d, [(0, "a", "v1"), (1, "b", "v2")])
+    log.log_append(d, [(0, "c", "v3")])
+    log.log_append(d, [(1, "d", "v4"), (0, "e", "v5")])
+
+    sink = f"log_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        log.read_log_stream(spark, d)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(f"select * from {sink}").collect()
+    assert len(rows) == 5
+    per_part = {}
+    for r in sorted(rows, key=lambda r: (r.partition, r.offset)):
+        per_part.setdefault(r.partition, []).append((r.offset, r.key))
+    # offsets contiguous from 0 within each partition
+    assert per_part[0] == [(0, "a"), (1, "c"), (2, "e")]
+    assert per_part[1] == [(0, "b"), (1, "d")]
+
+
+def test_log_source_checkpoint_resume_exactly_once(spark, tmpdir):
+    """Restarting the consumer with the same checkpoint must deliver
+    ONLY records appended since the last committed batch — the Kafka
+    group-offset resume, carried by the stream checkpoint."""
+    from ssp_spark.sources import log
+
+    d = os.path.join(tmpdir, "log")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    out = os.path.join(tmpdir, "out")
+    log.log_append(d, [(0, "a", "1")])
+    log.log_append(d, [(0, "b", "2")])
+
+    def drain():
+        q = (
+            log.read_log_stream(spark, d)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    first = {(r.partition, r.offset) for r in spark.read.parquet(out).collect()}
+    assert first == {(0, 0), (0, 1)}
+
+    log.log_append(d, [(0, "c", "3"), (1, "x", "9")])
+    drain()
+    rows = spark.read.parquet(out).collect()
+    got = sorted((r.partition, r.offset, r.key) for r in rows)
+    # no duplicates from the first run, both new records present
+    assert got == [(0, 0, "a"), (0, 1, "b"), (0, 2, "c"), (1, 0, "x")]
+
+
+def test_log_batch_view_matches_stream_content(spark, tmpdir):
+    from ssp_spark.sources import log
+
+    d = os.path.join(tmpdir, "log")
+    log.log_append(d, [(0, "a", "1"), (2, "z", "7")])
+    log.log_append(d, [(2, "y", "8")])
+    rows = sorted(
+        (r.partition, r.offset, r.key, r.value)
+        for r in log.read_log_batch(spark, d).collect()
+    )
+    assert rows == [(0, 0, "a", "1"), (2, 0, "z", "7"), (2, 1, "y", "8")]
