@@ -5453,6 +5453,56 @@ def zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "incremental_agg_maintenance",
+    """
+    SELECT o_custkey AS custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Algebraic materialized-view maintenance: a per-customer spend
+    aggregate is materialized over the pre-2000 base period, PERSISTED
+    (parquet — the stored MV), and then advanced by merging the 2000+
+    delta's PARTIAL aggregate into it: union of two aggregate frames +
+    one re-aggregate on the key. The base FACT rows are never rescanned
+    — maintenance cost is O(delta + affected keys), the property that
+    makes an MV over 100 TB of history updatable from a day's delta.
+    Works because count/sum are commutative monoids (partial aggs
+    merge); the oracle recomputes the aggregate over ALL rows from
+    scratch and must hash-match the merged view exactly (integer cents,
+    no FP order dependence)."""
+    import os
+
+    orders = load_table(spark, "orders", sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cutoff = F.lit("2000-01-01").cast("timestamp_ntz")
+
+    def partial(df):
+        return df.groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.count("*").alias("n_orders"), F.sum(cents).alias("total_cents")
+        )
+
+    mv_path = os.path.join(_SCRATCH, "mv_cust_spend_base")
+    partial(orders.filter(F.col("o_orderdate") < cutoff)).write.mode(
+        "overwrite"
+    ).parquet(mv_path)
+    base_mv = spark.read.parquet(mv_path)  # the stored view, not the facts
+    delta = partial(orders.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        base_mv.unionByName(delta)
+        .groupBy("custkey")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("total_cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering
 # ---------------------------------------------------------------------------
@@ -5530,6 +5580,7 @@ _CHECK_FIRST = [
     "interval_overlap_orders",   # new bucket-blocked interval join
     "funnel_conversion",         # new ordered-sequence funnel
     "zorder_cells",              # new z-order layout cells
+    "incremental_agg_maintenance",  # new algebraic MV maintenance
     # the 15 round-3 additions with no driver row yet
     "quality_repetition_filter",
     "dedup_ngram_corpus",
@@ -5549,10 +5600,11 @@ _CHECK_FIRST = [
     "session_windows",
     "dedup_embedding_cosine",
     "ann_topk_bruteforce",
-    "dedup_simhash",
     "q1_pricing_summary",
     "q5_nation_revenue",
 ]
+# (dedup_simhash bumped for incremental_agg_maintenance — r2-green; its
+# fingerprint kernel is replayed in-window by dedup_simhash64_pairs.)
 # (streaming_wordcount_replay, anti_join_inactive_customers,
 # range_join_value_bands, asof_join_purchase_signup, multimodal_features,
 # multimodal_frame_sampling were bumped for the six new round-4 queries —
