@@ -5503,6 +5503,147 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "attribution_last_touch",
+    """
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_id, ts, epoch_us(ts) AS tp
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, ts, max(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    c2 AS (SELECT user_id, epoch_us(ts) AS tc, click_id FROM c)
+    SELECT p.purchase_id, l.click_id,
+           CAST(p.tp - l.tc AS BIGINT) AS gap_us
+    FROM p LEFT JOIN LATERAL (
+      SELECT c2.tc, c2.click_id FROM c2
+      WHERE c2.user_id = p.user_id AND c2.tc <= p.tp
+        AND c2.tc >= p.tp - 7 * 86400000000
+      ORDER BY c2.tc DESC LIMIT 1
+    ) l ON TRUE
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the user's
+    LATEST click within the preceding 7 days (or left unattributed).
+    This is the as-of operator applied events-to-events: clicks deduped
+    to one per (user, ts) — a deterministic tiebreak the carry needs —
+    then ONE union-and-carry keyed shuffle (operators.relational
+    .asof_join, no per-key quadratic range join), tolerance as a
+    post-carry projection. The oracle is the naive LATERAL top-1 probe.
+    Gaps ride as exact epoch-microsecond integers."""
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select("user_id", F.col("ts").alias("cts"), "click_id")
+        .withColumn("click_ts", F.col("cts"))
+    )
+    joined = relational.asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="pts",
+        right_ts="cts",
+        right_value_cols=["click_id", "click_ts"],
+        how="left",
+        direction="backward",
+        tolerance="7 days",
+    )
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        (F.unix_micros(F.col("pts")) - F.unix_micros(F.col("click_ts")))
+        .cast("long")
+        .alias("gap_us"),
+    )
+
+
+@_q(
+    "embedding_standardize",
+    """
+    WITH q AS (
+      SELECT vec_id, CAST(u.i - 1 AS INT) AS i,
+             CAST(floor(embedding[u.i] * 8192.0) AS BIGINT) AS qv
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+    ),
+    st AS (
+      SELECT i, count(*) AS n,
+             CAST(sum(qv) AS DOUBLE) AS s1,
+             CAST(sum(qv * qv) AS DOUBLE) AS s2
+      FROM q GROUP BY i
+    ),
+    stats AS (
+      SELECT i, s1 / n AS mean, sqrt((s2 - s1 * s1 / n) / n) AS sd
+      FROM st WHERE (s2 - s1 * s1 / n) > 0
+    )
+    SELECT q.vec_id,
+           CAST(sum(CAST(floor(((qv - mean) / sd) * 1000.0) AS BIGINT))
+                AS BIGINT) AS z_sum,
+           CAST(count(*) AS BIGINT) AS n_dims
+    FROM q JOIN stats USING (i)
+    GROUP BY q.vec_id
+    """,
+)
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization of the embedding corpus
+    with an EXACT cross-engine contract: dimension means/stddevs come
+    from integer moments of the int13-quantized values (one d-bounded
+    shuffle + an O(d) model collect — broadcast-a-model, cf.
+    cluster.assign), compiled back as literals into a ZERO-shuffle
+    per-row projection; per-element z-scores are floor-scaled to
+    integer milli-sigmas so the per-vector sum is exact integer math,
+    immune to FP summation order. Zero-variance dimensions are excluded
+    by an exact integer-moment predicate on both engines."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = emb.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    ).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"), lambda x: linalg.quantize_expr(x, 13)
+        ).alias("__q"),
+    )
+    stats = (
+        base.select(F.posexplode("__q").alias("i", "qv"))
+        .groupBy("i")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("qv").alias("s1"),
+            F.sum(F.col("qv") * F.col("qv")).alias("s2"),
+        )
+        .collect()  # O(d) model artifact
+    )
+    import math as _math
+
+    model = {}
+    for r in stats:
+        n, s1, s2 = r["n"], float(r["s1"]), float(r["s2"])
+        var_num = s2 - s1 * s1 / n
+        if var_num > 0:
+            model[r["i"]] = (s1 / n, _math.sqrt(var_num / n))
+    terms = None
+    cnt = 0
+    for i, (mean, sd) in sorted(model.items()):
+        qv = F.element_at(F.col("__q"), i + 1).cast("double")
+        t = F.floor(((qv - F.lit(mean)) / F.lit(sd)) * 1000.0).cast("long")
+        terms = t if terms is None else terms + t
+        cnt += 1
+    return base.select(
+        "vec_id",
+        terms.alias("z_sum"),
+        F.lit(cnt).cast("long").alias("n_dims"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering
 # ---------------------------------------------------------------------------
@@ -5581,6 +5722,8 @@ _CHECK_FIRST = [
     "funnel_conversion",         # new ordered-sequence funnel
     "zorder_cells",              # new z-order layout cells
     "incremental_agg_maintenance",  # new algebraic MV maintenance
+    "attribution_last_touch",    # new as-of self-attribution
+    "embedding_standardize",     # new exact z-score standardization
     # the 15 round-3 additions with no driver row yet
     "quality_repetition_filter",
     "dedup_ngram_corpus",
@@ -5599,12 +5742,13 @@ _CHECK_FIRST = [
     # stale-r2 queries rotated back in (latest row = round 2)
     "session_windows",
     "dedup_embedding_cosine",
-    "ann_topk_bruteforce",
     "q1_pricing_summary",
-    "q5_nation_revenue",
 ]
 # (dedup_simhash bumped for incremental_agg_maintenance — r2-green; its
-# fingerprint kernel is replayed in-window by dedup_simhash64_pairs.)
+# fingerprint kernel is replayed in-window by dedup_simhash64_pairs.
+# ann_topk_bruteforce and q5_nation_revenue bumped for
+# attribution_last_touch / embedding_standardize — both r2-green and
+# re-measured every bench run, q5's broadcast shape plan-asserted.)
 # (streaming_wordcount_replay, anti_join_inactive_customers,
 # range_join_value_bands, asof_join_purchase_signup, multimodal_features,
 # multimodal_frame_sampling were bumped for the six new round-4 queries —
