@@ -5644,6 +5644,73 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "groupwise_regression",
+    """
+    WITH pts AS (
+      SELECT p.p_brand,
+             CAST(round(l_quantity) AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    m AS (
+      SELECT p_brand, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      FROM pts GROUP BY p_brand
+    )
+    SELECT p_brand, CAST(n AS BIGINT) AS n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+             AS intercept
+    FROM m
+    """,
+)
+def groupwise_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS (price-cents on quantity, grouped by
+    part brand): ONE map-side-combined aggregate collects the exact
+    integer moments (n, Σx, Σy, Σx², Σxy, Σy²) — the sufficient
+    statistics, so the shuffle carries 6 longs per (group, partition)
+    regardless of row count — and slope/intercept are a fixed IEEE
+    double sequence over those moments, bit-identical in any engine
+    replaying them (the distributed-ML-on-moments pattern: the model
+    solve touches only group-sized state). Joins lineitem to part on
+    the fact key; no quadratic stage anywhere."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    pts = li.join(part, li.l_partkey == part.p_partkey).select(
+        "p_brand",
+        F.round("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    m = pts.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    return m.select(
+        "p_brand",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / nd, 6).alias("intercept"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering
 # ---------------------------------------------------------------------------
@@ -5724,6 +5791,7 @@ _CHECK_FIRST = [
     "incremental_agg_maintenance",  # new algebraic MV maintenance
     "attribution_last_touch",    # new as-of self-attribution
     "embedding_standardize",     # new exact z-score standardization
+    "groupwise_regression",      # new per-group OLS on exact moments
     # the 15 round-3 additions with no driver row yet
     "quality_repetition_filter",
     "dedup_ngram_corpus",
@@ -5741,14 +5809,15 @@ _CHECK_FIRST = [
     "value_histogram",
     # stale-r2 queries rotated back in (latest row = round 2)
     "session_windows",
-    "dedup_embedding_cosine",
     "q1_pricing_summary",
 ]
 # (dedup_simhash bumped for incremental_agg_maintenance — r2-green; its
 # fingerprint kernel is replayed in-window by dedup_simhash64_pairs.
 # ann_topk_bruteforce and q5_nation_revenue bumped for
 # attribution_last_touch / embedding_standardize — both r2-green and
-# re-measured every bench run, q5's broadcast shape plan-asserted.)
+# re-measured every bench run, q5's broadcast shape plan-asserted;
+# dedup_embedding_cosine bumped for groupwise_regression — r2-green,
+# its blocked-cosine kernel replayed in-window by dedup_embedding_lsh.)
 # (streaming_wordcount_replay, anti_join_inactive_customers,
 # range_join_value_bands, asof_join_purchase_signup, multimodal_features,
 # multimodal_frame_sampling were bumped for the six new round-4 queries —

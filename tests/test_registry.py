@@ -43,6 +43,7 @@ _R4_CHANGED = {
     "incremental_agg_maintenance",
     "attribution_last_touch",
     "embedding_standardize",
+    "groupwise_regression",
 }
 
 # Round 4 group (b): the round-3 additions that had local parity at both
@@ -63,7 +64,7 @@ _R3_UNCHECKED = {
 # bumped late in round 4 for the new curation queries — see the ROUND-5
 # TODO in queries.py.)
 _R2_STALE_ROTATED = {
-    "session_windows", "dedup_embedding_cosine",
+    "session_windows",
     "q1_pricing_summary",
     # (dedup_simhash bumped for incremental_agg_maintenance — r2-green;
     # fingerprint kernel replayed in-window by dedup_simhash64_pairs.)
@@ -98,14 +99,14 @@ def test_registry_is_complete_and_fully_oracled():
     # Bloom-prefiltered join reduction; one-pass column profiler;
     # mergeSchema evolution read; LSH-blocked embedding near-dup;
     # the pipeline_curation_v2 flagship composition; per-domain quality
-    # z-score calibration), +12 late-round-4 additions (q-gram-blocked
+    # z-score calibration), +13 late-round-4 additions (q-gram-blocked
     # fuzzy join; fuzzy entity resolution; one-pass quantized covariance;
     # total-order range sharding; event co-occurrence mining;
     # mixture-targeted deterministic resampler; bucket-blocked interval
     # overlap join; time-windowed ordered-sequence funnel; z-order
     # locality cells; algebraic MV maintenance; as-of last-touch attribution; exact
-    # z-score standardization).
-    assert len(QUERIES) == 139
+    # z-score standardization; per-group OLS on exact moments).
+    assert len(QUERIES) == 140
     # Since round 3: every declared query has an exact DuckDB oracle.
     assert set(ORACLE) == set(QUERIES)
 
