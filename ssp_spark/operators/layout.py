@@ -48,14 +48,24 @@ def exact_range_boundaries(df: DataFrame, value_col: str, n_shards: int) -> list
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = hist.withColumn("cumn", F.sum("cnt").over(w))
     ranks = [max(1, (n * k) // n_shards) for k in range(1, n_shards)]
+    # key the probe rows by the shard INDEX k, not the rank value: with
+    # n < n_shards several split points share a rank, and grouping by
+    # the rank value would collapse them into one boundary (returning
+    # S-2 or fewer split points — caught by the property test)
+    probes = F.array(
+        *[
+            F.struct(F.lit(k).alias("k"), F.lit(r).alias("rk"))
+            for k, r in enumerate(ranks)
+        ]
+    )
     bounds = (
-        cum.select("v", "cumn", F.explode(F.array(*[F.lit(r) for r in ranks])).alias("rk"))
-        .filter(F.col("cumn") >= F.col("rk"))
-        .groupBy("rk")
+        cum.select("v", "cumn", F.explode(probes).alias("p"))
+        .filter(F.col("cumn") >= F.col("p.rk"))
+        .groupBy("p.k")
         .agg(F.min("v").alias("b"))
         .collect()
     )
-    return [r["b"] for r in sorted(bounds, key=lambda r: r["rk"])]
+    return [r["b"] for r in sorted(bounds, key=lambda r: r["k"])]
 
 
 def shard_expr(value_col: str, boundaries: list) -> F.Column:

@@ -233,3 +233,99 @@ def test_probe_masks_cover_exact_hamming_ball(n_planes, radius):
     if radius >= 2:
         want |= {(1 << i) | (1 << j) for i, j in combinations(range(n_planes), 2)}
     assert set(masks) == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    names=st.lists(
+        st.text(alphabet=st.sampled_from(list("abcd")), min_size=6, max_size=12),
+        min_size=2,
+        max_size=12,
+        unique=True,
+    )
+)
+def test_fuzzy_pairs_lossless_vs_naive(spark, names):
+    """Prefix-filtered q-gram blocking must find EXACTLY the pairs the
+    naive all-pairs levenshtein finds, for arbitrary strings meeting the
+    length precondition (>= q*(d+1) = 6 for q=2, d=2)."""
+    from ssp_spark.operators import fuzzy
+
+    df = spark.createDataFrame([(i, n) for i, n in enumerate(names)], ["id", "s"])
+    got = {
+        (r.id1, r.id2, r.dist)
+        for r in fuzzy.fuzzy_pairs(df, "id", "s", max_dist=2).collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (i, j, lev(names[i], names[j]))
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+        if lev(names[i], names[j]) <= 2
+    }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    ivs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200),
+            st.integers(min_value=0, max_value=60),
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+    width=st.sampled_from([3, 10, 64]),
+)
+def test_interval_join_matches_naive_any_width(spark, ivs, width):
+    """Bucket blocking must emit exactly the naive overlap pairs, once
+    each, for ANY bucket width (width only changes cost, never the
+    result)."""
+    from ssp_spark.operators import relational
+
+    rows = [(1, i, s, s + d) for i, (s, d) in enumerate(ivs)]
+    a = spark.createDataFrame(rows, ["k", "aid", "s1", "e1"])
+    b = spark.createDataFrame(
+        [(1, i + 100, s, e) for (_, i, s, e) in [(r[0], r[1], r[2], r[3]) for r in rows]],
+        ["k", "bid", "s2", "e2"],
+    )
+    out = [
+        (r.aid, r.bid)
+        for r in relational.interval_overlap_join(
+            a, b, ["k"], "s1", "e1", "s2", "e2", bucket_width=width
+        ).collect()
+    ]
+    want = [
+        (i, j + 100)
+        for i, (s1, d1) in enumerate(ivs)
+        for j, (s2, d2) in enumerate(ivs)
+        if s1 <= s2 + d2 and s2 <= s1 + d1
+    ]
+    assert sorted(out) == sorted(want)  # exact set, no duplicates
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    vals=st.lists(st.integers(min_value=-50, max_value=50), min_size=4, max_size=60),
+    shards=st.sampled_from([2, 4, 8]),
+)
+def test_range_boundaries_match_sorted_slicing(spark, vals, shards):
+    """Exact rank boundaries must equal the values a full sort would
+    place at ranks floor(n*k/S) — the global-sort answer the histogram
+    path avoids computing."""
+    from ssp_spark.operators import layout
+
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    got = layout.exact_range_boundaries(df, "v", shards)
+    s = sorted(vals)
+    want = [s[max(1, (len(vals) * k) // shards) - 1] for k in range(1, shards)]
+    assert got == want
