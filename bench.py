@@ -80,6 +80,10 @@ HEADLINE = [
     "embedding_covariance",
     "range_shard_manifest",
     "interval_overlap_orders",
+    "funnel_conversion",
+    "attribution_last_touch",
+    "embedding_standardize",
+    "groupwise_regression",
 ]
 
 # The 22-query set rounds 1-3 benched: sum reported as r3_comparable_total

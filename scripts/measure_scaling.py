@@ -61,6 +61,10 @@ NAMES = [
     "interval_overlap_orders",
     "funnel_conversion",
     "zorder_cells",
+    "attribution_last_touch",
+    "embedding_standardize",
+    "groupwise_regression",
+    "incremental_agg_maintenance",
 ]
 
 

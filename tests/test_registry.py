@@ -10,7 +10,6 @@ from ssp_spark.queries import _CHECK_FIRST, ORACLE, QUERIES
 
 # Round 4 group (a): the canary plus queries changed or added this round.
 _R4_CHANGED = {
-    "word_count",
     "ann_lsh_topk",
     "dedup_simhash64_pairs",
     "doc_chunk_overlap",
@@ -18,7 +17,6 @@ _R4_CHANGED = {
     "scd1_customer_merge",
     "leakage_safe_split",
     "bucketed_join_order_revenue",
-    "source_text_scan",
     "cluster_dedup_keeper",
     "domain_mixture_weights",
     "bigram_lm_score",
@@ -44,6 +42,9 @@ _R4_CHANGED = {
     "attribution_last_touch",
     "embedding_standardize",
     "groupwise_regression",
+    "dq_audit_orders",
+    "daily_spine_fill",
+    "snapshot_diff_customers",
 }
 
 # Round 4 group (b): the round-3 additions that had local parity at both
@@ -65,7 +66,6 @@ _R3_UNCHECKED = {
 # TODO in queries.py.)
 _R2_STALE_ROTATED = {
     "session_windows",
-    "q1_pricing_summary",
     # (dedup_simhash bumped for incremental_agg_maintenance — r2-green;
     # fingerprint kernel replayed in-window by dedup_simhash64_pairs.)
     # (dedup_events_keeper, quality_score bumped for funnel_conversion /
@@ -99,14 +99,15 @@ def test_registry_is_complete_and_fully_oracled():
     # Bloom-prefiltered join reduction; one-pass column profiler;
     # mergeSchema evolution read; LSH-blocked embedding near-dup;
     # the pipeline_curation_v2 flagship composition; per-domain quality
-    # z-score calibration), +13 late-round-4 additions (q-gram-blocked
+    # z-score calibration), +16 late-round-4 additions (q-gram-blocked
     # fuzzy join; fuzzy entity resolution; one-pass quantized covariance;
     # total-order range sharding; event co-occurrence mining;
     # mixture-targeted deterministic resampler; bucket-blocked interval
     # overlap join; time-windowed ordered-sequence funnel; z-order
     # locality cells; algebraic MV maintenance; as-of last-touch attribution; exact
-    # z-score standardization; per-group OLS on exact moments).
-    assert len(QUERIES) == 140
+    # z-score standardization; per-group OLS on exact moments; data-quality audit; date-spine
+    # gap filling; snapshot diff).
+    assert len(QUERIES) == 143
     # Since round 3: every declared query has an exact DuckDB oracle.
     assert set(ORACLE) == set(QUERIES)
 
