@@ -495,3 +495,38 @@ def test_mixture_resample_draw_is_broadcast_filter(spark):
     assert not plans.has_cartesian(df)
     assert "BroadcastHashJoin" in s
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_groupwise_regression_partial_moments(spark):
+    """The OLS moments must combine map-side (6 longs per group per
+    partition through the exchange) with no quadratic stage."""
+    df = QUERIES["groupwise_regression"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert "partial_sum" in s and "partial_count" in s
+    assert not plans.has_cartesian(df)
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_snapshot_diff_single_full_outer_join(spark):
+    df = QUERIES["snapshot_diff_customers"](spark, SF_SMOKE)
+    s = plans.plan_string(df, "simple")
+    assert s.count("FullOuter") == 1
+    assert not plans.has_cartesian(df)
+
+
+def test_daily_spine_fill_two_event_scans(spark):
+    """Densification reads events exactly twice (bounds + daily agg);
+    the spine side is a generated explode, not a table."""
+    df = QUERIES["daily_spine_fill"](spark, SF_SMOKE)
+    s = plans.plan_string(df, "simple")
+    assert s.count("Scan parquet") == 2
+
+
+def test_embedding_standardize_zero_shuffle_projection(spark):
+    """After the O(d) model collect, scoring must be a pure projection:
+    no exchange, no Python, the per-dimension stats inlined as
+    literals."""
+    df = QUERIES["embedding_standardize"](spark, SF_SMOKE)
+    s = plans.plan_string(df, "simple")
+    assert plans.exchange_count(df) == 0
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
