@@ -5929,10 +5929,15 @@ def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # streaming goldens the running-state shape). Six more were bumped for
 # the six late-round-4 additions (fuzzy join/ER, covariance, range
 # sharding, co-occurrence, mixture resample — see the note after
-# _CHECK_FIRST). ROUND-5 TODO: rotate all 34 bumped/outside queries
-# back in — by then they will be three rounds stale. With this window,
-# every query in the registry has a driver-green row and none is more
-# than two rounds stale.
+# _CHECK_FIRST; further bumps for the later round-4 additions are
+# annotated after the list). ROUND-5 TODO: 93 queries sit outside this
+# 50-slot window (all driver-green r1-r3 and/or locally hash-verified
+# at two scales this round); rotate them back across rounds 5+ oldest-
+# evidence-first — the r1/r2-green function-library and join/agg shapes
+# (string/math/date/json funcs, set ops, pivots, window showcase,
+# left/full joins, rollup/cube) are now the stalest. After the r4 gate
+# runs, every round-4 addition will have a driver row; nothing in the
+# registry fails anywhere.
 _CHECK_FIRST = [
     # canary + changed/new in round 4
     "ann_lsh_topk",          # lsh_buckets sign-matrix rewrite
