@@ -103,10 +103,58 @@ def covariance_moments(
     )
 
 
+def covariance_moments_blas(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale_bits: int = 13,
+) -> DataFrame:
+    """The documented d-beyond-256 kernel swap, made real: identical
+    integer moments via Arrow-batched numpy — per batch, Q = floor(X·2^s)
+    as int64 and the partial gram is ONE ``Q.T @ Q`` BLAS-shaped matmul
+    instead of d(d+3)/2 interpreted HOF cells per row. Each Arrow batch
+    emits its d² partial cells (model-sized), and the same
+    map-side-combined groupBy finishes the reduction — the PLAN is
+    unchanged from covariance_moments (one bounded shuffle), only the
+    per-row kernel moved from Catalyst expressions to vectorized numpy.
+    int64 accumulation keeps the moments EXACTLY the integers the
+    expression kernel produces (same floor, same overflow bound), so the
+    two kernels are hash-interchangeable under the same oracle."""
+    import numpy as np
+    import pandas as pd
+
+    scale = float(1 << scale_bits)
+
+    def gram(batches):
+        for pdf in batches:
+            vecs = [v for v in pdf[vec_col] if v is not None and len(v) > 0]
+            if not vecs:
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+            q = np.floor(x * scale).astype(np.int64)
+            n, d = q.shape
+            g = q.T @ q  # exact: int64 matmul
+            s1 = q.sum(axis=0)
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([np.arange(d), iu]).astype("int32"),
+                    "j": np.concatenate([np.full(d, -1), ju]).astype("int32"),
+                    "s": np.concatenate([s1, g[iu, ju]]),
+                    "cnt": np.full(d + len(iu), n, dtype=np.int64),
+                }
+            )
+
+    cells = df.mapInPandas(gram, schema="i int, j int, s long, cnt long")
+    return cells.groupBy("i", "j").agg(
+        F.sum("s").alias("s"), F.sum("cnt").alias("n")
+    )
+
+
 def covariance_matrix(
     df: DataFrame,
     vec_col: str = "embedding",
     scale_bits: int = 13,
+    kernel: str = "expr",
 ) -> DataFrame:
     """(i, j, cov) population covariance of the quantized vectors,
     upper triangle (j >= i), de-scaled back to value units.
@@ -123,8 +171,13 @@ def covariance_matrix(
     checkpoint pins the d(d+3)/2-row result (model-sized — same
     materialize-the-model rule as the IVF codebook) so the corpus is
     scanned exactly once.
+
+    ``kernel``: 'expr' (Catalyst expression cells — fully JVM, the
+    oracle-shaped default) or 'blas' (Arrow-batched numpy gram matmul —
+    same exact integers, vectorized CPU; the d-beyond-256 path).
     """
-    m = covariance_moments(df, vec_col, scale_bits).localCheckpoint()
+    mk = covariance_moments if kernel == "expr" else covariance_moments_blas
+    m = mk(df, vec_col, scale_bits).localCheckpoint()
     firsts = m.filter(F.col("j") == -1).select(
         F.col("i").alias("fi"), F.col("s").alias("fs"), F.col("n").alias("fn")
     )

@@ -5888,6 +5888,23 @@ def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("embedding_covariance_blas", None)
+def embedding_covariance_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding_covariance with the 'blas' kernel: Arrow-batched numpy
+    gram matmul (Q.T @ Q per batch) instead of Catalyst expression
+    cells — the linalg module's documented d-beyond-256 upgrade path,
+    shipped and hash-checked. Produces bit-identical integer moments
+    (same floor, same int64 accumulation), so it shares
+    embedding_covariance's oracle verbatim (registered below)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return linalg.covariance_matrix(emb, vec_col="embedding", scale_bits=13, kernel="blas")
+
+
+# The blas kernel is oracle-checked against the SAME ground truth as the
+# expression kernel — the oracle describes the moments, not the kernel.
+ORACLE["embedding_covariance_blas"] = ORACLE["embedding_covariance"]
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering
 # ---------------------------------------------------------------------------

@@ -72,3 +72,22 @@ def test_covariance_handles_null_and_empty_vectors(spark):
     assert abs(got[(0, 0)] - 1.0) < 1e-6
     assert abs(got[(1, 1)] - 2.25) < 1e-6
     assert abs(got[(0, 1)] - 1.5) < 1e-6
+
+
+def test_blas_kernel_moments_bit_identical_to_expression_kernel(spark):
+    """The Arrow/numpy gram kernel must produce EXACTLY the integers the
+    Catalyst expression kernel produces — floor semantics and int64
+    accumulation included — so the two are hash-interchangeable under
+    one oracle."""
+    base, df = _toy(spark, n=50, d=7, seed=11)
+    a = {(r.i, r.j): (r.s, r.n) for r in linalg.covariance_moments(df).collect()}
+    b = {(r.i, r.j): (r.s, r.n) for r in linalg.covariance_moments_blas(df).collect()}
+    assert a == b
+    # and on a frame with nulls/empties mixed in
+    extra = spark.createDataFrame(
+        [(100, None), (101, [])], "vec_id: long, embedding: array<double>"
+    )
+    df2 = df.union(extra)
+    a2 = {(r.i, r.j): (r.s, r.n) for r in linalg.covariance_moments(df2).collect()}
+    b2 = {(r.i, r.j): (r.s, r.n) for r in linalg.covariance_moments_blas(df2).collect()}
+    assert a2 == b2 == a

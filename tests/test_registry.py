@@ -106,8 +106,9 @@ def test_registry_is_complete_and_fully_oracled():
     # overlap join; time-windowed ordered-sequence funnel; z-order
     # locality cells; algebraic MV maintenance; as-of last-touch attribution; exact
     # z-score standardization; per-group OLS on exact moments; data-quality audit; date-spine
-    # gap filling; snapshot diff).
-    assert len(QUERIES) == 143
+    # gap filling; snapshot diff; the Arrow/numpy covariance kernel twin,
+    # which shares embedding_covariance's oracle verbatim).
+    assert len(QUERIES) == 144
     # Since round 3: every declared query has an exact DuckDB oracle.
     assert set(ORACLE) == set(QUERIES)
 
