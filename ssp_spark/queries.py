@@ -5905,6 +5905,131 @@ def embedding_covariance_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["embedding_covariance_blas"] = ORACLE["embedding_covariance"]
 
 
+@_q(
+    "cohort_retention",
+    """
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             (CAST(epoch(ts) AS BIGINT) // 86400) // 7 AS week
+      FROM events WHERE event_type = 'purchase'
+    ),
+    first_w AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id),
+    size_w AS (SELECT cohort_week, count(*) AS cohort_size
+               FROM first_w GROUP BY cohort_week)
+    SELECT f.cohort_week, CAST(u.week - f.cohort_week AS BIGINT) AS offset_w,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size
+    FROM uw u
+    JOIN first_w f ON f.user_id = u.user_id
+    JOIN size_w s ON s.cohort_week = f.cohort_week
+    GROUP BY f.cohort_week, offset_w, s.cohort_size
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-PURCHASE
+    week, counted per week-offset of later purchase activity (the
+    purchase stream is the sparse signal — raw activity saturates this
+    fixture), with cohort sizes for
+    rate computation downstream. Weeks are engine-neutral integers
+    (epoch-day // 7 — no date_trunc('week') anchor-day semantics to
+    reconcile). Shapes: one distinct on (user, week), one per-user min,
+    one keyed join back (the cohort lookup is user-count-sized), one
+    |cohorts × offsets|-bounded aggregate — every shuffle carries
+    user- or cell-bounded state at any corpus size."""
+    ev = load_table(spark, "events", sf_dir)
+    week = F.expr("(unix_timestamp(ts) div 86400) div 7")
+    uw = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", week.alias("week"))
+        .distinct()
+    )
+    first_w = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    size_w = first_w.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    return (
+        uw.join(first_w, "user_id")
+        .join(F.broadcast(size_w), "cohort_week")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).cast("long").alias("offset_w"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+        )
+        .agg(F.count("*").cast("long").alias("n_active"))
+        .select("cohort_week", "offset_w", "n_active", "cohort_size")
+    )
+
+
+@_q(
+    "triangle_count_users",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(epoch(ts) AS BIGINT) // 86400 AS day
+      FROM events
+    ),
+    pairs AS (
+      SELECT a.user_id AS u1, b.user_id AS u2, count(*) AS shared_days
+      FROM ud a JOIN ud b ON a.day = b.day AND a.user_id < b.user_id
+      GROUP BY 1, 2
+    ),
+    edges AS (SELECT u1, u2 FROM pairs WHERE shared_days >= 28),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e2.u1 = e1.u2
+      JOIN edges e3 ON e3.u1 = e1.u1 AND e3.u2 = e2.u2
+    )
+    SELECT CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST(tri.n_triangles AS BIGINT) AS n_triangles
+    FROM tri
+    """,
+)
+def triangle_count_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the user co-activity graph (edge = two
+    users sharing >= 28 active days). Edge generation is the inverted-
+    index pattern (day -> user list, in-row i<j combinatorics — the
+    day is the block key, so pair volume is Σ per-day k², never global
+    n²); triangles use the oriented-edge trick: with every edge stored
+    u1 < u2, each triangle {a<b<c} is found EXACTLY once as
+    (a,b)+(b,c)+(a,c) via two equi-joins — no orientation dedup pass,
+    join fan-in bounded by adjacency lists. The oracle takes the naive
+    self-join route over the same edge set."""
+    ev = load_table(spark, "events", sf_dir)
+    day = F.expr("unix_timestamp(ts) div 86400")
+    ud = ev.select("user_id", day.alias("day")).distinct()
+    inv = ud.groupBy("day").agg(F.array_sort(F.collect_set("user_id")).alias("us"))
+    us = F.col("us")
+    idx = F.filter(
+        F.sequence(F.lit(1), F.size(us) - 1),
+        lambda i: (i >= 1) & (i < F.size(us)),
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.slice(us, i + 1, F.size(us) - i),
+                lambda y: F.struct(F.element_at(us, i).alias("u1"), y.alias("u2")),
+            ),
+        )
+    )
+    edges = (
+        inv.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.u1").alias("u1"), F.col("p.u2").alias("u2"))
+        .agg(F.count("*").alias("shared_days"))
+        .filter(F.col("shared_days") >= 28)
+        .select("u1", "u2")
+        .localCheckpoint()  # reused three times by the triangle joins
+    )
+    e1 = edges
+    e2 = edges.select(F.col("u1").alias("u2"), F.col("u2").alias("u3"))
+    e3 = edges.select(F.col("u1").alias("u1"), F.col("u2").alias("u3"))
+    tri = (
+        e1.join(e2, "u2")
+        .join(e3, ["u1", "u3"])
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    n_edges = edges.agg(F.count("*").cast("long").alias("n_edges"))
+    return n_edges.crossJoin(tri)  # two 1-row frames
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering
 # ---------------------------------------------------------------------------

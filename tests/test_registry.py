@@ -107,8 +107,10 @@ def test_registry_is_complete_and_fully_oracled():
     # locality cells; algebraic MV maintenance; as-of last-touch attribution; exact
     # z-score standardization; per-group OLS on exact moments; data-quality audit; date-spine
     # gap filling; snapshot diff; the Arrow/numpy covariance kernel twin,
-    # which shares embedding_covariance's oracle verbatim).
-    assert len(QUERIES) == 144
+    # which shares embedding_covariance's oracle verbatim; cohort
+    # retention; triangle counting — the last two outside the saturated
+    # 50-slot window, first in the ROUND-5 rotation queue).
+    assert len(QUERIES) == 146
     # Since round 3: every declared query has an exact DuckDB oracle.
     assert set(ORACLE) == set(QUERIES)
 
