@@ -290,6 +290,7 @@ def upsert_parquet_sink(
     key_cols: list[str],
     timeout_s: float = 120.0,
     keep_versions: int = 1,
+    checkpoint: str | None = None,
 ):
     """Streaming materialized view: maintain a parquet table keyed by
     ``key_cols`` from an update-mode aggregate (the reference's collect
@@ -404,12 +405,13 @@ def upsert_parquet_sink(
         finally:
             batch_df.unpersist()
 
-    q = (
-        sdf.writeStream.outputMode("update")
-        .foreachBatch(merge)
-        .trigger(availableNow=True)
-        .start()
-    )
+    w = sdf.writeStream.outputMode("update").foreachBatch(merge)
+    if checkpoint is not None:
+        # with a checkpoint a RE-RUN resumes after the last committed
+        # micro-batch instead of replaying the whole source (replay is
+        # merely wasteful, not wrong — the per-key merge is idempotent)
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.trigger(availableNow=True).start()
     q.awaitTermination(timeout_s)
     return q
 

@@ -859,3 +859,52 @@ def test_log_batch_view_matches_stream_content(spark, tmpdir):
         for r in log.read_log_batch(spark, d).collect()
     )
     assert rows == [(0, 0, "a", "1"), (2, 0, "z", "7"), (2, 1, "y", "8")]
+
+
+def test_log_to_windowed_upsert_pipeline_end_to_end(spark, tmpdir):
+    """Full streaming pipeline over the Kafka-shaped log: offset log ->
+    event-time parse -> watermarked tumbling count (update mode) ->
+    upsert MV sink with a checkpoint. Then APPEND more batches and
+    re-run: the resumed query processes ONLY the new batches (checkpoint
+    resume) yet the MV still converges to the batch recomputation over
+    the whole log — the per-key merge absorbs the incremental updates."""
+    from ssp_spark.sources import log as slog
+
+    d = os.path.join(tmpdir, "log")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    mv = os.path.join(tmpdir, "mv")
+
+    def rec(part, key, minute):
+        return (part, key, f"2024-01-01 00:{minute:02d}:00")
+
+    def run_once():
+        src = slog.read_log_stream(spark, d).select(
+            F.col("key"), F.to_timestamp(F.col("value")).alias("ts")
+        )
+        agg = (
+            src.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("w"), "key")
+            .agg(F.count("*").alias("cnt"))
+            .select(F.unix_timestamp("w.start").alias("ws"), "key", "cnt")
+        )
+        ss.upsert_parquet_sink(agg, mv, ["ws", "key"], checkpoint=ckpt)
+
+    slog.log_append(d, [rec(0, "a", 1), rec(0, "b", 2), rec(1, "a", 3)])
+    slog.log_append(d, [rec(0, "a", 11), rec(1, "b", 12)])
+    run_once()
+    first = {(r.ws, r.key): r.cnt for r in spark.read.parquet(mv).collect()}
+    w0 = 1704067200  # 2024-01-01 00:00:00 UTC
+    assert first == {(w0, "a"): 2, (w0, "b"): 1, (w0 + 600, "a"): 1, (w0 + 600, "b"): 1}
+
+    # append-and-resume: one more event in an existing window (count must
+    # ADVANCE via the merge) and one opening a new window
+    slog.log_append(d, [rec(0, "a", 13), rec(1, "c", 21)])
+    run_once()
+    final = {(r.ws, r.key): r.cnt for r in spark.read.parquet(mv).collect()}
+    assert final == {
+        (w0, "a"): 2,
+        (w0, "b"): 1,
+        (w0 + 600, "a"): 2,
+        (w0 + 600, "b"): 1,
+        (w0 + 1200, "c"): 1,
+    }
