@@ -6030,6 +6030,47 @@ def triangle_count_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_edges.crossJoin(tri)  # two 1-row frames
 
 
+@_q(
+    "event_transition_matrix",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM ordered WHERE next_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts of the per-user event
+    stream: one keyed window (lead over the strict (ts, event_id)
+    order — deterministic under timestamp ties) and one
+    |types|²-bounded aggregate. The per-user window carries one row of
+    lookahead state, so the shuffle is the event volume keyed by user
+    — the sessionization cost class, no quadratic stage. The transition
+    matrix is the standard input to journey analysis and synthetic-
+    session generation."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering
 # ---------------------------------------------------------------------------
