@@ -5994,37 +5994,60 @@ def triangle_count_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join route over the same edge set."""
     ev = load_table(spark, "events", sf_dir)
     day = F.expr("unix_timestamp(ts) div 86400")
-    ud = ev.select("user_id", day.alias("day")).distinct()
-    inv = ud.groupBy("day").agg(F.array_sort(F.collect_set("user_id")).alias("us"))
-    us = F.col("us")
-    idx = F.filter(
-        F.sequence(F.lit(1), F.size(us) - 1),
-        lambda i: (i >= 1) & (i < F.size(us)),
-    )
-    pair_arr = F.flatten(
-        F.transform(
-            idx,
-            lambda i: F.transform(
-                F.slice(us, i + 1, F.size(us) - i),
-                lambda y: F.struct(F.element_at(us, i).alias("u1"), y.alias("u2")),
-            ),
-        )
-    )
+    ud = ev.select("user_id", day.alias("day")).distinct().persist()
+    # Pair generation is a STREAMED equi-self-join on the day block key,
+    # NOT the in-row sorted-array combinatorics the sparse-block
+    # operators use (jaccard/cooccurrence): a co-activity day is a HOT
+    # block — every active user collides on it — and materializing its
+    # k²/2 pair structs as one in-row array is O(k²) heap on a single
+    # task (measured: OOM at the 10x fixture's 1,500 users/day). The
+    # join produces the same pairs but streams them straight into the
+    # map-side-combined count, so per-task memory stays batch-sized.
+    a = ud.select(F.col("user_id").alias("u1"), "day")
+    b = ud.select(F.col("user_id").alias("u2"), "day")
     edges = (
-        inv.select(F.explode(pair_arr).alias("p"))
-        .groupBy(F.col("p.u1").alias("u1"), F.col("p.u2").alias("u2"))
+        a.join(b, "day")
+        .filter(F.col("u1") < F.col("u2"))
+        .groupBy("u1", "u2")
         .agg(F.count("*").alias("shared_days"))
         .filter(F.col("shared_days") >= 28)
         .select("u1", "u2")
         .localCheckpoint()  # reused three times by the triangle joins
     )
-    e1 = edges
-    e2 = edges.select(F.col("u1").alias("u2"), F.col("u2").alias("u3"))
-    e3 = edges.select(F.col("u1").alias("u1"), F.col("u2").alias("u3"))
-    tri = (
-        e1.join(e2, "u2")
-        .join(e3, ["u1", "u3"])
-        .agg(F.count("*").cast("long").alias("n_triangles"))
+    ud.unpersist()
+    # Degree-ordered orientation (the standard scalable triangle
+    # algorithm): orient every edge from its lower-(degree, id) endpoint
+    # to the higher one, then wedges are pairs of OUT-neighbors — the
+    # per-node path work is out-degree², and under this orientation the
+    # max out-degree is O(sqrt(2m)) on any graph, so the wedge join is
+    # bounded O(m^1.5) instead of Σ deg² (which explodes on hubs — and
+    # on the replicated 10x fixture, whose co-activity graph densifies
+    # toward complete; see SCALE.md). Each triangle {a≺b≺c} appears
+    # exactly once as wedges (a→b, a→c) closed by (b→c).
+    deg = (
+        edges.select(F.col("u1").alias("u"))
+        .unionAll(edges.select(F.col("u2").alias("u")))
+        .groupBy("u")
+        .agg(F.count("*").alias("d"))
+    )
+    # total order key: degree-major, id tiebreak (ids < 2^31 by fixture)
+    k = lambda d, u: F.shiftleft(F.col(d).cast("long"), 32) + F.col(u)
+    ek = (
+        edges.join(deg.select(F.col("u").alias("u1"), F.col("d").alias("d1")), "u1")
+        .join(deg.select(F.col("u").alias("u2"), F.col("d").alias("d2")), "u2")
+        .select(
+            F.when(k("d1", "u1") < k("d2", "u2"), F.col("u1")).otherwise(F.col("u2")).alias("src"),
+            F.when(k("d1", "u1") < k("d2", "u2"), k("d2", "u2")).otherwise(k("d1", "u1")).alias("kdst"),
+            F.when(k("d1", "u1") < k("d2", "u2"), F.col("u2")).otherwise(F.col("u1")).alias("dst"),
+        )
+        .localCheckpoint()
+    )
+    w1 = ek.select("src", F.col("dst").alias("b"), F.col("kdst").alias("kb"))
+    w2 = ek.select("src", F.col("dst").alias("c"), F.col("kdst").alias("kc"))
+    wedges = w1.join(w2, "src").filter(F.col("kb") < F.col("kc"))
+    closing = ek.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, ["b", "c"]).agg(
+        F.count("*").cast("long").alias("n_triangles")
     )
     n_edges = edges.agg(F.count("*").cast("long").alias("n_edges"))
     return n_edges.crossJoin(tri)  # two 1-row frames
