@@ -154,6 +154,88 @@ def bloom_might_contain(
     )
 
 
+def hll_registers(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str],
+    p: int = 8,
+) -> DataFrame:
+    """HyperLogLog register table: (group..., j, r) with j in [0, 2^p) and
+    r = max over the bucket of rho(w), the 1-based leading-zero rank of
+    the hash suffix.
+
+    Split of the 60-bit portable hash: j = low p bits, w = high 60-p bits;
+    rho(w) = (60-p) - bitlen(w) + 1, with the all-zero suffix pinned to
+    the max rank 61-p. bitlen comes from length(bin(w)) — an exact
+    integer-string op both engines compute identically, so no float log2
+    enters the register math.
+
+    ONE shuffle of at most |groups| * 2^p register rows after map-side
+    partial max — the register table is a bounded mergeable summary
+    (merge = elementwise max), which is what makes HLL the distinct-count
+    path at 100 TB: substreams sketch independently and max-combine.
+    """
+    m = 1 << p
+    max_rho = 61 - p
+    base = df.select(*group_cols, portable_hash64(F.col(col)).alias("h64"))
+    w = F.shiftright(F.col("h64"), p)
+    rho = F.when(w == 0, F.lit(max_rho)).otherwise(
+        F.lit(max_rho) - F.length(F.bin(w))
+    )
+    return (
+        base.select(
+            *group_cols,
+            F.col("h64").bitwiseAND(F.lit(m - 1)).alias("j"),
+            rho.alias("rho"),
+        )
+        .groupBy(*group_cols, "j")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str], p: int = 8) -> DataFrame:
+    """Cardinality estimates from an HLL register table (Flajolet et al.
+    2007): E = alpha_m * m^2 / sum(2^-M_j), with the small-range linear-
+    counting correction m*ln(m/V) when E <= 2.5m and V (empty registers)
+    > 0.
+
+    Determinism across engines: the indicator sum is kept EXACT by
+    summing 2^(maxr - r) as integers (S <= m * 2^maxr < 2^63 for p >= 6),
+    and alpha*m^2*2^maxr is folded into one Python-float literal both
+    engines parse identically — so the only cross-engine float ops are a
+    single IEEE division and (on the small-range branch) one ln, rounded
+    to an integer estimate. Input is register rows (bounded), so this
+    aggregate is O(groups * 2^p) regardless of data size.
+    """
+    m = 1 << p
+    max_rho = 61 - p
+    const = hll_alpha_m2_pow(p)
+    per = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("nz"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {max_rho} - r)")).alias("s_nz"),
+    )
+    s = F.col("s_nz") + (F.lit(m) - F.col("nz")) * F.lit(1 << max_rho)
+    e_raw = F.lit(const) / s.cast("double")
+    v = F.lit(m) - F.col("nz")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))),
+    ).otherwise(F.round(e_raw))
+    return per.select(
+        *group_cols,
+        F.col("nz").cast("int").alias("registers_used"),
+        est.cast("long").alias("est"),
+    )
+
+
+def hll_alpha_m2_pow(p: int) -> float:
+    """alpha_m * m^2 * 2^(61-p) as one Python float — the single literal
+    constant both the Spark plan and the SQL oracle embed (repr round-
+    trips exactly, so both engines parse the identical IEEE double)."""
+    m = 1 << p
+    return 0.7213 / (1.0 + 1.079 / m) * m * m * 2.0 ** (61 - p)
+
+
 def bloom_mask_words(bits: list[int], num_bits: int = 4096) -> list[int]:
     """Pack set-bit positions into num_bits/64 signed 64-bit words — the
     driver-side literal form of the filter (num_bits/8 bytes total, a

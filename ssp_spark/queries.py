@@ -3451,6 +3451,76 @@ def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.filter(keep).select("event_id", "event_type")
 
 
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P
+_HLL_MAXR = 61 - _HLL_P
+_HLL_CONST = _sketch.hll_alpha_m2_pow(_HLL_P)
+
+
+@_q(
+    "hll_distinct_users",
+    f"""
+    WITH base AS (
+      SELECT event_type,
+             {_SQL_H64_OF.format(x="CAST(user_id AS VARCHAR)")} AS h64
+      FROM events
+    ),
+    rj AS (
+      SELECT event_type, h64 & {_HLL_M - 1} AS j,
+             CASE WHEN (h64 >> {_HLL_P}) = 0 THEN {_HLL_MAXR}
+                  ELSE {_HLL_MAXR} - length(bin(h64 >> {_HLL_P})) END AS rho
+      FROM base
+    ),
+    regs0 AS (SELECT event_type, j, max(rho) AS r FROM rj GROUP BY event_type, j),
+    regs AS (
+      SELECT * FROM regs0
+      UNION ALL
+      SELECT '__all__' AS event_type, j, max(r) AS r FROM regs0 GROUP BY j
+    ),
+    agg AS (
+      SELECT event_type, count(*) AS nz,
+             CAST(sum(1::BIGINT << ({_HLL_MAXR} - r)) AS BIGINT) AS s_nz
+      FROM regs GROUP BY event_type
+    ),
+    sc AS (
+      SELECT event_type, CAST(nz AS INT) AS registers_used,
+             {_HLL_M} - nz AS v,
+             {_HLL_CONST!r} / CAST(s_nz + ({_HLL_M} - nz) * (1::BIGINT << {_HLL_MAXR}) AS DOUBLE) AS e_raw
+      FROM agg
+    )
+    SELECT event_type, registers_used,
+           CAST(CASE WHEN e_raw <= {2.5 * _HLL_M!r} AND v > 0
+                     THEN round({float(_HLL_M)!r} * ln({float(_HLL_M)!r} / CAST(v AS DOUBLE)))
+                     ELSE round(e_raw) END AS BIGINT) AS est
+    FROM sc
+    """,
+)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimates per event type PLUS a merged
+    '__all__' row derived by max-combining the per-group registers — the
+    mergeability demo: the global estimate comes from the registers, not
+    a second scan. (ssp's analogue would be a global-key stateful fold,
+    node.go:66-73; approx_distinct_users covers Spark's built-in HLL++ —
+    this one is the engine-portable register-table form.)
+
+    Scale shape: one shuffle of <= |groups| * 256 register rows after
+    map-side partial max (the scan never re-runs for the merge), then an
+    O(registers) estimate aggregate. The indicator sum stays in exact
+    integer arithmetic; alpha*m^2*2^53 is a single shared float literal —
+    the only cross-engine float ops are one IEEE division and the
+    small-range ln, rounded to an integer count."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    regs = _sketch.hll_registers(ev, "uid", ["event_type"], _HLL_P)
+    merged = regs.groupBy("j").agg(F.max("r").alias("r")).select(
+        F.lit("__all__").alias("event_type"), "j", "r"
+    )
+    return _sketch.hll_estimate(
+        regs.unionByName(merged), ["event_type"], _HLL_P
+    )
+
+
 @_q(
     "window_rank_stats",
     """
@@ -6136,9 +6206,12 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the six late-round-4 additions (fuzzy join/ER, covariance, range
 # sharding, co-occurrence, mixture resample — see the note after
 # _CHECK_FIRST; further bumps for the later round-4 additions are
-# annotated after the list). ROUND-5 TODO: 93 queries sit outside this
+# annotated after the list). ROUND-5 TODO: 98 queries sit outside this
 # 50-slot window (all driver-green r1-r3 and/or locally hash-verified
-# at two scales this round); rotate them back across rounds 5+ oldest-
+# at two scales this round); rotate them back across rounds 5+ —
+# FIRST the never-driver-checked late-round-4 additions
+# (cohort_retention, triangle_count_users, event_transition_matrix,
+# embedding_covariance_blas, hll_distinct_users), then oldest-
 # evidence-first — the r1/r2-green function-library and join/agg shapes
 # (string/math/date/json funcs, set ops, pivots, window showcase,
 # left/full joins, rollup/cube) are now the stalest. After the r4 gate

@@ -109,8 +109,9 @@ def test_registry_is_complete_and_fully_oracled():
     # gap filling; snapshot diff; the Arrow/numpy covariance kernel twin,
     # which shares embedding_covariance's oracle verbatim; cohort
     # retention; triangle counting — the last two outside the saturated
-    # 50-slot window, first in the ROUND-5 rotation queue; Markov transition matrix).
-    assert len(QUERIES) == 147
+    # 50-slot window, first in the ROUND-5 rotation queue; Markov transition matrix;
+    # HLL register-table distinct sketch with max-merge '__all__' row).
+    assert len(QUERIES) == 148
     # Since round 3: every declared query has an exact DuckDB oracle.
     assert set(ORACLE) == set(QUERIES)
 

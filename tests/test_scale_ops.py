@@ -106,3 +106,54 @@ def test_bloom_prefilter_sound_and_selective(spark):
     # selectivity: the prefilter must actually drop rows
     n_all, n_pre = orders.count(), pre.count()
     assert n_pre < n_all
+
+
+def test_hll_accuracy_both_branches(spark):
+    """HLL estimate accuracy on both regimes: low cardinality (users,
+    linear-counting branch — near-exact) and high cardinality (event ids,
+    raw-estimate branch — within the 3-sigma bound 3*1.04/sqrt(m))."""
+    import pyspark.sql.functions as F
+
+    from ssp_spark.catalog import load_table
+    from ssp_spark.operators import sketch
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, "events", SF_SMOKE)
+    for col, branch in (("user_id", "linear"), ("event_id", "raw")):
+        src = ev.select(F.col(col).cast("string").alias("k"), F.lit("g").alias("g"))
+        regs = sketch.hll_registers(src, "k", ["g"], p=8)
+        est = sketch.hll_estimate(regs, ["g"], p=8).collect()[0]["est"]
+        exact = src.select("k").distinct().count()
+        rel = abs(est - exact) / exact
+        bound = 0.05 if branch == "linear" else 3 * 1.04 / (256**0.5)
+        # at tiny cardinality a single register collision is abs err 1
+        assert rel <= bound or abs(est - exact) <= 2, (branch, est, exact, rel)
+
+
+def test_hll_register_table_bounded_and_mergeable(spark):
+    """The register table never exceeds |groups| * 2^p rows, and merging
+    two half-corpus register tables by elementwise max reproduces the
+    full-corpus registers exactly — the property that lets substreams
+    sketch independently at 100 TB."""
+    import pyspark.sql.functions as F
+
+    from ssp_spark.catalog import load_table
+    from ssp_spark.operators import sketch
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, "events", SF_SMOKE).select(
+        F.lit("g").alias("g"), F.col("event_id").cast("string").alias("k")
+    )
+    regs_full = sketch.hll_registers(ev, "k", ["g"], p=8)
+    assert regs_full.count() <= 256
+    h1 = ev.filter(F.col("k").cast("long") % 2 == 0)
+    h2 = ev.filter(F.col("k").cast("long") % 2 == 1)
+    merged = (
+        sketch.hll_registers(h1, "k", ["g"], p=8)
+        .unionByName(sketch.hll_registers(h2, "k", ["g"], p=8))
+        .groupBy("g", "j")
+        .agg(F.max("r").alias("r"))
+    )
+    full = {(r["j"]): r["r"] for r in regs_full.collect()}
+    via_merge = {(r["j"]): r["r"] for r in merged.collect()}
+    assert full == via_merge
