@@ -271,6 +271,49 @@ def main() -> None:
             }
         )
     )
+    # The driver records only the last ~2 KB of stdout; the full record
+    # above outgrew that in round 4 (BENCH_r04 `parsed: null` — only the
+    # DuckDB suffix survived the tail). Emit a compact line LAST — the
+    # contract fields plus both engines' totals and the noise adjudicators,
+    # but without the per-query steal / production-hash / duckdb-per-query
+    # maps that blew the budget — so whatever parser reads the tail always
+    # finds one complete JSON object (~1.3 KB for the 35-query suite; a
+    # guard below asserts it stays under the tail).
+    n_dirty = sum(1 for s in best_steal.values() if s > retry_above)
+    compact = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "r3_comparable_total": round(sum(timings[n] for n in _R3_SET), 3),
+            "cold_total_sec": round(sum(cold.values()), 3),
+            "duckdb_total_sec": round(sum(duck.values()), 3) if duck else None,
+            "host_steal_pct": steal_pct,
+            "duckdb_steal_pct": duck_steal,
+            "n_dirty": n_dirty,
+        },
+        separators=(",", ":"),
+    )
+    if len(compact) > 1900:  # tail budget: drop per-query map, keep totals
+        compact = json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(HEADLINE),
+                "r3_comparable_total": round(sum(timings[n] for n in _R3_SET), 3),
+                "cold_total_sec": round(sum(cold.values()), 3),
+                "duckdb_total_sec": round(sum(duck.values()), 3) if duck else None,
+                "host_steal_pct": steal_pct,
+                "duckdb_steal_pct": duck_steal,
+                "n_dirty": n_dirty,
+            },
+            separators=(",", ":"),
+        )
+    print(compact)
     spark.stop()
 
 

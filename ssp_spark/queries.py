@@ -4575,6 +4575,54 @@ def contrastive_pairs_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "contrastive_pairs_lsh",
+    f"""
+    WITH ve AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
+      FROM embeddings
+    ),
+    b AS (SELECT vec_id, label, v, vn, {{bucket}} AS bucket FROM ve),
+    probes AS (
+      SELECT vec_id, label, v, vn, xor(bucket, m) AS bucket
+      FROM (SELECT * FROM b WHERE vec_id % 50 = 0),
+           LATERAL (SELECT unnest([{{masks}}]) AS m) u
+    ),
+    scored AS (
+      SELECT q.vec_id AS qid, c.vec_id AS nid,
+             CAST(q.label = c.label AS INT) AS is_positive,
+             round(list_dot_product(q.v, c.v) / (q.vn * c.vn), 6) AS cos
+      FROM probes q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT qid, nid, is_positive, cos,
+             row_number() OVER (PARTITION BY qid, is_positive
+                                ORDER BY cos DESC, nid) AS rank
+      FROM scored
+    )
+    SELECT qid, nid, is_positive, CAST(rank AS INT) AS rank, cos
+    FROM ranked WHERE rank <= 2
+    """.format(bucket=_SQL_LSH_BUCKET, masks=_SQL_LSH_MASKS),
+)
+def contrastive_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive pair mining with the LSH-blocked candidate generator
+    (similarity.contrastive_pairs(candidates="lsh")) — the scale path
+    the exact query's docstring promises: anchors are NOT broadcast and
+    the corpus is NOT fully scored per anchor; both sides are bucketed
+    by the deterministic random-hyperplane index, anchors explode into
+    the 37-mask multi-probe sequence (radius 2 over 8 planes), and
+    candidates come from ONE equi-join on bucket — the both-sides-huge
+    shape. Ranking is the identical (qid, is_positive) top-k tail, so
+    the oracle (same inlined sign matrix + masks as ann_lsh_topk, plus
+    the label split) replays the exact candidate set and output."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    anchors = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.contrastive_pairs(
+        anchors, emb, k_pos=2, k_neg=2, candidates="lsh", probe_radius=2
+    )
+
+
+@_q(
     "bloom_prefilter_join",
     """
     SELECT o_orderpriority, count(*) AS n_orders,
@@ -6028,12 +6076,48 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-day user cap for the co-activity pair stage (see the docstring
+# below). 2048 > every organic fixture's max users/day (sf0.1: 1,356) so
+# the sf-scale oracle hashes are cap-invariant; the 10x dense fixture is
+# bounded to 30 * 2048²/2 ≈ 63M pairs instead of 3.4e9 (OOM).
+_TRIANGLE_DAY_CAP = 2048
+
+
+def _capped_user_days(ev: DataFrame, cap: int = _TRIANGLE_DAY_CAP) -> DataFrame:
+    """Distinct (user_id, day) bounded to the ``cap`` users with the
+    smallest (portable_hash64, id) per day — the deterministic hot-block
+    sample triangle_count_users feeds its pair stage (and the oracle
+    replays). Factored out so tests can assert the rank-limit compiles
+    to WindowGroupLimit on THIS stage's plan (the query's localCheckpoint
+    truncates it out of the final plan)."""
+    day = F.expr("unix_timestamp(ts) div 86400")
+    wcap = Window.partitionBy("day").orderBy(
+        portable_hash64(F.col("user_id").cast("string")), "user_id"
+    )
+    return (
+        ev.select("user_id", day.alias("day"))
+        .distinct()
+        .withColumn("__rn", F.row_number().over(wcap))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
 @_q(
     "triangle_count_users",
     """
-    WITH ud AS (
+    WITH ud0 AS (
       SELECT DISTINCT user_id, CAST(epoch(ts) AS BIGINT) // 86400 AS day
       FROM events
+    ),
+    ud AS (
+      SELECT user_id, day FROM (
+        SELECT user_id, day,
+               row_number() OVER (
+                 PARTITION BY day
+                 ORDER BY ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT,
+                          user_id) AS rn
+        FROM ud0) WHERE rn <= 2048
     ),
     pairs AS (
       SELECT a.user_id AS u1, b.user_id AS u2, count(*) AS shared_days
@@ -6061,10 +6145,22 @@ def triangle_count_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     u1 < u2, each triangle {a<b<c} is found EXACTLY once as
     (a,b)+(b,c)+(a,c) via two equi-joins — no orientation dedup pass,
     join fan-in bounded by adjacency lists. The oracle takes the naive
-    self-join route over the same edge set."""
+    self-join route over the same edge set.
+
+    Hot-block cap (round-5 fix for the SCALE.md disclosure): pair
+    volume is inherently Σ_day k_day², so ONE day where "everyone was
+    active" (k ~ |users|) reproduces the dense-fixture OOM on real
+    data. Each day is therefore capped to the ``_TRIANGLE_DAY_CAP``
+    users with the smallest (portable_hash64, id) — a deterministic,
+    partitioning-independent sample, replayed verbatim in the oracle so
+    the contract is exact at EVERY scale, and a no-op on organic
+    fixtures (sf0.1 max is 1,356 users/day vs the 2,048 cap). The
+    rank-limit compiles to WindowGroupLimit (plan-asserted): each map
+    task keeps a per-day top-k heap, so no single task ever holds a hot
+    day's full user list — the cap itself is scale-safe, not just the
+    stage it guards."""
     ev = load_table(spark, "events", sf_dir)
-    day = F.expr("unix_timestamp(ts) div 86400")
-    ud = ev.select("user_id", day.alias("day")).distinct().persist()
+    ud = _capped_user_days(ev).persist()
     # Pair generation is a STREAMED equi-self-join on the day block key,
     # NOT the in-row sorted-array combinatorics the sparse-block
     # operators use (jaccard/cooccurrence): a co-activity day is a HOT

@@ -121,6 +121,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # InferWindowGroupLimit only rewrites rank-limit filters whose k is
+        # below this threshold (default 1000) into map-side top-k heaps.
+        # Our largest rank cap is the 2048-user hot-day sample in
+        # triangle_count_users; a 4096-entry per-task heap is trivial, and
+        # without the rewrite a hot partition's FULL group is sorted on one
+        # task — the exact failure the cap exists to prevent.
+        .config("spark.sql.optimizer.windowGroupLimitThreshold", "4096")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -338,3 +338,39 @@ def test_contrastive_pairs_semantics(spark):
     # every anchor contributes both sides (k_pos and k_neg rows each)
     qids = {r.qid for r in out}
     assert all((q, 1) in by_anchor and (q, 0) in by_anchor for q in qids)
+
+
+def test_contrastive_lsh_consistency_vs_exact(spark):
+    """The LSH candidate generator must agree with the exact path on
+    everything EXCEPT candidate coverage: every (qid, nid, is_positive)
+    it emits must score identically to the exact scorer's value for that
+    pair, labels/side classification must match, ranks stay contiguous
+    per (anchor, side) — and blocking must actually recall a usable
+    fraction of the exact pairs (same contract as dedup_embedding_lsh:
+    approximate WHO is compared, never WHAT a comparison returns)."""
+    from ssp_spark.catalog import load_table
+    from ssp_spark.operators import similarity
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    anchors = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = similarity.contrastive_pairs(anchors, emb, k_pos=2, k_neg=2).collect()
+    approx = similarity.contrastive_pairs(
+        anchors, emb, k_pos=2, k_neg=2, candidates="lsh", probe_radius=2
+    ).collect()
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    by_anchor = {}
+    for r in approx:
+        assert r.qid != r.nid
+        assert (labels[r.qid] == labels[r.nid]) == bool(r.is_positive)
+        by_anchor.setdefault((r.qid, r.is_positive), []).append(r.rank)
+    for ranks in by_anchor.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # scores are the exact cosine wherever both paths ranked a pair
+    exact_cos = {(r.qid, r.nid): r.cos for r in exact}
+    overlap = [r for r in approx if (r.qid, r.nid) in exact_cos]
+    assert all(abs(exact_cos[(r.qid, r.nid)] - r.cos) < 1e-9 for r in overlap)
+    # blocking recalls a real fraction of the exact pair set (weak-
+    # similarity corpus; radius-2 multi-probe measured ~0.3+ here)
+    recall = len(overlap) / max(len(exact), 1)
+    assert recall >= 0.15, recall

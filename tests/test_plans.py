@@ -530,3 +530,17 @@ def test_embedding_standardize_zero_shuffle_projection(spark):
     s = plans.plan_string(df, "simple")
     assert plans.exchange_count(df) == 0
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_triangle_day_cap_is_window_group_limit(spark):
+    """The per-day user cap (queries._TRIANGLE_DAY_CAP) must compile to
+    WindowGroupLimit — a map-side per-day top-k heap — so no task ever
+    materializes a hot day's full user list just to rank it. Asserted on
+    the capped stage itself (the query's localCheckpoint truncates it
+    out of the final plan)."""
+    from ssp_spark.catalog import load_table
+    from ssp_spark.queries import _capped_user_days
+
+    df = _capped_user_days(load_table(spark, "events", SF_SMOKE))
+    s = plans.plan_string(df)
+    assert "WindowGroupLimit" in s

@@ -110,8 +110,11 @@ def test_registry_is_complete_and_fully_oracled():
     # which shares embedding_covariance's oracle verbatim; cohort
     # retention; triangle counting — the last two outside the saturated
     # 50-slot window, first in the ROUND-5 rotation queue; Markov transition matrix;
-    # HLL register-table distinct sketch with max-merge '__all__' row).
-    assert len(QUERIES) == 148
+    # HLL register-table distinct sketch with max-merge '__all__' row),
+    # +1 round-5 addition (contrastive_pairs_lsh — the LSH-blocked
+    # candidate generator for contrastive mining, the scale path
+    # VERDICT r4 asked to exist in code).
+    assert len(QUERIES) == 149
     # Since round 3: every declared query has an exact DuckDB oracle.
     assert set(ORACLE) == set(QUERIES)
 
