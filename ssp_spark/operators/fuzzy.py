@@ -55,6 +55,7 @@ def fuzzy_pairs(
     max_dist: int = 2,
     q: int = 2,
     checkpoint: bool = True,
+    short_strings: str = "exact",
 ) -> DataFrame:
     """All pairs (id1 < id2) with levenshtein(str1, str2) <= max_dist.
 
@@ -66,8 +67,31 @@ def fuzzy_pairs(
     per-row sorted-array combinatorics (the jaccard_pairs pattern — no
     self-join); distinct; then a broadcast-joined length prefilter and
     the exact levenshtein verify. No stage is quadratic in n.
+
+    ``short_strings`` closes the precondition gap ADVICE r4 flagged
+    (fuzzy.py:63): a string shorter than ``q*(max_dist+1)`` has at most
+    ``max_dist*q`` grams, so the prefix-filter overlap bound is void —
+    blocking can silently miss its qualifying pairs (a string shorter
+    than ``q`` has NO grams and could never be a candidate at all).
+
+    - ``"exact"`` (default): such strings are routed through an exact
+      side path. Any qualifying pair with a short member has BOTH
+      members shorter than ``q*(max_dist+1) + max_dist`` (edit distance
+      bounds the length gap), so the side path is short x near-short: a
+      broadcast nested-loop of the short set against the near-short set
+      with the same verify, unioned and deduped against the blocked
+      result. Scale contract: DISTINCT strings below a constant length
+      are alphabet-bounded (|Σ|^len), so the broadcast side is small by
+      construction; a corpus with millions of IDs sharing short strings
+      pays only the true output size (those pairs all qualify).
+    - ``"ignore"``: prior behavior (blocked path only; documented
+      losslessness requires min length >= q*(max_dist+1)).
+    - ``"error"``: raise ValueError if any short string is present.
     """
+    if short_strings not in ("exact", "ignore", "error"):
+        raise ValueError(f"unknown short_strings mode {short_strings!r}")
     keep = max_dist * q + 1
+    short_len = q * (max_dist + 1)
     base = (
         df.select(F.col(id_col).alias("fid"), F.col(str_col).alias("fstr"))
         .filter(F.col("fstr").isNotNull())
@@ -131,6 +155,39 @@ def fuzzy_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("id1", "id2", "s1", "s2", "dist")
     )
+    if short_strings == "error":
+        if base.filter(F.length("fstr") < short_len).limit(1).count() > 0:
+            raise ValueError(
+                f"fuzzy_pairs(short_strings='error'): input contains strings "
+                f"shorter than q*(max_dist+1) = {short_len}; blocking is not "
+                f"lossless for them (use short_strings='exact')"
+            )
+    elif short_strings == "exact":
+        # exact side path for the strings the prefix filter cannot cover
+        # (see docstring); both sides of any such pair are < short_len +
+        # max_dist chars, so this never touches the long tail.
+        shorts = base.filter(F.length("fstr") < short_len)
+        near = base.filter(F.length("fstr") < short_len + max_dist)
+        a = shorts.select(F.col("fid").alias("ida"), F.col("fstr").alias("sa"))
+        b = near.select(F.col("fid").alias("idb"), F.col("fstr").alias("sb"))
+        extra = (
+            b.join(F.broadcast(a), F.col("ida") != F.col("idb"))
+            .filter(F.abs(F.length("sa") - F.length("sb")) <= max_dist)
+            .withColumn("dist", F.levenshtein("sa", "sb"))
+            .filter(F.col("dist") <= max_dist)
+            .select(
+                F.least("ida", "idb").alias("id1"),
+                F.greatest("ida", "idb").alias("id2"),
+                F.when(F.col("ida") < F.col("idb"), F.col("sa"))
+                .otherwise(F.col("sb"))
+                .alias("s1"),
+                F.when(F.col("ida") < F.col("idb"), F.col("sb"))
+                .otherwise(F.col("sa"))
+                .alias("s2"),
+                "dist",
+            )
+        )
+        out = out.unionByName(extra).distinct()
     if not checkpoint:
         # plan-inspection path (tests assert on the REAL plan; eager
         # localCheckpoint would truncate it to an ExistingRDD scan) —

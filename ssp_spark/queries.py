@@ -5720,7 +5720,16 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row projection; per-element z-scores are floor-scaled to
     integer milli-sigmas so the per-vector sum is exact integer math,
     immune to FP summation order. Zero-variance dimensions are excluded
-    by an exact integer-moment predicate on both engines."""
+    by an exact integer-moment predicate on both engines.
+
+    Degenerate-input contract (ADVICE r4): an all-zero-variance corpus
+    leaves the model empty — the oracle's inner join then yields NO
+    rows, and so does this side (empty frame, same schema) instead of
+    the former AttributeError. And n_dims is computed PER ROW (count of
+    model dimensions the vector actually has), not a global constant,
+    so ragged vectors agree with the oracle's per-vector join count;
+    vectors joining zero model dimensions are dropped, matching the
+    inner join."""
     emb = load_table(spark, "embeddings", sf_dir)
     base = emb.filter(
         F.col("embedding").isNotNull() & (F.size("embedding") > 0)
@@ -5748,17 +5757,33 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         var_num = s2 - s1 * s1 / n
         if var_num > 0:
             model[r["i"]] = (s1 / n, _math.sqrt(var_num / n))
-    terms = None
-    cnt = 0
+    if not model:
+        # empty model == the oracle's inner join against an empty stats
+        # CTE: zero rows, same schema
+        return base.select(
+            "vec_id",
+            F.lit(None).cast("long").alias("z_sum"),
+            F.lit(None).cast("long").alias("n_dims"),
+        ).limit(0)
+    size = F.size("__q")
+    z_sum = None
+    n_dims = None
     for i, (mean, sd) in sorted(model.items()):
         qv = F.element_at(F.col("__q"), i + 1).cast("double")
         t = F.floor(((qv - F.lit(mean)) / F.lit(sd)) * 1000.0).cast("long")
-        terms = t if terms is None else terms + t
-        cnt += 1
-    return base.select(
-        "vec_id",
-        terms.alias("z_sum"),
-        F.lit(cnt).cast("long").alias("n_dims"),
+        zt = F.when(size > i, t).otherwise(F.lit(0))
+        nt = F.when(size > i, F.lit(1)).otherwise(F.lit(0))
+        z_sum = zt if z_sum is None else z_sum + zt
+        n_dims = nt if n_dims is None else n_dims + nt
+    return (
+        base.select(
+            "vec_id",
+            z_sum.alias("z_sum"),
+            n_dims.cast("long").alias("n_dims"),
+        )
+        # a vector shorter than every model dimension joins nothing in
+        # the oracle — drop it here too
+        .filter(F.col("n_dims") > 0)
     )
 
 

@@ -46,15 +46,33 @@ def log_append(path: str, records: list[tuple[int, str, str]]) -> int:
     """Append one producer batch: records are (partition, key, value);
     offsets are assigned contiguously per partition. Returns the batch
     sequence number. Atomic: the batch file appears all-or-nothing, and
-    the meta file advances only after the batch is visible (a crash
-    between the two re-writes the same offsets — idempotent for
-    replay-tolerant readers, the at-least-once edge every log has)."""
+    the meta file advances only after the batch is visible.
+
+    Crash recovery (ADVICE r4, log.py:64): a producer that died between
+    making ``batch-<seq>.json`` visible and advancing the meta leaves an
+    ORPHAN batch whose filename the naive resume would reuse — and a
+    consumer that already ingested the old file tracks it by name and
+    would silently never see the replacement. Resume therefore ADOPTS
+    any orphan instead of overwriting it: its offsets are rolled into
+    the meta and its sequence number is skipped, so a consumed filename
+    is never rewritten, offsets stay unique and contiguous, and the
+    orphan's records keep their delivered identity — at-least-once with
+    no silent loss."""
     os.makedirs(path, exist_ok=True)
     meta = {"seq": 0, "offsets": {}}
     if os.path.exists(_meta_path(path)):
         with open(_meta_path(path)) as f:
             meta = json.load(f)
     seq = meta["seq"]
+    while os.path.exists(os.path.join(path, f"batch-{seq:09d}.json")):
+        with open(os.path.join(path, f"batch-{seq:09d}.json")) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                r = json.loads(line)
+                p = str(r["partition"])
+                meta["offsets"][p] = max(meta["offsets"].get(p, 0), r["offset"] + 1)
+        seq += 1
     rows = []
     for part, key, value in records:
         off = meta["offsets"].get(str(part), 0)

@@ -374,3 +374,48 @@ def test_contrastive_lsh_consistency_vs_exact(spark):
     # similarity corpus; radius-2 multi-probe measured ~0.3+ here)
     recall = len(overlap) / max(len(exact), 1)
     assert recall >= 0.15, recall
+
+
+def test_embedding_standardize_degenerate_and_ragged(spark, tmp_path):
+    """ADVICE r4: (a) an all-zero-variance corpus must return the
+    oracle's EMPTY result, not AttributeError; (b) ragged vectors must
+    agree with the oracle's per-vector join count (n_dims per row, not
+    a global constant). Both checked against the live oracle SQL on the
+    same parquet."""
+    import duckdb
+
+    from ssp_spark.queries import ORACLE, QUERIES
+    from tests.oracle_harness import compare
+
+    # (a) constant vectors: every dimension zero-variance -> empty model
+    const = spark.createDataFrame(
+        [(i, [1.0, 1.0, 1.0], "x") for i in range(5)],
+        "vec_id long, embedding array<double>, label string",
+    )
+    d1 = str(tmp_path / "const")
+    const.write.parquet(d1 + "/embeddings.parquet")
+    out = QUERIES["embedding_standardize"](spark, d1)
+    assert out.columns == ["vec_id", "z_sum", "n_dims"]
+    assert out.count() == 0
+
+    # (b) ragged vectors: dim 2 exists only for some vectors
+    ragged = spark.createDataFrame(
+        [
+            (1, [1.0, 5.0, 9.0], "x"),
+            (2, [2.0, 6.0], "x"),
+            (3, [3.0, 7.0, 11.0], "x"),
+            (4, [4.0, 8.0], "x"),
+        ],
+        "vec_id long, embedding array<double>, label string",
+    )
+    d2 = str(tmp_path / "ragged")
+    ragged.write.parquet(d2 + "/embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{d2}/embeddings.parquet/*.parquet')"
+    )
+    r = compare(QUERIES["embedding_standardize"](spark, d2), con.sql(ORACLE["embedding_standardize"]))
+    assert r["hash_match"], r
+    # and n_dims really is per-row: 3 for the long vectors, 2 for short
+    nd = {row["vec_id"]: row["n_dims"] for row in QUERIES["embedding_standardize"](spark, d2).collect()}
+    assert nd == {1: 3, 2: 2, 3: 3, 4: 2}

@@ -82,17 +82,66 @@ def test_fuzzy_prefix_index_is_constant_per_string(spark):
 
 def test_fuzzy_pairs_plan_shape(spark):
     """The 100 TB contract: gram-frequency lookup is a BROADCAST join,
-    no cartesian/nested-loop anywhere, candidate pairs come from the
-    sorted-array combinatorics (no self-join), and verification is
-    JVM-side levenshtein — no Python at row level."""
+    no cartesian/nested-loop anywhere on the blocked path, candidate
+    pairs come from the sorted-array combinatorics (no self-join), and
+    verification is JVM-side levenshtein — no Python at row level.
+    (short_strings='ignore' isolates the blocked path; the default
+    'exact' mode adds one BroadcastNestedLoopJoin whose build side is
+    the alphabet-bounded short-string set — asserted separately.)"""
     part = spark.read.parquet(f"{SF_SMOKE}/part.parquet")
-    df = fuzzy.fuzzy_pairs(part, "p_name", "p_name", max_dist=2, checkpoint=False)
+    df = fuzzy.fuzzy_pairs(
+        part, "p_name", "p_name", max_dist=2, checkpoint=False, short_strings="ignore"
+    )
     s = plans.plan_string(df, "simple")
     assert not plans.has_cartesian(df)
     assert "BroadcastNestedLoopJoin" not in s
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
     assert "levenshtein" in s
     assert plans.broadcast_join_count(df) >= 3  # gram-df + two name lookups
+    # default mode: the ONLY nested loop is the short-side broadcast
+    # (build side short x near-short), never corpus x corpus
+    df2 = fuzzy.fuzzy_pairs(part, "p_name", "p_name", max_dist=2, checkpoint=False)
+    s2 = plans.plan_string(df2, "simple")
+    assert not plans.has_cartesian(df2)
+    assert s2.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_fuzzy_pairs_short_strings_side_path(spark):
+    """ADVICE r4 (fuzzy.py:63): strings with < q grams were silently
+    unmatchable; strings below q*(d+1) chars could miss pairs. The
+    default 'exact' mode must find them; 'ignore' reproduces the old
+    blocked-only behavior; 'error' raises."""
+    import pytest as _pytest
+
+    rows = [
+        (1, "a"),        # no 2-grams at all
+        (2, "b"),        # dist 1 from "a"
+        (3, "ab"),       # one gram; dist 1 from "a" and "b"
+        (4, "abcd"),     # 3 grams < d*q+1
+        (5, "abxd"),     # dist 1 from abcd
+        (6, "small ring"),
+        (7, "small ping"),  # long pair still found by blocking
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {
+        (r.id1, r.id2): r.dist
+        for r in fuzzy.fuzzy_pairs(df, "id", "name", max_dist=1).collect()
+    }
+    # exact ground truth at dist<=1 among these strings
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1, (4, 5): 1, (6, 7): 1}
+    # a short-short pair must appear exactly once despite the two-sided
+    # construction, and blocked+side overlap must not duplicate rows
+    out = fuzzy.fuzzy_pairs(df, "id", "name", max_dist=1).collect()
+    assert len(out) == len({(r.id1, r.id2) for r in out})
+    ignored = {
+        (r.id1, r.id2)
+        for r in fuzzy.fuzzy_pairs(
+            df, "id", "name", max_dist=1, short_strings="ignore"
+        ).collect()
+    }
+    assert (1, 2) not in ignored  # the old silent gap, now opt-in only
+    with _pytest.raises(ValueError, match="short"):
+        fuzzy.fuzzy_pairs(df, "id", "name", max_dist=1, short_strings="error")
 
 
 def test_entity_resolution_singletons_kept(spark):

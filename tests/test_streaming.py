@@ -704,6 +704,91 @@ def test_upsert_sink_recovers_lost_pointer_and_converges(spark, tmpdir):
     assert strays == [os.path.basename(os.path.realpath(out))]
 
 
+def test_bucketed_upsert_rewrites_only_touched_buckets(spark, tmpdir):
+    """bucket_by=N partition-pruned upsert: a batch that touches one
+    bucket must leave every other bucket's parquet files PHYSICALLY
+    intact in the new version (same inodes — hard-linked, not
+    rewritten), rewrite only the touched bucket, keep the merged table
+    correct, and converge on re-delivery. This is the golden for the
+    round-4 VERDICT's named upgrade (O(table)-per-batch -> O(touched
+    buckets))."""
+    out = os.path.join(tmpdir, "bview")
+    n_buckets = 8
+
+    def run(rows, tag):
+        src = os.path.join(tmpdir, f"bsrc_{tag}")
+        _write_parquet(spark, rows, "word string", src)
+        sdf = spark.readStream.schema("word string").parquet(src)
+        ss.upsert_parquet_sink(
+            sdf.groupBy("word").count(), out, ["word"], bucket_by=n_buckets,
+            keep_versions=2,
+        )
+
+    def bucket_inodes():
+        live = os.path.realpath(out)
+        return {
+            d: sorted(
+                (f, os.stat(os.path.join(live, d, f)).st_ino)
+                for f in os.listdir(os.path.join(live, d))
+                if os.path.isfile(os.path.join(live, d, f))
+            )
+            for d in os.listdir(live)
+            if d.startswith("__bucket=")
+        }
+
+    # seed: many keys spread across several buckets
+    seed = [(w,) for w in ("alpha", "bravo", "carol", "delta", "echo", "fox", "golf", "hotel")]
+    run(seed, "r1")
+    before = bucket_inodes()
+    assert len(before) >= 3  # keys actually spread over buckets
+
+    # one-key batch: exactly one bucket is touched
+    run([("alpha",), ("alpha",)], "r2")
+    after = bucket_inodes()
+    from pyspark.sql import functions as F
+
+    touched_dir = "__bucket=%d" % (
+        spark.range(1)
+        .select(F.pmod(F.xxhash64(F.lit("alpha")), F.lit(n_buckets)).cast("int"))
+        .first()[0]
+    )
+    assert touched_dir in after
+    for d, files in before.items():
+        if d == touched_dir:
+            continue
+        # untouched bucket: identical file list AND identical inodes
+        assert after[d] == files, d
+    # the touched bucket was rewritten (no inode survives)
+    if touched_dir in before:
+        assert not (
+            {i for _, i in before[touched_dir]} & {i for _, i in after[touched_dir]}
+        )
+    # table semantics: per-key latest-wins merge, __bucket projected away
+    got = sorted(
+        (r["word"], r["count"])
+        for r in spark.read.parquet(out).drop("__bucket").collect()
+    )
+    want = sorted([(w, 1) for (w,) in seed if w != "alpha"] + [("alpha", 2)])
+    assert got == want
+    # time travel still works on the bucketed layout, and the RETAINED
+    # previous version still reads completely (hard links keep shared
+    # inodes alive across version deletion)
+    vs = ss.table_versions(out)
+    assert len(vs) == 2
+    prev = sorted(
+        (r["word"], r["count"])
+        for r in ss.read_table_version(spark, out, vs[0]).drop("__bucket").collect()
+    )
+    assert prev == sorted((w, 1) for (w,) in seed)
+    # convergence: re-delivering the same one-key batch changes nothing
+    run([("alpha",), ("alpha",)], "r3")
+    got2 = sorted(
+        (r["word"], r["count"])
+        for r in spark.read.parquet(out).drop("__bucket").collect()
+    )
+    assert got2 == want
+
+
 def test_incremental_dedup_sink_flags_against_history(spark, tmpdir):
     """Streaming ingest dedup against all history: a doc whose text
     duplicates a PRIOR batch's doc is flagged; fresh docs are not; the
@@ -811,6 +896,37 @@ def test_log_source_replays_all_batches_in_order(spark, tmpdir):
     # offsets contiguous from 0 within each partition
     assert per_part[0] == [(0, "a"), (1, "c"), (2, "e")]
     assert per_part[1] == [(0, "b"), (1, "d")]
+
+
+def test_log_append_adopts_orphan_batch_after_meta_crash(spark, tmpdir):
+    """ADVICE r4 (log.py:64): producer dies AFTER batch-<seq>.json is
+    visible but BEFORE the meta advances. The next append must not
+    overwrite the (possibly already consumed) filename: the orphan is
+    adopted — its offsets roll into the meta, its seq is skipped — so
+    every record survives under unique contiguous offsets."""
+    import json as _json
+
+    from ssp_spark.sources import log
+
+    d = os.path.join(tmpdir, "orphanlog")
+    log.log_append(d, [(0, "a", "v1"), (1, "b", "v2")])  # batch 0
+    log.log_append(d, [(0, "c", "v3")])  # batch 1
+    # simulate the crash: rewind the meta to the pre-batch-1 state, so
+    # batch-000000001.json exists but meta believes seq=1/offsets={0:1,1:1}
+    with open(os.path.join(d, "_meta.json"), "w") as f:
+        _json.dump({"seq": 1, "offsets": {"0": 1, "1": 1}}, f)
+    before = open(os.path.join(d, "batch-000000001.json")).read()
+    seq = log.log_append(d, [(0, "x", "v4"), (1, "y", "v5")])
+    # the orphan's filename was skipped, not reused, and its bytes intact
+    assert seq == 2
+    assert open(os.path.join(d, "batch-000000001.json")).read() == before
+    rows = [tuple(r) for r in log.read_log_batch(spark, d).collect()]
+    # offsets unique and contiguous per partition across ALL files
+    per = {}
+    for part, off, key, _v in sorted(rows, key=lambda r: (r[0], r[1])):
+        per.setdefault(part, []).append((off, key))
+    assert per[0] == [(0, "a"), (1, "c"), (2, "x")]
+    assert per[1] == [(0, "b"), (1, "y")]
 
 
 def test_log_source_checkpoint_resume_exactly_once(spark, tmpdir):
