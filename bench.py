@@ -84,6 +84,9 @@ HEADLINE = [
     "attribution_last_touch",
     "embedding_standardize",
     "groupwise_regression",
+    # round-5 addition: the heaviest graph operator (capped pair stage +
+    # degree-ordered wedges) — real multi-stage compute, not floor
+    "triangle_count_users",
 ]
 
 # The 22-query set rounds 1-3 benched: sum reported as r3_comparable_total

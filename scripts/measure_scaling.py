@@ -65,6 +65,9 @@ NAMES = [
     "embedding_standardize",
     "groupwise_regression",
     "incremental_agg_maintenance",
+    # round-5 additions
+    "triangle_count_users",
+    "contrastive_pairs_lsh",
 ]
 
 

@@ -8,84 +8,58 @@ from __future__ import annotations
 
 from ssp_spark.queries import _CHECK_FIRST, ORACLE, QUERIES
 
-# Round 4 group (a): the canary plus queries changed or added this round.
-_R4_CHANGED = {
-    "ann_lsh_topk",
-    "dedup_simhash64_pairs",
-    "doc_chunk_overlap",
-    "vocab_coverage",
-    "scd1_customer_merge",
-    "leakage_safe_split",
-    "bucketed_join_order_revenue",
-    "cluster_dedup_keeper",
-    "domain_mixture_weights",
-    "bigram_lm_score",
-    "sink_partitioned_scan",
-    "dedup_incremental_batch",
-    "contrastive_pairs_mining",
-    "bloom_prefilter_join",
-    "profile_table",
-    "source_schema_evolution",
-    "dedup_embedding_lsh",
-    "pipeline_curation_v2",
-    "quality_zscore_by_source",
-    "fuzzy_name_pairs",
-    "entity_resolution_parts",
-    "embedding_covariance",
-    "range_shard_manifest",
-    "event_cooccurrence",
-    "mixture_resample",
-    "interval_overlap_orders",
-    "funnel_conversion",
-    "zorder_cells",
-    "incremental_agg_maintenance",
-    "attribution_last_touch",
-    "embedding_standardize",
-    "groupwise_regression",
-    "dq_audit_orders",
-    "daily_spine_fill",
-    "snapshot_diff_customers",
+# Round 5 group (a): the six late-round-4 additions that never had a
+# driver CORRECTNESS row (they landed after the r4 gate ran; judge-
+# verified at sf0.01 in round 4, rotated first per the VERDICT).
+_R5_NEVER_CHECKED = {
+    "cohort_retention",
+    "triangle_count_users",
+    "event_transition_matrix",
+    "embedding_covariance_blas",
+    "hll_distinct_users",
+    "source_text_scan",
 }
 
-# Round 4 group (b): the round-3 additions that had local parity at both
-# scales but no driver CORRECTNESS row through round 3.
-_R3_UNCHECKED = {
-    "quality_repetition_filter", "dedup_ngram_corpus", "kmeans_embeddings",
-    "cluster_balanced_sample", "pagerank_customer_supplier",
-    "tfidf_top_terms", "source_orc_scan", "contamination_check",
-    "sequence_packing", "embedding_quantize_int8", "skew_key_stats",
-    "approx_percentile_value", "null_safe_join_props", "value_histogram",
+# Round 5 group (b): new or implementation-changed this round.
+_R5_CHANGED = {
+    "contrastive_pairs_lsh",    # new: LSH-blocked candidate generator
+    "embedding_standardize",    # per-row n_dims + empty-model guard
+    "fuzzy_name_pairs",         # short-string exact side path
+    "entity_resolution_parts",  # composes fuzzy_pairs
+    # triangle_count_users also changed (hot-day cap) — counted in (a)
 }
 
-# Round 4 group (c): queries whose latest driver row is round 2, rotated
-# back in so no green row is more than two rounds stale. (lang_id,
-# token_count, doc_fingerprint, stats_numeric_exact,
-# array_funcs_embeddings, q10_top_customers_by_revenue,
-# running_user_spend, sliding_window_counts, tumbling_hourly_stats were
-# bumped late in round 4 for the new curation queries — see the ROUND-5
-# TODO in queries.py.)
-_R2_STALE_ROTATED = {
-    "session_windows",
-    # (dedup_simhash bumped for incremental_agg_maintenance — r2-green;
-    # fingerprint kernel replayed in-window by dedup_simhash64_pairs.)
-    # (dedup_events_keeper, quality_score bumped for funnel_conversion /
-    # zorder_cells — r2-green; quality_score's tokenizer+score replays
-    # inside cluster_dedup_keeper, the keeper shape inside
-    # cluster_dedup_keeper's row_number-per-cluster.)
-    # (top_customers_per_nation bumped for interval_overlap_orders —
-    # r2-green and re-exercised every bench run via WindowGroupLimit.)
-    # (streaming_wordcount_replay, anti_join_inactive_customers,
-    # range_join_value_bands, asof_join_purchase_signup,
-    # multimodal_features, multimodal_frame_sampling were bumped late in
-    # round 4 for the six newest queries — all r2-green twice and
-    # untouched; never-checked additions outrank a third confirmation.)
+# Round 5 group (c): stale-evidence rotation, oldest driver row first —
+# the 16 r1/r2-era function-library and join/agg shapes, the 12 r2-green
+# queries bumped late in round 4, the 6 bumped for the late round-4
+# additions, and 6 more r2-green bench staples.
+_R5_STALE_ROTATED = {
+    "string_funcs", "math_funcs", "date_funcs_monthly_orders",
+    "date_trunc_weekly_orders", "json_extract_events", "set_ops_users",
+    "distinct_event_users", "user_activity_pivot",
+    "window_funcs_showcase", "percentiles_by_flag", "rollup_order_stats",
+    "cube_order_stats", "grouping_sets_orders",
+    "left_join_customer_order_counts", "full_outer_user_activity",
+    "cust_above_nation_avg",
+    "lang_id", "token_count", "doc_fingerprint", "stats_numeric_exact",
+    "array_funcs_embeddings", "q10_top_customers_by_revenue",
+    "running_user_spend", "sliding_window_counts",
+    "tumbling_hourly_stats", "q3_top_orders", "dedup_exact",
+    "semi_join_open_orders",
+    "streaming_wordcount_replay", "anti_join_inactive_customers",
+    "range_join_value_bands", "asof_join_purchase_signup",
+    "multimodal_features", "multimodal_frame_sampling",
+    "dedup_simhash", "ann_topk_bruteforce", "q5_nation_revenue",
+    "dedup_embedding_cosine", "q1_pricing_summary", "word_count",
 }
 
 
-def test_driver_window_is_the_round4_target_set():
+def test_driver_window_is_the_round5_target_set():
     window = list(QUERIES)[:50]
     assert window == _CHECK_FIRST
-    assert set(window) == _R4_CHANGED | _R3_UNCHECKED | _R2_STALE_ROTATED
+    assert set(window) == _R5_NEVER_CHECKED | _R5_CHANGED | _R5_STALE_ROTATED
+    # the never-checked six lead the window (first rows the driver hashes)
+    assert set(window[:6]) == _R5_NEVER_CHECKED
 
 
 def test_registry_is_complete_and_fully_oracled():

@@ -787,6 +787,14 @@ def test_bucketed_upsert_rewrites_only_touched_buckets(spark, tmpdir):
         for r in spark.read.parquet(out).drop("__bucket").collect()
     )
     assert got2 == want
+    # the merge's table read is partition-PRUNED: a __bucket filter must
+    # resolve as PartitionFilters on the scan (untouched buckets' files
+    # are never opened), not a post-scan row filter
+    from ssp_spark import plans
+
+    pruned = spark.read.parquet(out).filter(F.col("__bucket").isin(1, 2))
+    s = plans.plan_string(pruned)
+    assert "PartitionFilters" in s and "__bucket" in s.split("PartitionFilters", 1)[1][:200]
 
 
 def test_incremental_dedup_sink_flags_against_history(spark, tmpdir):
