@@ -68,6 +68,8 @@ NAMES = [
     # round-5 additions
     "triangle_count_users",
     "contrastive_pairs_lsh",
+    "token_budget_selection",
+    "corpus_shuffle_order",
 ]
 
 

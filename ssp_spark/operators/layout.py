@@ -92,3 +92,52 @@ def range_shard_manifest(
             F.max("v").alias("max_v"),
         )
     )
+
+
+def global_order_positions(
+    df: DataFrame,
+    order_col: str,
+    id_col: str,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Exact 0-based global rank by ``(order_col, id_col)`` WITHOUT a
+    global sort — the deterministic-corpus-shuffle primitive: stamp every
+    training example with its reproducible position in the shuffled
+    order (order_col = a seeded hash), so any worker can stream its
+    slice of the corpus in the exact same order every epoch.
+
+    Plan (the repartitionByRange decomposition, completed to exact
+    ranks): (1) approximate range boundaries of ``order_col`` via
+    ``approxQuantile`` (one partial-aggregated pass; boundary QUALITY
+    only affects shard balance — position EXACTNESS never depends on
+    where the cuts land, so the approximate sketch is safe here in a
+    way it would not be for the range_shard_manifest contract);
+    (2) map-side shard assignment against the S-1 literal boundaries;
+    (3) per-shard counts -> an S-row driver collect -> prefix-sum
+    offsets compiled back as a literal map (the broadcast-a-model
+    pattern); (4) position = offset[shard] + (per-shard row_number by
+    (order, id) - 1). The only sorts are shard-local and run in
+    parallel; no stage funnels the corpus through one task. Rows with
+    equal ``order_col`` always share a shard (strict-less boundary
+    comparison), so the within-shard (order, id) tie-break reproduces
+    the exact global (order, id) order.
+    """
+    probs = [k / n_shards for k in range(1, n_shards)]
+    bounds = df.stat.approxQuantile(order_col, probs, 0.001)
+    sharded = df.withColumn("__shard", shard_expr(order_col, [int(b) for b in bounds]))
+    counts = {
+        r["__shard"]: r["n"]
+        for r in sharded.groupBy("__shard").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for s in range(len(bounds) + 1):
+        offsets[s] = acc
+        acc += counts.get(s, 0)
+    off_map = F.create_map(
+        *[x for s, o in offsets.items() for x in (F.lit(s), F.lit(o))]
+    )
+    w = Window.partitionBy("__shard").orderBy(order_col, id_col)
+    return sharded.withColumn(
+        "position",
+        (off_map[F.col("__shard")] + F.row_number().over(w) - 1).cast("long"),
+    ).drop("__shard")

@@ -6285,6 +6285,108 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "token_budget_selection",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id, source,
+             CAST(len(toks) AS INT) AS n_tokens,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS INT) AS total_len,
+             CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and'))) AS INT) AS n_stop
+      FROM t
+    ), q AS (
+      SELECT doc_id, source, n_tokens,
+             round(least(n_tokens / 200.0, 1.0) * 0.5
+                   + least((CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END) * 4, 1.0) * 0.3
+                   + least((CASE WHEN n_tokens > 0 THEN total_len / n_tokens ELSE 0.0 END) / 8.0, 1.0) * 0.2,
+                   4) AS quality
+      FROM m
+    ), c AS (
+      SELECT doc_id, source, n_tokens, quality,
+             sum(n_tokens) OVER (PARTITION BY source
+                                 ORDER BY quality DESC, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+      FROM q
+    )
+    SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 800
+    """,
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-constrained corpus selection: per source, keep the
+    highest-quality documents (text.quality_score, ties by doc_id)
+    until an 800-token budget fills — the data-selection step of a
+    mixture builder ("best N tokens per domain"), greedy-exact: a doc
+    is kept iff the running token sum INCLUDING it stays within budget.
+
+    Plan: quality + token counts are zero-shuffle projections over the
+    scan; selection is ONE keyed window per source (running sum over
+    (quality desc, id) order) + a filter — the sessionization cost
+    class, no global sort, no self-join. Per-source sort volume is that
+    source's doc count; at 100 TB with mega-domains the documented
+    refinement is a quality-threshold prefilter from a per-source
+    quantile sketch (bounds the sorted set to ~budget-sized survivors)
+    feeding this same exact window."""
+    docs = load_table(spark, "documents", sf_dir)
+    q = text.quality_score(docs)
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        q.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= 800)
+        .select(
+            "source",
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "quality",
+            "cum_tokens",
+        )
+    )
+
+
+@_q(
+    "corpus_shuffle_order",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (
+                  ORDER BY ('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                           doc_id) - 1 AS BIGINT) AS position
+    FROM documents
+    """,
+)
+def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle: every document gets its exact
+    0-based position in the seeded-hash order — the reproducible
+    training-order manifest (any worker can stream its slice in the
+    same order every epoch, restarts included).
+
+    The Spark side computes the EXACT global rank without a global sort
+    (layout.global_order_positions): approx-quantile range boundaries
+    over the hash (boundary quality only affects shard balance, never
+    position correctness), map-side shard assignment, an S-row offset
+    collect, and per-shard parallel (hash, id) windows. The oracle is
+    the naive single-sort replay of the same (md5-portable hash, id)
+    order — hash-equality proves the sharded prefix-sum decomposition
+    reproduces the global sort exactly."""
+    docs = load_table(spark, "documents", sf_dir)
+    h = portable_hash64(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")))
+    return (
+        layout.global_order_positions(
+            docs.select("doc_id", h.alias("__h")), "__h", "doc_id", n_shards=16
+        )
+        .select("doc_id", "position")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering
 # ---------------------------------------------------------------------------
@@ -6344,6 +6446,8 @@ _CHECK_FIRST = [
     "source_text_scan",
     # (b) new or changed in round 5
     "contrastive_pairs_lsh",      # new: LSH-blocked candidate generator
+    "token_budget_selection",     # new: per-domain budget-capped selection
+    "corpus_shuffle_order",       # new: global order w/o a global sort
     "embedding_standardize",      # per-row n_dims; empty-model guard
     "fuzzy_name_pairs",           # short-string exact side path
     "entity_resolution_parts",    # composes fuzzy_pairs
@@ -6384,13 +6488,16 @@ _CHECK_FIRST = [
     "asof_join_purchase_signup",
     "multimodal_features",
     "multimodal_frame_sampling",
-    # (c) 6 more r2-green bench staples
+    # (c) 4 more r2-green bench staples. (word_count and
+    # q1_pricing_summary were slated here too but yielded their slots to
+    # the two round-5 additions above — same justification as round 4:
+    # word_count is smoke-run by the driver's own entry() check every
+    # round and q1 is re-measured by every bench run; new queries with
+    # NO driver row outrank a third confirmation.)
     "dedup_simhash",
     "ann_topk_bruteforce",
     "q5_nation_revenue",
     "dedup_embedding_cosine",
-    "q1_pricing_summary",
-    "word_count",
 ]
 assert len(_CHECK_FIRST) == 50 and len(set(_CHECK_FIRST)) == 50
 _ORDERED = _CHECK_FIRST + sorted(

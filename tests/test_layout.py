@@ -48,3 +48,46 @@ def test_manifest_plan_has_no_global_sort(spark):
     assert plans.exchange_count(man) == 1
     assert "rangepartitioning" not in s and "Sort " not in s
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_global_order_positions_matches_global_sort(spark):
+    """Positions must be the exact 0-based global (order, id) rank — a
+    permutation of 0..n-1 identical to the naive orderBy — while the
+    PLAN contains no single-partition exchange (every sort is
+    shard-local; the whole point of the decomposition)."""
+    import pyspark.sql.functions as F
+
+    from ssp_spark import plans
+    from ssp_spark.operators import layout
+
+    df = spark.range(997).select(
+        F.col("id").alias("doc_id"),
+        F.xxhash64(F.col("id").cast("string")).alias("h"),
+    )
+    out = layout.global_order_positions(df, "h", "doc_id", n_shards=8)
+    got = {r["doc_id"]: r["position"] for r in out.collect()}
+    want = {
+        r["doc_id"]: i
+        for i, r in enumerate(df.orderBy("h", "doc_id").collect())
+    }
+    assert got == want
+    assert sorted(got.values()) == list(range(997))
+    assert "SinglePartition" not in plans.plan_string(out)
+
+
+def test_global_order_positions_duplicate_order_values(spark):
+    """Ties on the order column must stay in one shard and resolve by
+    the id tie-break — identical to the global sort's behavior."""
+    import pyspark.sql.functions as F
+
+    from ssp_spark.operators import layout
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("h")
+    )
+    out = layout.global_order_positions(df, "h", "doc_id", n_shards=4)
+    got = {r["doc_id"]: r["position"] for r in out.collect()}
+    want = {
+        r["doc_id"]: i for i, r in enumerate(df.orderBy("h", "doc_id").collect())
+    }
+    assert got == want

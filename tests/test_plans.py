@@ -544,3 +544,13 @@ def test_triangle_day_cap_is_window_group_limit(spark):
     df = _capped_user_days(load_table(spark, "events", SF_SMOKE))
     s = plans.plan_string(df)
     assert "WindowGroupLimit" in s
+
+
+def test_token_budget_selection_no_global_sort(spark):
+    """Budget selection must be ONE keyed window per source — no
+    single-partition exchange (global sort) anywhere, no Python."""
+    df = QUERIES["token_budget_selection"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert "SinglePartition" not in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    assert not plans.has_cartesian(df)
