@@ -284,6 +284,59 @@ def dedup_stream(
     return sdf.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
 
 
+def keyed_rate_limit(
+    sdf: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    max_per_key: int,
+) -> DataFrame:
+    """Streaming per-key quota: admit at most ``max_per_key`` records
+    per key over the stream's lifetime, in deterministic (ts, id) order
+    within each micro-batch — the ingestion throttle a curation pipeline
+    puts in front of a hot producer (bot storms, runaway crawlers,
+    repeated-submission spam), and the streaming twin of the batch
+    ``row_number() <= N`` keeper.
+
+    applyInPandasWithState keyed on ``key_col``; state = ONE long
+    (admitted count) per key, so state size is O(distinct keys), never
+    O(events) — the same bounded-state contract as running_count_stream.
+    Each batch's rows for a key arrive as Arrow-backed pandas frames:
+    they are sorted vectorized by (ts, id), the first
+    ``max_per_key - admitted`` survive, the rest drop. Determinism
+    contract: with an ordered replay (one file per micro-batch, e.g.
+    the offset-log source) the admitted set equals the batch
+    ``row_number() OVER (PARTITION BY key ORDER BY ts, id) <= N``
+    computed over the whole log — pinned by the golden; across-batch
+    reordering (a true broker race) admits a different-but-valid quota.
+    """
+    out_fields = [f for f in sdf.schema.fields if f.name in (key_col, ts_col, id_col)]
+    out_schema = T.StructType(
+        [next(f for f in out_fields if f.name == key_col)]
+        + [next(f for f in out_fields if f.name == ts_col)]
+        + [next(f for f in out_fields if f.name == id_col)]
+    )
+    state_schema = T.StructType([T.StructField("n", T.LongType())])
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (n,) = state.get if state.exists else (0,)
+        for pdf in pdf_iter:
+            if n >= max_per_key:
+                continue
+            batch = pdf[[key_col, ts_col, id_col]].sort_values([ts_col, id_col])
+            take = batch.head(max_per_key - n)
+            n += len(take)
+            if len(take):
+                yield take
+        state.update((n,))
+
+    return sdf.select(key_col, ts_col, id_col).groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def upsert_parquet_sink(
     sdf: DataFrame,
     path: str,

@@ -625,6 +625,47 @@ def test_dedup_stream_within_watermark(spark, tmpdir):
     assert got == [1, 1, 2, 3, 90, 91]
 
 
+def test_keyed_rate_limit_admits_first_n_per_key(spark, tmpdir):
+    """Per-key quota: across an ordered two-batch replay, exactly the
+    first max_per_key records per key (by (ts, id) within the stream
+    order) survive; later arrivals for a saturated key drop; state is
+    one counter per key. Ground truth = the batch row_number keeper
+    over the same records."""
+    src = os.path.join(tmpdir, "rl_src")
+    rows1 = [("u1", 10, 1), ("u1", 11, 2), ("u2", 10, 3), ("u1", 12, 4)]
+    rows2 = [("u1", 13, 5), ("u2", 14, 6), ("u2", 15, 7), ("u2", 16, 8), ("u3", 9, 9)]
+    schema = "user string, ts long, event_id long"
+    _write_parquet(spark, rows1, schema, src)
+    _write_parquet(spark, rows2, schema, src)
+
+    sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = ss.keyed_rate_limit(sdf, "user", "ts", "event_id", max_per_key=2)
+    name = f"rl_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(tmpdir, "rl_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.event_id for r in spark.table(name).collect()}
+    # batch ground truth over the full log: first 2 per user by (ts, id)
+    from pyspark.sql import Window
+
+    allrows = spark.createDataFrame(rows1 + rows2, schema)
+    w = Window.partitionBy("user").orderBy("ts", "event_id")
+    want = {
+        r.event_id
+        for r in allrows.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .collect()
+    }
+    assert got == want
+    # saturated keys really dropped the tail
+    assert {4, 7, 8} & got == set()
+
+
 def test_upsert_sink_materializes_running_counts(spark, tmpdir):
     """Streaming materialized view: replay the word list in two
     micro-batches through an update-mode count into the upsert sink; the
