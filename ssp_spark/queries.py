@@ -6339,9 +6339,31 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     then sorts only ~budget-worth of docs per source instead of a
     mega-domain's full corpus. Shapes: one histogram shuffle, one
     histogram-sized window, one broadcast threshold join, one
-    survivors-only window — the per-source sort is budget-bounded."""
+    survivors-only window — the per-source sort is budget-bounded.
+    The scored frame is persisted so quality is COMPUTED ONCE (the
+    first 10x measurement of the prefilter recomputed the tokenize +
+    score projection in both branches and LOST to the naive window —
+    caching turns the trade into 1x map work + budget-bounded sort,
+    strictly better; the fuzzy_pairs persist/checkpoint pattern);
+    the output is budget-bounded per source, so the final
+    localCheckpoint materializes a tiny frame and the cache is freed
+    before return."""
     docs = load_table(spark, "documents", sf_dir)
-    q = text.quality_score(docs)
+    q, out = _token_budget_frames(docs)
+    out = out.localCheckpoint()  # budget-bounded rows; executes the plan
+    q.unpersist()
+    return out
+
+
+def _token_budget_frames(docs: DataFrame, budget: int = 800):
+    """(persisted scored frame, lazy selection) — split out so the plan
+    test can assert on the UN-checkpointed selection plan (cf.
+    fuzzy_pairs' checkpoint=False path)."""
+    q = (
+        text.quality_score(docs)
+        .select("source", "doc_id", "n_tokens", "quality")
+        .persist()
+    )
     hist = q.groupBy("source", "quality").agg(F.sum("n_tokens").alias("toks"))
     wh = (
         Window.partitionBy("source")
@@ -6354,23 +6376,28 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # level where the preceding sum equals the budget exactly is still
     # selected by the naive rule); the per-source min of those is the
     # cut. Any doc below it has cum_including > budget — unreachable.
+    # |sources| rows: a model-sized driver collect, compiled back as a
+    # literal map (broadcast-a-model; also materializes the q cache so
+    # the survivors pass below reuses it instead of re-scoring).
     cuts = (
         hist.withColumn("cum_before", F.sum("toks").over(wh) - F.col("toks"))
-        .filter(F.col("cum_before") <= 800)
+        .filter(F.col("cum_before") <= budget)
         .groupBy("source")
         .agg(F.min("quality").alias("q_cut"))
+        .collect()
     )
-    survivors = q.join(F.broadcast(cuts), "source").filter(
-        F.col("quality") >= F.col("q_cut")
+    cut_map = F.create_map(
+        *[x for r in cuts for x in (F.lit(r["source"]), F.lit(r["q_cut"]))]
     )
+    survivors = q.filter(F.col("quality") >= cut_map[F.col("source")])
     w = (
         Window.partitionBy("source")
         .orderBy(F.col("quality").desc(), "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
+    out = (
         survivors.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
-        .filter(F.col("cum_tokens") <= 800)
+        .filter(F.col("cum_tokens") <= budget)
         .select(
             "source",
             "doc_id",
@@ -6379,6 +6406,7 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_tokens",
         )
     )
+    return q, out
 
 
 @_q(

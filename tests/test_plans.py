@@ -547,10 +547,20 @@ def test_triangle_day_cap_is_window_group_limit(spark):
 
 
 def test_token_budget_selection_no_global_sort(spark):
-    """Budget selection must be ONE keyed window per source — no
-    single-partition exchange (global sort) anywhere, no Python."""
-    df = QUERIES["token_budget_selection"](spark, SF_SMOKE)
-    s = plans.plan_string(df)
-    assert "SinglePartition" not in s
-    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
-    assert not plans.has_cartesian(df)
+    """Budget selection must be keyed windows only — no single-partition
+    exchange (global sort) anywhere, no Python — asserted on the
+    UN-checkpointed selection plan (the query's localCheckpoint would
+    truncate it), with the cut thresholds inlined as a literal map
+    (InMemoryTableScan of the cached scored frame, not a re-score)."""
+    from ssp_spark.catalog import load_table
+    from ssp_spark.queries import _token_budget_frames
+
+    q, out = _token_budget_frames(load_table(spark, "documents", SF_SMOKE))
+    try:
+        s = plans.plan_string(out)
+        assert "SinglePartition" not in s
+        assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+        assert not plans.has_cartesian(out)
+        assert "InMemoryTableScan" in s  # survivors reuse the cached score
+    finally:
+        q.unpersist()
