@@ -6410,6 +6410,66 @@ def _token_budget_frames(docs: DataFrame, budget: int = 800):
 
 
 @_q(
+    "scd2_user_state_history",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type AS state,
+             CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_state
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_id, state, ts_us FROM ordered
+      WHERE prev_state IS NULL OR prev_state <> state
+    )
+    SELECT user_id, state,
+           ts_us AS valid_from_us,
+           lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+             AS valid_to_us
+    FROM changes
+    """,
+)
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 historization: compress each user's event stream into
+    validity intervals of their state (event_type) — consecutive
+    identical states collapse into one row, each carrying
+    [valid_from, valid_to) with an open (NULL) end for the current
+    state. The dimension-table construction warehouses pair with the
+    SCD-1 MERGE (relational.merge_upsert) and the snapshot diff: this
+    is how a change stream becomes a point-in-time-joinable history
+    (the as-of join then serves "state AS OF t" lookups).
+
+    Plan: two keyed windows over the SAME (user_id -> (ts, id)) sort —
+    Catalyst reuses one exchange+sort for both (lag to detect changes,
+    lead to close intervals) — plus a filter; no joins, no self-scan.
+    Per-user state is one row of lookahead, the sessionization cost
+    class; timestamps exported as epoch microseconds (engine-neutral
+    integers)."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.col("event_type").alias("state"),
+            F.unix_micros("ts").alias("ts_us"),
+            F.lag("event_type").over(w).alias("prev_state"),
+        )
+        .filter(F.col("prev_state").isNull() | (F.col("prev_state") != F.col("state")))
+    )
+    # (ts_us, event_id) order: two changes can share a timestamp — the
+    # id tie-break keeps interval chaining deterministic on both engines
+    w2 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return changes.select(
+        "user_id",
+        "state",
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w2).alias("valid_to_us"),
+    )
+
+
+@_q(
     "corpus_shuffle_order",
     """
     SELECT doc_id,
@@ -6504,6 +6564,7 @@ _CHECK_FIRST = [
     "contrastive_pairs_lsh",      # new: LSH-blocked candidate generator
     "token_budget_selection",     # new: per-domain budget-capped selection
     "corpus_shuffle_order",       # new: global order w/o a global sort
+    "scd2_user_state_history",    # new: SCD-2 validity-interval build
     "embedding_standardize",      # per-row n_dims; empty-model guard
     "fuzzy_name_pairs",           # short-string exact side path
     "entity_resolution_parts",    # composes fuzzy_pairs
@@ -6544,13 +6605,14 @@ _CHECK_FIRST = [
     "asof_join_purchase_signup",
     "multimodal_features",
     "multimodal_frame_sampling",
-    # (c) 4 more r2-green bench staples. (word_count and
-    # q1_pricing_summary were slated here too but yielded their slots to
-    # the two round-5 additions above — same justification as round 4:
+    # (c) 3 more r2-green bench staples. (word_count, q1_pricing_summary
+    # and dedup_simhash were slated here too but yielded their slots to
+    # the three round-5 additions above — same justification as round 4:
     # word_count is smoke-run by the driver's own entry() check every
-    # round and q1 is re-measured by every bench run; new queries with
-    # NO driver row outrank a third confirmation.)
-    "dedup_simhash",
+    # round, q1 and dedup_simhash are re-measured by every bench run
+    # (simhash's fingerprint kernel is also replayed in-window by
+    # dedup_simhash64_pairs); new queries with NO driver row outrank a
+    # third confirmation.)
     "ann_topk_bruteforce",
     "q5_nation_revenue",
     "dedup_embedding_cosine",

@@ -1073,3 +1073,51 @@ def test_log_to_windowed_upsert_pipeline_end_to_end(spark, tmpdir):
         (w0 + 600, "b"): 1,
         (w0 + 1200, "c"): 1,
     }
+
+
+def test_log_to_bucketed_upsert_pipeline_end_to_end(spark, tmpdir):
+    """The same log -> watermarked window agg -> MV pipeline through the
+    PARTITION-PRUNED bucketed sink: checkpoint resume + per-key merge
+    must converge identically, with the MV laid out as __bucket=K
+    partitions. Composition golden for bucket_by under a real
+    streaming pipeline (not just the isolated sink test)."""
+    from ssp_spark.sources import log as slog
+
+    d = os.path.join(tmpdir, "blog")
+    ckpt = os.path.join(tmpdir, "bckpt")
+    mv = os.path.join(tmpdir, "bmv")
+
+    def rec(part, key, minute):
+        return (part, key, f"2024-01-01 00:{minute:02d}:00")
+
+    def run_once():
+        src = slog.read_log_stream(spark, d).select(
+            F.col("key"), F.to_timestamp(F.col("value")).alias("ts")
+        )
+        agg = (
+            src.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("w"), "key")
+            .agg(F.count("*").alias("cnt"))
+            .select(F.unix_timestamp("w.start").alias("ws"), "key", "cnt")
+        )
+        ss.upsert_parquet_sink(agg, mv, ["ws", "key"], checkpoint=ckpt, bucket_by=4)
+
+    slog.log_append(d, [rec(0, "a", 1), rec(0, "b", 2), rec(1, "a", 3)])
+    slog.log_append(d, [rec(0, "a", 11), rec(1, "b", 12)])
+    run_once()
+    slog.log_append(d, [rec(0, "a", 13), rec(1, "c", 21)])
+    run_once()
+    final = {
+        (r.ws, r.key): r.cnt
+        for r in spark.read.parquet(mv).drop("__bucket").collect()
+    }
+    w0 = 1704067200
+    assert final == {
+        (w0, "a"): 2,
+        (w0, "b"): 1,
+        (w0 + 600, "a"): 2,
+        (w0 + 600, "b"): 1,
+        (w0 + 1200, "c"): 1,
+    }
+    live = os.path.realpath(mv)
+    assert any(x.startswith("__bucket=") for x in os.listdir(live))
