@@ -26,6 +26,7 @@ _R5_CHANGED = {
     "token_budget_selection",   # new: per-domain budget-capped selection
     "corpus_shuffle_order",     # new: exact global order, no global sort
     "scd2_user_state_history",  # new: SCD-2 validity-interval build
+    "outlier_mad_orders",       # new: rank-exact median/MAD outliers
     "embedding_standardize",    # per-row n_dims + empty-model guard
     "fuzzy_name_pairs",         # short-string exact side path
     "entity_resolution_parts",  # composes fuzzy_pairs
@@ -52,11 +53,11 @@ _R5_STALE_ROTATED = {
     "streaming_wordcount_replay", "anti_join_inactive_customers",
     "range_join_value_bands", "asof_join_purchase_signup",
     "multimodal_features", "multimodal_frame_sampling",
-    "ann_topk_bruteforce", "q5_nation_revenue",
+    "q5_nation_revenue",
     "dedup_embedding_cosine",
-    # (word_count / q1_pricing_summary / dedup_simhash yielded their
-    # slots to the three round-5 additions: smoke-run / bench-measured
-    # every round anyway)
+    # (word_count / q1_pricing_summary / dedup_simhash /
+    # ann_topk_bruteforce yielded their slots to the four round-5
+    # additions: smoke-run / bench-measured every round anyway)
 }
 
 
@@ -91,15 +92,17 @@ def test_registry_is_complete_and_fully_oracled():
     # retention; triangle counting — the last two outside the saturated
     # 50-slot window, first in the ROUND-5 rotation queue; Markov transition matrix;
     # HLL register-table distinct sketch with max-merge '__all__' row),
-    # +4 round-5 additions (contrastive_pairs_lsh — the LSH-blocked
+    # +5 round-5 additions (contrastive_pairs_lsh — the LSH-blocked
     # candidate generator for contrastive mining, the scale path
     # VERDICT r4 asked to exist in code; token_budget_selection —
     # per-domain quality-ranked selection under a token budget;
     # corpus_shuffle_order — exact seeded-shuffle positions via
     # range-sharded prefix sums, no global sort;
     # scd2_user_state_history — SCD-2 validity-interval historization,
-    # two windows sharing one keyed exchange).
-    assert len(QUERIES) == 152
+    # two windows sharing one keyed exchange;
+    # outlier_mad_orders — robust median/MAD outlier screen on
+    # rank-exact integer medians).
+    assert len(QUERIES) == 153
     # Since round 3: every declared query has an exact DuckDB oracle.
     assert set(ORACLE) == set(QUERIES)
 
