@@ -70,6 +70,8 @@ NAMES = [
     "contrastive_pairs_lsh",
     "token_budget_selection",
     "corpus_shuffle_order",
+    "scd2_user_state_history",
+    "outlier_mad_orders",
 ]
 
 
