@@ -329,3 +329,44 @@ def test_range_boundaries_match_sorted_slicing(spark, vals, shards):
     s = sorted(vals)
     want = [s[max(1, (len(vals) * k) // shards) - 1] for k in range(1, shards)]
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=40),
+    budget=st.integers(min_value=0, max_value=1200),
+)
+def test_token_budget_prefilter_equals_naive_window(spark, toks, budget):
+    """The histogram prefilter must be invisible: for ANY token-count
+    multiset (including zero-token docs) and ANY budget, the prefiltered
+    selection equals the naive full per-source window. Quality here is
+    derived from the token count alone (the real scorer is a pure
+    function of the text), so ties and zero-variance levels all occur."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from ssp_spark.queries import _token_budget_frames
+
+    rows = [
+        (i, "w " * n, "en", f"s{i % 3}", 2 * n) for i, n in enumerate(toks)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    q, out = _token_budget_frames(docs, budget=budget)
+    try:
+        got = {(r["source"], r["doc_id"]): r["cum_tokens"] for r in out.collect()}
+        naive_w = (
+            Window.partitionBy("source")
+            .orderBy(F.col("quality").desc(), "doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        naive = {
+            (r["source"], r["doc_id"]): r["cum"]
+            for r in q.withColumn("cum", F.sum("n_tokens").over(naive_w).cast("long"))
+            .filter(F.col("cum") <= budget)
+            .collect()
+        }
+        assert got == naive
+    finally:
+        q.unpersist()
