@@ -87,6 +87,10 @@ HEADLINE = [
     # round-5 addition: the heaviest graph operator (capped pair stage +
     # degree-ordered wedges) — real multi-stage compute, not floor
     "triangle_count_users",
+    # round-5 addition: the Arrow/numpy gram kernel (the SHIPPED
+    # covariance path for d>256; embedding_covariance above stays the
+    # ANSI-SQL-replayable expression twin — both belong in the record)
+    "embedding_covariance_blas",
 ]
 
 # The 22-query set rounds 1-3 benched: sum reported as r3_comparable_total
