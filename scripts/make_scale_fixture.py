@@ -25,8 +25,17 @@ import os
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scalefix", "sf1")
-FACTOR = 10
+# FACTOR/DST overridable: SCALEFIX_FACTOR=100 builds the ~1.5 GB 100x
+# fixture (.scalefix/sf10) for the direct "survives 100x" measurement.
+FACTOR = int(os.environ.get("SCALEFIX_FACTOR", "10"))
+DST = os.environ.get(
+    "SCALEFIX_DST",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scalefix",
+        "sf1" if FACTOR == 10 else f"sf{FACTOR // 10}",
+    ),
+)
 
 # table -> (id columns to offset, offset stride per copy)
 OFFSETS = {
