@@ -136,6 +136,18 @@ def dot(a: Column | str, b: Column | str) -> Column:
 
     zip_with + aggregate keeps this JVM-side; summation order is the array
     order, matching DuckDB's list_dot_product for oracle parity.
+
+    Measured negative result (round 5): an unrolled fixed-width
+    ``element_at(a,1)*element_at(b,1) + ...`` chain — attempted because
+    higher-order functions evaluate interpreted, outside whole-stage
+    codegen — is 4x SLOWER than this fold (15.8 s vs 4.1 s on 800k
+    64-dim scorings): 64 independent element_at calls each re-pay null
+    and bounds checks on both arrays, and the resulting expression tree
+    is large enough to abort codegen anyway. The HOF fold walks each
+    array once and is the right JVM-side kernel; the only faster path is
+    the Arrow/numpy batch kernel (cf. linalg.covariance_moments_blas),
+    which changes float summation order and therefore stays off
+    oracle-checked paths.
     """
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
