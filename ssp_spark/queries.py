@@ -6333,7 +6333,9 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget-constrained corpus selection: per source, keep the
     highest-quality documents (text.quality_score, ties by doc_id)
     until an 800-token budget fills — the data-selection step of a
-    mixture builder ("best N tokens per domain"), greedy-exact: a doc
+    mixture builder ("best N tokens per domain", the quality-ranked
+    selection shape of C4/Gopher-style curation under a fixed token
+    budget), greedy-exact: a doc
     is kept iff the running token sum INCLUDING it stays within budget.
 
     Plan — exact histogram prefilter, then one small keyed window (the
@@ -6463,9 +6465,11 @@ def _token_budget_frames(docs: DataFrame, budget: int = 800):
 def outlier_mad_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier detection per order priority: median and MAD
     (median absolute deviation) of the order total, then the count of
-    orders deviating more than 3 MAD — the robust z-score rule that
-    survives the heavy tails a mean/stddev filter breaks on (a standard
-    data-quality screen before aggregate-based pricing analytics).
+    orders deviating more than 3 MAD — the Hampel-style robust z-score
+    rule (median/MAD replacing mean/stddev) that survives the heavy
+    tails a 3-sigma filter breaks on: MAD has a 50% breakdown point
+    where the stddev's is 0 (a standard data-quality screen before
+    aggregate-based pricing analytics).
 
     Exactness across engines: medians are RANK-BASED on integer cents
     (the lower median, row_number == (n+1)//2 under (value, id) order)
@@ -6549,7 +6553,9 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     state. The dimension-table construction warehouses pair with the
     SCD-1 MERGE (relational.merge_upsert) and the snapshot diff: this
     is how a change stream becomes a point-in-time-joinable history
-    (the as-of join then serves "state AS OF t" lookups).
+    (the as-of join then serves "state AS OF t" lookups) — Kimball's
+    slowly-changing-dimension type 2, built from a change stream
+    instead of maintained row-by-row.
 
     Plan: two keyed windows over the SAME (user_id -> (ts, id)) sort —
     Catalyst reuses one exchange+sort for both (lag to detect changes,
