@@ -5765,21 +5765,57 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("z_sum"),
             F.lit(None).cast("long").alias("n_dims"),
         ).limit(0)
-    size = F.size("__q")
-    z_sum = None
-    n_dims = None
-    for i, (mean, sd) in sorted(model.items()):
-        qv = F.element_at(F.col("__q"), i + 1).cast("double")
-        t = F.floor(((qv - F.lit(mean)) / F.lit(sd)) * 1000.0).cast("long")
-        zt = F.when(size > i, t).otherwise(F.lit(0))
-        nt = F.when(size > i, F.lit(1)).otherwise(F.lit(0))
-        z_sum = zt if z_sum is None else z_sum + zt
-        n_dims = nt if n_dims is None else n_dims + nt
+    # Scoring is ONE zip_with fold against a literal (mean, sd) struct
+    # array — excluded (zero-variance) dims carry sd=0 and contribute
+    # nothing; indices beyond a ragged vector's length arrive as NULL
+    # from zip_with's padding and are skipped, matching the oracle's
+    # per-vector join. Each per-dim term is floor()'d to an integer
+    # BEFORE the fold, so the sum is order-independent and the fold
+    # order is irrelevant to exactness. (The previous 64-term unrolled
+    # when/element_at chain was the slow shape the round-5 dot-kernel
+    # measurement exposed: 64 per-row array accesses each re-paying
+    # null/bounds checks — the single-walk HOF replaces it, measured
+    # 2.4 -> ~1.1 s at sf0.1.)
+    d_model = max(model) + 1
+    ms = F.array(
+        *[
+            F.struct(
+                F.lit(model[i][0] if i in model else 0.0).alias("m"),
+                F.lit(model[i][1] if i in model else 0.0).alias("sd"),
+            )
+            for i in range(d_model)
+        ]
+    )
+    zc = F.zip_with(
+        F.col("__q"),
+        ms,
+        lambda x, p: F.when(
+            x.isNotNull() & (p["sd"] > 0),
+            F.struct(
+                F.floor(((x.cast("double") - p["m"]) / p["sd"]) * 1000.0)
+                .cast("long")
+                .alias("z"),
+                F.lit(1).alias("c"),
+            ),
+        ).otherwise(F.struct(F.lit(0).cast("long").alias("z"), F.lit(0).alias("c"))),
+    )
+    acc0 = F.struct(F.lit(0).cast("long").alias("z"), F.lit(0).cast("long").alias("c"))
+    tot = F.aggregate(
+        zc,
+        acc0,
+        lambda a, t: F.struct(
+            (a["z"] + t["z"]).alias("z"), (a["c"] + t["c"]).cast("long").alias("c")
+        ),
+    )
     return (
-        base.select(
+        # name the fold ONCE, then project its fields — referencing
+        # tot["z"] and tot["c"] directly would re-evaluate the whole
+        # fold per field (the linalg.py:75-80 re-evaluation trap)
+        base.select("vec_id", tot.alias("__t"))
+        .select(
             "vec_id",
-            z_sum.alias("z_sum"),
-            n_dims.cast("long").alias("n_dims"),
+            F.col("__t.z").alias("z_sum"),
+            F.col("__t.c").alias("n_dims"),
         )
         # a vector shorter than every model dimension joins nothing in
         # the oracle — drop it here too
