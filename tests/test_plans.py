@@ -564,3 +564,26 @@ def test_token_budget_selection_no_global_sort(spark):
         assert "InMemoryTableScan" in s  # survivors reuse the cached score
     finally:
         q.unpersist()
+
+
+def test_scd2_two_windows_share_one_exchange(spark):
+    """Change detection (lag) and interval close (lead) must ride ONE
+    keyed exchange — Catalyst reuses the (user_id -> sort) distribution
+    for both windows; no join, no second shuffle, no Python."""
+    df = QUERIES["scd2_user_state_history"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert plans.exchange_count(df) == 1
+    assert "Window" in s  # both lag and lead planned as Window over that one exchange
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    assert not plans.has_cartesian(df)
+
+
+def test_outlier_mad_no_global_sort_and_broadcast_models(spark):
+    """The median/MAD screen must stay keyed: no single-partition
+    exchange anywhere (rank windows are per-group), and the per-group
+    median/MAD frames join back via BROADCAST (model-sized sides)."""
+    df = QUERIES["outlier_mad_orders"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert "SinglePartition" not in s
+    assert plans.broadcast_join_count(df) >= 2
+    assert not plans.has_cartesian(df)
