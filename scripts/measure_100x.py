@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Measure the sf0.1 -> 100x wall-clock ratio for the flagship operator
+families (the direct "survives 100x" evidence recorded in SCALE.md).
+
+Build the ~1.5 GB fixture first:
+
+    SCALEFIX_FACTOR=100 python scripts/make_scale_fixture.py
+
+then run each scale in ITS OWN process so the session carries the
+input-sized config (shuffle partitions from bytes, AQE gated on >= 1 GiB
+— the deployment contract, not a benchmarking trick):
+
+    python scripts/measure_100x.py /root/testdata/sf0.1     /tmp/m_sf01.json
+    python scripts/measure_100x.py .scalefix/sf10           /tmp/m_sf100.json
+
+exp100 = log10(t_100x / t_sf0.1) / 2 — 1.0 means time grew 100x
+(linear in input), 0.5 means it grew 10x.
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ssp_spark.queries import QUERIES  # noqa: E402
+from ssp_spark.session import (  # noqa: E402
+    adaptive_enabled_for,
+    get_spark,
+    sized_shuffle_partitions,
+)
+
+NAMES = [
+    "word_count", "q1_pricing_summary", "running_user_spend", "dedup_exact",
+    "dedup_jaccard_pairs", "dedup_minhash_lsh", "dedup_simhash",
+    "ann_lsh_topk", "bigram_lm_score", "triangle_count_users",
+    "contrastive_pairs_lsh", "token_budget_selection", "corpus_shuffle_order",
+    "embedding_covariance_blas", "scd2_user_state_history",
+    "outlier_mad_orders",
+]
+
+
+def main() -> None:
+    sf, out = sys.argv[1], sys.argv[2]
+    spark = get_spark(
+        "scale100",
+        shuffle_partitions=sized_shuffle_partitions(sf),
+        adaptive=adaptive_enabled_for(sf),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    QUERIES["word_count"](spark, sf).count()  # warmup
+    res = {}
+    for n in NAMES:
+        best, rows = None, 0
+        for _ in range(2):
+            gc.collect()
+            t0 = time.perf_counter()
+            rows = QUERIES[n](spark, sf).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        res[n] = (round(best, 2), rows)
+        print(n, res[n], flush=True)
+    json.dump(res, open(out, "w"))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
