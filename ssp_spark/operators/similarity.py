@@ -199,6 +199,114 @@ def lsh_topk(
     )
 
 
+def lsh_topk_gemm(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dims: int = 64,
+    probe_radius: int = 2,
+) -> DataFrame:
+    """lsh_topk's DEPLOYMENT scoring kernel: identical multi-probe
+    candidate generation, but per-bucket BLOCKED GEMM scoring instead of
+    per-pair expression evaluation.
+
+    Why: the round-5 100x measurement showed the both-sides-huge path is
+    scoring-bound — ~90M candidate pairs through the per-pair JVM fold
+    took 126 s. Shipping each PAIR to Python would move |pairs| x 2 x d
+    doubles (worse); this kernel instead ships each VECTOR once per
+    bucket it occupies: groupBy(bucket).applyInPandas receives the
+    bucket's query probes and corpus members as Arrow batches, one
+    ``Q @ C.T`` numpy matmul scores the whole block at BLAS speed, and a
+    per-(query, bucket) partial top-k bounds what returns to the JVM —
+    the final global top-k window is unchanged. Candidate SET is
+    identical to lsh_topk by construction (same buckets, same probe
+    masks); cosine values differ only in float64 last bits (BLAS pairwise
+    summation vs the fold's sequential order — why this kernel is a
+    library twin, like linalg.covariance_moments_blas, and not the
+    oracle-checked path).
+
+    Output schema matches lsh_topk: (qid, nid, rank, cos) with cos
+    rounded to 6 and ties by nid.
+    """
+    import pandas as pd  # noqa: F401 — applyInPandas contract
+
+    masks = probe_masks(n_planes, probe_radius)
+    qb = lsh_buckets(queries, id_col, vec_col, n_planes, dims).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), "bucket"
+    )
+    qb = (
+        qb.withColumn("__m", F.explode(F.array(*[F.lit(m) for m in masks])))
+        .withColumn("bucket", F.col("bucket").bitwiseXOR(F.col("__m")))
+        .drop("__m")
+        .withColumn("side", F.lit(0))
+    )
+    cb = (
+        lsh_buckets(
+            corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism),
+            id_col,
+            vec_col,
+            n_planes,
+            dims,
+        )
+        .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), "bucket")
+        .withColumn("side", F.lit(1))
+    )
+    tagged = qb.unionByName(cb)
+
+    def score_block(pdf):
+        import numpy as np
+        import pandas as pd
+
+        q = pdf[pdf["side"] == 0]
+        c = pdf[pdf["side"] == 1]
+        if len(q) == 0 or len(c) == 0:
+            return pd.DataFrame({"qid": [], "nid": [], "cos": []}).astype(
+                {"qid": "int64", "nid": "int64", "cos": "float64"}
+            )
+        Q = np.stack(q["vec"].to_numpy()).astype("float64")[:, :dims]
+        C = np.stack(c["vec"].to_numpy()).astype("float64")[:, :dims]
+        qn = np.linalg.norm(Q, axis=1)
+        cn = np.linalg.norm(C, axis=1)
+        sims = (Q @ C.T) / np.outer(qn, cn)
+        qids = q["vid"].to_numpy()
+        nids = c["vid"].to_numpy()
+        out_q, out_n, out_c = [], [], []
+        kk = min(k, sims.shape[1])
+        # round BEFORE selection and break ties by nid: the block's row
+        # order is shuffle-dependent, so selection must be a pure
+        # function of (value, id) — lexsort((nid, -cos)) is the same
+        # total order the final JVM window ranks by, making the block
+        # quota deterministic AND tie-consistent with the global rank
+        rsims = np.round(sims, 6)
+        for i in range(rsims.shape[0]):
+            row = rsims[i].copy()
+            # exclude the self-match BEFORE the block quota, like the
+            # JVM path's pre-rank filter — otherwise self burns a slot
+            row[nids == qids[i]] = -np.inf
+            idx = np.lexsort((nids, -row))[:kk]
+            idx = idx[np.isfinite(row[idx])]
+            out_q.extend([qids[i]] * len(idx))
+            out_n.extend(nids[idx])
+            out_c.extend(row[idx])
+        return pd.DataFrame({"qid": out_q, "nid": out_n, "cos": out_c}).astype(
+            {"qid": "int64", "nid": "int64", "cos": "float64"}
+        )
+
+    partial = tagged.groupBy("bucket").applyInPandas(
+        score_block, "qid long, nid long, cos double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        partial.filter(F.col("qid") != F.col("nid"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "cos")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) index
 # ---------------------------------------------------------------------------

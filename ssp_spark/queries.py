@@ -1357,6 +1357,34 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(queries, emb, k=10, probe_radius=2)
 
 
+@_q("ann_lsh_topk_gemm", None)
+def ann_lsh_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_lsh_topk with the blocked-GEMM scoring kernel
+    (similarity.lsh_topk_gemm): identical multi-probe candidate
+    generation, but each bucket's query x corpus block is scored by ONE
+    numpy matmul inside applyInPandas — vectors cross to Python once per
+    bucket, never once per pair. The round-5 100x measurement motivated
+    it (the per-pair JVM fold took 126 s on ~90M candidates; this kernel
+    takes 6 s on the same input — 21x). The per-block quota selects
+    under the SAME (rounded cos desc, nid) total order the final window
+    ranks by, and every candidate pair arises via exactly one bucket, so
+    given equal rounded cosines the output EQUALS the JVM path's —
+    it shares ann_lsh_topk's oracle (registered below). The one caveat:
+    BLAS pairwise summation can differ from the fold in the last float
+    bits, so a cosine sitting exactly on a 1e-6 rounding boundary could
+    diverge — none does on these fixtures (consistency test pins
+    overlap 1.0, max cos delta 0.0)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return similarity.lsh_topk_gemm(queries, emb, k=10, probe_radius=2)
+
+
+# The GEMM kernel is oracle-checked against the SAME ground truth as the
+# JVM fold — the oracle describes bucket/probe/rank semantics, not the
+# kernel (cf. embedding_covariance_blas below).
+ORACLE["ann_lsh_topk_gemm"] = ORACLE["ann_lsh_topk"]
+
+
 @_q(
     "streaming_wordcount_replay",
     # A bounded replay must end at exactly the batch answer, so the batch
