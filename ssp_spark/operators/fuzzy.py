@@ -77,13 +77,16 @@ def fuzzy_pairs(
     - ``"exact"`` (default): such strings are routed through an exact
       side path. Any qualifying pair with a short member has BOTH
       members shorter than ``q*(max_dist+1) + max_dist`` (edit distance
-      bounds the length gap), so the side path is short x near-short: a
-      broadcast nested-loop of the short set against the near-short set
-      with the same verify, unioned and deduped against the blocked
-      result. Scale contract: DISTINCT strings below a constant length
-      are alphabet-bounded (|Σ|^len), so the broadcast side is small by
-      construction; a corpus with millions of IDs sharing short strings
-      pays only the true output size (those pairs all qualify).
+      bounds the length gap), so the side path verifies short x
+      near-short at the DISTINCT-STRING level: a broadcast nested-loop
+      of the distinct short strings against the distinct near-short
+      strings (both alphabet-bounded, |Σ|^len — the only broadcast
+      payloads), then IDs re-attach via plain equi-joins on the string
+      key, unioned and deduped against the blocked result. ID rows are
+      never broadcast (ADVICE r5: a corpus where millions of ids share
+      one short string must not OOM the build side); the id x id
+      expansion per matched string pair is the true output size —
+      those pairs all qualify.
     - ``"ignore"``: prior behavior (blocked path only; documented
       losslessness requires min length >= q*(max_dist+1)).
     - ``"error"``: raise ValueError if any short string is present.
@@ -165,16 +168,31 @@ def fuzzy_pairs(
     elif short_strings == "exact":
         # exact side path for the strings the prefix filter cannot cover
         # (see docstring); both sides of any such pair are < short_len +
-        # max_dist chars, so this never touches the long tail.
+        # max_dist chars, so this never touches the long tail. Verify at
+        # the DISTINCT-STRING level (alphabet-bounded — the only
+        # broadcastable invariant; per-id rows are unbounded, ADVICE r5),
+        # then re-attach ids via equi-joins on the string key.
         shorts = base.filter(F.length("fstr") < short_len)
         near = base.filter(F.length("fstr") < short_len + max_dist)
-        a = shorts.select(F.col("fid").alias("ida"), F.col("fstr").alias("sa"))
-        b = near.select(F.col("fid").alias("idb"), F.col("fstr").alias("sb"))
-        extra = (
-            b.join(F.broadcast(a), F.col("ida") != F.col("idb"))
-            .filter(F.abs(F.length("sa") - F.length("sb")) <= max_dist)
+        sa_strs = shorts.select(F.col("fstr").alias("sa")).distinct()
+        sb_strs = near.select(F.col("fstr").alias("sb")).distinct()
+        spairs = (
+            sb_strs.join(
+                F.broadcast(sa_strs),
+                F.abs(F.length("sa") - F.length("sb")) <= max_dist,
+            )
             .withColumn("dist", F.levenshtein("sa", "sb"))
             .filter(F.col("dist") <= max_dist)
+        )
+        # matched string-pair table is alphabet-bounded too -> broadcast;
+        # the two id joins are plain equi-joins on the string columns
+        # (shuffle-safe however many ids share a string)
+        a_ids = shorts.select(F.col("fid").alias("ida"), F.col("fstr").alias("sa"))
+        b_ids = near.select(F.col("fid").alias("idb"), F.col("fstr").alias("sb"))
+        extra = (
+            b_ids.join(F.broadcast(spairs), "sb")
+            .join(a_ids, "sa")
+            .filter(F.col("ida") != F.col("idb"))
             .select(
                 F.least("ida", "idb").alias("id1"),
                 F.greatest("ida", "idb").alias("id2"),

@@ -144,10 +144,22 @@ def lsh_topk(
     n_planes: int = 8,
     dims: int = 64,
     probe_radius: int = 1,
+    kernel: str = "jvm",
 ) -> DataFrame:
     """Approximate top-k via MULTI-PROBE LSH: candidates are the corpus
     vectors whose bucket is within Hamming distance ``probe_radius`` of
     the query's bucket (radius 0 = classic single-bucket LSH).
+
+    ``kernel`` selects the scoring path over the IDENTICAL candidate set:
+
+    - ``"jvm"`` (default, the oracle-checked path): per-pair zip_with/
+      aggregate fold — stays inside Catalyst, ANSI-SQL replayable.
+    - ``"gemm"`` (the DEPLOYMENT path at both-sides-huge): per-bucket
+      blocked numpy matmul via :func:`lsh_topk_gemm`. The round-5 100x
+      measurement showed the per-pair fold is scoring-bound at scale
+      (126 s on ~90M candidate pairs vs 6 s for the GEMM kernel,
+      SCALE.md); a consistency test pins the two kernels to identical
+      (qid, nid) sets and equal rounded cosines on the test corpus.
 
     Why multi-probe: with sign-random-projection LSH, a true neighbor at
     angle θ agrees with the query on each plane with p = 1 - θ/π, so a
@@ -167,6 +179,20 @@ def lsh_topk(
     hash, no cross product — the both-sides-huge path.
     """
     from ssp_spark.functions import dot, norm
+
+    if kernel == "gemm":
+        return lsh_topk_gemm(
+            queries,
+            corpus,
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_planes=n_planes,
+            dims=dims,
+            probe_radius=probe_radius,
+        )
+    if kernel != "jvm":
+        raise ValueError(f"kernel must be 'jvm' or 'gemm', got {kernel!r}")
 
     masks = probe_masks(n_planes, probe_radius)
     qb = lsh_buckets(queries, id_col, vec_col, n_planes, dims).select(
@@ -223,10 +249,20 @@ def lsh_topk_gemm(
     per-(query, bucket) partial top-k bounds what returns to the JVM —
     the final global top-k window is unchanged. Candidate SET is
     identical to lsh_topk by construction (same buckets, same probe
-    masks); cosine values differ only in float64 last bits (BLAS pairwise
-    summation vs the fold's sequential order — why this kernel is a
-    library twin, like linalg.covariance_moments_blas, and not the
-    oracle-checked path).
+    masks); vectors are scored FULL-LENGTH via zero-padded stacking, so
+    for uniform-length inputs of ANY length the dot/norm math is the
+    same sum the JVM fold computes, and cosines differ only in float64
+    last bits (BLAS pairwise summation vs the fold's sequential order —
+    why this kernel is a library twin, like
+    linalg.covariance_moments_blas, and not the oracle-checked path).
+    Ragged blocks don't crash: zero-padding scores the common prefix
+    (the JVM path instead NULLs mismatched-length pairs out of the
+    ranking, since zip_with null-pads and the fold absorbs the null).
+    Rounding is sign-aware HALF_UP to match Spark F.round / DuckDB
+    ROUND (numpy's round is half-even); the one remaining divergence
+    class is Java BigDecimal rounding the double's shortest-decimal
+    form where numpy rounds the binary value — sub-1e-12 boundary
+    cases, covered by the kernel-consistency test.
 
     Output schema matches lsh_topk: (qid, nid, rank, cos) with cos
     rounded to 6 and ties by nid.
@@ -266,8 +302,21 @@ def lsh_topk_gemm(
             return pd.DataFrame({"qid": [], "nid": [], "cos": []}).astype(
                 {"qid": "int64", "nid": "int64", "cos": "float64"}
             )
-        Q = np.stack(q["vec"].to_numpy()).astype("float64")[:, :dims]
-        C = np.stack(c["vec"].to_numpy()).astype("float64")[:, :dims]
+        def stack_pad(col, width):
+            # full-length, ragged-safe: zero-pad each vector to the
+            # block-wide max so Q @ C.T is defined; zeros add nothing to
+            # dots or norms, so uniform-length blocks score exactly the
+            # full-vector sums the JVM fold computes
+            arrs = [np.asarray(v, dtype="float64") for v in col]
+            M = np.zeros((len(arrs), width))
+            for i, a in enumerate(arrs):
+                M[i, : a.shape[0]] = a
+            return M
+
+        # q and c are both non-empty here (early return above)
+        width = max(max(len(v) for v in q["vec"]), max(len(v) for v in c["vec"]))
+        Q = stack_pad(q["vec"], width)
+        C = stack_pad(c["vec"], width)
         qn = np.linalg.norm(Q, axis=1)
         cn = np.linalg.norm(C, axis=1)
         sims = (Q @ C.T) / np.outer(qn, cn)
@@ -280,7 +329,9 @@ def lsh_topk_gemm(
         # function of (value, id) — lexsort((nid, -cos)) is the same
         # total order the final JVM window ranks by, making the block
         # quota deterministic AND tie-consistent with the global rank
-        rsims = np.round(sims, 6)
+        # sign-aware HALF_UP (Spark F.round / DuckDB ROUND semantics);
+        # numpy's round is banker's half-even and would flip tie ranks
+        rsims = np.copysign(np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6, sims)
         for i in range(rsims.shape[0]):
             row = rsims[i].copy()
             # exclude the self-match BEFORE the block quota, like the

@@ -1372,11 +1372,14 @@ def ann_lsh_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     it shares ann_lsh_topk's oracle (registered below). The one caveat:
     BLAS pairwise summation can differ from the fold in the last float
     bits, so a cosine sitting exactly on a 1e-6 rounding boundary could
-    diverge — none does on these fixtures (consistency test pins
-    overlap 1.0, max cos delta 0.0)."""
+    diverge — none does on these fixtures (consistency test
+    tests/test_curation.py::test_lsh_topk_gemm_kernel_consistency pins
+    overlap 1.0, max cos delta 0.0). This query routes through
+    ``lsh_topk(kernel="gemm")`` — the documented deployment switch — so
+    the driver row covers the wiring, not just the kernel function."""
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") % 25 == 0)
-    return similarity.lsh_topk_gemm(queries, emb, k=10, probe_radius=2)
+    return similarity.lsh_topk(queries, emb, k=10, probe_radius=2, kernel="gemm")
 
 
 # The GEMM kernel is oracle-checked against the SAME ground truth as the

@@ -65,13 +65,22 @@ def log_append(path: str, records: list[tuple[int, str, str]]) -> int:
             meta = json.load(f)
     seq = meta["seq"]
     while os.path.exists(os.path.join(path, f"batch-{seq:09d}.json")):
-        with open(os.path.join(path, f"batch-{seq:09d}.json")) as f:
+        orphan = os.path.join(path, f"batch-{seq:09d}.json")
+        with open(orphan) as f:
             for line in f:
                 if not line.strip():
                     continue
                 r = json.loads(line)
                 p = str(r["partition"])
                 meta["offsets"][p] = max(meta["offsets"].get(p, 0), r["offset"] + 1)
+        # restamp the adopted batch too (ADVICE r5): a crash between
+        # os.replace and os.utime leaves a wall-clock mtime far above
+        # the synthetic stamps, and Spark's mtime-ordered file source
+        # would replay the orphan AFTER every later batch — breaking
+        # the "append order IS replay order" contract the stamping
+        # exists to guarantee
+        t = 1_700_000_000 + seq * 10
+        os.utime(orphan, (t, t))
         seq += 1
     rows = []
     for part, key, value in records:

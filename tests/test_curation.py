@@ -269,6 +269,76 @@ def test_ann_recall_multiprobe_vs_bruteforce(spark):
     assert recall_multi > recall_single + 0.1
 
 
+def test_lsh_topk_gemm_kernel_consistency(spark):
+    """The gemm docstring's pinned claim, made real (VERDICT r5 #2): on
+    the test corpus the blocked-GEMM kernel must emit the IDENTICAL
+    (qid, nid) set as the per-pair JVM fold — overlap 1.0 — with equal
+    rank AND equal rounded cosine on every pair (max cos delta 0.0).
+    Routed through lsh_topk(kernel="gemm") so the deployment switch is
+    the tested path."""
+    from ssp_spark.catalog import load_table
+    from ssp_spark.operators import similarity
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    jvm = {
+        (r.qid, r.nid): (r.rank, r.cos)
+        for r in similarity.lsh_topk(q, emb, k=10, probe_radius=2).collect()
+    }
+    gemm = {
+        (r.qid, r.nid): (r.rank, r.cos)
+        for r in similarity.lsh_topk(
+            q, emb, k=10, probe_radius=2, kernel="gemm"
+        ).collect()
+    }
+    assert set(jvm) == set(gemm)  # overlap 1.0
+    assert jvm == gemm  # identical rank and rounded cosine everywhere
+
+
+def test_lsh_topk_gemm_full_length_and_ragged(spark):
+    """ADVICE r5 items 1 and 5: the GEMM kernel must score FULL vectors
+    (no dims-truncation — for uniform 72-dim vectors bucketed on the
+    first 64 dims, both kernels must still agree exactly, which also
+    exercises the sign-aware HALF_UP rounding on fresh values), and a
+    ragged block must not crash np.stack (zero-padding scores the
+    common prefix)."""
+    import random
+
+    from ssp_spark.operators import similarity
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1.0, 1.0) for _ in range(72)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") % 10 == 0)
+    jvm = {
+        (r.qid, r.nid): (r.rank, r.cos)
+        for r in similarity.lsh_topk(q, df, k=5, probe_radius=1).collect()
+    }
+    gemm = {
+        (r.qid, r.nid): (r.rank, r.cos)
+        for r in similarity.lsh_topk(
+            q, df, k=5, probe_radius=1, kernel="gemm"
+        ).collect()
+    }
+    assert len(jvm) > 0
+    assert jvm == gemm
+    # ragged vectors: defined (prefix-scored) output, no crash
+    ragged = spark.createDataFrame(
+        [
+            (i, [rnd.uniform(-1.0, 1.0) for _ in range(64 if i % 2 else 40)])
+            for i in range(60)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.lsh_topk(
+        ragged.filter(F.col("vec_id") % 5 == 0), ragged, k=3, probe_radius=1,
+        kernel="gemm",
+    ).collect()
+    assert all(r.qid != r.nid for r in out)
+    assert all(-1.0 <= r.cos <= 1.0 for r in out)
+
+
 def test_incremental_dedup_consistent_with_self_join(spark):
     """Cross-corpus pairs must be exactly the batch↔corpus subset of the
     full self-join candidate set: banding a corpus in two halves and

@@ -144,6 +144,26 @@ def test_fuzzy_pairs_short_strings_side_path(spark):
         fuzzy.fuzzy_pairs(df, "id", "name", max_dist=1, short_strings="error")
 
 
+def test_fuzzy_pairs_shared_short_strings_distinct_broadcast(spark):
+    """ADVICE r5 (fuzzy.py:174): the exact side path must verify at the
+    DISTINCT-STRING level — many ids sharing one short string broadcast
+    ONE string, and the id x id expansion is the true output. Pins the
+    exact pair set for 40 ids over two dist-1 short strings."""
+    rows = [(i, "ab" if i % 2 else "ac") for i in range(40)]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {
+        (r.id1, r.id2): r.dist
+        for r in fuzzy.fuzzy_pairs(df, "id", "name", max_dist=1).collect()
+    }
+    # every unordered id pair qualifies: dist 0 within a string group,
+    # dist 1 across ("ab" vs "ac")
+    assert len(got) == 40 * 39 // 2
+    assert all(
+        d == (0 if (i % 2) == (j % 2) else 1) for (i, j), d in got.items()
+    )
+    assert all(i < j for (i, j) in got)
+
+
 def test_entity_resolution_singletons_kept(spark):
     out = {
         r.canonical_name: (r.n_names, r.n_parts)

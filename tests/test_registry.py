@@ -6,6 +6,9 @@ not silently rotate a query out of (or into) the checked set.
 
 from __future__ import annotations
 
+import os
+import re
+
 from ssp_spark.queries import _CHECK_FIRST, ORACLE, QUERIES
 
 # Round 5 group (a): the six late-round-4 additions that never had a
@@ -101,10 +104,37 @@ def test_registry_is_complete_and_fully_oracled():
     # scd2_user_state_history — SCD-2 validity-interval historization,
     # two windows sharing one keyed exchange;
     # outlier_mad_orders — robust median/MAD outlier screen on
-    # rank-exact integer medians).
-    assert len(QUERIES) == 153
+    # rank-exact integer medians),
+    # +1 late-round-5 addition (ann_lsh_topk_gemm — the blocked-GEMM
+    # scoring twin that landed without bumping the old hardcoded count;
+    # VERDICT r5 #1/#4 replaced that count with the manifest below).
+    manifest_path = os.path.join(os.path.dirname(__file__), "registry_manifest.txt")
+    with open(manifest_path) as f:
+        manifest = [ln.strip() for ln in f if ln.strip() and not ln.startswith("#")]
+    assert len(manifest) == len(set(manifest)), "duplicate names in registry_manifest.txt"
+    missing = set(manifest) - set(QUERIES)
+    extra = set(QUERIES) - set(manifest)
+    assert not missing and not extra, (
+        f"registry drifted from tests/registry_manifest.txt — update that file "
+        f"(missing from QUERIES: {sorted(missing)}; not in manifest: {sorted(extra)})"
+    )
     # Since round 3: every declared query has an exact DuckDB oracle.
     assert set(ORACLE) == set(QUERIES)
+
+
+def test_readme_declared_count_matches_registry():
+    """The README's 'N declared queries' sentence must track the live
+    registry — VERDICT r5 found it stale twice; now it cannot drift
+    silently."""
+    readme = os.path.join(os.path.dirname(__file__), "..", "README.md")
+    with open(readme) as f:
+        text = f.read()
+    m = re.search(r"(\d+) declared queries", text)
+    assert m, "README.md lost its 'N declared queries' sentence"
+    assert int(m.group(1)) == len(QUERIES), (
+        f"README.md says {m.group(1)} declared queries but the registry has "
+        f"{len(QUERIES)} — update README.md"
+    )
 
 
 def test_every_query_name_is_unique_and_callable():

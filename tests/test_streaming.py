@@ -279,7 +279,10 @@ def test_streaming_session_window(spark, tmpdir):
 
 @pytest.mark.skipif(
     not ss.has_transform_with_state(),
-    reason="transformWithStateInPandas needs the protobuf package (not in this env)",
+    reason="transformWithStateInPandas needs the protobuf runtime, which is "
+    "absent here and uninstallable (no-install environment; checked r6: only "
+    "typeshed stubs exist on this image) — the applyInPandasWithState twins "
+    "cover the same semantics",
 )
 def test_transform_with_state_running_count(spark, tmp_path):
     """Modern-API twin of test_running_count_stream_update_emission."""
@@ -666,6 +669,39 @@ def test_keyed_rate_limit_admits_first_n_per_key(spark, tmpdir):
     assert {4, 7, 8} & got == set()
 
 
+def test_keyed_rate_limit_chunked_batch_determinism(spark, tmpdir):
+    """ADVICE r5 (streaming/__init__.py:328): a key's micro-batch rows
+    span multiple Arrow chunks once they exceed arrow.maxRecordsPerBatch;
+    admission must concatenate the chunks and take the quota over the
+    WHOLE batch. Rows arrive ts-DESCENDING so the true (ts, id) winners
+    sit in the LAST chunk — per-chunk admission would admit the wrong
+    rows."""
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        src = os.path.join(tmpdir, "rlc_src")
+        # one micro-batch, one key, 20 rows, descending ts: winners are
+        # ts 100,101 (event_ids 19,18) — in the final Arrow chunk
+        rows = [("u1", 119 - i, i) for i in range(20)]
+        schema = "user string, ts long, event_id long"
+        _write_parquet(spark, rows, schema, src)
+        sdf = spark.readStream.schema(schema).parquet(src)
+        out = ss.keyed_rate_limit(sdf, "user", "ts", "event_id", max_per_key=2)
+        name = f"rlc_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(tmpdir, "rlc_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {(r.ts, r.event_id) for r in spark.table(name).collect()}
+        assert got == {(100, 19), (101, 18)}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
 def test_upsert_sink_materializes_running_counts(spark, tmpdir):
     """Streaming materialized view: replay the word list in two
     micro-batches through an update-mode count into the upsert sink; the
@@ -702,6 +738,118 @@ def _run_upsert(spark, tmpdir, out, rows, tag):
 
 def _table(spark, out):
     return sorted((r["word"], r["count"]) for r in spark.read.parquet(out).collect())
+
+
+def _bucket_inodes(out):
+    live = os.path.realpath(out)
+    return {
+        d: sorted(
+            (f, os.stat(os.path.join(live, d, f)).st_ino)
+            for f in os.listdir(os.path.join(live, d))
+            if os.path.isfile(os.path.join(live, d, f))
+        )
+        for d in os.listdir(live)
+        if d.startswith("__bucket=")
+    }
+
+
+def test_upsert_sink_default_is_bucketed_with_pruned_merge(spark, tmpdir):
+    """VERDICT r5 #6: O(touched buckets) is the DEFAULT now. A sink
+    created with no bucket_by argument must (a) write the bucketed
+    layout with the _bucket_by marker, (b) hard-link every untouched
+    bucket on the next batch (inode identity — nothing rewritten), and
+    (c) keep per-key merge semantics exact."""
+    out = os.path.join(tmpdir, "dview")
+
+    def run(rows, tag):
+        src = os.path.join(tmpdir, f"dsrc_{tag}")
+        _write_parquet(spark, rows, "word string", src)
+        sdf = spark.readStream.schema("word string").parquet(src)
+        ss.upsert_parquet_sink(
+            sdf.groupBy("word").count(), out, ["word"], keep_versions=2
+        )
+
+    seed = [(w,) for w in ("alpha", "bravo", "carol", "delta", "echo", "fox", "golf", "hotel")]
+    run(seed, "r1")
+    marker = os.path.join(os.path.realpath(out), "_bucket_by")
+    assert os.path.isfile(marker)
+    assert int(open(marker).read()) == ss.DEFAULT_UPSERT_BUCKETS
+    before = _bucket_inodes(out)
+    assert len(before) >= 3
+
+    run([("alpha",), ("alpha",)], "r2")
+    after = _bucket_inodes(out)
+    touched_dir = "__bucket=%d" % (
+        spark.range(1)
+        .select(
+            F.pmod(
+                F.xxhash64(F.lit("alpha")), F.lit(ss.DEFAULT_UPSERT_BUCKETS)
+            ).cast("int")
+        )
+        .first()[0]
+    )
+    for d, files in before.items():
+        if d == touched_dir:
+            continue
+        assert after[d] == files, d  # untouched: same files, same inodes
+    if touched_dir in before:
+        assert not (
+            {i for _, i in before[touched_dir]} & {i for _, i in after[touched_dir]}
+        )
+    got = sorted(
+        (r["word"], r["count"])
+        for r in spark.read.parquet(out).drop("__bucket").collect()
+    )
+    assert got == sorted([(w, 1) for (w,) in seed if w != "alpha"] + [("alpha", 2)])
+
+
+def test_upsert_sink_auto_migrates_legacy_unbucketed_table(spark, tmpdir):
+    """A marker-less legacy table (created with bucket_by=None) opened by
+    the new default must migrate: one full merge into the marked
+    bucketed layout, exact values, and the batch AFTER migration prunes
+    (hard-linked untouched buckets)."""
+    out = os.path.join(tmpdir, "mview")
+
+    def run(rows, tag, **kw):
+        src = os.path.join(tmpdir, f"msrc_{tag}")
+        _write_parquet(spark, rows, "word string", src)
+        sdf = spark.readStream.schema("word string").parquet(src)
+        ss.upsert_parquet_sink(sdf.groupBy("word").count(), out, ["word"], **kw)
+
+    seed = [(w,) for w in ("alpha", "bravo", "carol", "delta", "echo", "fox")]
+    run(seed, "r1", bucket_by=None)
+    live = os.path.realpath(out)
+    assert not any(d.startswith("__bucket=") for d in os.listdir(live))
+
+    # default "auto" opens the legacy table: migrate + mark. The batch
+    # is its own update-mode aggregate, so last-writer-wins sets
+    # alpha -> 1 (the batch's count), same as every other key.
+    run([("alpha",), ("alpha",)], "r2")
+    marker = os.path.join(os.path.realpath(out), "_bucket_by")
+    assert os.path.isfile(marker)
+    mids = _bucket_inodes(out)
+    assert len(mids) >= 3
+    got = sorted(
+        (r["word"], r["count"])
+        for r in spark.read.parquet(out).drop("__bucket").collect()
+    )
+    assert got == sorted([(w, 1) for (w,) in seed if w != "alpha"] + [("alpha", 2)])
+
+    # post-migration batch prunes: untouched buckets keep their inodes
+    run([("bravo",)], "r3")
+    after = _bucket_inodes(out)
+    touched_dir = "__bucket=%d" % (
+        spark.range(1)
+        .select(
+            F.pmod(
+                F.xxhash64(F.lit("bravo")), F.lit(ss.DEFAULT_UPSERT_BUCKETS)
+            ).cast("int")
+        )
+        .first()[0]
+    )
+    for d, files in mids.items():
+        if d != touched_dir:
+            assert after[d] == files, d
 
 
 def test_upsert_sink_recovers_stranded_old_backup(spark, tmpdir):
@@ -976,6 +1124,37 @@ def test_log_append_adopts_orphan_batch_after_meta_crash(spark, tmpdir):
         per.setdefault(part, []).append((off, key))
     assert per[0] == [(0, "a"), (1, "c"), (2, "x")]
     assert per[1] == [(0, "b"), (1, "y")]
+
+
+def test_log_orphan_adoption_restamps_mtime(tmpdir):
+    """ADVICE r5 (log.py:67): a crash between os.replace(batch) and
+    os.utime leaves the orphan with a wall-clock mtime far above the
+    synthetic 1.7e9+seq*10 stamps; Spark's mtime-ordered file source
+    would then replay it AFTER every later batch. Adoption must restamp
+    the orphan so replay position == sequence position."""
+    import json as _json
+    import time as _time
+
+    from ssp_spark.sources import log
+
+    d = os.path.join(tmpdir, "utimelog")
+    log.log_append(d, [(0, "a", "v1")])  # batch 0
+    log.log_append(d, [(0, "b", "v2")])  # batch 1
+    # crash simulation: meta rewound AND the orphan wearing wall-clock
+    # mtime (the utime step never ran)
+    orphan = os.path.join(d, "batch-000000001.json")
+    now = _time.time()
+    os.utime(orphan, (now, now))
+    with open(os.path.join(d, "_meta.json"), "w") as f:
+        _json.dump({"seq": 1, "offsets": {"0": 1}}, f)
+    log.log_append(d, [(0, "c", "v3")])  # adopts batch 1, writes batch 2
+    assert os.path.getmtime(orphan) == 1_700_000_000 + 1 * 10
+    # full mtime order across the log equals sequence order
+    files = sorted(
+        f for f in os.listdir(d) if f.startswith("batch-") and f.endswith(".json")
+    )
+    mtimes = [os.path.getmtime(os.path.join(d, f)) for f in files]
+    assert mtimes == sorted(mtimes) == [1_700_000_000 + s * 10 for s in range(3)]
 
 
 def test_log_source_checkpoint_resume_exactly_once(spark, tmpdir):
