@@ -11,65 +11,62 @@ import re
 
 from ssp_spark.queries import _CHECK_FIRST, ORACLE, QUERIES
 
-# Round 5 group (a): the six late-round-4 additions that never had a
-# driver CORRECTNESS row (they landed after the r4 gate ran; judge-
-# verified at sf0.01 in round 4, rotated first per the VERDICT).
-_R5_NEVER_CHECKED = {
-    "cohort_retention",
-    "triangle_count_users",
-    "event_transition_matrix",
-    "embedding_covariance_blas",
-    "hll_distinct_users",
-    "source_text_scan",
-}
+# Round 6 group (a): the one query with no driver row ever (VERDICT r5
+# #1 — ann_lsh_topk_gemm landed in the round-5 snapshot commit after the
+# gate ran; judge-verified at sf0.01, now first in line).
+_R6_NEVER_CHECKED = {"ann_lsh_topk_gemm"}
 
-# Round 5 group (b): new or implementation-changed this round.
-_R5_CHANGED = {
-    "contrastive_pairs_lsh",    # new: LSH-blocked candidate generator
-    "token_budget_selection",   # new: per-domain budget-capped selection
-    "corpus_shuffle_order",     # new: exact global order, no global sort
-    "scd2_user_state_history",  # new: SCD-2 validity-interval build
-    "outlier_mad_orders",       # new: rank-exact median/MAD outliers
-    "embedding_standardize",    # per-row n_dims + empty-model guard
-    "fuzzy_name_pairs",         # short-string exact side path
+# Round 6 group (b): implementation-changed this round.
+_R6_CHANGED = {
+    "ann_lsh_topk",             # kernel= dispatch added
+    "fuzzy_name_pairs",         # distinct-string side path (ADVICE r5)
     "entity_resolution_parts",  # composes fuzzy_pairs
-    # triangle_count_users also changed (hot-day cap) — counted in (a)
 }
 
-# Round 5 group (c): stale-evidence rotation, oldest driver row first —
-# the 16 r1/r2-era function-library and join/agg shapes, the 12 r2-green
-# queries bumped late in round 4, the 6 bumped for the late round-4
-# additions, and 6 more r2-green bench staples.
-_R5_STALE_ROTATED = {
-    "string_funcs", "math_funcs", "date_funcs_monthly_orders",
-    "date_trunc_weekly_orders", "json_extract_events", "set_ops_users",
-    "distinct_event_users", "user_activity_pivot",
-    "window_funcs_showcase", "percentiles_by_flag", "rollup_order_stats",
-    "cube_order_stats", "grouping_sets_orders",
-    "left_join_customer_order_counts", "full_outer_user_activity",
-    "cust_above_nation_avg",
-    "lang_id", "token_count", "doc_fingerprint", "stats_numeric_exact",
-    "array_funcs_embeddings", "q10_top_customers_by_revenue",
-    "running_user_spend", "sliding_window_counts",
-    "tumbling_hourly_stats", "q3_top_orders", "dedup_exact",
-    "semi_join_open_orders",
-    "streaming_wordcount_replay", "anti_join_inactive_customers",
-    "range_join_value_bands", "asof_join_purchase_signup",
-    "multimodal_features", "multimodal_frame_sampling",
-    "q5_nation_revenue",
-    "dedup_embedding_cosine",
-    # (word_count / q1_pricing_summary / dedup_simhash /
-    # ann_topk_bruteforce yielded their slots to the four round-5
-    # additions: smoke-run / bench-measured every round anyway)
+# Round 6 group (c): latest driver row still round 2 (VERDICT r5 #3).
+_R6_R2_STALE = {
+    "ann_topk_bruteforce",
+    "dedup_events_keeper",
+    "dedup_simhash",
+    "q1_pricing_summary",
+    "quality_score",
+    "top_customers_per_nation",
+}
+
+# Round 6 group (d): 40 of the 50 round-3-latest queries. The 10 left
+# out (and each one's alternate evidence) are named in the queries.py
+# rotation comment; all are oracle-hash-checked at sf0.001 by
+# test_oracle_parity on every pytest run.
+_R6_R3_ROTATED = {
+    "approx_distinct_users", "array_lateral_explode",
+    "asof_join_forward_tolerance", "bloom_customer_names",
+    "cms_user_counts", "dedup_minhash_clusters", "lineitem_unpivot",
+    "map_funcs_roundtrip", "pipeline_train_manifest",
+    "q11_important_parts", "q12_ship_priority_class", "q13_custdist",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_cnt",
+    "q17_small_qty_revenue", "q19_disjunctive_revenue",
+    "q20_qty_suppliers", "q21_waiting_supplier",
+    "q22_idle_rich_customers", "q2_min_cost_supplier",
+    "q4_priority_exists", "q7_nation_volume", "q8_market_share",
+    "q9_product_profit", "regexp_funcs", "right_join_order_priority_mix",
+    "rolling_30d_spend", "salted_join_event_spend", "sample_split_hash",
+    "source_csv_scan", "source_json_scan", "stats_numeric",
+    "stratified_sample_events", "text_normalize_redact",
+    "time_rollup_multigrain", "udaf_user_spend", "udtf_sentence_split",
+    "window_frame_funcs", "window_rank_stats",
 }
 
 
-def test_driver_window_is_the_round5_target_set():
+def test_driver_window_is_the_round6_target_set():
     window = list(QUERIES)[:50]
     assert window == _CHECK_FIRST
-    assert set(window) == _R5_NEVER_CHECKED | _R5_CHANGED | _R5_STALE_ROTATED
-    # the never-checked six lead the window (first rows the driver hashes)
-    assert set(window[:6]) == _R5_NEVER_CHECKED
+    assert set(window) == (
+        _R6_NEVER_CHECKED | _R6_CHANGED | _R6_R2_STALE | _R6_R3_ROTATED
+    )
+    # the never-checked query leads the window (first row the driver
+    # hashes), followed by this round's changed queries
+    assert window[0] == "ann_lsh_topk_gemm"
+    assert set(window[1:4]) == _R6_CHANGED
 
 
 def test_registry_is_complete_and_fully_oracled():
