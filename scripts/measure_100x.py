@@ -37,11 +37,17 @@ from ssp_spark.session import (  # noqa: E402
 NAMES = [
     "word_count", "q1_pricing_summary", "running_user_spend", "dedup_exact",
     "dedup_jaccard_pairs", "dedup_minhash_lsh", "dedup_simhash",
-    "ann_lsh_topk", "bigram_lm_score", "triangle_count_users",
+    "ann_lsh_topk", "ann_lsh_topk_gemm", "bigram_lm_score",
+    "triangle_count_users",
     "contrastive_pairs_lsh", "token_budget_selection", "corpus_shuffle_order",
     "embedding_covariance_blas", "scd2_user_state_history",
     "outlier_mad_orders",
 ]
+
+# Re-measure a subset without paying for the whole table:
+#   SCALE100_NAMES=ann_lsh_topk,ann_lsh_topk_gemm python scripts/measure_100x.py ...
+if os.environ.get("SCALE100_NAMES"):
+    NAMES = [n.strip() for n in os.environ["SCALE100_NAMES"].split(",") if n.strip()]
 
 
 def main() -> None:
