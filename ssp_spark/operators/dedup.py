@@ -21,6 +21,7 @@ Design for 100 TB: every variant avoids the quadratic all-pairs trap.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pyspark.sql.types as T
 from pyspark.sql import DataFrame
 
 from ssp_spark.functions import cosine, portable_hash64, shingles, tokens
@@ -454,6 +455,7 @@ def connected_components(
     id1: str = "id1",
     id2: str = "id2",
     max_iter: int = 50,
+    driver_edge_threshold: int = 200_000,
 ) -> DataFrame:
     """Duplicate clusters from a near-dup pair graph: (id, component_id)
     where component_id = min doc id reachable through pairs.
@@ -467,6 +469,20 @@ def connected_components(
     no expensive diff join. Lineage is cut with localCheckpoint per
     round, keeping plans constant-size regardless of iterations.
 
+    Small-graph fast path (round 6): the iterative loop costs
+    (diameter + 2) x (eager checkpoint + scalar collect) jobs — pure
+    stage floor when the edge list is small (measured: ~2 s of the
+    2.3-2.6 s entity_resolution_parts / cluster_dedup_keeper bench
+    times at sf0.1). The edge list is this operator's INPUT-scale
+    object and is already materialized by the first localCheckpoint, so
+    one cheap count gates a driver-side union-find when
+    |sym edges| <= ``driver_edge_threshold`` (2x pairs; ~3 MB of longs
+    at the default) — the same model-sized-collect contract as the IVF
+    codebook. The result is bit-identical (min reachable id), and at
+    100 TB pair volumes the count exceeds the gate and the iterative
+    path runs unchanged. Set ``driver_edge_threshold=0`` to force the
+    distributed path.
+
     The reference has no iterative operators at all; this is the §6
     training-pipeline extension that turns pair lists (jaccard_pairs /
     minhash_lsh_pairs) into actionable dedup groups.
@@ -474,6 +490,36 @@ def connected_components(
     edges = pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     sym = sym.localCheckpoint()
+    if driver_edge_threshold and sym.count() <= driver_edge_threshold:
+        rows = sym.collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in rows:
+            a, b = r.src, r.dst
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        cmin: dict = {}
+        for n in parent:
+            r = find(n)
+            if r not in cmin or n < cmin[r]:
+                cmin[r] = n
+        out = [(n, cmin[find(n)]) for n in parent]
+        id_type = edges.schema["src"].dataType
+        schema = T.StructType(
+            [T.StructField("id", id_type), T.StructField("component_id", id_type)]
+        )
+        return pairs.sparkSession.createDataFrame(out, schema)
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint()

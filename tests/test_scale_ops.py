@@ -79,6 +79,41 @@ def test_connected_components_chain(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (10, 10), (11, 10)}
 
 
+def test_connected_components_driver_and_distributed_paths_agree(spark):
+    """Round 6: the size-gated driver-side union-find must be
+    bit-identical to the iterative label-propagation path on a random
+    multi-component graph (chains, cliques, self-loops, singleton-free
+    by construction)."""
+    import random
+
+    from ssp_spark.operators import dedup
+
+    rnd = random.Random(13)
+    edges = set()
+    # 12 chains of length 6 with random extra intra-chain edges
+    for c in range(12):
+        base = c * 100
+        ids = [base + i for i in range(6)]
+        for a, b in zip(ids, ids[1:]):
+            edges.add((a, b))
+        for _ in range(3):
+            edges.add((rnd.choice(ids), rnd.choice(ids)))
+    pairs = spark.createDataFrame(sorted(edges), ["id1", "id2"])
+    fast = {
+        (r.id, r.component_id)
+        for r in dedup.connected_components(pairs).collect()
+    }
+    dist = {
+        (r.id, r.component_id)
+        for r in dedup.connected_components(
+            pairs, driver_edge_threshold=0
+        ).collect()
+    }
+    assert fast == dist
+    # component label is the min id of each chain
+    assert all(cid == (i // 100) * 100 for i, cid in fast)
+
+
 def test_bloom_prefilter_sound_and_selective(spark):
     """The Bloom pre-filter contract: NO false negatives (every order of
     a selected customer survives the prefilter — otherwise the join
