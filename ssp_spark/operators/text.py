@@ -321,3 +321,110 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("fp64", portable_hash64(normalized))
         .withColumn("fp_roll", roll)
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, list[str]]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k retrieval: for each (qid, terms) query, the ``k``
+    best-scoring documents under Okapi BM25 (Robertson et al., TREC-3;
+    the Lucene-style "+1 inside the log" idf that keeps weights
+    positive):
+
+        idf(t)  = ln((N - df + 0.5) / (df + 0.5) + 1)
+        w(t, D) = idf(t) * tf * (k1+1) / (tf + k1*((1-b) + b*dl/avgdl))
+        score   = sum over query terms of w
+
+    The retrieval counterpart of contamination(): where that flags
+    benchmark overlap, this MINES the corpus — "find the documents most
+    about X" for targeted curation, eval-set construction, or topic
+    audits.
+
+    Scale shape (the part that matters at 100 TB): the query vocabulary
+    is a broadcast literal, so the corpus-side term explode is filtered
+    to query terms BEFORE any shuffle — the tf aggregate carries at most
+    |docs matching any term| x |vocab| rows, never the full posting
+    list. Document length is a map-side projection folded into the same
+    pass; (N, avgdl) is one scalar aggregate broadcast back; df is a
+    |vocab|-bounded aggregate joined as a broadcast. One real shuffle
+    (the tf groupBy) plus the final per-query top-k window.
+
+    Cross-engine determinism: per-term contributions are integer-scaled
+    (round(w * 1e6) as BIGINT) and SUMMED AS INTEGERS, so the per-doc
+    score is independent of addition order in both engines; ranking
+    sorts the scaled integer with doc_id ties. The one residual
+    cross-engine hazard is a libm ULP difference inside ln() landing a
+    contribution exactly on a .5 micro-unit boundary — not observed at
+    any tested scale.
+
+    Returns (qid, doc_id, rank, score) with score = scaled/1e6.
+    """
+    spark = docs.sparkSession
+    qrows = [(int(qid), t) for qid, terms in queries for t in terms]
+    qdf = F.broadcast(
+        spark.createDataFrame(qrows, "qid int, term string").distinct()
+    )
+    vocab = sorted({t for _, terms in queries for t in terms})
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("__toks"),
+    ).select(
+        "doc_id",
+        F.size("__toks").alias("dl"),
+        F.explode("__toks").alias("term"),
+    )
+    # filter to the broadcast-literal vocabulary BEFORE the shuffle
+    hits = toks.filter(F.col("term").isin(*vocab))
+    tf = hits.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+    stats = (
+        docs.select(F.size(tokens(F.col(text_col))).alias("dl"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.sum("dl") / F.count("*")).alias("avgdl"),
+        )
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(stats))
+        .join(qdf, "term")
+    )
+    # arithmetic written in ONE association order, mirrored verbatim in
+    # the oracle: idf first, then the tf normalization
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+    per_doc = (
+        scored.withColumn(
+            "w6", F.round(contrib * F.lit(1000000.0)).cast("long")
+        )
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("w6").alias("s6"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("s6").desc(), F.col("doc_id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            "doc_id",
+            "rank",
+            (F.col("s6") / F.lit(1000000.0)).alias("score"),
+        )
+    )

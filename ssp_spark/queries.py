@@ -6687,6 +6687,70 @@ def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_QUERIES = [
+    (1, ["spark", "join", "window"]),
+    (2, ["hash", "table", "scan"]),
+    (3, ["fast", "slow", "value"]),
+]
+
+
+@_q(
+    "bm25_topk_docs",
+    r"""
+    WITH q(qid, term) AS (VALUES
+      (1,'spark'),(1,'join'),(1,'window'),
+      (2,'hash'),(2,'table'),(2,'scan'),
+      (3,'fast'),(3,'slow'),(3,'value')),
+    toks AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS dl,
+             unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf, first(dl) AS dl
+      FROM toks WHERE term IN (SELECT term FROM q)
+      GROUP BY doc_id, term
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs,
+             sum(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) * 1.0
+               / count(*) AS avgdl
+      FROM documents
+    ),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT q.qid, tf.doc_id,
+             CAST(round(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               * 1000000.0
+             ) AS BIGINT) AS w6
+      FROM tf JOIN dft USING (term) CROSS JOIN stats JOIN q ON q.term = tf.term
+    ),
+    perdoc AS (SELECT qid, doc_id, sum(w6) AS s6 FROM contrib GROUP BY qid, doc_id)
+    SELECT qid, doc_id, CAST(rank AS INT) AS rank, s6 / 1000000.0 AS score FROM (
+      SELECT qid, doc_id, s6,
+             row_number() OVER (PARTITION BY qid ORDER BY s6 DESC, doc_id) AS rank
+      FROM perdoc)
+    WHERE rank <= 10
+    """,
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 retrieval for three fixed term queries over the
+    documents corpus (operators.text.bm25_topk) — the mining counterpart
+    of contamination(): rank the corpus by topical relevance for
+    targeted curation / eval-set construction. Corpus-side stats stay
+    distributed (one vocab-filtered tf shuffle + a scalar (N, avgdl)
+    aggregate + a |vocab|-bounded df broadcast); per-term contributions
+    are integer-scaled and summed as BIGINTs so the score is
+    addition-order-free in both engines, and the rank sorts the scaled
+    integer with doc_id ties. avgdl = sum(int lengths)/count is one
+    exact-integer division, identical everywhere."""
+    docs = load_table(spark, "documents", sf_dir)
+    return text.bm25_topk(docs, _BM25_QUERIES, k=10)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering
 # ---------------------------------------------------------------------------
@@ -6717,9 +6781,11 @@ def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (c) the 6 queries whose latest row is still round 2 (VERDICT r5 #3):
 #     ann_topk_bruteforce, dedup_events_keeper, dedup_simhash,
 #     q1_pricing_summary, quality_score, top_customers_per_nation;
-# (d) 40 of the 50 round-3-latest queries, oldest evidence first.
-# ARITHMETIC, stated plainly this time: 1 + 3 + 6 + 50 = 60 candidates
-# for 50 slots, so TEN r3-latest queries stay r3 after this round —
+# (d) 39 of the 50 round-3-latest queries, oldest evidence first
+#     (bm25_topk_docs, new this round with no driver row, takes the
+#     40th slot — new queries outrank a repeat confirmation).
+# ARITHMETIC, stated plainly this time: 2 + 3 + 6 + 50 = 61 candidates
+# for 50 slots, so ELEVEN r3-latest queries stay r3 after this round —
 # named here, each with its alternate evidence (every one is ALSO
 # hash-checked against its oracle at sf0.001 by
 # tests/test_oracle_parity.py on every pytest run):
@@ -6733,11 +6799,14 @@ def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   multimodal_resize (shares the mapInPandas plumbing r5-green
 #     multimodal_features/frame_sampling exercise),
 #   event_type_pivot_api (pivot kernel r5-green via
-#     user_activity_pivot).
+#     user_activity_pivot),
+#   stats_numeric (its exact-decimal twin stats_numeric_exact is
+#     r5-green and bench-measured every round).
 # ROUND-7 TODO: front-load those 10, then the r4-latest queries.
 _CHECK_FIRST = [
     # (a) never driver-checked
     "ann_lsh_topk_gemm",
+    "bm25_topk_docs",            # new in round 6
     # (b) changed in round 6
     "ann_lsh_topk",
     "fuzzy_name_pairs",
@@ -6749,7 +6818,7 @@ _CHECK_FIRST = [
     "q1_pricing_summary",
     "quality_score",
     "top_customers_per_nation",
-    # (d) round-3-stale (40 of 50; the 10 left out are named above)
+    # (d) round-3-stale (39 of 50; the 11 left out are named above)
     "approx_distinct_users",
     "array_lateral_explode",
     "asof_join_forward_tolerance",
@@ -6782,7 +6851,6 @@ _CHECK_FIRST = [
     "sample_split_hash",
     "source_csv_scan",
     "source_json_scan",
-    "stats_numeric",
     "stratified_sample_events",
     "text_normalize_redact",
     "time_rollup_multigrain",

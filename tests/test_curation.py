@@ -489,3 +489,53 @@ def test_embedding_standardize_degenerate_and_ragged(spark, tmp_path):
     # and n_dims really is per-row: 3 for the long vectors, 2 for short
     nd = {row["vec_id"]: row["n_dims"] for row in QUERIES["embedding_standardize"](spark, d2).collect()}
     assert nd == {1: 3, 2: 2, 3: 3, 4: 2}
+
+
+def test_bm25_topk_ranking_semantics(spark):
+    """BM25 invariants on a hand-built corpus: term frequency wins at
+    equal length, length normalization penalizes long docs at equal tf,
+    rarer terms out-weigh common ones, absent-term queries return no
+    rows, and ranks are contiguous with k enforced."""
+    rows = [
+        (1, "spark spark spark pad1 pad2 pad3"),       # tf=3, short
+        (2, "spark pad1 pad2 pad3 pad4 pad5"),         # tf=1, short
+        (3, "spark " + " ".join(f"x{i}" for i in range(30))),  # tf=1, long
+        (4, "common rare pad pad pad pad"),
+        (5, "common pad pad pad pad pad"),
+        (6, "common pad2 pad3 pad4 pad5 pad6"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = text.bm25_topk(
+        docs,
+        [(1, ["spark"]), (2, ["rare", "common"]), (3, ["absent"])],
+        k=2,
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.qid, []).append((r.rank, r.doc_id, r.score))
+    # q1: tf dominance then length normalization; k=2 truncates doc 3
+    assert [d for _, d, _ in sorted(by_q[1])] == [1, 2]
+    # q2: doc 4 holds the rare term -> outranks common-only docs
+    assert sorted(by_q[2])[0][1] == 4
+    # q3: no doc contains 'absent'
+    assert 3 not in by_q
+    for ranks in by_q.values():
+        assert sorted(r for r, _, _ in ranks) == list(range(1, len(ranks) + 1))
+        assert all(s > 0 for _, _, s in ranks)
+
+
+def test_bm25_topk_plan_shape(spark):
+    """Scale contract: the corpus explode is filtered to the broadcast
+    query vocabulary BEFORE the tf shuffle (the posting list never
+    shuffles), and df/stats/query attachments are broadcast joins."""
+    from ssp_spark import plans
+    from ssp_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    df = text.bm25_topk(docs, [(1, ["spark", "join"])], k=5)
+    s = plans.plan_string(df, "formatted")
+    assert plans.broadcast_join_count(df) >= 3  # df_t, stats, query terms
+    assert not plans.has_cartesian(df)
+    # vocab filter present as a real predicate (IN over the literal set)
+    assert "spark" in s and "join" in s
