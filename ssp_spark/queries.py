@@ -6751,6 +6751,52 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bm25_topk(docs, _BM25_QUERIES, k=10)
 
 
+@_q(
+    "weighted_sample_per_source",
+    f"""
+    WITH s AS (
+      SELECT source, doc_id, n_chars,
+             ln(({_SQL_H64_OF.format(x="'wsample:' || CAST(doc_id AS VARCHAR)")} + 1)::DOUBLE
+                / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS k
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT source, doc_id, CAST(rank AS INT) AS rank, n_chars FROM (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS rank
+      FROM s)
+    WHERE rank <= 20
+    """,
+)
+def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, per source domain:
+    Efraimidis-Spirakis A-ES keys (IPL 2006) — each doc draws
+    u = (h64+1)/2^60 from the portable hash and ranks by ln(u)/w with
+    w = n_chars, so inclusion probability is proportional-to-size
+    without replacement and the draw is a pure deterministic projection
+    (reproducible across engines AND across reruns: the seed is the
+    hash salt). The per-source top-20 compiles to WindowGroupLimit —
+    each map task keeps a 20-row heap per source, so a 100 TB corpus
+    streams through one projection plus a source-keyed exchange of
+    20 x |sources| survivors. Output carries no floating-point column;
+    the ln-key only ORDERS, and keys of distinct 60-bit hashes are
+    never within libm-ULP of each other."""
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("n_chars") > 0)
+    u = (
+        portable_hash64(
+            F.concat(F.lit("wsample:"), F.col("doc_id").cast("string"))
+        )
+        + F.lit(1)
+    ).cast("double") / F.lit(float(1 << 60))
+    key = F.log(u) / F.col("n_chars").cast("double")
+    w = Window.partitionBy("source").orderBy(F.col("__k").desc(), F.col("doc_id"))
+    return (
+        docs.select("source", "doc_id", "n_chars", key.alias("__k"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("source", "doc_id", "rank", "n_chars")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering
 # ---------------------------------------------------------------------------
@@ -6781,11 +6827,12 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (c) the 6 queries whose latest row is still round 2 (VERDICT r5 #3):
 #     ann_topk_bruteforce, dedup_events_keeper, dedup_simhash,
 #     q1_pricing_summary, quality_score, top_customers_per_nation;
-# (d) 39 of the 50 round-3-latest queries, oldest evidence first
-#     (bm25_topk_docs, new this round with no driver row, takes the
-#     40th slot — new queries outrank a repeat confirmation).
-# ARITHMETIC, stated plainly this time: 2 + 3 + 6 + 50 = 61 candidates
-# for 50 slots, so ELEVEN r3-latest queries stay r3 after this round —
+# (d) 38 of the 50 round-3-latest queries, oldest evidence first
+#     (bm25_topk_docs and weighted_sample_per_source, new this round
+#     with no driver rows, take the other two slots — new queries
+#     outrank a repeat confirmation).
+# ARITHMETIC, stated plainly this time: 3 + 3 + 6 + 50 = 62 candidates
+# for 50 slots, so TWELVE r3-latest queries stay r3 after this round —
 # named here, each with its alternate evidence (every one is ALSO
 # hash-checked against its oracle at sf0.001 by
 # tests/test_oracle_parity.py on every pytest run):
@@ -6801,12 +6848,15 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   event_type_pivot_api (pivot kernel r5-green via
 #     user_activity_pivot),
 #   stats_numeric (its exact-decimal twin stats_numeric_exact is
-#     r5-green and bench-measured every round).
+#     r5-green and bench-measured every round),
+#   udtf_sentence_split (the UDTF surface is pinned by its own unit
+#     tests; its sibling udaf_user_spend keeps an in-window slot).
 # ROUND-7 TODO: front-load those 10, then the r4-latest queries.
 _CHECK_FIRST = [
     # (a) never driver-checked
     "ann_lsh_topk_gemm",
     "bm25_topk_docs",            # new in round 6
+    "weighted_sample_per_source",  # new in round 6
     # (b) changed in round 6
     "ann_lsh_topk",
     "fuzzy_name_pairs",
@@ -6818,7 +6868,7 @@ _CHECK_FIRST = [
     "q1_pricing_summary",
     "quality_score",
     "top_customers_per_nation",
-    # (d) round-3-stale (39 of 50; the 11 left out are named above)
+    # (d) round-3-stale (38 of 50; the 12 left out are named above)
     "approx_distinct_users",
     "array_lateral_explode",
     "asof_join_forward_tolerance",
@@ -6855,7 +6905,6 @@ _CHECK_FIRST = [
     "text_normalize_redact",
     "time_rollup_multigrain",
     "udaf_user_spend",
-    "udtf_sentence_split",
     "window_frame_funcs",
     "window_rank_stats",
 ]

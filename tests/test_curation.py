@@ -539,3 +539,50 @@ def test_bm25_topk_plan_shape(spark):
     assert not plans.has_cartesian(df)
     # vocab filter present as a real predicate (IN over the literal set)
     assert "spark" in s and "join" in s
+
+
+def test_weighted_sample_per_source_semantics(spark):
+    """A-ES weighted sampling: a document with overwhelming weight is
+    (essentially surely) selected first — ln(u)/w -> 0- as w grows —
+    ranks are contiguous per group, the quota caps each group, and the
+    draw is deterministic across invocations (hash-seeded, no RNG
+    state)."""
+    from ssp_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    rows = [(i, "t", "s1", 1 if i else 10**9) for i in range(100)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = QUERIES["weighted_sample_per_source"](spark, d).collect()
+        assert out[0].__class__  # rows exist
+        by_rank = {r.rank: r.doc_id for r in out}
+        assert by_rank[1] == 0  # the giant-weight doc wins
+        assert sorted(by_rank) == list(range(1, 21))  # contiguous, quota 20
+
+    a = QUERIES["weighted_sample_per_source"](spark, SF_SMOKE).collect()
+    b = QUERIES["weighted_sample_per_source"](spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per_src = {}
+    for r in a:
+        per_src.setdefault(r.source, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_src.values())
+    assert all(len(v) <= 20 for v in per_src.values())
+
+
+def test_weighted_sample_plan_group_limit(spark):
+    """Scale contract: the per-source top-20 must compile to
+    WindowGroupLimit (map-side per-group heaps), not a full sort of the
+    corpus."""
+    from ssp_spark import plans
+    from ssp_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    df = QUERIES["weighted_sample_per_source"](spark, SF_SMOKE)
+    s = plans.plan_string(df, "formatted")
+    assert "WindowGroupLimit" in s

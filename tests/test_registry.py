@@ -16,7 +16,8 @@ from ssp_spark.queries import _CHECK_FIRST, ORACLE, QUERIES
 # gate ran; judge-verified at sf0.01, now first in line).
 _R6_NEVER_CHECKED = {
     "ann_lsh_topk_gemm",
-    "bm25_topk_docs",  # new in round 6 (BM25 top-k retrieval)
+    "bm25_topk_docs",              # new in round 6 (BM25 top-k retrieval)
+    "weighted_sample_per_source",  # new in round 6 (A-ES weighted sample)
 }
 
 # Round 6 group (b): implementation-changed this round.
@@ -36,7 +37,7 @@ _R6_R2_STALE = {
     "top_customers_per_nation",
 }
 
-# Round 6 group (d): 39 of the 50 round-3-latest queries. The 11 left
+# Round 6 group (d): 38 of the 50 round-3-latest queries. The 12 left
 # out (and each one's alternate evidence) are named in the queries.py
 # rotation comment; all are oracle-hash-checked at sf0.001 by
 # test_oracle_parity on every pytest run.
@@ -55,7 +56,7 @@ _R6_R3_ROTATED = {
     "rolling_30d_spend", "salted_join_event_spend", "sample_split_hash",
     "source_csv_scan", "source_json_scan",
     "stratified_sample_events", "text_normalize_redact",
-    "time_rollup_multigrain", "udaf_user_spend", "udtf_sentence_split",
+    "time_rollup_multigrain", "udaf_user_spend",
     "window_frame_funcs", "window_rank_stats",
 }
 
@@ -68,9 +69,9 @@ def test_driver_window_is_the_round6_target_set():
     )
     # the never-checked queries lead the window (first rows the driver
     # hashes), followed by this round's changed queries
-    assert set(window[:2]) == _R6_NEVER_CHECKED
+    assert set(window[:3]) == _R6_NEVER_CHECKED
     assert window[0] == "ann_lsh_topk_gemm"
-    assert set(window[2:5]) == _R6_CHANGED
+    assert set(window[3:6]) == _R6_CHANGED
 
 
 def test_registry_is_complete_and_fully_oracled():
