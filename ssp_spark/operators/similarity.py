@@ -94,8 +94,12 @@ def lsh_buckets(
 
     The previous form derived each sign inside a transform lambda —
     n_planes × dims md5s of pure constants per ROW, in interpreted HOF
-    evaluation (VERDICT r3). Vectors longer than ``dims`` are projected on
-    their first ``dims`` components (zip_with stops at the shorter array).
+    evaluation (VERDICT r3). Vectors of any length project on their
+    first ``dims`` components: zip_with NULL-pads the shorter side (it
+    does NOT stop — the round-6 fix; the old fold absorbed the null and
+    sent every non-``dims``-length vector to bucket 0, one giant bucket
+    = LSH degenerated to brute force), so the product is null-coalesced
+    to 0.0, which is exactly the truncated/zero-extended projection.
 
     Measured negative result (round 5): fusing the n_planes folds into
     ONE walk with a struct-of-8 accumulator is ~40% SLOWER (2.26 s vs
@@ -108,7 +112,9 @@ def lsh_buckets(
     for p, row in enumerate(plane_signs(n_planes, dims)):
         lit_arr = F.array(*[F.lit(s) for s in row])
         d = F.aggregate(
-            F.zip_with(v, lit_arr, lambda x, s: x * s), F.lit(0.0), lambda acc, x: acc + x
+            F.zip_with(v, lit_arr, lambda x, s: F.coalesce(x * s, F.lit(0.0))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
         terms.append(F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0)))
     bucket = terms[0]

@@ -296,6 +296,29 @@ def test_lsh_topk_gemm_kernel_consistency(spark):
     assert jvm == gemm  # identical rank and rounded cosine everywhere
 
 
+def test_lsh_buckets_project_non_dims_length_vectors(spark):
+    """Round-6 latent-bug regression: zip_with NULL-pads (it does not
+    stop at the shorter array), and the old fold absorbed the null —
+    every vector not exactly dims long hashed to bucket 0, collapsing
+    LSH into ONE giant bucket (brute force in disguise). Buckets must
+    spread for longer AND shorter vectors, and 64-dim bucketing is
+    unchanged (oracle-inlined)."""
+    import random
+    from collections import Counter
+
+    from ssp_spark.operators.similarity import lsh_buckets
+
+    rnd = random.Random(7)
+    emb = spark.createDataFrame(
+        [(i, [rnd.uniform(-1.0, 1.0) for _ in range(72)]) for i in range(50)]
+        + [(100 + i, [rnd.uniform(-1.0, 1.0) for _ in range(40)]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    counts = Counter(r.bucket for r in lsh_buckets(emb).collect())
+    assert len(counts) > 10
+    assert max(counts.values()) < 20
+
+
 def test_lsh_topk_gemm_full_length_and_ragged(spark):
     """ADVICE r5 items 1 and 5: the GEMM kernel must score FULL vectors
     (no dims-truncation — for uniform 72-dim vectors bucketed on the
