@@ -370,3 +370,95 @@ def test_token_budget_prefilter_equals_naive_window(spark, toks, budget):
         assert got == naive
     finally:
         q.unpersist()
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    docs=st.lists(
+        st.text(alphabet=st.sampled_from(list("ab c")), min_size=1, max_size=40),
+        min_size=1,
+        max_size=12,
+    ),
+    k=st.integers(min_value=1, max_value=5),
+)
+def test_bm25_matches_python_reference(spark, docs, k):
+    """text.bm25_topk must agree with the obvious Python BM25 on
+    arbitrary tiny corpora — same integer-scaled contributions, same
+    (scaled desc, doc_id) tie order, same k truncation."""
+    import math
+
+    from ssp_spark.operators import text as text_ops
+
+    sdf = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    terms = ["a", "b", "ab"]
+    got = {
+        (r.qid, r.doc_id): (r.rank, r.score)
+        for r in text_ops.bm25_topk(sdf, [(1, terms)], k=k).collect()
+    }
+    # python reference
+    toks = {i: [w for w in t.split() if w] for i, t in enumerate(docs)}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    scores = {}
+    for i, tk in toks.items():
+        s6 = 0
+        for t in set(terms):
+            tf = tk.count(t)
+            if tf == 0:
+                continue
+            df = sum(1 for v in toks.values() if t in v)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            w = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(tk) / avgdl))
+            # same HALF_UP integer scaling as the operator
+            s6 += int(math.floor(abs(w) * 1e6 + 0.5)) * (1 if w >= 0 else -1)
+        if s6:
+            scores[i] = s6
+    order = sorted(scores, key=lambda i: (-scores[i], i))[:k]
+    want = {(1, i): (r + 1, scores[i] / 1e6) for r, i in enumerate(order)}
+    assert got == want, (docs, got, want)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_connected_components_match_python_union_find(spark, edges):
+    """Both CC paths (driver fast path AND distributed label
+    propagation) must equal a reference Python union-find on arbitrary
+    small graphs, including self-loops and parallel edges."""
+    from ssp_spark.operators import dedup
+
+    pairs = spark.createDataFrame(edges, ["id1", "id2"])
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a), parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min = {}
+    for v in parent:
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    want = {(v, comp_min[find(v)]) for v in parent}
+    fast = {(r.id, r.component_id) for r in dedup.connected_components(pairs).collect()}
+    dist = {
+        (r.id, r.component_id)
+        for r in dedup.connected_components(pairs, driver_edge_threshold=0).collect()
+    }
+    assert fast == want
+    assert dist == want
