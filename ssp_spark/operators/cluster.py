@@ -45,7 +45,20 @@ def assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, vec, cluster, d2) — nearest centroid per row, pure projection."""
+    """(id, vec, cluster, d2) — nearest centroid per row, pure projection.
+
+    An EMPTY centroid model (empty input corpus -> no seeds) returns the
+    empty assignment frame with the full output schema rather than
+    compiling array_min over a zero-element array (a VOID-typed
+    expression Catalyst rejects) — the empty-model guard pattern of
+    linalg.standardize (round-6 empty-input sweep)."""
+    if not centroids:
+        return df.select(
+            F.col(id_col),
+            F.col(vec_col).alias(vec_col),
+            F.lit(None).cast("int").alias("cluster"),
+            F.lit(None).cast("double").alias("d2"),
+        ).limit(0)
     v = F.col(vec_col)
     cands = []
     for cid, cv in centroids:

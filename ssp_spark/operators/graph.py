@@ -45,6 +45,9 @@ def pagerank(
     ed = edges.join(deg, src).persist()
     nodes = ed.select(F.col(src).alias("node")).distinct()
     n = nodes.count()  # one scalar to the driver, like any count()
+    if n == 0:
+        # empty graph: the empty rank frame, not 1.0/0 (round-6 sweep)
+        return nodes.select("node", F.lit(None).cast("double").alias("rank"))
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iters):
         contribs = ed.join(ranks, ed[src] == ranks["node"]).select(

@@ -4497,7 +4497,10 @@ def sink_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     path = os.path.join(_SCRATCH, "documents_by_lang")
     docs.write.mode("overwrite").partitionBy("lang").parquet(path)
-    back = spark.read.parquet(path)
+    # explicit schema: partition discovery still prunes, but an EMPTY
+    # corpus (zero partition dirs) reads back as the empty frame instead
+    # of failing schema inference (round-6 empty-input sweep)
+    back = spark.read.schema(docs.schema).parquet(path)
     return (
         back.filter(F.col("lang") == "en")
         .groupBy("source")
@@ -6466,10 +6469,16 @@ def _token_budget_frames(docs: DataFrame, budget: int = 800):
         .agg(F.min("quality").alias("q_cut"))
         .collect()
     )
-    cut_map = F.create_map(
-        *[x for r in cuts for x in (F.lit(r["source"]), F.lit(r["q_cut"]))]
-    )
-    survivors = q.filter(F.col("quality") >= cut_map[F.col("source")])
+    if cuts:
+        cut_map = F.create_map(
+            *[x for r in cuts for x in (F.lit(r["source"]), F.lit(r["q_cut"]))]
+        )
+        survivors = q.filter(F.col("quality") >= cut_map[F.col("source")])
+    else:
+        # empty corpus: no cut levels -> empty selection; create_map()
+        # with zero entries compiles to a VOID-typed map Catalyst
+        # rejects (round-6 empty-input sweep)
+        survivors = q.filter(F.lit(False))
     w = (
         Window.partitionBy("source")
         .orderBy(F.col("quality").desc(), "doc_id")

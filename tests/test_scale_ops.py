@@ -192,3 +192,34 @@ def test_hll_register_table_bounded_and_mergeable(spark):
     full = {(r["j"]): r["r"] for r in regs_full.collect()}
     via_merge = {(r["j"]): r["r"] for r in merged.collect()}
     assert full == via_merge
+
+
+def test_queries_survive_empty_inputs(spark, tmp_path):
+    """Round-6 empty-input regressions: the five queries whose models are
+    compiled FROM data crashed on zero-row tables (empty k-means
+    codebook -> VOID array_min; PageRank 1.0/0; partitioned-sink read
+    losing schema inference; empty token-budget cut map -> VOID
+    create_map). Each must now return the empty (or model-sized) frame.
+    scripts/empty_sweep.py re-runs the full 156-query sweep."""
+    import os
+
+    from ssp_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    d = str(tmp_path / "empty")
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        df = spark.read.parquet(f"{SF_SMOKE}/{t}.parquet")
+        df.limit(0).write.parquet(os.path.join(d, f"{t}.parquet"))
+    for name in (
+        "kmeans_embeddings",
+        "cluster_balanced_sample",
+        "pagerank_customer_supplier",
+        "sink_partitioned_scan",
+        "token_budget_selection",
+    ):
+        out = QUERIES[name](spark, d)
+        assert out.count() == 0, name
+        assert len(out.columns) > 0, name
