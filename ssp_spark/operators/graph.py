@@ -57,3 +57,61 @@ def pagerank(
             (F.lit((1 - damping) / n) + F.lit(damping) * F.sum("__c")).alias("rank")
         )
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """(node, hops) — minimum hop count from the seed set, hops <= max_hops.
+
+    Level-synchronous frontier BFS: per level, frontier ⋈ edges on the
+    source key -> neighbor set -> ``distinct`` -> anti-join against the
+    visited set. This is the 100 TB shape for reachability: state is
+    bounded by |V| (visited) and |frontier| <= |V| per level, and each
+    level costs one key-partitioned join on ``src`` plus two |V|-bounded
+    exchanges on ``node`` — NEVER path enumeration. The contrast matters:
+    Spark 4's native ``WITH RECURSIVE`` supports only ``UNION ALL``
+    recursion ([UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE], verified on this
+    build), so the native CTE multiplies out every distinct PATH of
+    length <= max_hops — super-exponential on dense or cyclic graphs.
+    tests/test_curation.py pins this operator against that native CTE on
+    a small cyclic graph (identical min-hop output), and the DuckDB
+    oracle replays it with ``WITH RECURSIVE ... UNION`` (DuckDB's
+    distinct recursion, bounded like the frontier loop).
+
+    Determinism: set semantics per level; no floats, no RNG. Lineage
+    grows one join per level, so every ``checkpoint_every`` levels the
+    visited/frontier frames are ``localCheckpoint``-ed (eager) to keep
+    driver-side plan growth linear — same device as the iterated
+    connected-components loop (operators/dedup.py).
+
+    Reference parity note: the reference engine has no graph surface;
+    this extends the §6 curation toolkit (reachability = "everything
+    linked to a flagged item within k steps", e.g. contamination blast
+    radius over near-dup clusters).
+    """
+    visited = (
+        seeds.select(F.col(seeds.columns[0]).cast("long").alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("int"))
+    )
+    frontier = visited.select("node")
+    e = edges.select(F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst"))
+    for h in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(h).cast("int"))
+        )
+        if h % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("node")
+    return visited

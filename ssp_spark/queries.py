@@ -1145,6 +1145,52 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "graph_reachability_bfs",
+    """
+    WITH RECURSIVE base AS (
+      SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+                      CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    edges AS (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base),
+    seeds AS (SELECT DISTINCT src FROM base ORDER BY src LIMIT 3),
+    reach(node, hops) AS (
+      SELECT src, 0 FROM seeds
+      UNION
+      SELECT e.dst, r.hops + 1 FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.hops < 3
+    )
+    SELECT node, CAST(MIN(hops) AS INT) AS hops FROM reach GROUP BY node
+    """,
+)
+def graph_reachability_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded reachability (min-hop distance <= 3) from the three
+    smallest customer nodes over the same symmetric customer-supplier
+    graph pagerank_customer_supplier walks — the "contamination blast
+    radius" primitive (everything linked to a flagged item within k
+    steps). Implementation is graph.bfs_levels: level-synchronous
+    frontier BFS with per-level distinct + anti-join against visited —
+    |V|-bounded state, one keyed join per level, NO path enumeration.
+    The oracle replays it as DuckDB's distinct-recursion
+    ``WITH RECURSIVE ... UNION``; Spark 4's native recursive CTE is
+    UNION ALL-only (path-multiplying, verified on this build), which is
+    exactly why the operator exists — see operators/graph.py:62 and the
+    native-CTE consistency test in tests/test_curation.py."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    base = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).cast("long").alias("src"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    edges = base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seeds = base.select("src").distinct().orderBy("src").limit(3)
+    return graph.bfs_levels(edges, seeds, max_hops=3)
+
+
+@_q(
     "tfidf_top_terms",
     r"""
     WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
@@ -6836,12 +6882,13 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (c) the 6 queries whose latest row is still round 2 (VERDICT r5 #3):
 #     ann_topk_bruteforce, dedup_events_keeper, dedup_simhash,
 #     q1_pricing_summary, quality_score, top_customers_per_nation;
-# (d) 38 of the 50 round-3-latest queries, oldest evidence first
-#     (bm25_topk_docs and weighted_sample_per_source, new this round
-#     with no driver rows, take the other two slots — new queries
-#     outrank a repeat confirmation).
-# ARITHMETIC, stated plainly this time: 3 + 3 + 6 + 50 = 62 candidates
-# for 50 slots, so TWELVE r3-latest queries stay r3 after this round —
+# (d) 37 of the 50 round-3-latest queries, oldest evidence first
+#     (bm25_topk_docs, weighted_sample_per_source and
+#     graph_reachability_bfs, new this round with no driver rows, take
+#     the other three slots — new queries outrank a repeat
+#     confirmation).
+# ARITHMETIC, stated plainly this time: 4 + 3 + 6 + 50 = 63 candidates
+# for 50 slots, so THIRTEEN r3-latest queries stay r3 after this round —
 # named here, each with its alternate evidence (every one is ALSO
 # hash-checked against its oracle at sf0.001 by
 # tests/test_oracle_parity.py on every pytest run):
@@ -6859,13 +6906,17 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   stats_numeric (its exact-decimal twin stats_numeric_exact is
 #     r5-green and bench-measured every round),
 #   udtf_sentence_split (the UDTF surface is pinned by its own unit
-#     tests; its sibling udaf_user_spend keeps an in-window slot).
-# ROUND-7 TODO: front-load those 10, then the r4-latest queries.
+#     tests; its sibling udaf_user_spend keeps an in-window slot),
+#   salted_join_event_spend (rotated out mid-round for the
+#     graph_reachability_bfs slot; salted-join kernel keeps 3 unit
+#     tests, tests/test_scale_ops.py:16-34).
+# ROUND-7 TODO: front-load those 13, then the r4-latest queries.
 _CHECK_FIRST = [
     # (a) never driver-checked
     "ann_lsh_topk_gemm",
     "bm25_topk_docs",            # new in round 6
     "weighted_sample_per_source",  # new in round 6
+    "graph_reachability_bfs",    # new in round 6 (frontier BFS)
     # (b) changed in round 6
     "ann_lsh_topk",
     "fuzzy_name_pairs",
@@ -6877,7 +6928,7 @@ _CHECK_FIRST = [
     "q1_pricing_summary",
     "quality_score",
     "top_customers_per_nation",
-    # (d) round-3-stale (38 of 50; the 12 left out are named above)
+    # (d) round-3-stale (37 of 50; the 13 left out are named above)
     "approx_distinct_users",
     "array_lateral_explode",
     "asof_join_forward_tolerance",
@@ -6906,7 +6957,9 @@ _CHECK_FIRST = [
     "regexp_funcs",
     "right_join_order_priority_mix",
     "rolling_30d_spend",
-    "salted_join_event_spend",
+    # salted_join_event_spend rotated out mid-round for the BFS slot:
+    # its kernel keeps 3 unit tests (tests/test_scale_ops.py:16-34) and
+    # the sf0.001 oracle hash-check every pytest run.
     "sample_split_hash",
     "source_csv_scan",
     "source_json_scan",

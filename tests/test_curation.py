@@ -609,3 +609,66 @@ def test_weighted_sample_plan_group_limit(spark):
     df = QUERIES["weighted_sample_per_source"](spark, SF_SMOKE)
     s = plans.plan_string(df, "formatted")
     assert "WindowGroupLimit" in s
+
+
+def test_bfs_levels_matches_native_recursive_cte(spark):
+    """graph.bfs_levels vs Spark 4's NATIVE ``WITH RECURSIVE`` (UNION ALL
+    + min-aggregate) on a small cyclic graph: identical min-hop output.
+    The native CTE enumerates paths (safe only on tiny inputs — exactly
+    why the frontier-BFS operator is the deployment form); this pins the
+    two against each other, including a cycle (1-2-3-1), a branch, and a
+    node reachable two ways at different depths."""
+    from ssp_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 4), (4, 5), (1, 5), (6, 7)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = sorted(
+        (r.node, r.hops)
+        for r in graph.bfs_levels(edges, seeds, max_hops=4).collect()
+    )
+    edges.createOrReplaceTempView("bfs_edges_t")
+    native = spark.sql(
+        """
+        WITH RECURSIVE reach(node, hops) AS (
+          SELECT CAST(1 AS BIGINT) AS node, 0 AS hops
+          UNION ALL
+          SELECT e.dst, r.hops + 1
+          FROM reach r JOIN bfs_edges_t e ON e.src = r.node
+          WHERE r.hops < 4
+        )
+        SELECT node, CAST(MIN(hops) AS INT) AS hops FROM reach GROUP BY node
+        """
+    )
+    want = sorted((r.node, r.hops) for r in native.collect())
+    assert got == want
+    # 6-7 component unreachable from seed 1
+    assert all(n not in (6, 7) for n, _ in got)
+    # hop bound respected and seed present at distance 0
+    assert (1, 0) in got and all(h <= 4 for _, h in got)
+
+
+def test_bfs_levels_empty_and_no_edge_seeds(spark):
+    """Empty edge frame -> seeds alone at hops 0; seed with no outgoing
+    edges stays distance 0; duplicate seeds collapse (round-6 sweep
+    contract: every operator total on empty inputs)."""
+    from ssp_spark.operators import graph
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    seeds = spark.createDataFrame([(9,), (9,), (4,)], "node long")
+    got = sorted(
+        (r.node, r.hops)
+        for r in graph.bfs_levels(edges, seeds, max_hops=3).collect()
+    )
+    assert got == [(4, 0), (9, 0)]
+    empty_seeds = spark.createDataFrame([], "node long")
+    assert (
+        graph.bfs_levels(
+            spark.createDataFrame([(1, 2)], "src long, dst long"),
+            empty_seeds,
+            max_hops=2,
+        ).count()
+        == 0
+    )
