@@ -594,3 +594,72 @@ def simhash_pairs(
     )
     banded.unpersist()
     return out
+
+
+def span_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    win: int = 64,
+    stride: int = 32,
+    min_shared: int = 2,
+    max_doc_freq: int = DEFAULT_MAX_DOC_FREQ,
+) -> DataFrame:
+    """Substring-level duplication: doc pairs sharing >= ``min_shared``
+    exact character windows of length ``win`` (sampled every ``stride``
+    chars). (doc_a, doc_b, shared_spans), doc_a < doc_b.
+
+    This is the SUBSTRING modality of dedup — the "exact substring
+    duplication" concern from the training-data-dedup literature (long
+    verbatim spans copied between otherwise-different documents:
+    licenses, boilerplate, quoted passages, template text). Doc-level
+    MinHash/SimHash miss it when the shared span is a small fraction of
+    both docs; this catches it exactly, at window granularity. A
+    suffix-array finds spans at EVERY offset; stride-sampled fixed
+    windows are the shuffle-friendly approximation — a shared run of
+    length >= win + stride - 1 is guaranteed to contribute at least one
+    aligned window to both sides when both docs cut windows from the
+    same run start (and in the common copy case — identical prefixes of
+    the duplicated block — alignment holds by construction).
+
+    Scale design mirrors jaccard_pairs: explode is total_chars/stride
+    rows (8-byte md5-prefix spans, not the text), the inverted-index
+    self-join generates pairs ONLY for docs sharing a span, and spans in
+    more than ``max_doc_freq`` docs are dropped (boilerplate cap) so per-
+    span fan-out is bounded at max_doc_freq^2/2. One distinct + one
+    count shuffle + the band join — never an n^2 comparison.
+    """
+    spread = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")).filter(
+        F.length("__t") >= win
+    )
+    spread = spread.repartition(spread.sparkSession.sparkContext.defaultParallelism)
+    spans = (
+        spread.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.length("__t") - F.lit(win) + 1, F.lit(stride)
+                )
+            ).alias("__pos"),
+            "__t",
+        )
+        .select(
+            "doc_id", F.md5(F.expr(f"substring(__t, __pos, {win})")).alias("span")
+        )
+        .distinct()
+    )
+    kept = spans.join(
+        spans.groupBy("span")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") <= max_doc_freq)
+        .select("span"),
+        "span",
+    )
+    return (
+        kept.select("span", F.col("doc_id").alias("doc_a"))
+        .join(kept.select("span", F.col("doc_id").alias("doc_b")), "span")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("shared_spans"))
+        .filter(F.col("shared_spans") >= min_shared)
+    )

@@ -29,6 +29,7 @@ from ssp_spark.functions import cosine, portable_hash64, tokens
 from ssp_spark.operators import (
     cluster,
     dedup,
+    diagnostics,
     fuzzy,
     graph,
     layout,
@@ -779,6 +780,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(
         load_table(spark, "documents", sf_dir), num_hashes=12, bands=4
     )
+
+
+@_q(
+    "dedup_span_pairs",
+    """
+    WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+    pos AS (SELECT doc_id, unnest(range(1, length(text) - 64 + 2, 32)) AS p, text
+            FROM d),
+    spans AS (SELECT DISTINCT doc_id, md5(substr(text, CAST(p AS INT), 64)) AS span
+              FROM pos),
+    freq AS (SELECT span FROM spans GROUP BY span HAVING count(*) <= 100),
+    kept AS (SELECT s.doc_id, s.span FROM spans s JOIN freq USING (span))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS shared_spans
+    FROM kept a JOIN kept b ON a.span = b.span AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def dedup_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication: doc pairs sharing >= 2 exact 64-char
+    windows (stride 32) — the dedup modality doc-level MinHash/SimHash
+    miss (verbatim licenses/boilerplate/quotes inside otherwise-different
+    docs; the suffix-array concern from the training-data-dedup
+    literature, stride-sampled into a shuffle-friendly inverted-index
+    join). Boilerplate spans shared by >100 docs are capped exactly like
+    jaccard_pairs' stop-shingles. See operators/dedup.py:span_dup_pairs
+    for the alignment guarantee and scale accounting."""
+    return dedup.span_dup_pairs(load_table(spark, "documents", sf_dir))
 
 
 @_q(
@@ -3788,6 +3817,38 @@ def salted_join_event_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("user_id", "c_mktsegment").agg(
         F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("spend_cents"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+@_q(
+    "key_skew_report_events",
+    """
+    WITH counts AS (
+      SELECT CAST(event_type AS VARCHAR) AS key_value, count(*) AS cnt
+      FROM events GROUP BY 1),
+    total AS (SELECT CAST(sum(cnt) AS BIGINT) AS __total FROM counts),
+    topk AS (SELECT key_value, cnt FROM counts ORDER BY cnt DESC, key_value LIMIT 8)
+    SELECT key_value, cnt,
+           CAST((cnt * 1000000) // __total AS BIGINT) AS share_ppm,
+           CAST(cnt // ((__total + 31) // 32) AS BIGINT) AS skew_x,
+           CAST((cnt * 32 + __total - 1) // __total AS INT) AS salt_factor
+    FROM topk CROSS JOIN total
+    """,
+)
+def key_skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-health profile of the events stream's event_type key —
+    the planning-side salt advisor feeding salted_join_event_spend's
+    n_salts. diagnostics.key_skew_report: one map-side-combined count
+    shuffle, a TakeOrderedAndProject top-k (per-partition heap, no
+    global sort), a broadcast single-row total; every metric is pure
+    integer ``div`` arithmetic (Spark's double->long cast truncates
+    where DuckDB rounds — float division here would flake the oracle).
+    See operators/diagnostics.py for the 100 TB rationale (AQE covers
+    skewed sort-merge JOINS at runtime; aggregations and ahead-of-time
+    planning need this)."""
+    ev = load_table(spark, "events", sf_dir)
+    return diagnostics.key_skew_report(
+        ev, ["event_type"], top=8, target_partitions=32
     )
 
 
@@ -6887,8 +6948,8 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     graph_reachability_bfs, new this round with no driver rows, take
 #     the other three slots — new queries outrank a repeat
 #     confirmation).
-# ARITHMETIC, stated plainly this time: 4 + 3 + 6 + 50 = 63 candidates
-# for 50 slots, so THIRTEEN r3-latest queries stay r3 after this round —
+# ARITHMETIC, stated plainly this time: 6 + 3 + 6 + 50 = 65 candidates
+# for 50 slots, so FIFTEEN r3-latest queries stay r3 after this round —
 # named here, each with its alternate evidence (every one is ALSO
 # hash-checked against its oracle at sf0.001 by
 # tests/test_oracle_parity.py on every pytest run):
@@ -6909,14 +6970,21 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     tests; its sibling udaf_user_spend keeps an in-window slot),
 #   salted_join_event_spend (rotated out mid-round for the
 #     graph_reachability_bfs slot; salted-join kernel keeps 3 unit
-#     tests, tests/test_scale_ops.py:16-34).
-# ROUND-7 TODO: front-load those 13, then the r4-latest queries.
+#     tests, tests/test_scale_ops.py:16-34),
+#   rolling_30d_spend (rotated out mid-round for the
+#     key_skew_report_events slot; RANGE-frame kernel pinned by
+#     in-window window_frame_funcs),
+#   right_join_order_priority_mix (rotated out mid-round for the
+#     dedup_span_pairs slot; join-direction family r5-green).
+# ROUND-7 TODO: front-load those 15, then the r4-latest queries.
 _CHECK_FIRST = [
     # (a) never driver-checked
     "ann_lsh_topk_gemm",
     "bm25_topk_docs",            # new in round 6
     "weighted_sample_per_source",  # new in round 6
     "graph_reachability_bfs",    # new in round 6 (frontier BFS)
+    "key_skew_report_events",    # new in round 6 (skew/salt advisor)
+    "dedup_span_pairs",          # new in round 6 (substring-window dedup)
     # (b) changed in round 6
     "ann_lsh_topk",
     "fuzzy_name_pairs",
@@ -6928,7 +6996,7 @@ _CHECK_FIRST = [
     "q1_pricing_summary",
     "quality_score",
     "top_customers_per_nation",
-    # (d) round-3-stale (37 of 50; the 13 left out are named above)
+    # (d) round-3-stale (35 of 50; the 15 left out are named above)
     "approx_distinct_users",
     "array_lateral_explode",
     "asof_join_forward_tolerance",
@@ -6955,8 +7023,12 @@ _CHECK_FIRST = [
     "q8_market_share",
     "q9_product_profit",
     "regexp_funcs",
-    "right_join_order_priority_mix",
-    "rolling_30d_spend",
+    # right_join_order_priority_mix rotated out mid-round for the
+    # span-dedup slot: right-join direction is exercised by the r5-green
+    # full/left/semi/anti family plus the sf0.001 oracle check per run.
+    # rolling_30d_spend rotated out mid-round for the skew-advisor slot:
+    # its RANGE-frame kernel stays pinned by in-window window_frame_funcs
+    # plus the sf0.001 oracle hash-check every pytest run.
     # salted_join_event_spend rotated out mid-round for the BFS slot:
     # its kernel keeps 3 unit tests (tests/test_scale_ops.py:16-34) and
     # the sf0.001 oracle hash-check every pytest run.

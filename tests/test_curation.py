@@ -672,3 +672,52 @@ def test_bfs_levels_empty_and_no_edge_seeds(spark):
         ).count()
         == 0
     )
+
+
+def test_span_dup_pairs_golden(spark):
+    """Two docs sharing one long verbatim block (>= win+stride-1 chars
+    from position 1) must pair; unrelated docs must not; docs shorter
+    than the window are excluded."""
+    from ssp_spark.operators import dedup
+
+    block = "".join(chr(97 + (i * 7) % 26) for i in range(200))  # 200 deterministic chars
+    rows = [
+        (1, block + " tail one unique aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
+        (2, block + " another ending entirely different bbbbbbbbbbbbbb"),
+        (3, "completely different text " * 10),
+        (4, "short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.doc_a, r.doc_b): r.shared_spans
+        for r in dedup.span_dup_pairs(df, win=64, stride=32, min_shared=2).collect()
+    }
+    assert set(out) == {(1, 2)}
+    # shared 200-char prefix cut at stride 32: windows at 1,33,65,97,129
+    # fit fully inside 200 chars (137+64-1=200) -> 5 aligned shared spans
+    assert out[(1, 2)] == 5
+
+
+def test_span_dup_pairs_boilerplate_cap(spark):
+    """A span shared by more docs than max_doc_freq is dropped entirely
+    (the stop-shingle analogue) — no pairs from boilerplate alone."""
+    from ssp_spark.operators import dedup
+
+    block = "x" * 130  # every doc shares all windows of this block
+    df = spark.createDataFrame([(i, block) for i in range(6)], "doc_id long, text string")
+    assert (
+        dedup.span_dup_pairs(df, win=64, stride=32, min_shared=1, max_doc_freq=5).count()
+        == 0
+    )
+    # raise the cap and all 15 pairs appear
+    assert (
+        dedup.span_dup_pairs(df, win=64, stride=32, min_shared=1, max_doc_freq=6).count()
+        == 15
+    )
+
+
+def test_span_dup_pairs_empty_input(spark):
+    from ssp_spark.operators import dedup
+
+    df = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup.span_dup_pairs(df).count() == 0

@@ -19,6 +19,8 @@ _R6_NEVER_CHECKED = {
     "bm25_topk_docs",              # new in round 6 (BM25 top-k retrieval)
     "weighted_sample_per_source",  # new in round 6 (A-ES weighted sample)
     "graph_reachability_bfs",      # new in round 6 (frontier BFS reachability)
+    "key_skew_report_events",      # new in round 6 (key-skew / salt advisor)
+    "dedup_span_pairs",            # new in round 6 (substring-window dedup)
 }
 
 # Round 6 group (b): implementation-changed this round.
@@ -38,7 +40,7 @@ _R6_R2_STALE = {
     "top_customers_per_nation",
 }
 
-# Round 6 group (d): 37 of the 50 round-3-latest queries. The 13 left
+# Round 6 group (d): 35 of the 50 round-3-latest queries. The 15 left
 # out (and each one's alternate evidence) are named in the queries.py
 # rotation comment; all are oracle-hash-checked at sf0.001 by
 # test_oracle_parity on every pytest run.
@@ -53,8 +55,8 @@ _R6_R3_ROTATED = {
     "q20_qty_suppliers", "q21_waiting_supplier",
     "q22_idle_rich_customers", "q2_min_cost_supplier",
     "q4_priority_exists", "q7_nation_volume", "q8_market_share",
-    "q9_product_profit", "regexp_funcs", "right_join_order_priority_mix",
-    "rolling_30d_spend", "sample_split_hash",
+    "q9_product_profit", "regexp_funcs",
+    "sample_split_hash",
     "source_csv_scan", "source_json_scan",
     "stratified_sample_events", "text_normalize_redact",
     "time_rollup_multigrain", "udaf_user_spend",
@@ -70,9 +72,9 @@ def test_driver_window_is_the_round6_target_set():
     )
     # the never-checked queries lead the window (first rows the driver
     # hashes), followed by this round's changed queries
-    assert set(window[:4]) == _R6_NEVER_CHECKED
+    assert set(window[:6]) == _R6_NEVER_CHECKED
     assert window[0] == "ann_lsh_topk_gemm"
-    assert set(window[4:7]) == _R6_CHANGED
+    assert set(window[6:9]) == _R6_CHANGED
 
 
 def test_registry_is_complete_and_fully_oracled():

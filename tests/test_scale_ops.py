@@ -223,3 +223,41 @@ def test_queries_survive_empty_inputs(spark, tmp_path):
         out = QUERIES[name](spark, d)
         assert out.count() == 0, name
         assert len(out.columns) > 0, name
+
+
+def test_key_skew_report_metrics_exact(spark):
+    """Hand-computed skew metrics on a known distribution: 60/30/10 over
+    3 keys, target_partitions=4 -> quota=ceil(100/4)=25."""
+    from ssp_spark.operators.diagnostics import key_skew_report
+
+    rows = [("a",)] * 60 + [("b",)] * 30 + [("c",)] * 10
+    df = spark.createDataFrame(rows, "k string")
+    got = {
+        r.key_value: (r.cnt, r.share_ppm, r.skew_x, r.salt_factor)
+        for r in key_skew_report(df, ["k"], top=2, target_partitions=4).collect()
+    }
+    # top=2 cuts 'c'; a: 60 rows -> 600000 ppm, 60//25=2 quotas,
+    # salt ceil(60*4/100)=3; b: 30 -> 300000 ppm, 1 quota, salt 2
+    assert got == {"a": (60, 600000, 2, 3), "b": (30, 300000, 1, 2)}
+
+
+def test_key_skew_report_multi_key_and_ties(spark):
+    """Composite keys join with '|'; cnt ties break on key_value asc so
+    the top-k cut is deterministic."""
+    from ssp_spark.operators.diagnostics import key_skew_report
+
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "y"), (2, "y"), (3, "z")], "a int, b string"
+    )
+    out = key_skew_report(df, ["a", "b"], top=2, target_partitions=2).collect()
+    assert [r.key_value for r in sorted(out, key=lambda r: r.key_value)] == [
+        "1|x",
+        "2|y",
+    ]
+
+
+def test_key_skew_report_empty_input(spark):
+    from ssp_spark.operators.diagnostics import key_skew_report
+
+    df = spark.createDataFrame([], "k string")
+    assert key_skew_report(df, ["k"]).count() == 0
