@@ -42,6 +42,9 @@ NAMES = [
     "contrastive_pairs_lsh", "token_budget_selection", "corpus_shuffle_order",
     "embedding_covariance_blas", "scd2_user_state_history",
     "outlier_mad_orders",
+    # round-6 additions
+    "bm25_topk_docs", "weighted_sample_per_source",
+    "graph_reachability_bfs", "key_skew_report_events", "dedup_span_pairs",
 ]
 
 # Re-measure a subset without paying for the whole table:

@@ -101,7 +101,12 @@ def bfs_levels(
         .withColumn("hops", F.lit(0).cast("int"))
     )
     frontier = visited.select("node")
-    e = edges.select(F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst"))
+    # The edge frame is walked once per level and is often itself a join
+    # (e.g. the orders x lineitem co-purchase graph) — persist it, like
+    # pagerank's degree-joined edges, or every level recomputes it.
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    ).persist()
     for h in range(1, max_hops + 1):
         nxt = (
             e.join(frontier.withColumnRenamed("node", "src"), "src")
@@ -110,8 +115,11 @@ def bfs_levels(
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("hops", F.lit(h).cast("int"))
         )
-        if h % checkpoint_every == 0:
-            nxt = nxt.localCheckpoint(eager=True)
+        # Each level is re-read by every LATER level (the next join and
+        # all downstream anti-joins) — persist keeps per-level cost one
+        # pass; the periodic eager localCheckpoint additionally resets
+        # lineage so long walks keep linear plans.
+        nxt = nxt.localCheckpoint(eager=True) if h % checkpoint_every == 0 else nxt.persist()
         visited = visited.unionByName(nxt)
         frontier = nxt.select("node")
     return visited
