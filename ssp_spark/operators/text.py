@@ -428,3 +428,104 @@ def bm25_topk(
             (F.col("s6") / F.lit(1000000.0)).alias("score"),
         )
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 16,
+    max_vocab_words: int = 100_000,
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` byte-pair-encoding merges from a corpus.
+
+    The scale-correct split of classic (word-level) BPE: the CORPUS-scale
+    work is one word-frequency aggregation (map-side-combined groupBy +
+    a TakeOrderedAndProject cap at ``max_vocab_words``); merge learning
+    then runs on the collected word-frequency table — a MODEL-sized
+    frame (distinct words, Heaps'-law sublinear in corpus size, capped),
+    exactly like kmeans collects its k x d centroids. Each merge is the
+    argmax pair count over that table; ties break (count desc, pair
+    lexicographic asc) so the learned table is engine-deterministic.
+
+    Words are lowercase [a-z0-9]+ runs (WORD_RE); symbols are characters
+    (no end-of-word marker — word-internal merges only, documented
+    contract). Returns the ordered merge list for bpe_encode.
+    """
+    words = (
+        df.select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)")
+            ).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w"))
+        .limit(max_vocab_words)
+    )
+    freq = {r.w: r.cnt for r in words.collect()}
+    seqs: dict[tuple[str, ...], int] = {}
+    for w, c in freq.items():
+        seqs[tuple(w)] = seqs.get(tuple(w), 0) + c
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for seq, c in seqs.items():
+            for i in range(len(seq) - 1):
+                pairs[(seq[i], seq[i + 1])] = pairs.get((seq[i], seq[i + 1]), 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        nxt: dict[tuple[str, ...], int] = {}
+        for seq, c in seqs.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and (seq[i], seq[i + 1]) == best:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            t = tuple(out)
+            nxt[t] = nxt.get(t, 0) + c
+        seqs = nxt
+    return merges
+
+
+def _bpe_word_expr(word: Column, merges: list[tuple[str, str]]) -> Column:
+    """array<string> BPE tokens of one word via chained LITERAL replaces.
+
+    Encoding invariant: symbols joined by TWO spaces, single space at
+    both ends. Applying merge (a, b) is then the literal replacement
+    ' a  b ' -> ' ab ': left-to-right non-overlapping (exactly BPE's
+    greedy pass — adjacent occurrences each keep one of the two boundary
+    spaces, so runs merge correctly), and pure literal `replace` exists
+    with identical semantics in Spark AND DuckDB (no lookaround regex,
+    which DuckDB's RE2 lacks) — that is what makes the oracle replay
+    exact. Symbols are [a-z0-9]+ only, so literals never need escaping.
+    """
+    s = F.concat(F.lit(" "), F.rtrim(F.regexp_replace(word, "(.)", "$1  ")), F.lit(" "))
+    for a, b in merges:
+        s = F.replace(s, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+    return F.split(F.trim(s), "  ")
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """array<string> of BPE tokens per row under a learned merge table.
+
+    One whole-stage-codegen projection: words via regexp_extract_all,
+    each word encoded by _bpe_word_expr's literal replace chain (k =
+    len(merges) string replaces per word), flattened. Zero shuffles,
+    zero Python UDFs — the 100 TB encode pass costs a corpus scan, and
+    the merge table rides the plan as literals (no broadcast join
+    needed)."""
+    words = F.expr(f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)")
+    toks = F.flatten(F.transform(words, lambda w: _bpe_word_expr(w, merges)))
+    return df.withColumn(out_col, toks)

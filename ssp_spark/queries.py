@@ -1219,6 +1219,55 @@ def graph_reachability_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.bfs_levels(edges, seeds, max_hops=3)
 
 
+# Fixed BPE merge table for bpe_token_stats: the 12 merges
+# text.bpe_train(documents@sf0.001, num_merges=12) learns (deterministic
+# argmax with (count desc, pair asc) ties; re-derivable any time). The
+# QUERY pins the table as literals — like a deployed tokenizer artifact —
+# which is what lets the DuckDB oracle replay the encode exactly; the
+# LEARNER itself is covered by goldens + a hypothesis property test
+# against a pure-Python BPE (tests/test_curation.py, test_properties.py).
+_BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"), ("s", "t"), ("l", "u"),
+    ("a", "r"), ("p", "ar"), ("m", "er"), ("a", "t"), ("a", "n"), ("c", "an"),
+]
+
+
+def _bpe_oracle_sql(merges: list[tuple[str, str]]) -> str:
+    rep = "' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' '"
+    for a, b in merges:
+        rep = f"replace({rep}, ' {a}  {b} ', ' {a}{b} ')"
+    return f"""
+    WITH words AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      FROM documents),
+    sym AS (SELECT {rep} AS s FROM words WHERE w <> ''),
+    toks AS (SELECT unnest(string_split(trim(s), '  ')) AS token FROM sym)
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt
+    FROM toks GROUP BY token ORDER BY cnt DESC, token LIMIT 30
+    """
+
+
+@_q("bpe_token_stats", _bpe_oracle_sql(_BPE_MERGES))
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 BPE tokens of the corpus under a FIXED 12-merge table (the
+    deployed-tokenizer-artifact pattern: learning via text.bpe_train is
+    model-sized driver work; the encode pass here is ONE whole-stage-
+    codegen projection — per word, a chain of 12 LITERAL replaces over
+    the double-space symbol encoding, identical semantics in Spark and
+    DuckDB `replace`, zero UDFs, zero shuffles before the count. See
+    operators/text.py:_bpe_word_expr for why literal replace IS the BPE
+    greedy merge pass."""
+    docs = load_table(spark, "documents", sf_dir)
+    enc = text.bpe_encode(docs, _BPE_MERGES)
+    return (
+        enc.select(F.explode("bpe_tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(30)
+    )
+
+
 @_q(
     "tfidf_top_terms",
     r"""
@@ -6948,8 +6997,8 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     graph_reachability_bfs, new this round with no driver rows, take
 #     the other three slots — new queries outrank a repeat
 #     confirmation).
-# ARITHMETIC, stated plainly this time: 6 + 3 + 6 + 50 = 65 candidates
-# for 50 slots, so FIFTEEN r3-latest queries stay r3 after this round —
+# ARITHMETIC, stated plainly this time: 7 + 3 + 6 + 50 = 66 candidates
+# for 50 slots, so SIXTEEN r3-latest queries stay r3 after this round —
 # named here, each with its alternate evidence (every one is ALSO
 # hash-checked against its oracle at sf0.001 by
 # tests/test_oracle_parity.py on every pytest run):
@@ -6975,8 +7024,11 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     key_skew_report_events slot; RANGE-frame kernel pinned by
 #     in-window window_frame_funcs),
 #   right_join_order_priority_mix (rotated out mid-round for the
-#     dedup_span_pairs slot; join-direction family r5-green).
-# ROUND-7 TODO: front-load those 15, then the r4-latest queries.
+#     dedup_span_pairs slot; join-direction family r5-green),
+#   approx_distinct_users (rotated out mid-round for the
+#     bpe_token_stats slot; HLL family pinned by r5-green
+#     hll_distinct_users).
+# ROUND-7 TODO: front-load those 16, then the r4-latest queries.
 _CHECK_FIRST = [
     # (a) never driver-checked
     "ann_lsh_topk_gemm",
@@ -6985,6 +7037,7 @@ _CHECK_FIRST = [
     "graph_reachability_bfs",    # new in round 6 (frontier BFS)
     "key_skew_report_events",    # new in round 6 (skew/salt advisor)
     "dedup_span_pairs",          # new in round 6 (substring-window dedup)
+    "bpe_token_stats",           # new in round 6 (BPE tokenizer encode)
     # (b) changed in round 6
     "ann_lsh_topk",
     "fuzzy_name_pairs",
@@ -6996,8 +7049,10 @@ _CHECK_FIRST = [
     "q1_pricing_summary",
     "quality_score",
     "top_customers_per_nation",
-    # (d) round-3-stale (35 of 50; the 15 left out are named above)
-    "approx_distinct_users",
+    # (d) round-3-stale (34 of 50; the 16 left out are named above)
+    # approx_distinct_users rotated out mid-round for the BPE slot: the
+    # HLL-sketch family is pinned by r5-green hll_distinct_users plus
+    # the sf0.001 oracle hash-check every pytest run.
     "array_lateral_explode",
     "asof_join_forward_tolerance",
     "bloom_customer_names",

@@ -721,3 +721,49 @@ def test_span_dup_pairs_empty_input(spark):
 
     df = spark.createDataFrame([], "doc_id long, text string")
     assert dedup.span_dup_pairs(df).count() == 0
+
+
+def test_bpe_train_golden_classic_corpus(spark):
+    """Hand-checkable BPE learning: corpus 'aaab aaab ab' -> word freqs
+    {aaab:2, ab:1}. Pair counts round 1: (a,a)=4, (a,b)=3 -> merge
+    (a,a). Round 2 on {(aa,a,b):2,(a,b):1}: (aa,a)=2, (a,b)=3... wait
+    — (aa,a)=2 and (a,b)=1 and (aa? no: sequences are (aa,a,b) x2 and
+    (a,b) x1 -> pairs (aa,a)=2,(a,b)=3? (a,b) appears in (aa,a,b) via
+    (a,b) adjacency = 2 plus (a,b) word = 1 -> 3 -> merge (a,b)."""
+    from ssp_spark.operators import text as T
+
+    df = spark.createDataFrame([("aaab aaab ab",)], "text string")
+    merges = T.bpe_train(df, num_merges=3)
+    assert merges[0] == ("a", "a")
+    assert merges[1] == ("a", "b")
+    # after (a,a) and (a,b): seqs {(aa,ab):2, (ab,):1} -> only pair
+    # (aa,ab) remains
+    assert merges[2] == ("aa", "ab")
+
+
+def test_bpe_encode_edge_cases(spark):
+    """Greedy left-to-right run merging, untouched single chars, empty
+    text, punctuation-split words."""
+    from ssp_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "aaaa b"), (2, ""), (3, "a-b c!d")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.bpe_tokens
+        for r in T.bpe_encode(df, [("a", "a"), ("aa", "aa")]).collect()
+    }
+    # 'aaaa': (a,a) pass -> aa aa; (aa,aa) pass -> aaaa
+    assert out[1] == ["aaaa", "b"]
+    assert out[2] == []
+    assert out[3] == ["a", "b", "c", "d"]
+
+
+def test_bpe_encode_odd_run_is_greedy(spark):
+    """'aaa' under merge (a,a): greedy leftmost pair merges, the odd
+    char stays — ['aa','a'], never ['a','aa']."""
+    from ssp_spark.operators import text as T
+
+    df = spark.createDataFrame([("aaa",)], "text string")
+    [r] = T.bpe_encode(df, [("a", "a")]).collect()
+    assert r.bpe_tokens == ["aa", "a"]

@@ -462,3 +462,167 @@ def test_connected_components_match_python_union_find(spark, edges):
     }
     assert fast == want
     assert dist == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.integers(min_value=0, max_value=15),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    seeds=st.lists(st.integers(min_value=0, max_value=15), min_size=1, max_size=3),
+    max_hops=st.integers(min_value=1, max_value=4),
+)
+def test_bfs_levels_match_python_bfs(spark, edges, seeds, max_hops):
+    """bfs_levels must equal a reference Python BFS (min-hop distance,
+    hop-bounded) on arbitrary small directed graphs — self-loops,
+    parallel edges, unreachable nodes, seeds with no edges."""
+    from collections import deque
+
+    from ssp_spark.operators import graph
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(x,) for x in seeds], "node long")
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    dist = {x: 0 for x in set(seeds)}
+    q = deque(sorted(set(seeds)))
+    while q:
+        u = q.popleft()
+        if dist[u] >= max_hops:
+            continue
+        for v in sorted(adj.get(u, ())):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    want = set(dist.items())
+    got = {(r.node, r.hops) for r in graph.bfs_levels(e, s, max_hops).collect()}
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    docs=st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=30),
+        min_size=1,
+        max_size=8,
+    ),
+    win=st.integers(min_value=2, max_value=6),
+    stride=st.integers(min_value=1, max_value=4),
+)
+def test_span_dup_pairs_match_python_reference(spark, docs, win, stride):
+    """span_dup_pairs must equal a brute-force Python computation of
+    stride-sampled window sharing for ANY short docs / window / stride —
+    including empty docs, docs shorter than the window, and identical
+    docs."""
+    from ssp_spark.operators import dedup
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def spans(t):
+        return {t[p : p + win] for p in range(0, len(t) - win + 1, stride)}
+
+    sp = {i: spans(t) for i, t in rows if len(t) >= win}
+    # doc-freq cap at the default 100 never triggers at this size
+    want = {}
+    ids = sorted(sp)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            shared = len(sp[a] & sp[b])
+            if shared >= 1:
+                want[(a, b)] = shared
+    got = {
+        (r.doc_a, r.doc_b): r.shared_spans
+        for r in dedup.span_dup_pairs(
+            df, win=win, stride=stride, min_shared=1
+        ).collect()
+    }
+    assert got == want
+
+
+def _py_bpe_train(texts, num_merges):
+    import re
+
+    freq = {}
+    for t in texts:
+        for w in re.findall(r"[a-z0-9]+", t.lower()):
+            freq[w] = freq.get(w, 0) + 1
+    seqs = {}
+    for w, c in freq.items():
+        seqs[tuple(w)] = seqs.get(tuple(w), 0) + c
+    merges = []
+    for _ in range(num_merges):
+        pairs = {}
+        for seq, c in seqs.items():
+            for i in range(len(seq) - 1):
+                pairs[(seq[i], seq[i + 1])] = pairs.get((seq[i], seq[i + 1]), 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        nxt = {}
+        for seq, c in seqs.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and (seq[i], seq[i + 1]) == best:
+                    out.append(best[0] + best[1])
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            nxt[tuple(out)] = nxt.get(tuple(out), 0) + c
+        seqs = nxt
+    return merges
+
+
+def _py_bpe_encode(text, merges):
+    import re
+
+    toks = []
+    for w in re.findall(r"[a-z0-9]+", text.lower()):
+        seq = list(w)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seq = out
+        toks.extend(seq)
+    return toks
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab1 .", min_size=0, max_size=24),
+        min_size=1,
+        max_size=6,
+    ),
+    num_merges=st.integers(min_value=1, max_value=6),
+)
+def test_bpe_train_and_encode_match_python_reference(spark, texts, num_merges):
+    """Spark bpe_train must learn the same merge table as a pure-Python
+    BPE (same tie rule), and bpe_encode's literal-replace chain must
+    tokenize exactly like the per-word greedy merge loop — for arbitrary
+    tiny corpora (repeats, empty docs, punctuation, digit runs)."""
+    from ssp_spark.operators import text as T
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    merges = T.bpe_train(df, num_merges=num_merges)
+    assert merges == _py_bpe_train(texts, num_merges)
+    got = [r.bpe_tokens for r in T.bpe_encode(df, merges).collect()]
+    # row order: collect preserves input order for a narrow local frame,
+    # but sort both sides by the token list to stay order-agnostic
+    want = [_py_bpe_encode(t, merges) for t in texts]
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
