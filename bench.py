@@ -91,6 +91,15 @@ HEADLINE = [
     # covariance path for d>256; embedding_covariance above stays the
     # ANSI-SQL-replayable expression twin — both belong in the record)
     "embedding_covariance_blas",
+    # round-6 additions that carry real compute (the skew advisor stays
+    # out — 0.36 s of pure scheduler floor vs a 0.01 s oracle is a
+    # floor measurement, not a throughput one): frontier BFS (iterative
+    # joins), substring-window dedup (explode + inverted-index join),
+    # and the BPE encode projection (12 literal replaces per word over
+    # the whole corpus — near-parity with DuckDB, 1.7 s vs 1.4 s)
+    "graph_reachability_bfs",
+    "dedup_span_pairs",
+    "bpe_token_stats",
 ]
 
 # The 22-query set rounds 1-3 benched: sum reported as r3_comparable_total
