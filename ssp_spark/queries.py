@@ -6819,6 +6819,84 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "pit_enrich_events",
+    """
+    WITH ev AS (
+      SELECT event_id, user_id, event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS ts_us
+      FROM events
+    ),
+    dim_src AS (SELECT * FROM ev WHERE event_id % 2 = 0),
+    ordered AS (
+      SELECT user_id, event_id, event_type AS state, ts_us,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts_us, event_id) AS prev_state
+      FROM dim_src
+    ),
+    changes AS (
+      SELECT user_id, event_id, state, ts_us FROM ordered
+      WHERE prev_state IS NULL OR prev_state <> state
+    ),
+    facts AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_id % 2 = 1)
+    SELECT f.event_id, f.user_id, f.ts_us,
+           (SELECT c.state FROM changes c
+            WHERE c.user_id = f.user_id AND c.ts_us <= f.ts_us
+            ORDER BY c.ts_us DESC, c.event_id DESC LIMIT 1) AS state_asof
+    FROM facts f
+    """,
+)
+def pit_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment — the warehouse correctness op SCD-2
+    exists FOR: facts (odd event_ids) enriched with the dimension state
+    (SCD-2-compressed even event stream) valid AS OF each fact's
+    timestamp. No interval join: history + backward as-of join serve
+    "state AS OF t" with ONE keyed exchange (relational.asof_join's
+    union-and-carry), the linear plan that replaces the quadratic
+    validity-range join at 100 TB. Equal-timestamp dimension changes are
+    deduped to the max-event_id winner BEFORE the carry (the operator's
+    (ts, side) sort does not order same-ts right rows among themselves),
+    which matches the oracle's (ts DESC, event_id DESC) probe exactly.
+    Oracle = correlated top-1 subquery per fact — the naive replayable
+    form of the same semantics."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", F.col("event_type"), F.unix_micros("ts").alias("ts_us")
+    )
+    dim_src = ev.filter(F.col("event_id") % 2 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changes = (
+        dim_src.select(
+            "user_id",
+            "event_id",
+            F.col("event_type").alias("state"),
+            "ts_us",
+            F.lag("event_type").over(w).alias("prev_state"),
+        )
+        .filter(F.col("prev_state").isNull() | (F.col("prev_state") != F.col("state")))
+        .drop("prev_state")
+    )
+    w_tie = Window.partitionBy("user_id", "ts_us").orderBy(F.col("event_id").desc())
+    dim = (
+        changes.withColumn("__rk", F.row_number().over(w_tie))
+        .filter(F.col("__rk") == 1)
+        .select("user_id", F.col("ts_us").alias("valid_from_us"), "state")
+    )
+    facts = ev.filter(F.col("event_id") % 2 == 1).select("event_id", "user_id", "ts_us")
+    out = relational.asof_join(
+        facts,
+        dim,
+        on=["user_id"],
+        left_ts="ts_us",
+        right_ts="valid_from_us",
+        right_value_cols=["state"],
+        how="left",
+        direction="backward",
+    )
+    return out.select(
+        "event_id", "user_id", "ts_us", F.col("state").alias("state_asof")
+    )
+
+
+@_q(
     "corpus_shuffle_order",
     """
     SELECT doc_id,
@@ -6997,8 +7075,8 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     graph_reachability_bfs, new this round with no driver rows, take
 #     the other three slots — new queries outrank a repeat
 #     confirmation).
-# ARITHMETIC, stated plainly this time: 7 + 3 + 6 + 50 = 66 candidates
-# for 50 slots, so SIXTEEN r3-latest queries stay r3 after this round —
+# ARITHMETIC, stated plainly this time: 8 + 3 + 6 + 50 = 67 candidates
+# for 50 slots, so SEVENTEEN r3-latest queries stay r3 after this round —
 # named here, each with its alternate evidence (every one is ALSO
 # hash-checked against its oracle at sf0.001 by
 # tests/test_oracle_parity.py on every pytest run):
@@ -7027,8 +7105,11 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     dedup_span_pairs slot; join-direction family r5-green),
 #   approx_distinct_users (rotated out mid-round for the
 #     bpe_token_stats slot; HLL family pinned by r5-green
-#     hll_distinct_users).
-# ROUND-7 TODO: front-load those 16, then the r4-latest queries.
+#     hll_distinct_users),
+#   array_lateral_explode (rotated out mid-round for the
+#     pit_enrich_events slot; explode/lateral kernel inside in-window
+#     lineitem_unpivot).
+# ROUND-7 TODO: front-load those 17, then the r4-latest queries.
 _CHECK_FIRST = [
     # (a) never driver-checked
     "ann_lsh_topk_gemm",
@@ -7038,6 +7119,7 @@ _CHECK_FIRST = [
     "key_skew_report_events",    # new in round 6 (skew/salt advisor)
     "dedup_span_pairs",          # new in round 6 (substring-window dedup)
     "bpe_token_stats",           # new in round 6 (BPE tokenizer encode)
+    "pit_enrich_events",         # new in round 6 (point-in-time SCD-2 join)
     # (b) changed in round 6
     "ann_lsh_topk",
     "fuzzy_name_pairs",
@@ -7049,11 +7131,13 @@ _CHECK_FIRST = [
     "q1_pricing_summary",
     "quality_score",
     "top_customers_per_nation",
-    # (d) round-3-stale (34 of 50; the 16 left out are named above)
+    # (d) round-3-stale (33 of 50; the 17 left out are named above)
     # approx_distinct_users rotated out mid-round for the BPE slot: the
     # HLL-sketch family is pinned by r5-green hll_distinct_users plus
     # the sf0.001 oracle hash-check every pytest run.
-    "array_lateral_explode",
+    # array_lateral_explode rotated out mid-round for the PIT slot:
+    # explode/lateral kernels run inside in-window lineitem_unpivot and
+    # the sf0.001 oracle hash-check every pytest run.
     "asof_join_forward_tolerance",
     "bloom_customer_names",
     "cms_user_counts",

@@ -55,3 +55,45 @@ def test_interval_query_plan_is_equi_join(spark):
     assert not plans.has_cartesian(df)
     assert "BroadcastNestedLoopJoin" not in s
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_pit_enrich_tie_semantics(spark, tmp_path):
+    """The PIT composition's two edge rules, pinned: (1) a fact AT a
+    change instant sees the new state (<=, backward as-of); (2) two
+    dimension changes at the SAME instant resolve to the max-event_id
+    winner — both must match the oracle's (ts DESC, id DESC) probe."""
+    import datetime as dt
+
+    from ssp_spark.queries import QUERIES
+
+    base = dt.datetime(2024, 1, 1)
+
+    def t(s):
+        return base + dt.timedelta(seconds=s)
+
+    rows = [
+        # (event_id, ts, user_id, event_type, value, props)
+        (2, t(10), 1, "signup", 0.0, "{}"),     # dim: state signup @10
+        (4, t(20), 1, "browse", 0.0, "{}"),     # dim: change @20
+        (6, t(20), 1, "purchase", 0.0, "{}"),   # dim: SAME instant, higher id
+        (1, t(5), 1, "x", 0.0, "{}"),           # fact before any state -> NULL
+        (3, t(10), 1, "x", 0.0, "{}"),          # fact AT first change -> signup
+        (5, t(20), 1, "x", 0.0, "{}"),          # fact AT the tied instant -> purchase (id 6 wins)
+        (7, t(99), 1, "x", 0.0, "{}"),          # fact later -> purchase
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = str(tmp_path / "events_pit")
+    df.repartition(1).write.parquet(d)
+    # queries load '<sf_dir>/events.parquet'
+    import os, shutil
+
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    shutil.move(d, os.path.join(sf_dir, "events.parquet"))
+    got = {
+        r.event_id: r.state_asof
+        for r in QUERIES["pit_enrich_events"](spark, sf_dir).collect()
+    }
+    assert got == {1: None, 3: "signup", 5: "purchase", 7: "purchase"}

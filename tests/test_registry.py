@@ -22,6 +22,7 @@ _R6_NEVER_CHECKED = {
     "key_skew_report_events",      # new in round 6 (key-skew / salt advisor)
     "dedup_span_pairs",            # new in round 6 (substring-window dedup)
     "bpe_token_stats",             # new in round 6 (BPE tokenizer encode)
+    "pit_enrich_events",           # new in round 6 (point-in-time SCD-2 join)
 }
 
 # Round 6 group (b): implementation-changed this round.
@@ -41,12 +42,11 @@ _R6_R2_STALE = {
     "top_customers_per_nation",
 }
 
-# Round 6 group (d): 34 of the 50 round-3-latest queries. The 16 left
+# Round 6 group (d): 33 of the 50 round-3-latest queries. The 17 left
 # out (and each one's alternate evidence) are named in the queries.py
 # rotation comment; all are oracle-hash-checked at sf0.001 by
 # test_oracle_parity on every pytest run.
 _R6_R3_ROTATED = {
-    "array_lateral_explode",
     "asof_join_forward_tolerance", "bloom_customer_names",
     "cms_user_counts", "dedup_minhash_clusters", "lineitem_unpivot",
     "map_funcs_roundtrip", "pipeline_train_manifest",
@@ -73,9 +73,9 @@ def test_driver_window_is_the_round6_target_set():
     )
     # the never-checked queries lead the window (first rows the driver
     # hashes), followed by this round's changed queries
-    assert set(window[:7]) == _R6_NEVER_CHECKED
+    assert set(window[:8]) == _R6_NEVER_CHECKED
     assert window[0] == "ann_lsh_topk_gemm"
-    assert set(window[7:10]) == _R6_CHANGED
+    assert set(window[8:11]) == _R6_CHANGED
 
 
 def test_registry_is_complete_and_fully_oracled():
