@@ -123,3 +123,54 @@ def bfs_levels(
         visited = visited.unionByName(nxt)
         frontier = nxt.select("node")
     return visited
+
+
+def kcore_prune(
+    edges: DataFrame,
+    k: int,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, degree) after ``iters`` rounds of k-core peeling: each
+    round drops every node with degree < ``k`` (and all its edges), then
+    recounts. Fixed iteration count — after ``iters`` rounds the result
+    is a SUPERSET of the true k-core that equals it once peeling
+    cascades settle (for near-dup/interaction graphs that is typically
+    2-3 rounds); fixed rounds keep the DuckDB oracle an exact replay,
+    the same contract as pagerank's fixed iterations.
+
+    The curation use: k-core pruning is the standard cheap filter for
+    interaction graphs (drop users/items with too few RETAINED
+    connections — degree alone over-keeps nodes propped up by other
+    low-degree nodes; peeling removes those support chains).
+
+    Scale: per round, one map-side-combined degree count (shuffle =
+    |nodes|) and two semi-joins re-keyed on each endpoint — all
+    key-partitioned, state bounded by the shrinking edge list; the edge
+    frame is persisted per round (each round's output feeds two joins
+    and the next round), lineage cut the same way bfs_levels does.
+    Contract: ``edges`` distinct and symmetric (both directions
+    present), like pagerank.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    ).persist()
+    for _ in range(iters):
+        keep = (
+            e.groupBy("src")
+            .agg(F.count("*").alias("__deg"))
+            .filter(F.col("__deg") >= k)
+            .select(F.col("src").alias("__keep"))
+        )
+        e = (
+            e.join(keep.withColumnRenamed("__keep", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("__keep", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .persist()
+        )
+    return (
+        e.groupBy("src")
+        .agg(F.count("*").cast("long").alias("degree"))
+        .select(F.col("src").alias("node"), "degree")
+    )

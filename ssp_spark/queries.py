@@ -1219,6 +1219,55 @@ def graph_reachability_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.bfs_levels(edges, seeds, max_hops=3)
 
 
+def _sql_kcore(k: int, iters: int) -> str:
+    """DuckDB replay of fixed-iteration k-core peeling (graph.kcore_prune)
+    over the same symmetric customer-supplier edge list."""
+    steps = [
+        """base AS (SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+                           CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
+        "e0 AS (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base)",
+    ]
+    for t in range(iters):
+        steps.append(
+            f"""
+    keep{t} AS (SELECT src AS n FROM e{t} GROUP BY src HAVING count(*) >= {k}),
+    e{t + 1} AS (
+      SELECT e.src, e.dst FROM e{t} e
+      WHERE e.src IN (SELECT n FROM keep{t}) AND e.dst IN (SELECT n FROM keep{t})
+    )"""
+        )
+    return (
+        "WITH "
+        + ",".join(steps)
+        + f"""
+    SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM e{iters} GROUP BY src"""
+    )
+
+
+@_q("kcore_user_graph", _sql_kcore(8, 3))
+def kcore_user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core pruning (k=8, 3 peeling rounds) of the symmetric
+    customer-supplier interaction graph — the standard cheap
+    interaction-graph quality filter (degree alone over-keeps nodes
+    propped up by other weak nodes; peeling removes the support chains).
+    Fixed rounds, oracle replays each peel; see graph.kcore_prune for
+    the per-round exchange accounting."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    base = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).cast("long").alias("src"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    edges = base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return graph.kcore_prune(edges, k=8, iters=3)
+
+
 # Fixed BPE merge table for bpe_token_stats: the 12 merges
 # text.bpe_train(documents@sf0.001, num_merges=12) learns (deterministic
 # argmax with (count desc, pair asc) ties; re-derivable any time). The
@@ -7075,8 +7124,8 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     graph_reachability_bfs, new this round with no driver rows, take
 #     the other three slots — new queries outrank a repeat
 #     confirmation).
-# ARITHMETIC, stated plainly this time: 8 + 3 + 6 + 50 = 67 candidates
-# for 50 slots, so SEVENTEEN r3-latest queries stay r3 after this round —
+# ARITHMETIC, stated plainly this time: 9 + 3 + 6 + 50 = 68 candidates
+# for 50 slots, so EIGHTEEN r3-latest queries stay r3 after this round —
 # named here, each with its alternate evidence (every one is ALSO
 # hash-checked against its oracle at sf0.001 by
 # tests/test_oracle_parity.py on every pytest run):
@@ -7108,8 +7157,11 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     hll_distinct_users),
 #   array_lateral_explode (rotated out mid-round for the
 #     pit_enrich_events slot; explode/lateral kernel inside in-window
-#     lineitem_unpivot).
-# ROUND-7 TODO: front-load those 17, then the r4-latest queries.
+#     lineitem_unpivot),
+#   asof_join_forward_tolerance (rotated out mid-round for the
+#     kcore_user_graph slot; as-of carry pinned by r5-green
+#     asof_join_purchase_signup + new pit_enrich_events).
+# ROUND-7 TODO: front-load those 18, then the r4-latest queries.
 _CHECK_FIRST = [
     # (a) never driver-checked
     "ann_lsh_topk_gemm",
@@ -7120,6 +7172,7 @@ _CHECK_FIRST = [
     "dedup_span_pairs",          # new in round 6 (substring-window dedup)
     "bpe_token_stats",           # new in round 6 (BPE tokenizer encode)
     "pit_enrich_events",         # new in round 6 (point-in-time SCD-2 join)
+    "kcore_user_graph",          # new in round 6 (k-core peeling)
     # (b) changed in round 6
     "ann_lsh_topk",
     "fuzzy_name_pairs",
@@ -7131,14 +7184,17 @@ _CHECK_FIRST = [
     "q1_pricing_summary",
     "quality_score",
     "top_customers_per_nation",
-    # (d) round-3-stale (33 of 50; the 17 left out are named above)
+    # (d) round-3-stale (32 of 50; the 18 left out are named above)
     # approx_distinct_users rotated out mid-round for the BPE slot: the
     # HLL-sketch family is pinned by r5-green hll_distinct_users plus
     # the sf0.001 oracle hash-check every pytest run.
     # array_lateral_explode rotated out mid-round for the PIT slot:
     # explode/lateral kernels run inside in-window lineitem_unpivot and
     # the sf0.001 oracle hash-check every pytest run.
-    "asof_join_forward_tolerance",
+    # asof_join_forward_tolerance rotated out mid-round for the k-core
+    # slot: the forward/tolerance carry is exercised by r5-green
+    # asof_join_purchase_signup, the new pit_enrich_events (backward
+    # carry), and the sf0.001 oracle hash-check every pytest run.
     "bloom_customer_names",
     "cms_user_counts",
     "dedup_minhash_clusters",

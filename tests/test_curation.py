@@ -767,3 +767,39 @@ def test_bpe_encode_odd_run_is_greedy(spark):
     df = spark.createDataFrame([("aaa",)], "text string")
     [r] = T.bpe_encode(df, [("a", "a")]).collect()
     assert r.bpe_tokens == ["aa", "a"]
+
+
+def test_kcore_prune_peeling_cascade(spark):
+    """The case degree-filtering gets wrong and peeling gets right: a
+    chain a-b-c-d-e under k=2. Round 1 drops the endpoints (deg 1);
+    round 2 drops b,d (their degree FELL to 1 when a,e left); round 3
+    drops c. Fixed iters=2 shows the documented superset behavior."""
+    from ssp_spark.operators import graph
+
+    chain = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    sym = chain + [(b, a) for a, b in chain]
+    e = spark.createDataFrame(sym, "src long, dst long")
+    # full peel (3 rounds): nothing survives k=2 on a chain
+    assert graph.kcore_prune(e, k=2, iters=3).count() == 0
+    # 2 rounds: only the middle node's edges are gone last — after r1
+    # nodes {2,3,4} with edges 2-3,3-4; after r2 degrees are 1 -> all
+    # dropped... verify against the known cascade: r2 output empty? No:
+    # r2 KEEPS nodes with deg>=2 among {2,3,4}: only 3 (deg 2) -> edges
+    # need both endpoints kept -> none survive round 2 either.
+    assert graph.kcore_prune(e, k=2, iters=2).count() == 0
+    # 1 round: {2,3,4} survive with edges 2-3,3-4 (4 directed rows)
+    one = {(r.node, r.degree) for r in graph.kcore_prune(e, k=2, iters=1).collect()}
+    assert one == {(2, 1), (3, 2), (4, 1)}
+    # a triangle is a true 2-core: stable at any depth
+    tri = [(1, 2), (2, 3), (3, 1)]
+    tsym = tri + [(b, a) for a, b in tri]
+    te = spark.createDataFrame(tsym, "src long, dst long")
+    got = {(r.node, r.degree) for r in graph.kcore_prune(te, k=2, iters=4).collect()}
+    assert got == {(1, 2), (2, 2), (3, 2)}
+
+
+def test_kcore_prune_empty_input(spark):
+    from ssp_spark.operators import graph
+
+    e = spark.createDataFrame([], "src long, dst long")
+    assert graph.kcore_prune(e, k=2).count() == 0
