@@ -45,7 +45,7 @@ NAMES = [
     # round-6 additions
     "bm25_topk_docs", "weighted_sample_per_source",
     "graph_reachability_bfs", "key_skew_report_events", "dedup_span_pairs",
-    "bpe_token_stats",
+    "bpe_token_stats", "pit_enrich_events", "kcore_user_graph",
 ]
 
 # Re-measure a subset without paying for the whole table:
