@@ -587,3 +587,52 @@ def test_outlier_mad_no_global_sort_and_broadcast_models(spark):
     assert "SinglePartition" not in s
     assert plans.broadcast_join_count(df) >= 2
     assert not plans.has_cartesian(df)
+
+
+def test_key_skew_report_reuses_count_exchange(spark):
+    """The skew advisor must pay ONE count shuffle: the top-k branch and
+    the total branch read the same exchange (ReusedExchange), the top-k
+    compiles to TakeOrderedAndProject (per-partition heap, no global
+    sort), and the 1-row total broadcasts."""
+    df = QUERIES["key_skew_report_events"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert "TakeOrderedAndProject" in s
+    assert "BroadcastExchange" in s or "BroadcastQueryStage" in s
+    # exchange REUSE is an AQE runtime decision — visible only in the
+    # final adaptive plan of THIS Dataset's QueryExecution, so collect()
+    # (a .write would build a separate execution), then re-read the plan
+    df.collect()
+    s_final = plans.plan_string(df)
+    assert "isFinalPlan=true" in s_final
+    assert "ReusedExchange" in s_final
+
+
+def test_bpe_encode_zero_shuffle_before_count(spark):
+    """The BPE encode pass is one codegen projection: no Python eval, no
+    exchange until the token count, merge table inlined as literals."""
+    from ssp_spark.catalog import load_table
+    from ssp_spark.operators import text as T
+    from ssp_spark.queries import _BPE_MERGES
+
+    enc = T.bpe_encode(load_table(spark, "documents", SF_SMOKE), _BPE_MERGES)
+    s = plans.plan_string(enc)
+    assert "Exchange" not in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_dedup_span_pairs_no_cartesian(spark):
+    """Substring dedup must stay an inverted-index equi-join — any
+    cartesian/nested-loop product means the boilerplate cap failed to
+    reach the plan."""
+    df = QUERIES["dedup_span_pairs"](spark, SF_SMOKE)
+    assert not plans.has_cartesian(df)
+
+
+def test_pit_enrich_single_exchange_carry(spark):
+    """Point-in-time enrichment must be the linear union+window carry:
+    no SortMergeJoin of facts against the history (the quadratic
+    validity-range plan it replaces)."""
+    df = QUERIES["pit_enrich_events"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert "SortMergeJoin" not in s
+    assert not plans.has_cartesian(df)
