@@ -681,3 +681,77 @@ def contrastive_pairs(
         .filter(F.col("rank") <= keep)
         .select("qid", "nid", "is_positive", F.col("rank").cast("int").alias("rank"), "cos")
     )
+
+
+def mmr_topk(
+    emb: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance selection: k exemplars balancing
+    relevance to a probe with diversity among the picks (Carbonell &
+    Goldstein's MMR, the standard diverse-exemplar selector for eval
+    sets and few-shot pools). Probe = the min-id vector; lambda = 1/2,
+    i.e. the all-integer objective rel - max_sim (the lambda*rel -
+    (1-lambda)*max_sim form scaled by 2 — scaling preserves argmax).
+
+    Determinism core: every vector is unit-normalized then quantized to
+    int8 (q_i = round(u_i * 127), fixed scale — unit vectors need no
+    per-vector scale), so relevance and pairwise similarity are INTEGER
+    dot products and every argmax compares exact integers, tie-broken
+    on id. The only floats are the norm divide + one round per
+    component, identical single expressions in Spark and DuckDB. Int8
+    similarity is also the deployment-realistic kernel (what quantized
+    vector stores actually compare).
+
+    Scale shape: corpus-scale work is one zero-shuffle quantize+dot
+    projection and a TakeOrderedAndProject shortlist; the greedy O(k *
+    shortlist) selection runs on the collected shortlist — model-sized,
+    the same broadcast-a-model contract as the IVF codebook. Returns
+    (rank, vec_id, score) with rank 1 = first pick (score = rel, no
+    penalty yet).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    q = F.transform(v, lambda x: F.round(x / norm * 127).cast("int"))
+    qd = emb.select(F.col(id_col).cast("long").alias("vec_id"), q.alias("q")).filter(
+        F.col("q").isNotNull()
+    )
+    probe = qd.orderBy("vec_id").limit(1)
+    rel = (
+        qd.crossJoin(F.broadcast(probe.select(F.col("q").alias("__pq"))))
+        .select(
+            "vec_id",
+            "q",
+            F.aggregate(
+                F.zip_with("q", "__pq", lambda a, b: (a * b).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("rel"),
+        )
+    )
+    rows = rel.orderBy(F.col("rel").desc(), "vec_id").limit(shortlist).collect()
+    cands = [(r.vec_id, list(r.q), int(r.rel)) for r in rows]
+    picks = []  # (rank, vec_id, score)
+    selected = []
+    while cands and len(picks) < k:
+        best = None
+        for vid, qv, r in cands:
+            msim = max(
+                (sum(a * b for a, b in zip(qv, sq)) for _, sq in selected),
+                default=0,
+            )
+            score = r - msim
+            key = (-score, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, qv, score)
+        _, vid, qv, score = best
+        picks.append((len(picks) + 1, vid, score))
+        selected.append((vid, qv))
+        cands = [c for c in cands if c[0] != vid]
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        picks, "rank int, vec_id long, score long"
+    )

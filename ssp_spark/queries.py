@@ -1219,6 +1219,70 @@ def graph_reachability_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.bfs_levels(edges, seeds, max_hops=3)
 
 
+def _sql_mmr(k: int, shortlist: int) -> str:
+    """DuckDB replay of MMR selection (similarity.mmr_topk): identical
+    int8 unit-quantization, integer dot products, and k greedy argmax
+    stages with (score desc, vec_id) ties."""
+    dq = "list_transform({c}, x -> CAST(x AS DOUBLE))"
+    idot = (
+        "CAST(list_dot_product("
+        + dq.format(c="{a}")
+        + ", "
+        + dq.format(c="{b}")
+        + ") AS BIGINT)"
+    )
+    steps = [
+        f"""qd AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE)
+                     / sqrt(list_aggregate(list_transform(embedding,
+                              y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))
+                     * 127) AS INT)) AS q
+      FROM embeddings WHERE embedding IS NOT NULL)""",
+        "probe AS (SELECT q AS pq FROM qd ORDER BY vec_id LIMIT 1)",
+        f"""rel AS (SELECT vec_id, q, {idot.format(a='q', b='pq')} AS rel
+           FROM qd CROSS JOIN probe)""",
+        f"short AS (SELECT * FROM rel ORDER BY rel DESC, vec_id LIMIT {shortlist})",
+        """sel1 AS (SELECT vec_id, q, rel, CAST(rel AS BIGINT) AS score
+           FROM short ORDER BY rel DESC, vec_id LIMIT 1)""",
+        "selected1 AS (SELECT vec_id, q FROM sel1)",
+    ]
+    for t in range(2, k + 1):
+        steps.append(
+            f"""
+    cand{t} AS (
+      SELECT c.vec_id, c.q, c.rel,
+             (SELECT max({idot.format(a='c.q', b='s.q')})
+              FROM selected{t - 1} s) AS msim
+      FROM short c
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM selected{t - 1})),
+    sel{t} AS (SELECT vec_id, q, rel, rel - msim AS score
+               FROM cand{t} ORDER BY score DESC, vec_id LIMIT 1),
+    selected{t} AS (SELECT vec_id, q FROM selected{t - 1}
+                    UNION ALL SELECT vec_id, q FROM sel{t})"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({t} AS INT) AS rank, vec_id, score FROM sel{t}"
+        for t in range(1, k + 1)
+    )
+    return "WITH " + ",".join(steps) + "\n    " + finals
+
+
+@_q("mmr_diverse_topk", _sql_mmr(5, 50))
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance selection of 5 diverse exemplars from
+    the embeddings corpus (probe = min-id vector, lambda = 1/2: the
+    all-integer objective rel - max_sim over int8
+    unit-quantized vectors — every argmax compares exact integers, so
+    the greedy replays exactly on both engines). Corpus-scale work is
+    one zero-shuffle quantize+dot projection + a TakeOrderedAndProject
+    shortlist; the O(k x shortlist) greedy runs on the collected
+    model-sized shortlist. See similarity.mmr_topk."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.mmr_topk(emb, k=5, shortlist=50)
+
+
 def _sql_kcore(k: int, iters: int) -> str:
     """DuckDB replay of fixed-iteration k-core peeling (graph.kcore_prune)
     over the same symmetric customer-supplier edge list."""
@@ -7124,8 +7188,8 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     graph_reachability_bfs, new this round with no driver rows, take
 #     the other three slots — new queries outrank a repeat
 #     confirmation).
-# ARITHMETIC, stated plainly this time: 9 + 3 + 6 + 50 = 68 candidates
-# for 50 slots, so EIGHTEEN r3-latest queries stay r3 after this round —
+# ARITHMETIC, stated plainly this time: 10 + 3 + 6 + 50 = 69 candidates
+# for 50 slots, so NINETEEN r3-latest queries stay r3 after this round —
 # named here, each with its alternate evidence (every one is ALSO
 # hash-checked against its oracle at sf0.001 by
 # tests/test_oracle_parity.py on every pytest run):
@@ -7160,8 +7224,11 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     lineitem_unpivot),
 #   asof_join_forward_tolerance (rotated out mid-round for the
 #     kcore_user_graph slot; as-of carry pinned by r5-green
-#     asof_join_purchase_signup + new pit_enrich_events).
-# ROUND-7 TODO: front-load those 18, then the r4-latest queries.
+#     asof_join_purchase_signup + new pit_enrich_events),
+#   bloom_customer_names (rotated out mid-round for the
+#     mmr_diverse_topk slot; Bloom kernel pinned by r4-green
+#     bloom_prefilter_join).
+# ROUND-7 TODO: front-load those 19, then the r4-latest queries.
 _CHECK_FIRST = [
     # (a) never driver-checked
     "ann_lsh_topk_gemm",
@@ -7173,6 +7240,7 @@ _CHECK_FIRST = [
     "bpe_token_stats",           # new in round 6 (BPE tokenizer encode)
     "pit_enrich_events",         # new in round 6 (point-in-time SCD-2 join)
     "kcore_user_graph",          # new in round 6 (k-core peeling)
+    "mmr_diverse_topk",          # new in round 6 (MMR diverse selection)
     # (b) changed in round 6
     "ann_lsh_topk",
     "fuzzy_name_pairs",
@@ -7184,7 +7252,7 @@ _CHECK_FIRST = [
     "q1_pricing_summary",
     "quality_score",
     "top_customers_per_nation",
-    # (d) round-3-stale (32 of 50; the 18 left out are named above)
+    # (d) round-3-stale (31 of 50; the 19 left out are named above)
     # approx_distinct_users rotated out mid-round for the BPE slot: the
     # HLL-sketch family is pinned by r5-green hll_distinct_users plus
     # the sf0.001 oracle hash-check every pytest run.
@@ -7195,7 +7263,9 @@ _CHECK_FIRST = [
     # slot: the forward/tolerance carry is exercised by r5-green
     # asof_join_purchase_signup, the new pit_enrich_events (backward
     # carry), and the sf0.001 oracle hash-check every pytest run.
-    "bloom_customer_names",
+    # bloom_customer_names rotated out mid-round for the MMR slot: the
+    # Bloom kernel is pinned by r4-green bloom_prefilter_join's driver
+    # row plus the sf0.001 oracle hash-check every pytest run.
     "cms_user_counts",
     "dedup_minhash_clusters",
     "lineitem_unpivot",

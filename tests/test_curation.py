@@ -803,3 +803,40 @@ def test_kcore_prune_empty_input(spark):
 
     e = spark.createDataFrame([], "src long, dst long")
     assert graph.kcore_prune(e, k=2).count() == 0
+
+
+def test_mmr_prefers_diversity_over_raw_relevance(spark):
+    """The case pure top-k-by-relevance gets wrong: two near-identical
+    high-relevance vectors and one orthogonal medium one. MMR must take
+    ONE of the twins then the orthogonal vector; relevance-only would
+    take both twins."""
+    from ssp_spark.operators import similarity
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),        # probe (min id)
+        (1, [0.99, 0.14, 0.0]),      # twin A: very close to probe
+        (2, [0.99, 0.141, 0.0]),     # twin B: nearly identical to A
+        (3, [0.0, 0.0, 1.0]),        # orthogonal to everything: diverse
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sorted(
+        (r.rank, r.vec_id) for r in similarity.mmr_topk(df, k=3, shortlist=10).collect()
+    )
+    # rank 1: probe itself (rel = 127^2 with itself, max). rank 2: a twin
+    # (high rel, penalty only vs probe). rank 3: the ORTHOGONAL vector —
+    # the other twin's penalty vs its sibling crushes its score.
+    assert out[0] == (1, 0)
+    assert out[1][1] in (1, 2)
+    assert out[2] == (3, 3)
+
+
+def test_mmr_k_exceeds_corpus_and_empty(spark):
+    from ssp_spark.operators import similarity
+
+    small = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (9, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    got = similarity.mmr_topk(small, k=5, shortlist=10).collect()
+    assert len(got) == 2  # selection stops when candidates run out
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert similarity.mmr_topk(empty, k=3).count() == 0

@@ -24,6 +24,7 @@ _R6_NEVER_CHECKED = {
     "bpe_token_stats",             # new in round 6 (BPE tokenizer encode)
     "pit_enrich_events",           # new in round 6 (point-in-time SCD-2 join)
     "kcore_user_graph",            # new in round 6 (k-core peeling)
+    "mmr_diverse_topk",            # new in round 6 (MMR diverse selection)
 }
 
 # Round 6 group (b): implementation-changed this round.
@@ -43,12 +44,11 @@ _R6_R2_STALE = {
     "top_customers_per_nation",
 }
 
-# Round 6 group (d): 32 of the 50 round-3-latest queries. The 18 left
+# Round 6 group (d): 31 of the 50 round-3-latest queries. The 19 left
 # out (and each one's alternate evidence) are named in the queries.py
 # rotation comment; all are oracle-hash-checked at sf0.001 by
 # test_oracle_parity on every pytest run.
 _R6_R3_ROTATED = {
-    "bloom_customer_names",
     "cms_user_counts", "dedup_minhash_clusters", "lineitem_unpivot",
     "map_funcs_roundtrip", "pipeline_train_manifest",
     "q11_important_parts", "q12_ship_priority_class", "q13_custdist",
@@ -74,9 +74,9 @@ def test_driver_window_is_the_round6_target_set():
     )
     # the never-checked queries lead the window (first rows the driver
     # hashes), followed by this round's changed queries
-    assert set(window[:9]) == _R6_NEVER_CHECKED
+    assert set(window[:10]) == _R6_NEVER_CHECKED
     assert window[0] == "ann_lsh_topk_gemm"
-    assert set(window[9:12]) == _R6_CHANGED
+    assert set(window[10:13]) == _R6_CHANGED
 
 
 def test_registry_is_complete_and_fully_oracled():
