@@ -46,6 +46,7 @@ NAMES = [
     "bm25_topk_docs", "weighted_sample_per_source",
     "graph_reachability_bfs", "key_skew_report_events", "dedup_span_pairs",
     "bpe_token_stats", "pit_enrich_events", "kcore_user_graph",
+    "mmr_diverse_topk", "mmr_diverse_topk_arrow",
 ]
 
 # Re-measure a subset without paying for the whole table:

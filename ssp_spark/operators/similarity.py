@@ -689,6 +689,7 @@ def mmr_topk(
     shortlist: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kernel: str = "jvm",
 ) -> DataFrame:
     """Maximal-marginal-relevance selection: k exemplars balancing
     relevance to a probe with diversity among the picks (Carbonell &
@@ -706,13 +707,34 @@ def mmr_topk(
     similarity is also the deployment-realistic kernel (what quantized
     vector stores actually compare).
 
-    Scale shape: corpus-scale work is one zero-shuffle quantize+dot
-    projection and a TakeOrderedAndProject shortlist; the greedy O(k *
-    shortlist) selection runs on the collected shortlist — model-sized,
-    the same broadcast-a-model contract as the IVF codebook. Returns
+    Scale shape: corpus-scale work is one quantize+dot pass and a
+    TakeOrderedAndProject shortlist; the greedy O(k * shortlist)
+    selection runs on the collected shortlist — model-sized, the same
+    broadcast-a-model contract as the IVF codebook. Returns
     (rank, vec_id, score) with rank 1 = first pick (score = rel, no
     penalty yet).
+
+    ``kernel`` picks the quantize+relevance pass over the SAME
+    semantics (the ann_lsh_topk precedent):
+
+    - ``"jvm"``: pure Catalyst higher-order folds — the literal oracle
+      replay, but HOF lambdas evaluate INTERPRETED per element: 153 s
+      at the 100x fixture (exp100 0.85, SCALE.md) makes it the
+      replay/verification form, not the deployment one.
+    - ``"arrow"``: one mapInPandas pass — numpy quantize (sign-aware
+      HALF_UP, same rounding rule as Spark/DuckDB round) and a single
+      int matmul against the probe; 200k vectors in ~1 s. Caveat, as
+      for the covariance BLAS twin: numpy's pairwise norm summation
+      can differ from the sequential fold in the last float bits; a
+      unit component within ~1e-13 of a .5/127 rounding boundary could
+      quantize differently. The consistency test pins both kernels
+      identical on the fixture.
     """
+    if kernel not in ("jvm", "arrow"):
+        raise ValueError(f"kernel must be 'jvm' or 'arrow', got {kernel!r}")
+    if kernel == "arrow":
+        rel = _mmr_rel_arrow(emb, id_col, vec_col)
+        return _mmr_greedy(emb.sparkSession, rel, k, shortlist)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
     q = F.transform(v, lambda x: F.round(x / norm * 127).cast("int"))
@@ -732,6 +754,11 @@ def mmr_topk(
             ).alias("rel"),
         )
     )
+    return _mmr_greedy(emb.sparkSession, rel, k, shortlist)
+
+
+def _mmr_greedy(spark, rel: DataFrame, k: int, shortlist: int) -> DataFrame:
+    """Shared greedy tail: shortlist collect + exact-integer argmax."""
     rows = rel.orderBy(F.col("rel").desc(), "vec_id").limit(shortlist).collect()
     cands = [(r.vec_id, list(r.q), int(r.rel)) for r in rows]
     picks = []  # (rank, vec_id, score)
@@ -751,7 +778,56 @@ def mmr_topk(
         picks.append((len(picks) + 1, vid, score))
         selected.append((vid, qv))
         cands = [c for c in cands if c[0] != vid]
-    spark = emb.sparkSession
     return spark.createDataFrame(
         picks, "rank int, vec_id long, score long"
     )
+
+
+def _quantize_np(V):
+    """Unit-normalize + int8-quantize a (n, d) float64 matrix with the
+    sign-aware HALF_UP rule (matches Spark F.round / DuckDB round)."""
+    import numpy as np
+
+    norms = np.sqrt((V * V).sum(axis=1))
+    norms[norms == 0.0] = 1.0
+    U = V / norms[:, None] * 127.0
+    return np.copysign(np.floor(np.abs(U) + 0.5), U).astype(np.int64)
+
+
+def _mmr_rel_arrow(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(vec_id, q, rel) via ONE mapInPandas pass: numpy quantize + a
+    single integer matmul against the broadcast probe row."""
+    import numpy as np
+    import pandas as pd
+
+    src = emb.select(
+        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("__v")
+    ).filter(F.col("__v").isNotNull())
+    probe_row = src.orderBy("vec_id").limit(1).collect()
+    if not probe_row:
+        return src.sparkSession.createDataFrame(
+            [], "vec_id long, q array<int>, rel long"
+        )
+    pq = _quantize_np(
+        np.asarray([list(probe_row[0]["__v"])], dtype=np.float64)
+    )[0]
+
+    def part(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            lens = pdf["__v"].map(len)
+            for n, grp in pdf.groupby(lens):
+                V = np.stack(grp["__v"].map(np.asarray).to_numpy()).astype(np.float64)
+                Q = _quantize_np(V)
+                m = min(n, len(pq))
+                relv = Q[:, :m] @ pq[:m]
+                yield pd.DataFrame(
+                    {
+                        "vec_id": grp["vec_id"].to_numpy(),
+                        "q": [row.astype("int32").tolist() for row in Q],
+                        "rel": relv,
+                    }
+                )
+
+    return src.mapInPandas(part, "vec_id long, q array<int>, rel long")

@@ -1283,6 +1283,21 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.mmr_topk(emb, k=5, shortlist=50)
 
 
+@_q("mmr_diverse_topk_arrow", None)
+def mmr_diverse_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mmr_diverse_topk's DEPLOYMENT kernel twin (the ann_lsh_topk_gemm
+    precedent): identical MMR semantics, but the quantize+relevance pass
+    is ONE mapInPandas numpy matmul instead of interpreted Catalyst HOF
+    folds — 153 s -> ~1 s at the 100x fixture (SCALE.md). Shares the
+    JVM twin's oracle verbatim (same greedy, same integer objective);
+    tests/test_curation.py pins both kernels identical."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.mmr_topk(emb, k=5, shortlist=50, kernel="arrow")
+
+
+ORACLE["mmr_diverse_topk_arrow"] = ORACLE["mmr_diverse_topk"]
+
+
 def _sql_kcore(k: int, iters: int) -> str:
     """DuckDB replay of fixed-iteration k-core peeling (graph.kcore_prune)
     over the same symmetric customer-supplier edge list."""
@@ -7188,8 +7203,8 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     graph_reachability_bfs, new this round with no driver rows, take
 #     the other three slots — new queries outrank a repeat
 #     confirmation).
-# ARITHMETIC, stated plainly this time: 10 + 3 + 6 + 50 = 69 candidates
-# for 50 slots, so NINETEEN r3-latest queries stay r3 after this round —
+# ARITHMETIC, stated plainly this time: 11 + 3 + 6 + 50 = 70 candidates
+# for 50 slots, so TWENTY r3-latest queries stay r3 after this round —
 # named here, each with its alternate evidence (every one is ALSO
 # hash-checked against its oracle at sf0.001 by
 # tests/test_oracle_parity.py on every pytest run):
@@ -7227,8 +7242,11 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     asof_join_purchase_signup + new pit_enrich_events),
 #   bloom_customer_names (rotated out mid-round for the
 #     mmr_diverse_topk slot; Bloom kernel pinned by r4-green
-#     bloom_prefilter_join).
-# ROUND-7 TODO: front-load those 19, then the r4-latest queries.
+#     bloom_prefilter_join),
+#   cms_user_counts (rotated out mid-round for the
+#     mmr_diverse_topk_arrow slot; CMS never-underestimates property
+#     test, tests/test_properties.py:84).
+# ROUND-7 TODO: front-load those 20, then the r4-latest queries.
 _CHECK_FIRST = [
     # (a) never driver-checked
     "ann_lsh_topk_gemm",
@@ -7241,6 +7259,7 @@ _CHECK_FIRST = [
     "pit_enrich_events",         # new in round 6 (point-in-time SCD-2 join)
     "kcore_user_graph",          # new in round 6 (k-core peeling)
     "mmr_diverse_topk",          # new in round 6 (MMR diverse selection)
+    "mmr_diverse_topk_arrow",    # new in round 6 (MMR deployment kernel)
     # (b) changed in round 6
     "ann_lsh_topk",
     "fuzzy_name_pairs",
@@ -7252,7 +7271,7 @@ _CHECK_FIRST = [
     "q1_pricing_summary",
     "quality_score",
     "top_customers_per_nation",
-    # (d) round-3-stale (31 of 50; the 19 left out are named above)
+    # (d) round-3-stale (30 of 50; the 20 left out are named above)
     # approx_distinct_users rotated out mid-round for the BPE slot: the
     # HLL-sketch family is pinned by r5-green hll_distinct_users plus
     # the sf0.001 oracle hash-check every pytest run.
@@ -7266,7 +7285,9 @@ _CHECK_FIRST = [
     # bloom_customer_names rotated out mid-round for the MMR slot: the
     # Bloom kernel is pinned by r4-green bloom_prefilter_join's driver
     # row plus the sf0.001 oracle hash-check every pytest run.
-    "cms_user_counts",
+    # cms_user_counts rotated out mid-round for the MMR-arrow slot: the
+    # CMS kernel keeps its never-underestimates property test
+    # (tests/test_properties.py:84) + the sf0.001 oracle check per run.
     "dedup_minhash_clusters",
     "lineitem_unpivot",
     "map_funcs_roundtrip",

@@ -840,3 +840,27 @@ def test_mmr_k_exceeds_corpus_and_empty(spark):
     assert len(got) == 2  # selection stops when candidates run out
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert similarity.mmr_topk(empty, k=3).count() == 0
+
+
+def test_mmr_arrow_kernel_matches_jvm(spark):
+    """The deployment (arrow/numpy) and replay (Catalyst HOF) MMR
+    kernels must produce IDENTICAL picks, ranks, and scores — same
+    contract as the lsh_topk gemm twin. Random 72-dim vectors exercise
+    quantization across the full range."""
+    import random
+
+    from ssp_spark.operators import similarity
+
+    rnd = random.Random(13)
+    rows = [(i, [rnd.uniform(-1.0, 1.0) for _ in range(72)]) for i in range(150)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    jvm = [tuple(r) for r in similarity.mmr_topk(df, k=6, shortlist=40).collect()]
+    arrow = [
+        tuple(r)
+        for r in similarity.mmr_topk(df, k=6, shortlist=40, kernel="arrow").collect()
+    ]
+    assert len(jvm) == 6
+    assert jvm == arrow
+    # empty input: both kernels return the empty frame
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert similarity.mmr_topk(empty, k=3, kernel="arrow").count() == 0

@@ -25,6 +25,7 @@ _R6_NEVER_CHECKED = {
     "pit_enrich_events",           # new in round 6 (point-in-time SCD-2 join)
     "kcore_user_graph",            # new in round 6 (k-core peeling)
     "mmr_diverse_topk",            # new in round 6 (MMR diverse selection)
+    "mmr_diverse_topk_arrow",      # new in round 6 (MMR deployment kernel)
 }
 
 # Round 6 group (b): implementation-changed this round.
@@ -44,12 +45,12 @@ _R6_R2_STALE = {
     "top_customers_per_nation",
 }
 
-# Round 6 group (d): 31 of the 50 round-3-latest queries. The 19 left
+# Round 6 group (d): 30 of the 50 round-3-latest queries. The 20 left
 # out (and each one's alternate evidence) are named in the queries.py
 # rotation comment; all are oracle-hash-checked at sf0.001 by
 # test_oracle_parity on every pytest run.
 _R6_R3_ROTATED = {
-    "cms_user_counts", "dedup_minhash_clusters", "lineitem_unpivot",
+    "dedup_minhash_clusters", "lineitem_unpivot",
     "map_funcs_roundtrip", "pipeline_train_manifest",
     "q11_important_parts", "q12_ship_priority_class", "q13_custdist",
     "q14_promo_revenue", "q15_top_supplier", "q16_supplier_cnt",
@@ -74,9 +75,9 @@ def test_driver_window_is_the_round6_target_set():
     )
     # the never-checked queries lead the window (first rows the driver
     # hashes), followed by this round's changed queries
-    assert set(window[:10]) == _R6_NEVER_CHECKED
+    assert set(window[:11]) == _R6_NEVER_CHECKED
     assert window[0] == "ann_lsh_topk_gemm"
-    assert set(window[10:13]) == _R6_CHANGED
+    assert set(window[11:14]) == _R6_CHANGED
 
 
 def test_registry_is_complete_and_fully_oracled():
