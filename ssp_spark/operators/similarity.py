@@ -729,6 +729,11 @@ def mmr_topk(
       unit component within ~1e-13 of a .5/127 rounding boundary could
       quantize differently. The consistency test pins both kernels
       identical on the fixture.
+
+    Both kernels EXCLUDE zero-norm vectors and vectors whose length
+    differs from the probe's (the JVM zip_with fold nulls those rels;
+    the arrow kernel skips them explicitly; the greedy filters
+    rel IS NOT NULL) — one contract, tested ragged-and-zero.
     """
     if kernel not in ("jvm", "arrow"):
         raise ValueError(f"kernel must be 'jvm' or 'arrow', got {kernel!r}")
@@ -737,7 +742,11 @@ def mmr_topk(
         return _mmr_greedy(emb.sparkSession, rel, k, shortlist)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
-    q = F.transform(v, lambda x: F.round(x / norm * 127).cast("int"))
+    # zero-norm vectors quantize to null (excluded below) — matching the
+    # arrow kernel's explicit exclusion, not a NaN-round accident
+    q = F.when(
+        norm > 0, F.transform(v, lambda x: F.round(x / norm * 127).cast("int"))
+    ).otherwise(F.lit(None))
     qd = emb.select(F.col(id_col).cast("long").alias("vec_id"), q.alias("q")).filter(
         F.col("q").isNotNull()
     )
@@ -759,7 +768,12 @@ def mmr_topk(
 
 def _mmr_greedy(spark, rel: DataFrame, k: int, shortlist: int) -> DataFrame:
     """Shared greedy tail: shortlist collect + exact-integer argmax."""
-    rows = rel.orderBy(F.col("rel").desc(), "vec_id").limit(shortlist).collect()
+    rows = (
+        rel.filter(F.col("rel").isNotNull())
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(shortlist)
+        .collect()
+    )
     cands = [(r.vec_id, list(r.q), int(r.rel)) for r in rows]
     picks = []  # (rank, vec_id, score)
     selected = []
@@ -818,13 +832,20 @@ def _mmr_rel_arrow(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
                 continue
             lens = pdf["__v"].map(len)
             for n, grp in pdf.groupby(lens):
+                if n != len(pq):
+                    # ragged vs probe: the JVM kernel's zip_with fold
+                    # nulls these out; exclude identically
+                    continue
                 V = np.stack(grp["__v"].map(np.asarray).to_numpy()).astype(np.float64)
-                Q = _quantize_np(V)
-                m = min(n, len(pq))
-                relv = Q[:, :m] @ pq[:m]
+                norms = np.sqrt((V * V).sum(axis=1))
+                ok = norms > 0.0
+                if not ok.any():
+                    continue
+                Q = _quantize_np(V[ok])
+                relv = Q @ pq
                 yield pd.DataFrame(
                     {
-                        "vec_id": grp["vec_id"].to_numpy(),
+                        "vec_id": grp["vec_id"].to_numpy()[ok],
                         "q": [row.astype("int32").tolist() for row in Q],
                         "rel": relv,
                     }

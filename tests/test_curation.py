@@ -864,3 +864,28 @@ def test_mmr_arrow_kernel_matches_jvm(spark):
     # empty input: both kernels return the empty frame
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert similarity.mmr_topk(empty, k=3, kernel="arrow").count() == 0
+
+
+def test_mmr_kernels_agree_on_ragged_and_zero_vectors(spark):
+    """The divergence class ADVICE r5 flagged on the gemm twin, closed
+    at birth here: ragged vectors (length != probe) and zero-norm
+    vectors are EXCLUDED by BOTH kernels, identically."""
+    from ssp_spark.operators import similarity
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),     # probe
+        (1, [0.0, 0.0, 0.0]),     # zero norm -> excluded
+        (2, [0.5, 0.5]),          # ragged -> excluded
+        (3, [0.2, 0.9, 0.1, 0.4]),  # ragged -> excluded
+        (4, [0.0, 1.0, 0.0]),
+        (5, [0.7, 0.7, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    jvm = [tuple(r) for r in similarity.mmr_topk(df, k=4, shortlist=10).collect()]
+    arrow = [
+        tuple(r)
+        for r in similarity.mmr_topk(df, k=4, shortlist=10, kernel="arrow").collect()
+    ]
+    assert jvm == arrow
+    picked = {vid for _, vid, _ in jvm}
+    assert picked == {0, 4, 5}  # only the well-formed vectors
