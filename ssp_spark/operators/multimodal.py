@@ -3,9 +3,13 @@
 Pattern: media is an opaque ``binary`` column plus a typed metadata
 struct; decode/feature steps are Arrow-batched pandas functions over
 mapInPandas so bytes stream through executors without driver collection.
-The actual codecs are NOT available in this container, so decode bodies
-are stubbed (deterministic fake or NotImplementedError) — the Spark-side
-contract (schema, batching, partition sizing) is real and tested.
+``decode_image`` is a REAL pure-numpy decoder for the uncompressed
+public formats (binary PPM P6; 24-bit BI_RGB BMP incl. bottom-up rows
+and 4-byte padding) — resize_media resizes actual pixels for those.
+Compressed codecs (png/jpeg/webp) are not in this container: those
+branches raise NotImplementedError and byte-level deterministic
+fallbacks keep the plumbing testable; a deployment swaps PIL/OpenCV
+into decode_image only.
 
 At 100 TB the binary column is usually a pointer (uri, offset, length)
 into an object store rather than inlined bytes; both layouts share the
@@ -54,9 +58,53 @@ def attach_media(df: DataFrame, bytes_col: str, media_type: str, fmt: str) -> Da
     return df.withColumn("media_meta", meta)
 
 
-def decode_image(data: bytes) -> object:
-    """Real pipelines: PIL/OpenCV decode. Not available here."""
-    raise NotImplementedError("image codecs not available in this environment")
+def decode_image(data: bytes):
+    """(h, w, 3) uint8 numpy array for UNCOMPRESSED formats — a real
+    decoder, pure numpy, no codec library: binary PPM (P6) and 24-bit
+    uncompressed BMP (BI_RGB, bottom-up or top-down, 4-byte row
+    padding, BGR->RGB). Compressed formats (png/jpeg/webp) still raise
+    NotImplementedError — their codecs are not in this container; a
+    real deployment swaps in PIL/OpenCV for those branches and every
+    downstream operator (resize_media, extract_features) is unchanged
+    because they only see the (h, w, 3) array."""
+    import numpy as np
+
+    if data[:2] == b"P6":
+        pos, fields = 2, []
+        while len(fields) < 3:
+            # skip whitespace and '#' comments between header tokens
+            while pos < len(data) and data[pos : pos + 1].isspace():
+                pos += 1
+            if data[pos : pos + 1] == b"#":
+                pos = data.index(b"\n", pos) + 1
+                continue
+            start = pos
+            while pos < len(data) and not data[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(data[start:pos]))
+        w, h, maxval = fields
+        if maxval > 255:
+            raise NotImplementedError("16-bit PPM not supported")
+        pos += 1  # single whitespace after maxval
+        px = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
+        return px.reshape(h, w, 3).copy()
+    if data[:2] == b"BM":
+        off = int.from_bytes(data[10:14], "little")
+        w = int.from_bytes(data[18:22], "little", signed=True)
+        h = int.from_bytes(data[22:26], "little", signed=True)
+        bpp = int.from_bytes(data[28:30], "little")
+        comp = int.from_bytes(data[30:34], "little")
+        if bpp != 24 or comp != 0:
+            raise NotImplementedError(f"BMP bpp={bpp} compression={comp} not supported")
+        stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+        rows = np.frombuffer(
+            data, dtype=np.uint8, count=stride * abs(h), offset=off
+        ).reshape(abs(h), stride)[:, : w * 3]
+        img = rows.reshape(abs(h), w, 3)[:, :, ::-1]  # BGR -> RGB
+        if h > 0:
+            img = img[::-1]  # positive height = bottom-up row order
+        return img.copy()
+    raise NotImplementedError("only uncompressed PPM(P6)/BMP(24-bit) decodable here")
 
 
 def _fake_feature(data: bytes, dim: int = 8) -> list[float]:
@@ -139,12 +187,16 @@ def resize_media(
     """Image-resize plumbing: nearest-neighbor sample of the raw byte
     stream into an out_w x out_h grid.
 
-    The "decoder" is the deterministic identity-on-bytes stand-in (no
-    codecs in this container): pixel i = data[(i * len) // n]. A real
-    implementation swaps the kernel for PIL/OpenCV; the mapInPandas
-    shape, schema, and Arrow batching are exactly what production uses.
-    pix_checksum (sum of sampled bytes) makes the output independently
-    checkable without shipping the pixel buffer around.
+    For decodable formats (PPM P6 / 24-bit BMP — decode_image, a REAL
+    pure-numpy decoder) this resizes actual pixels: nearest-neighbor
+    sample src[(i*src_dim)//out_dim] per axis, RGB output (3 bytes per
+    out-pixel). For undecodable bytes it falls back to the
+    deterministic identity-on-bytes stand-in (pixel i =
+    data[(i*len)//n], 1 byte per out-pixel) — the disclosed behavior
+    for compressed formats whose codecs this container lacks; a real
+    deployment swaps PIL/OpenCV into decode_image and THIS function is
+    unchanged. pix_checksum (sum of output bytes) makes either path
+    independently checkable without shipping pixel buffers around.
     """
     import pandas as pd
 
@@ -161,15 +213,23 @@ def resize_media(
     n = out_w * out_h
 
     def fn(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+
         for pdf in batches:
             rows = []
             for mid, data in zip(pdf[id_col], pdf[bytes_col]):
                 data = data or b""
-                if len(data) == 0:
-                    pix = bytes(n)
-                else:
-                    pix = bytes(data[(i * len(data)) // n] for i in range(n))
-                rows.append((int(mid), out_w, out_h, n, sum(pix), pix))
+                try:
+                    img = decode_image(data)
+                    ys = (np.arange(out_h) * img.shape[0]) // out_h
+                    xs = (np.arange(out_w) * img.shape[1]) // out_w
+                    pix = img[ys][:, xs].tobytes()
+                except (NotImplementedError, ValueError, IndexError):
+                    if len(data) == 0:
+                        pix = bytes(n)
+                    else:
+                        pix = bytes(data[(i * len(data)) // n] for i in range(n))
+                rows.append((int(mid), out_w, out_h, len(pix), sum(pix), pix))
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "out_w", "out_h", "n_pixels", "pix_checksum", "pixels"],
