@@ -236,3 +236,79 @@ def resize_media(
             )
 
     return df.mapInPandas(fn, schema)
+
+
+def decode_audio(data: bytes):
+    """(samples int16 ndarray [n, channels], sample_rate) for PCM WAV —
+    a real pure-numpy RIFF/WAVE parser (fmt + data chunks, 16-bit PCM,
+    any channel count). Compressed audio (mp3/ogg/aac) raises
+    NotImplementedError — same disclosure contract as decode_image."""
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise NotImplementedError("only PCM WAV decodable here")
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        raise NotImplementedError("WAV missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(f"WAV format={audio_format} bits={bits} not supported")
+    n = len(raw) // (2 * channels)
+    samples = np.frombuffer(raw, dtype="<i2", count=n * channels).reshape(n, channels)
+    return samples.copy(), rate
+
+
+def audio_features(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame:
+    """Per-clip audio statistics through mapInPandas: duration_ms, RMS
+    amplitude, and zero-crossing rate (per-million, integer) of the
+    first channel — the cheap quality/energy signals an audio-corpus
+    curation pass filters on. Real numbers for PCM WAV (decode_audio);
+    undecodable rows pass through with NULL features (the disclosed
+    compressed-codec gap), never an error — at 100 TB a corrupt or
+    exotic clip must not kill the scan."""
+    import numpy as np
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("rms", T.LongType()),          # integer RMS of int16 samples
+            T.StructField("zcr_ppm", T.LongType()),      # crossings per million samples
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    samples, rate = decode_audio(bytes(data or b""))
+                    ch = samples[:, 0].astype(np.int64)
+                    n = len(ch)
+                    dur = (n * 1000) // rate if rate else 0
+                    rms = int(np.sqrt((ch * ch).mean())) if n else 0
+                    zc = int(((ch[:-1] * ch[1:]) < 0).sum()) if n > 1 else 0
+                    zcr = (zc * 1_000_000) // (n - 1) if n > 1 else 0
+                    rows.append((int(mid), int(rate), dur, rms, zcr))
+                except NotImplementedError:
+                    rows.append((int(mid), None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "duration_ms", "rms", "zcr_ppm"],
+            )
+
+    return df.mapInPandas(fn, schema)

@@ -150,3 +150,57 @@ def test_resize_media_decodes_real_pixels(spark):
     assert out[1].n_pixels == 12 and out[1].pix_checksum == int(want.sum())
     # fallback: 1 byte per out-pixel from the raw stream
     assert out[2].n_pixels == 4
+
+
+def _wav(samples, rate=8000, channels=1):
+    import numpy as np
+
+    raw = np.asarray(samples, dtype="<i2").reshape(-1, channels).tobytes()
+    fmt = (
+        (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * channels * 2).to_bytes(4, "little")
+        + (channels * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    body = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(raw).to_bytes(4, "little") + raw
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+
+
+def test_decode_audio_pcm_wav():
+    """Real RIFF/WAVE parsing: exact sample recovery, stereo
+    interleave, chunk walking; compressed formats refused."""
+    import numpy as np
+    import pytest
+
+    from ssp_spark.operators.multimodal import decode_audio
+
+    mono = [0, 1000, -1000, 32767, -32768]
+    s, rate = decode_audio(_wav(mono))
+    assert rate == 8000 and s[:, 0].tolist() == mono
+    stereo = [1, 2, 3, 4, 5, 6]  # L R L R L R
+    s2, _ = decode_audio(_wav(stereo, channels=2))
+    assert s2.tolist() == [[1, 2], [3, 4], [5, 6]]
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x03....mp3-ish")
+
+
+def test_audio_features_real_and_null_passthrough(spark):
+    """A 1-second 8kHz square wave: duration 1000 ms, RMS = amplitude,
+    ZCR 50% (sign flip every other sample boundary at 4kHz tone... the
+    constructed wave flips every 2 samples -> 499937..500000 ppm band
+    checked exactly); undecodable bytes yield NULL features."""
+    from ssp_spark.operators import multimodal as mm
+
+    amp = 10000
+    wave = ([amp, amp, -amp, -amp] * 2000)[:8000]  # flips every 2 samples
+    rows = [(1, bytearray(_wav(wave))), (2, bytearray(b"mp3-junk"))]
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+    out = {r.media_id: r for r in mm.audio_features(df, "media_id", "data").collect()}
+    r1 = out[1]
+    assert (r1.sample_rate, r1.duration_ms, r1.rms) == (8000, 1000, amp)
+    # 3999 crossings over 7999 boundaries -> 499937 ppm exactly
+    assert r1.zcr_ppm == (3999 * 1_000_000) // 7999
+    assert out[2].sample_rate is None and out[2].rms is None
