@@ -312,3 +312,77 @@ def audio_features(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame:
             )
 
     return df.mapInPandas(fn, schema)
+
+
+def iter_ppm_frames(data: bytes):
+    """Yield (offset, width, height) for each P6 frame in a concatenated
+    PPM stream — the uncompressed video interchange format (what
+    ``ffmpeg -f image2pipe -vcodec ppm`` emits). Pure byte walking: each
+    frame's pixel length is known from its header, so seeking is O(1)
+    per frame with no pixel decoding."""
+    pos = 0
+    while pos + 2 <= len(data) and data[pos : pos + 2] == b"P6":
+        hdr_pos, fields = pos + 2, []
+        while len(fields) < 3:
+            while hdr_pos < len(data) and data[hdr_pos : hdr_pos + 1].isspace():
+                hdr_pos += 1
+            if data[hdr_pos : hdr_pos + 1] == b"#":
+                hdr_pos = data.index(b"\n", hdr_pos) + 1
+                continue
+            start = hdr_pos
+            while hdr_pos < len(data) and not data[hdr_pos : hdr_pos + 1].isspace():
+                hdr_pos += 1
+            fields.append(int(data[start:hdr_pos]))
+        w, h, _maxval = fields
+        hdr_pos += 1  # single whitespace after maxval
+        yield pos, w, h
+        pos = hdr_pos + w * h * 3
+
+
+def sample_ppm_stream_frames(
+    df: DataFrame,
+    id_col: str,
+    bytes_col: str,
+    every_n: int = 2,
+    fps: int = 25,
+) -> DataFrame:
+    """REAL frame sampling over concatenated-PPM video streams: every
+    ``every_n``-th frame with its byte offset, dimensions, and timestamp
+    at ``fps`` — the real variant of sample_frames' byte-stride stub
+    (compressed containers need real demuxers; this is the uncompressed
+    interchange path, exactly like decode_image/decode_audio). Rows that
+    are not PPM streams yield nothing (filtered, not failed)."""
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("offset_bytes", T.LongType()),
+            T.StructField("offset_ms", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    for i, (off, w, h) in enumerate(iter_ppm_frames(bytes(data or b""))):
+                        if i % every_n == 0:
+                            rows.append(
+                                (int(mid), i, off, (i * 1000) // fps, w, h)
+                            )
+                except (ValueError, IndexError):
+                    pass  # truncated/corrupt stream: keep the frames already found
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "offset_bytes", "offset_ms",
+                    "width", "height",
+                ],
+            )
+
+    return df.mapInPandas(fn, schema)

@@ -204,3 +204,26 @@ def test_audio_features_real_and_null_passthrough(spark):
     # 3999 crossings over 7999 boundaries -> 499937 ppm exactly
     assert r1.zcr_ppm == (3999 * 1_000_000) // 7999
     assert out[2].sample_rate is None and out[2].rms is None
+
+
+def test_sample_ppm_stream_frames_real(spark):
+    """Real frame walking over a concatenated-PPM stream: exact byte
+    offsets (header + pixel lengths), every_n sampling, fps timestamps;
+    non-PPM rows contribute zero frames."""
+    import numpy as np
+
+    from ssp_spark.operators import multimodal as mm
+
+    f1 = _ppm(np.zeros((2, 2, 3), dtype=np.uint8))
+    f2 = _ppm(np.ones((2, 2, 3), dtype=np.uint8))
+    stream = f1 + f2 + f1 + f2 + f1  # 5 frames
+    rows = [(1, bytearray(stream)), (2, bytearray(b"not a stream"))]
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+    out = sorted(
+        (r.frame_idx, r.offset_bytes, r.offset_ms, r.width, r.height)
+        for r in mm.sample_ppm_stream_frames(
+            df, "media_id", "data", every_n=2, fps=25
+        ).collect()
+    )
+    L = len(f1)
+    assert out == [(0, 0, 0, 2, 2), (2, 2 * L, 80, 2, 2), (4, 4 * L, 160, 2, 2)]
