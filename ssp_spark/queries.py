@@ -4211,6 +4211,48 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_resize_decoded",
+    """
+    WITH img AS (
+      SELECT doc_id, substr(text, 1, 48) AS px
+      FROM documents WHERE length(text) >= 48
+    )
+    SELECT doc_id AS media_id, 2 AS out_w, 2 AS out_h, 12 AS n_pixels,
+           CAST((SELECT sum(ascii(substr(px, p.base * 3 + ch, 1)))
+                 FROM (SELECT unnest([0, 2, 8, 10]) AS base) p,
+                      (SELECT unnest([1, 2, 3]) AS ch) c) AS BIGINT)
+             AS pix_checksum
+    FROM img
+    """,
+)
+def multimodal_resize_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL decode path under the driver gate: each document's first
+    48 bytes become the pixel payload of a genuine 4x4 P6 PPM (header
+    built in-engine), decode_image parses it, and resize_media's
+    real-pixel branch nearest-neighbor-samples it to 2x2 RGB (rows/cols
+    0 and 2 -> pixel bases 0,2,8,10, 3 bytes each). The oracle rebuilds
+    the same 12-byte selection with ascii(substr()) arithmetic — pure
+    ASCII fixture text makes chars == bytes. Proves the numpy PPM
+    decoder, not just the byte-sampling fallback, against an exact
+    oracle."""
+    from ssp_spark.operators import multimodal as mm
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.length("text") >= 48)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit(b"P6\n4 4\n255\n"),
+                F.encode(F.substring("text", 1, 48), "utf-8"),
+            ).alias("data"),
+        )
+    )
+    out = mm.resize_media(docs, "doc_id", "data", out_w=2, out_h=2)
+    return out.select("media_id", "out_w", "out_h", "n_pixels", "pix_checksum")
+
+
+@_q(
     "array_lateral_explode",
     """
     WITH base AS (
@@ -7203,8 +7245,8 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     graph_reachability_bfs, new this round with no driver rows, take
 #     the other three slots — new queries outrank a repeat
 #     confirmation).
-# ARITHMETIC, stated plainly this time: 11 + 3 + 6 + 50 = 70 candidates
-# for 50 slots, so TWENTY r3-latest queries stay r3 after this round —
+# ARITHMETIC, stated plainly this time: 12 + 3 + 6 + 50 = 71 candidates
+# for 50 slots, so TWENTY-ONE r3-latest queries stay r3 after this round —
 # named here, each with its alternate evidence (every one is ALSO
 # hash-checked against its oracle at sf0.001 by
 # tests/test_oracle_parity.py on every pytest run):
@@ -7245,8 +7287,11 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     bloom_prefilter_join),
 #   cms_user_counts (rotated out mid-round for the
 #     mmr_diverse_topk_arrow slot; CMS never-underestimates property
-#     test, tests/test_properties.py:84).
-# ROUND-7 TODO: front-load those 20, then the r4-latest queries.
+#     test, tests/test_properties.py:84),
+#   dedup_minhash_clusters (rotated out mid-round for the
+#     multimodal_resize_decoded slot; minhash bands bench-measured via
+#     dedup_minhash_lsh, CC via union-find property tests).
+# ROUND-7 TODO: front-load those 21, then the r4-latest queries.
 _CHECK_FIRST = [
     # (a) never driver-checked
     "ann_lsh_topk_gemm",
@@ -7260,6 +7305,7 @@ _CHECK_FIRST = [
     "kcore_user_graph",          # new in round 6 (k-core peeling)
     "mmr_diverse_topk",          # new in round 6 (MMR diverse selection)
     "mmr_diverse_topk_arrow",    # new in round 6 (MMR deployment kernel)
+    "multimodal_resize_decoded", # new in round 6 (real PPM decode path)
     # (b) changed in round 6
     "ann_lsh_topk",
     "fuzzy_name_pairs",
@@ -7271,7 +7317,7 @@ _CHECK_FIRST = [
     "q1_pricing_summary",
     "quality_score",
     "top_customers_per_nation",
-    # (d) round-3-stale (30 of 50; the 20 left out are named above)
+    # (d) round-3-stale (29 of 50; the 21 left out are named above)
     # approx_distinct_users rotated out mid-round for the BPE slot: the
     # HLL-sketch family is pinned by r5-green hll_distinct_users plus
     # the sf0.001 oracle hash-check every pytest run.
@@ -7288,7 +7334,11 @@ _CHECK_FIRST = [
     # cms_user_counts rotated out mid-round for the MMR-arrow slot: the
     # CMS kernel keeps its never-underestimates property test
     # (tests/test_properties.py:84) + the sf0.001 oracle check per run.
-    "dedup_minhash_clusters",
+    # dedup_minhash_clusters rotated out mid-round for the decoded-resize
+    # slot: its two kernels stay pinned separately (minhash bands via the
+    # bench-measured dedup_minhash_lsh, connected components via the
+    # union-find property tests, tests/test_properties.py:432) + the
+    # sf0.001 oracle check per run.
     "lineitem_unpivot",
     "map_funcs_roundtrip",
     "pipeline_train_manifest",
