@@ -30,6 +30,7 @@ from ssp_spark.operators import (
     cluster,
     dedup,
     diagnostics,
+    privacy,
     fuzzy,
     graph,
     layout,
@@ -1217,6 +1218,46 @@ def graph_reachability_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     seeds = base.select("src").distinct().orderBy("src").limit(3)
     return graph.bfs_levels(edges, seeds, max_hops=3)
+
+
+@_q(
+    "k_anonymity_events",
+    """
+    WITH g AS (
+      SELECT concat_ws('|', CAST(event_type AS VARCHAR),
+                            CAST(hour(ts) AS VARCHAR),
+                            CAST(minute(ts) // 10 AS VARCHAR)) AS qi_key,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_sensitive
+      FROM events GROUP BY 1
+    )
+    SELECT qi_key, cnt, n_sensitive,
+           cnt < 5 AS k_violation, n_sensitive < 2 AS l_violation
+    FROM g WHERE cnt < 5 OR n_sensitive < 2
+    ORDER BY cnt, n_sensitive, qi_key LIMIT 20
+    """,
+)
+def k_anonymity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit before publishing an event extract: the 20 worst
+    quasi-identifier groups (event_type x hour x 10-minute bucket)
+    violating k-anonymity (< 5 rows — re-identification risk) or
+    l-diversity (< 2 distinct users — attribute disclosure). One
+    two-level map-side-combined aggregate + a deterministic
+    TakeOrderedAndProject cut; the structured-data sibling of
+    text_normalize_redact's PII scrubbing. See operators/privacy.py."""
+    ev = load_table(spark, "events", sf_dir)
+    return privacy.k_anonymity_report(
+        ev,
+        [
+            F.col("event_type"),
+            F.hour("ts"),
+            (F.minute("ts") / 10).cast("int"),
+        ],
+        "user_id",
+        k=5,
+        l_div=2,
+        top=20,
+    )
 
 
 def _sql_mmr(k: int, shortlist: int) -> str:
@@ -7245,8 +7286,8 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     graph_reachability_bfs, new this round with no driver rows, take
 #     the other three slots — new queries outrank a repeat
 #     confirmation).
-# ARITHMETIC, stated plainly this time: 12 + 3 + 6 + 50 = 71 candidates
-# for 50 slots, so TWENTY-ONE r3-latest queries stay r3 after this round —
+# ARITHMETIC, stated plainly this time: 13 + 3 + 6 + 50 = 72 candidates
+# for 50 slots, so TWENTY-TWO r3-latest queries stay r3 after this round —
 # named here, each with its alternate evidence (every one is ALSO
 # hash-checked against its oracle at sf0.001 by
 # tests/test_oracle_parity.py on every pytest run):
@@ -7290,8 +7331,11 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     test, tests/test_properties.py:84),
 #   dedup_minhash_clusters (rotated out mid-round for the
 #     multimodal_resize_decoded slot; minhash bands bench-measured via
-#     dedup_minhash_lsh, CC via union-find property tests).
-# ROUND-7 TODO: front-load those 21, then the r4-latest queries.
+#     dedup_minhash_lsh, CC via union-find property tests),
+#   lineitem_unpivot (rotated out mid-round for the
+#     k_anonymity_events slot; unpivot kernel pinned by r5-green
+#     user_activity_pivot family).
+# ROUND-7 TODO: front-load those 22, then the r4-latest queries.
 _CHECK_FIRST = [
     # (a) never driver-checked
     "ann_lsh_topk_gemm",
@@ -7306,6 +7350,7 @@ _CHECK_FIRST = [
     "mmr_diverse_topk",          # new in round 6 (MMR diverse selection)
     "mmr_diverse_topk_arrow",    # new in round 6 (MMR deployment kernel)
     "multimodal_resize_decoded", # new in round 6 (real PPM decode path)
+    "k_anonymity_events",        # new in round 6 (privacy audit)
     # (b) changed in round 6
     "ann_lsh_topk",
     "fuzzy_name_pairs",
@@ -7317,7 +7362,7 @@ _CHECK_FIRST = [
     "q1_pricing_summary",
     "quality_score",
     "top_customers_per_nation",
-    # (d) round-3-stale (29 of 50; the 21 left out are named above)
+    # (d) round-3-stale (28 of 50; the 22 left out are named above)
     # approx_distinct_users rotated out mid-round for the BPE slot: the
     # HLL-sketch family is pinned by r5-green hll_distinct_users plus
     # the sf0.001 oracle hash-check every pytest run.
@@ -7339,7 +7384,9 @@ _CHECK_FIRST = [
     # bench-measured dedup_minhash_lsh, connected components via the
     # union-find property tests, tests/test_properties.py:432) + the
     # sf0.001 oracle check per run.
-    "lineitem_unpivot",
+    # lineitem_unpivot rotated out mid-round for the privacy-audit slot:
+    # the unpivot/stack kernel stays pinned by the r5-green
+    # user_activity_pivot family + the sf0.001 oracle check per run.
     "map_funcs_roundtrip",
     "pipeline_train_manifest",
     "q11_important_parts",

@@ -261,3 +261,37 @@ def test_key_skew_report_empty_input(spark):
 
     df = spark.createDataFrame([], "k string")
     assert key_skew_report(df, ["k"]).count() == 0
+
+
+def test_k_anonymity_report_failure_modes(spark):
+    """Three constructed groups: a singleton (k-violation, trivially
+    l-violating too), a 10-row single-user group (l-violation ONLY —
+    big but attribute-disclosing), and a healthy group (excluded)."""
+    from ssp_spark.operators.privacy import k_anonymity_report
+
+    rows = (
+        [("a", 1, 101)]                                   # singleton QI group
+        + [("b", 2, 202)] * 10                            # 10 rows, 1 user
+        + [("c", 3, 300 + i) for i in range(10)]          # healthy: 10 rows, 10 users
+    )
+    df = spark.createDataFrame(rows, "t string, h int, user long")
+    got = {
+        r.qi_key: (r.cnt, r.n_sensitive, r.k_violation, r.l_violation)
+        for r in k_anonymity_report(df, ["t", "h"], "user", k=5, l_div=2).collect()
+    }
+    assert got == {
+        "a|1": (1, 1, True, True),
+        "b|2": (10, 1, False, True),
+    }
+
+
+def test_k_anonymity_report_empty_and_cut_order(spark):
+    from ssp_spark.operators.privacy import k_anonymity_report
+
+    empty = spark.createDataFrame([], "t string, user long")
+    assert k_anonymity_report(empty, ["t"], "user").count() == 0
+    # the top cut keeps the most isolating groups: 25 singletons, top=3
+    rows = [(f"g{i:02d}", i) for i in range(25)]
+    df = spark.createDataFrame(rows, "t string, user long")
+    out = [r.qi_key for r in k_anonymity_report(df, ["t"], "user", k=2, top=3).collect()]
+    assert out == ["g00", "g01", "g02"]  # (cnt, n_sensitive, qi_key) order
