@@ -47,6 +47,7 @@ NAMES = [
     "graph_reachability_bfs", "key_skew_report_events", "dedup_span_pairs",
     "bpe_token_stats", "pit_enrich_events", "kcore_user_graph",
     "mmr_diverse_topk", "mmr_diverse_topk_arrow",
+    "multimodal_resize_decoded", "k_anonymity_events",
 ]
 
 # Re-measure a subset without paying for the whole table:
