@@ -1,0 +1,121 @@
+"""Keyed sequential recurrences (scans): EMA smoothing, CUSUM drift
+detection.
+
+Window functions cover ASSOCIATIVE running aggregates (sums, counts,
+min/max — running_user_spend et al.); a recurrence like EMA
+(y_t = (x_t + 3*y_{t-1}) / 4) or CUSUM (s_t = max(0, s_{t-1} + x_t - k))
+is non-associative, so no frame rewrite exists. This is precisely the
+case the build rules reserve Python for: the per-key fold runs inside
+applyInPandas (Arrow-batched, one key's ordered series at a time), which
+is also the reference's own O2 shape — its keyed stateful fold
+(/root/reference/node.go:57-73) IS a sequential scan; Spark expresses
+the same thing with keyed Arrow batches instead of per-record channel
+hops.
+
+Scale: one hash exchange on the key (the applyInPandas groupBy), then a
+per-key in-memory fold — linear, state one scalar per key; a single
+key's history must fit a worker (the sessionization cost class; salt or
+window upstream if one key dominates). Determinism: EMA with a
+power-of-two rational alpha folds the IDENTICAL float64 op sequence both
+engines replay (the oracle steps the same recursion in a recursive CTE);
+CUSUM is pure integer arithmetic — exact.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import math
+
+import pyspark.sql.functions as F  # noqa: F401 (kept for API symmetry)
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+
+
+def keyed_ema(
+    df: DataFrame,
+    key: str,
+    order: str,
+    value: str,
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+) -> DataFrame:
+    """(key, step, value, ema) — exponential moving average per key over
+    the ``order``-sorted series: y_1 = x_1;
+    y_t = (alpha_num*x_t + (alpha_den-alpha_num)*y_{t-1}) / alpha_den.
+
+    With alpha_den a power of two the fold is a reproducible float64
+    instruction sequence — the DuckDB oracle replays it step by step in
+    a recursive CTE and matches bit-for-bit (output rounded to 6dp as
+    belt-and-suspenders, same convention as every float query here).
+    """
+    import pandas as pd
+
+    a, b = alpha_num, alpha_den - alpha_num
+
+    def _round6(y: float) -> float:
+        # sign-aware HALF_UP to match DuckDB round(): Python's round()
+        # is half-EVEN, and EMA values are dyadic rationals (4^-t
+        # fractions), so exact .5e-6 ties ARE reachable and would
+        # diverge — e.g. round(0.0078125, 6)
+        return math.copysign(math.floor(abs(y) * 1e6 + 0.5) / 1e6, y)
+    schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("step", T.IntegerType()),
+            T.StructField("value", T.LongType()),
+            T.StructField("ema", T.DoubleType()),
+        ]
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order)
+        y = None
+        out = []
+        for step, x in enumerate(pdf[value], start=1):
+            x = float(x)
+            y = x if y is None else (a * x + b * y) / alpha_den
+            out.append((int(pdf[key].iloc[0]), step, int(x), _round6(y)))
+        return pd.DataFrame(out, columns=["key", "step", "value", "ema"])
+
+    return df.groupBy(key).applyInPandas(fold, schema)
+
+
+def keyed_cusum(
+    df: DataFrame,
+    key: str,
+    order: str,
+    value: str,
+    drift: int,
+    threshold: int,
+) -> DataFrame:
+    """(key, step, s, alarm) — one-sided CUSUM drift detector per key:
+    s_t = max(0, s_{t-1} + x_t - drift); alarm when s_t >= threshold,
+    after which s resets to 0 (restart detection). Pure integer
+    arithmetic — exact on any engine. The standard cheap monitor for
+    'did this source's volume/quality drift upward' in ingest pipelines.
+    """
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("step", T.IntegerType()),
+            T.StructField("s", T.LongType()),
+            T.StructField("alarm", T.BooleanType()),
+        ]
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order)
+        s = 0
+        out = []
+        for step, x in enumerate(pdf[value], start=1):
+            s = max(0, s + int(x) - drift)
+            alarm = s >= threshold
+            out.append((int(pdf[key].iloc[0]), step, s, alarm))
+            if alarm:
+                s = 0
+        return pd.DataFrame(out, columns=["key", "step", "s", "alarm"])
+
+    return df.groupBy(key).applyInPandas(fold, schema)

@@ -31,6 +31,7 @@ from ssp_spark.operators import (
     dedup,
     diagnostics,
     privacy,
+    recurrence,
     fuzzy,
     graph,
     layout,
@@ -1257,6 +1258,92 @@ def k_anonymity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         l_div=2,
         top=20,
+    )
+
+
+@_q(
+    "ema_daily_user_spend",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT user_id,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    seq AS (SELECT user_id, d, cents,
+                   CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INT) AS t
+            FROM daily),
+    rec(key, t, x, y) AS (
+      SELECT user_id, 1, cents, CAST(cents AS DOUBLE) FROM seq WHERE t = 1
+      UNION ALL
+      SELECT s.user_id, s.t, s.cents, (1 * s.cents + 3 * r.y) / 4
+      FROM rec r JOIN seq s ON s.user_id = r.key AND s.t = r.t + 1
+    )
+    SELECT key, t AS step, x AS value, round(y, 6) AS ema FROM rec
+    """,
+)
+def ema_daily_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMA (alpha = 1/4) of each user's daily purchase spend — the
+    non-associative keyed recurrence window frames cannot express (see
+    operators/recurrence.py: this is the reference's O2 keyed-fold shape
+    done with Arrow batches instead of per-record channel hops). The
+    power-of-two alpha makes the fold a reproducible float64 op
+    sequence; the oracle replays it STEP BY STEP in a recursive CTE and
+    the 6dp rounding uses the sign-aware HALF_UP emulation on the Spark
+    side so dyadic ties (reachable: every EMA value has a 4^-t binary
+    fraction) round identically to DuckDB's half-away round()."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id",
+            F.unix_timestamp(F.date_trunc("day", "ts")).alias("d"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents"))
+    )
+    return recurrence.keyed_ema(
+        daily, key="user_id", order="d", value="cents", alpha_num=1, alpha_den=4
+    )
+
+
+@_q(
+    "cusum_user_activity",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT user_id,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    seq AS (SELECT user_id, d, c,
+                   CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INT) AS t
+            FROM daily),
+    rec(key, t, s, alarm) AS (
+      SELECT user_id, 1, greatest(0, c - 2), greatest(0, c - 2) >= 5
+      FROM seq WHERE t = 1
+      UNION ALL
+      SELECT s2.user_id, s2.t,
+             greatest(0, (CASE WHEN r.alarm THEN 0 ELSE r.s END) + s2.c - 2),
+             greatest(0, (CASE WHEN r.alarm THEN 0 ELSE r.s END) + s2.c - 2) >= 5
+      FROM rec r JOIN seq s2 ON s2.user_id = r.key AND s2.t = r.t + 1
+    )
+    SELECT key, t AS step, s, alarm FROM rec
+    """,
+)
+def cusum_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detector (drift 2/day, threshold 5, reset
+    after alarm) over each user's daily event counts — 'did this
+    source's volume drift upward' as an exact integer recurrence. Same
+    keyed-scan machinery as the EMA; the oracle steps the recursion
+    with alarm resets in a recursive CTE. Pure integers: exact on any
+    engine."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "user_id",
+        F.unix_timestamp(F.date_trunc("day", "ts")).alias("d"),
+    ).agg(F.count("*").cast("long").alias("c"))
+    return recurrence.keyed_cusum(
+        daily, key="user_id", order="d", value="c", drift=2, threshold=5
     )
 
 
@@ -7286,8 +7373,8 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     graph_reachability_bfs, new this round with no driver rows, take
 #     the other three slots — new queries outrank a repeat
 #     confirmation).
-# ARITHMETIC, stated plainly this time: 13 + 3 + 6 + 50 = 72 candidates
-# for 50 slots, so TWENTY-TWO r3-latest queries stay r3 after this round —
+# ARITHMETIC, stated plainly this time: 15 + 3 + 6 + 50 = 74 candidates
+# for 50 slots, so TWENTY-FOUR r3-latest queries stay r3 after this round —
 # named here, each with its alternate evidence (every one is ALSO
 # hash-checked against its oracle at sf0.001 by
 # tests/test_oracle_parity.py on every pytest run):
@@ -7334,8 +7421,11 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     dedup_minhash_lsh, CC via union-find property tests),
 #   lineitem_unpivot (rotated out mid-round for the
 #     k_anonymity_events slot; unpivot kernel pinned by r5-green
-#     user_activity_pivot family).
-# ROUND-7 TODO: front-load those 22, then the r4-latest queries.
+#     user_activity_pivot family),
+#   map_funcs_roundtrip + pipeline_train_manifest (rotated out
+#     mid-round for the EMA/CUSUM recurrence slots; per-run oracle
+#     checks, manifest plan assertion tests/test_plans.py:161).
+# ROUND-7 TODO: front-load those 24, then the r4-latest queries.
 _CHECK_FIRST = [
     # (a) never driver-checked
     "ann_lsh_topk_gemm",
@@ -7351,6 +7441,8 @@ _CHECK_FIRST = [
     "mmr_diverse_topk_arrow",    # new in round 6 (MMR deployment kernel)
     "multimodal_resize_decoded", # new in round 6 (real PPM decode path)
     "k_anonymity_events",        # new in round 6 (privacy audit)
+    "ema_daily_user_spend",      # new in round 6 (keyed EMA recurrence)
+    "cusum_user_activity",       # new in round 6 (CUSUM drift detector)
     # (b) changed in round 6
     "ann_lsh_topk",
     "fuzzy_name_pairs",
@@ -7362,7 +7454,7 @@ _CHECK_FIRST = [
     "q1_pricing_summary",
     "quality_score",
     "top_customers_per_nation",
-    # (d) round-3-stale (28 of 50; the 22 left out are named above)
+    # (d) round-3-stale (26 of 50; the 24 left out are named above)
     # approx_distinct_users rotated out mid-round for the BPE slot: the
     # HLL-sketch family is pinned by r5-green hll_distinct_users plus
     # the sf0.001 oracle hash-check every pytest run.
@@ -7387,8 +7479,10 @@ _CHECK_FIRST = [
     # lineitem_unpivot rotated out mid-round for the privacy-audit slot:
     # the unpivot/stack kernel stays pinned by the r5-green
     # user_activity_pivot family + the sf0.001 oracle check per run.
-    "map_funcs_roundtrip",
-    "pipeline_train_manifest",
+    # map_funcs_roundtrip and pipeline_train_manifest rotated out
+    # mid-round for the recurrence slots: map functions keep the
+    # sf0.001 oracle check per run; the train manifest keeps its plan
+    # assertion (tests/test_plans.py:161) + per-run oracle check.
     "q11_important_parts",
     "q12_ship_priority_class",
     "q13_custdist",
