@@ -48,6 +48,7 @@ NAMES = [
     "bpe_token_stats", "pit_enrich_events", "kcore_user_graph",
     "mmr_diverse_topk", "mmr_diverse_topk_arrow",
     "multimodal_resize_decoded", "k_anonymity_events",
+    "ema_daily_user_spend", "cusum_user_activity",
 ]
 
 # Re-measure a subset without paying for the whole table:
