@@ -125,6 +125,68 @@ def bfs_levels(
     return visited
 
 
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, community) after ``iters`` rounds of SYNCHRONOUS label
+    propagation (Raghavan et al. 2007, the near-linear community
+    detector): every node starts labelled with its own id; each round
+    every node simultaneously adopts the most frequent label among its
+    neighbours, ties broken by the SMALLEST label. Synchronous update +
+    deterministic tie-break make the algorithm an exact integer
+    recurrence — no RNG, no visit order — so the DuckDB oracle replays
+    each round verbatim (the kcore_prune/pagerank fixed-iteration
+    contract).
+
+    Scale: per round, one key-partitioned join of edges against the
+    |V|-sized label frame (shuffle on the neighbour key) and one
+    two-level aggregate — count per (node, label) with map-side
+    combine, then ``max_by`` a (count, -label) struct per node, both
+    |V|-bounded exchanges. Labels never leave the JVM; state is one
+    (node, label) row per node. The edge frame is persisted once;
+    per-round label frames are persisted and the previous round
+    dropped, so lineage stays linear like bfs_levels.
+
+    Contract: ``edges`` distinct and symmetric (both directions
+    present) — then the source-key set IS the node set and every node
+    has >= 1 neighbour, so no keep-own-label fallback row is needed.
+
+    Curation use: communities over interaction / co-purchase / near-dup
+    graphs ("which sources cluster together") — the coarse grouping
+    signal contamination and mixture analyses consume; complements
+    connected components (operators/dedup.py), which over-merges
+    through single bridge edges.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    ).persist()
+    labels = e.select(F.col("src").alias("node")).distinct().withColumn(
+        "lab", F.col("node")
+    ).persist()
+    for _ in range(iters):
+        counts = (
+            e.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src", "lab")
+            .agg(F.count("*").alias("__c"))
+        )
+        nxt = (
+            counts.groupBy("src")
+            # max over (count, -label): most frequent label, ties -> min
+            # label — one exact integer struct-max, no window sort.
+            .agg(F.max(F.struct(F.col("__c"), (-F.col("lab")).alias("__nl"))).alias("__m"))
+            .select(F.col("src").alias("node"), (-F.col("__m.__nl")).alias("lab"))
+            .persist()
+        )
+        labels.unpersist()
+        labels = nxt
+    comm = labels.select("node", F.col("lab").alias("community"))
+    size = comm.groupBy("community").agg(F.count("*").cast("long").alias("community_size"))
+    return comm.join(size, "community").select("node", "community", "community_size")
+
+
 def kcore_prune(
     edges: DataFrame,
     k: int,

@@ -1475,6 +1475,64 @@ def kcore_user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.kcore_prune(edges, k=8, iters=3)
 
 
+def _sql_lpa(iters: int) -> str:
+    """DuckDB replay of fixed-iteration synchronous label propagation
+    (graph.label_propagation) over the same symmetric customer-supplier
+    edge list as _sql_kcore: per round, each node's next label is the
+    most frequent neighbour label, ties -> smallest label."""
+    steps = [
+        """base AS (SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+                           CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
+        "e AS (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base)",
+        "l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e)",
+    ]
+    for t in range(1, iters + 1):
+        steps.append(
+            f"""
+    c{t} AS (SELECT e.src AS node, l.lab, count(*) AS c
+             FROM e JOIN l{t - 1} l ON l.node = e.dst GROUP BY 1, 2),
+    l{t} AS (SELECT node, lab FROM (
+               SELECT node, lab,
+                      row_number() OVER (PARTITION BY node
+                                         ORDER BY c DESC, lab ASC) AS rn
+               FROM c{t}) WHERE rn = 1)"""
+        )
+    return (
+        "WITH "
+        + ",".join(steps)
+        + f"""
+    SELECT node, lab AS community,
+           CAST(count(*) OVER (PARTITION BY lab) AS BIGINT) AS community_size
+    FROM l{iters}"""
+    )
+
+
+@_q("label_propagation_communities", _sql_lpa(3))
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (3 rounds,
+    ties -> min label) over the symmetric customer-supplier interaction
+    graph — the coarse 'which sources cluster together' signal mixture
+    and contamination analyses consume, and the deterministic complement
+    to connected components (which over-merges through single bridge
+    edges). Fixed rounds + integer tie-break = exact replay on any
+    engine; the oracle unrolls each round. Per-round cost is one
+    key-partitioned edge x label join plus |V|-bounded aggregates — no
+    windows, no global sorts; see graph.label_propagation."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    base = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).cast("long").alias("src"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    edges = base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return graph.label_propagation(edges, iters=3)
+
+
 # Fixed BPE merge table for bpe_token_stats: the 12 merges
 # text.bpe_train(documents@sf0.001, num_merges=12) learns (deterministic
 # argmax with (count desc, pair asc) ties; re-derivable any time). The
@@ -7373,11 +7431,14 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     graph_reachability_bfs, new this round with no driver rows, take
 #     the other three slots — new queries outrank a repeat
 #     confirmation).
-# ARITHMETIC, stated plainly this time: 15 + 3 + 6 + 50 = 74 candidates
-# for 50 slots, so TWENTY-FOUR r3-latest queries stay r3 after this round —
+# ARITHMETIC, stated plainly this time: 16 + 3 + 6 + 50 = 75 candidates
+# for 50 slots, so TWENTY-FIVE r3-latest queries stay r3 after this round —
 # named here, each with its alternate evidence (every one is ALSO
 # hash-checked against its oracle at sf0.001 by
 # tests/test_oracle_parity.py on every pytest run):
+#   q11_important_parts (rotated out mid-round for the LPA slot;
+#     agg+HAVING-over-subquery family pinned by in-window
+#     q16_supplier_cnt / q2_min_cost_supplier),
 #   word_count (entry() driver smoke every round; bench),
 #   literal_source_wordcount (same wordcount kernel, in-window via
 #     word-count staples; test_stream_api),
@@ -7443,6 +7504,7 @@ _CHECK_FIRST = [
     "k_anonymity_events",        # new in round 6 (privacy audit)
     "ema_daily_user_spend",      # new in round 6 (keyed EMA recurrence)
     "cusum_user_activity",       # new in round 6 (CUSUM drift detector)
+    "label_propagation_communities",  # new in round 6 (LPA communities)
     # (b) changed in round 6
     "ann_lsh_topk",
     "fuzzy_name_pairs",
@@ -7454,7 +7516,7 @@ _CHECK_FIRST = [
     "q1_pricing_summary",
     "quality_score",
     "top_customers_per_nation",
-    # (d) round-3-stale (26 of 50; the 24 left out are named above)
+    # (d) round-3-stale (25 of 50; the 25 left out are named above)
     # approx_distinct_users rotated out mid-round for the BPE slot: the
     # HLL-sketch family is pinned by r5-green hll_distinct_users plus
     # the sf0.001 oracle hash-check every pytest run.
@@ -7483,7 +7545,10 @@ _CHECK_FIRST = [
     # mid-round for the recurrence slots: map functions keep the
     # sf0.001 oracle check per run; the train manifest keeps its plan
     # assertion (tests/test_plans.py:161) + per-run oracle check.
-    "q11_important_parts",
+    # q11_important_parts rotated out mid-round for the LPA slot: the
+    # agg+HAVING-over-subquery family stays pinned by in-window
+    # q16_supplier_cnt / q2_min_cost_supplier + the sf0.001 oracle
+    # hash-check every pytest run.
     "q12_ship_priority_class",
     "q13_custdist",
     "q14_promo_revenue",

@@ -889,3 +889,40 @@ def test_mmr_kernels_agree_on_ragged_and_zero_vectors(spark):
     assert jvm == arrow
     picked = {vid for _, vid, _ in jvm}
     assert picked == {0, 4, 5}  # only the well-formed vectors
+
+
+def test_label_propagation_matches_python_reference(spark):
+    """graph.label_propagation vs a transliterated pure-Python
+    synchronous LPA (most-frequent neighbour label, ties -> min) on two
+    triangles joined by one bridge edge — the shape where LPA keeps two
+    communities while connected components over-merges to one."""
+    from ssp_spark.operators import graph
+
+    und = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    sym = und + [(b, a) for a, b in und]
+
+    adj: dict[int, list[int]] = {}
+    for a, b in sym:
+        adj.setdefault(a, []).append(b)
+    labels = {n: n for n in adj}
+    for _ in range(3):
+        nxt = {}
+        for n, nbrs in adj.items():
+            freq: dict[int, int] = {}
+            for m in nbrs:
+                freq[labels[m]] = freq.get(labels[m], 0) + 1
+            nxt[n] = min(l for l, c in freq.items() if c == max(freq.values()))
+        labels = nxt
+    sizes: dict[int, int] = {}
+    for l in labels.values():
+        sizes[l] = sizes.get(l, 0) + 1
+    expect = sorted((n, l, sizes[l]) for n, l in labels.items())
+
+    e = spark.createDataFrame(sym, "src long, dst long")
+    got = sorted(
+        (r.node, r.community, r.community_size)
+        for r in graph.label_propagation(e, iters=3).collect()
+    )
+    assert got == expect
+    # and the two triangles stay distinct communities
+    assert len({l for _, l, _ in got}) >= 2
