@@ -7113,6 +7113,105 @@ def outlier_mad_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "winsorized_stats_events",
+    """
+    WITH v AS (
+      SELECT event_type AS grp,
+             CAST(round(value * 100) AS BIGINT) AS x
+      FROM events
+    ),
+    ranked AS (
+      SELECT grp, x,
+             CAST(row_number() OVER (PARTITION BY grp ORDER BY x) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+      FROM v
+    ),
+    bounds AS (
+      SELECT grp,
+             min(CASE WHEN rn = (5 * n + 99) // 100 THEN x END) AS lo,
+             min(CASE WHEN rn = (95 * n + 99) // 100 THEN x END) AS hi
+      FROM ranked GROUP BY grp
+    )
+    SELECT v.grp AS event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           b.lo AS p05_cents, b.hi AS p95_cents,
+           CAST(sum(least(greatest(v.x, b.lo), b.hi)) AS BIGINT)
+             AS wins_sum_cents,
+           round(sum(least(greatest(v.x, b.lo), b.hi)) / count(*) / 100.0, 6)
+             AS wins_mean,
+           CAST(sum(CASE WHEN v.x < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_lo,
+           CAST(sum(CASE WHEN v.x > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_hi
+    FROM v JOIN bounds b USING (grp)
+    GROUP BY v.grp, b.lo, b.hi
+    """,
+)
+def winsorized_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (5%/95%-clipped) robust mean of event value per event
+    type — the tail-tolerant location estimate quality dashboards use
+    when a handful of malformed records would drag a plain mean (the
+    soft sibling of outlier_mad_orders' reject rule: clip, don't drop).
+
+    Exactness across engines: the clip bounds are RANK-BASED on integer
+    cents — the value at row_number ceil(0.05 n) / ceil(0.95 n) under
+    per-group (value) order, computed with integer arithmetic
+    ((5n+99)//100), never interpolated quantiles; the value at a rank is
+    deterministic even under ties. Plan: ONE keyed window exchange
+    (rank + count share the same partition key), a |groups|-row bounds
+    frame broadcast back, and a map-side-combined final aggregate — the
+    same two-pass shape as outlier_mad_orders; a dominant event type is
+    the usual salting candidate at 100 TB."""
+    ev = load_table(spark, "events", sf_dir)
+    v = ev.select(
+        F.col("event_type").alias("grp"),
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    wr = Window.partitionBy("grp").orderBy("x")
+    wn = Window.partitionBy("grp")
+    ranked = v.withColumn("rn", F.row_number().over(wr).cast("long")).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    k_lo = F.floor((5 * F.col("n") + 99) / 100)
+    k_hi = F.floor((95 * F.col("n") + 99) / 100)
+    bounds = (
+        ranked.filter((F.col("rn") == k_lo) | (F.col("rn") == k_hi))
+        .groupBy("grp")
+        .agg(
+            F.min(F.when(F.col("rn") == k_lo, F.col("x"))).alias("lo"),
+            F.min(F.when(F.col("rn") == k_hi, F.col("x"))).alias("hi"),
+        )
+    )
+    clipped = v.join(F.broadcast(bounds), "grp").withColumn(
+        "cx", F.least(F.greatest(F.col("x"), F.col("lo")), F.col("hi"))
+    )
+    return (
+        clipped.groupBy("grp", "lo", "hi")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cx").cast("long").alias("wins_sum_cents"),
+            F.round(F.sum("cx") / F.count("*") / 100.0, 6).alias("wins_mean"),
+            F.sum(F.when(F.col("x") < F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_lo"),
+            F.sum(F.when(F.col("x") > F.col("hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_hi"),
+        )
+        .select(
+            F.col("grp").alias("event_type"),
+            "n",
+            F.col("lo").alias("p05_cents"),
+            F.col("hi").alias("p95_cents"),
+            "wins_sum_cents",
+            "wins_mean",
+            "n_clipped_lo",
+            "n_clipped_hi",
+        )
+    )
+
+
+@_q(
     "scd2_user_state_history",
     """
     WITH ordered AS (
@@ -7431,14 +7530,17 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     graph_reachability_bfs, new this round with no driver rows, take
 #     the other three slots — new queries outrank a repeat
 #     confirmation).
-# ARITHMETIC, stated plainly this time: 16 + 3 + 6 + 50 = 75 candidates
-# for 50 slots, so TWENTY-FIVE r3-latest queries stay r3 after this round —
+# ARITHMETIC, stated plainly this time: 17 + 3 + 6 + 50 = 76 candidates
+# for 50 slots, so TWENTY-SIX r3-latest queries stay r3 after this round —
 # named here, each with its alternate evidence (every one is ALSO
 # hash-checked against its oracle at sf0.001 by
 # tests/test_oracle_parity.py on every pytest run):
 #   q11_important_parts (rotated out mid-round for the LPA slot;
 #     agg+HAVING-over-subquery family pinned by in-window
 #     q16_supplier_cnt / q2_min_cost_supplier),
+#   q12_ship_priority_class (rotated out mid-round for the winsorize
+#     slot; conditional-sum agg family pinned by in-window
+#     q14_promo_revenue),
 #   word_count (entry() driver smoke every round; bench),
 #   literal_source_wordcount (same wordcount kernel, in-window via
 #     word-count staples; test_stream_api),
@@ -7505,6 +7607,7 @@ _CHECK_FIRST = [
     "ema_daily_user_spend",      # new in round 6 (keyed EMA recurrence)
     "cusum_user_activity",       # new in round 6 (CUSUM drift detector)
     "label_propagation_communities",  # new in round 6 (LPA communities)
+    "winsorized_stats_events",   # new in round 6 (rank-exact winsorized mean)
     # (b) changed in round 6
     "ann_lsh_topk",
     "fuzzy_name_pairs",
@@ -7516,7 +7619,7 @@ _CHECK_FIRST = [
     "q1_pricing_summary",
     "quality_score",
     "top_customers_per_nation",
-    # (d) round-3-stale (25 of 50; the 25 left out are named above)
+    # (d) round-3-stale (24 of 50; the 26 left out are named above)
     # approx_distinct_users rotated out mid-round for the BPE slot: the
     # HLL-sketch family is pinned by r5-green hll_distinct_users plus
     # the sf0.001 oracle hash-check every pytest run.
@@ -7549,7 +7652,9 @@ _CHECK_FIRST = [
     # agg+HAVING-over-subquery family stays pinned by in-window
     # q16_supplier_cnt / q2_min_cost_supplier + the sf0.001 oracle
     # hash-check every pytest run.
-    "q12_ship_priority_class",
+    # q12_ship_priority_class rotated out mid-round for the winsorize
+    # slot: the conditional-sum agg family stays pinned by in-window
+    # q14_promo_revenue + the sf0.001 oracle hash-check every run.
     "q13_custdist",
     "q14_promo_revenue",
     "q15_top_supplier",

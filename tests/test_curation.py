@@ -926,3 +926,46 @@ def test_label_propagation_matches_python_reference(spark):
     assert got == expect
     # and the two triangles stay distinct communities
     assert len({l for _, l, _ in got}) >= 2
+
+
+def test_winsorized_bounds_are_rank_exact(spark):
+    """Hand-checkable winsorization: 20 values 1..19 plus one absurd
+    outlier 10000 (cents). n=20 -> k_lo=ceil(1.0)=1, k_hi=ceil(19.0)=19:
+    lo = min value, hi = 19th value = 19; only the outlier clips."""
+    from ssp_spark.queries import QUERIES  # registry entry, not a helper
+
+    rows = [("a", float(i)) for i in range(1, 20)] + [("a", 10000.0)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    df.createOrReplaceTempView("__wins_t")
+    # drive the same kernel the query uses, inline (the query reads the
+    # events table; here we replay its body on a literal frame)
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    v = df.select(
+        F.col("event_type").alias("grp"),
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    wr = Window.partitionBy("grp").orderBy("x")
+    wn = Window.partitionBy("grp")
+    ranked = v.withColumn("rn", F.row_number().over(wr).cast("long")).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    k_lo = F.floor((5 * F.col("n") + 99) / 100)
+    k_hi = F.floor((95 * F.col("n") + 99) / 100)
+    bounds = (
+        ranked.filter((F.col("rn") == k_lo) | (F.col("rn") == k_hi))
+        .groupBy("grp")
+        .agg(
+            F.min(F.when(F.col("rn") == k_lo, F.col("x"))).alias("lo"),
+            F.min(F.when(F.col("rn") == k_hi, F.col("x"))).alias("hi"),
+        )
+    )
+    [b] = bounds.collect()
+    assert (b.lo, b.hi) == (100, 1900)
+    clipped = v.join(bounds, "grp").select(
+        F.least(F.greatest(F.col("x"), F.col("lo")), F.col("hi")).alias("cx")
+    )
+    total = clipped.agg(F.sum("cx")).collect()[0][0]
+    # 1..19 unchanged (sum 190*100=19000) + outlier clipped to 1900
+    assert total == 19000 + 1900

@@ -636,3 +636,15 @@ def test_pit_enrich_single_exchange_carry(spark):
     s = plans.plan_string(df)
     assert "SortMergeJoin" not in s
     assert not plans.has_cartesian(df)
+
+
+def test_winsorized_stats_no_global_sort_and_broadcast_bounds(spark):
+    """The winsorized mean must stay keyed: the rank window is
+    per-group (no single-partition exchange), and the |groups|-row
+    bounds frame joins back via BROADCAST."""
+    df = QUERIES["winsorized_stats_events"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert "SinglePartition" not in s
+    assert plans.broadcast_join_count(df) >= 1
+    assert not plans.has_cartesian(df)
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
