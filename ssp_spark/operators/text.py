@@ -529,3 +529,40 @@ def bpe_encode(
     words = F.expr(f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)")
     toks = F.flatten(F.transform(words, lambda w: _bpe_word_expr(w, merges)))
     return df.withColumn(out_col, toks)
+
+
+def char_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_chars, n_distinct_chars, entropy_bits) — per-document
+    Shannon entropy over the character distribution, the classic cheap
+    gibberish / boilerplate / encoding-junk screen (natural English
+    sits ~4.0-4.3 bits; runs of one char or base64 blobs stand out at
+    the extremes).
+
+    Exactness: H = log2(n) - (Σ c·log2 c)/n over INTEGER char counts —
+    each term is one log2 of an integer, so engines differ only in
+    float summation order; rounded to 6 dp. Computed fully JVM-side:
+    explode(split) -> two map-side-combined aggregates keyed by doc;
+    shuffle volume is |docs| x |alphabet| (counts, never raw chars) —
+    at 100 TB that is the same |docs|-bounded exchange class as
+    quality_score. Empty documents produce no rows (documented: Spark
+    splits '' to [], DuckDB to ['']; the ch <> '' filter aligns both).
+    ASCII corpora only in the oracle contract: Spark splits UTF-16 code
+    units, DuckDB codepoints — astral-plane chars would count twice on
+    the Spark side.
+    """
+    chars = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy(id_col, "ch").agg(F.count("*").alias("c"))
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_chars"),
+            F.count("*").cast("long").alias("n_distinct_chars"),
+            F.round(
+                F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c"), 6
+            ).alias("entropy_bits"),
+        )
+    )

@@ -951,6 +951,34 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "char_entropy_docs",
+    """
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, ch, count(*) AS c FROM chars WHERE ch <> '' GROUP BY 1, 2
+    )
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+           CAST(count(*) AS BIGINT) AS n_distinct_chars,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy_bits
+    FROM counts GROUP BY doc_id
+    """,
+)
+def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution Shannon entropy — the cheap
+    gibberish / base64-blob / boilerplate screen that complements
+    quality_score's token ratios and quality_repetition_filter's n-gram
+    stats. Fully JVM-side (explode + two map-side-combined keyed
+    aggregates; shuffle carries |doc| x |alphabet| COUNT rows, never
+    raw characters); entropy terms are log2 of integers, so engines
+    differ only in summation order under the 6 dp round. See
+    text.char_entropy for the empty-doc and ASCII contract."""
+    docs = load_table(spark, "documents", sf_dir)
+    return text.char_entropy(docs)
+
+
+@_q(
     "token_count",
     r"""
     SELECT doc_id,
@@ -7530,8 +7558,8 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     graph_reachability_bfs, new this round with no driver rows, take
 #     the other three slots — new queries outrank a repeat
 #     confirmation).
-# ARITHMETIC, stated plainly this time: 17 + 3 + 6 + 50 = 76 candidates
-# for 50 slots, so TWENTY-SIX r3-latest queries stay r3 after this round —
+# ARITHMETIC, stated plainly this time: 18 + 3 + 6 + 50 = 77 candidates
+# for 50 slots, so TWENTY-SEVEN r3-latest queries stay r3 after this round —
 # named here, each with its alternate evidence (every one is ALSO
 # hash-checked against its oracle at sf0.001 by
 # tests/test_oracle_parity.py on every pytest run):
@@ -7541,6 +7569,9 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   q12_ship_priority_class (rotated out mid-round for the winsorize
 #     slot; conditional-sum agg family pinned by in-window
 #     q14_promo_revenue),
+#   q13_custdist (rotated out mid-round for the char-entropy slot;
+#     outer-join count-distribution family pinned by r5-green
+#     left_join_customer_order_counts),
 #   word_count (entry() driver smoke every round; bench),
 #   literal_source_wordcount (same wordcount kernel, in-window via
 #     word-count staples; test_stream_api),
@@ -7608,6 +7639,7 @@ _CHECK_FIRST = [
     "cusum_user_activity",       # new in round 6 (CUSUM drift detector)
     "label_propagation_communities",  # new in round 6 (LPA communities)
     "winsorized_stats_events",   # new in round 6 (rank-exact winsorized mean)
+    "char_entropy_docs",         # new in round 6 (char-entropy quality screen)
     # (b) changed in round 6
     "ann_lsh_topk",
     "fuzzy_name_pairs",
@@ -7619,7 +7651,7 @@ _CHECK_FIRST = [
     "q1_pricing_summary",
     "quality_score",
     "top_customers_per_nation",
-    # (d) round-3-stale (24 of 50; the 26 left out are named above)
+    # (d) round-3-stale (23 of 50; the 27 left out are named above)
     # approx_distinct_users rotated out mid-round for the BPE slot: the
     # HLL-sketch family is pinned by r5-green hll_distinct_users plus
     # the sf0.001 oracle hash-check every pytest run.
@@ -7655,7 +7687,9 @@ _CHECK_FIRST = [
     # q12_ship_priority_class rotated out mid-round for the winsorize
     # slot: the conditional-sum agg family stays pinned by in-window
     # q14_promo_revenue + the sf0.001 oracle hash-check every run.
-    "q13_custdist",
+    # q13_custdist rotated out mid-round for the char-entropy slot: the
+    # outer-join + count-distribution family stays pinned by r5-green
+    # left_join_customer_order_counts + the sf0.001 oracle check per run.
     "q14_promo_revenue",
     "q15_top_supplier",
     "q16_supplier_cnt",

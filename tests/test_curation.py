@@ -969,3 +969,20 @@ def test_winsorized_bounds_are_rank_exact(spark):
     total = clipped.agg(F.sum("cx")).collect()[0][0]
     # 1..19 unchanged (sum 190*100=19000) + outlier clipped to 1900
     assert total == 19000 + 1900
+
+
+def test_char_entropy_known_values(spark):
+    """Entropy closed forms: uniform-1 char -> 0 bits, uniform-2 ->
+    1 bit, uniform-4 -> 2 bits; empty text yields NO row (documented
+    contract); plan stays JVM-side."""
+    from ssp_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = T.char_entropy(df)
+    got = {r.doc_id: (r.n_chars, r.n_distinct_chars, r.entropy_bits) for r in out.collect()}
+    assert got == {1: (4, 1, 0.0), 2: (4, 2, 1.0), 3: (4, 4, 2.0)}
+    s = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s

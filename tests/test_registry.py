@@ -32,6 +32,7 @@ _R6_NEVER_CHECKED = {
     "cusum_user_activity",         # new in round 6 (CUSUM drift detector)
     "label_propagation_communities",  # new in round 6 (LPA communities)
     "winsorized_stats_events",     # new in round 6 (rank-exact winsorized mean)
+    "char_entropy_docs",           # new in round 6 (char-entropy quality screen)
 }
 
 # Round 6 group (b): implementation-changed this round.
@@ -51,12 +52,11 @@ _R6_R2_STALE = {
     "top_customers_per_nation",
 }
 
-# Round 6 group (d): 24 of the 50 round-3-latest queries. The 26 left
+# Round 6 group (d): 23 of the 50 round-3-latest queries. The 27 left
 # out (and each one's alternate evidence) are named in the queries.py
 # rotation comment; all are oracle-hash-checked at sf0.001 by
 # test_oracle_parity on every pytest run.
 _R6_R3_ROTATED = {
-    "q13_custdist",
     "q14_promo_revenue", "q15_top_supplier", "q16_supplier_cnt",
     "q17_small_qty_revenue", "q19_disjunctive_revenue",
     "q20_qty_suppliers", "q21_waiting_supplier",
