@@ -230,3 +230,80 @@ def project_expr(vec_col: str, component: list[float]) -> F.Column:
     lit = F.array(*[F.lit(float(x)) for x in component])
     prods = F.zip_with(F.col(vec_col), lit, lambda a, b: a.cast("double") * b)
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def rp_coefficients(k: int, dims: int, tag: str = "rp") -> list[list[int]]:
+    """The k x dims sparse sign-projection matrix, derived from the
+    md5-portable hash family (functions.portable_hash64's md5-hex
+    profile): coef(j, d) = +1 / -1 / 0 as md5('{tag}|j|d')'s 60-bit
+    prefix mod 6 lands on 0 / 1 / rest — Achlioptas' sqrt(3)-sparse
+    distribution (2/3 zeros), so each projected dim touches ~dims/3
+    inputs. Pure Python, deterministic, replayable cell-for-cell in
+    ANSI SQL; the matrix is k x dims literals riding the plan (no
+    broadcast join)."""
+    import hashlib
+
+    out = []
+    for j in range(k):
+        row = []
+        for d in range(dims):
+            h = int(
+                hashlib.md5(f"{tag}|{j}|{d}".encode()).hexdigest()[:15], 16
+            ) % 6
+            row.append(1 if h == 0 else (-1 if h == 1 else 0))
+        out.append(row)
+    return out
+
+
+def random_project(
+    df: DataFrame,
+    k: int = 16,
+    dims: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """(id, proj) — Johnson-Lindenstrauss sparse random projection of a
+    ``dims``-dim embedding down to ``k`` integer coordinates (micro
+    units): proj[j] = Σ_d coef(j,d) · floor(x_d · scale + 0.5).
+
+    Exact by construction: inputs are quantized to BIGINT micro-units
+    FIRST, coefficients are ±1/0, so every projected coordinate is an
+    exact integer sum — order-independent, partition-independent,
+    bit-identical on any engine (the linalg moment-quantization
+    contract). Zero shuffles, zero Python crossings: the coefficient
+    matrix is literals, each output dim one zip_with/aggregate fold in
+    whole-stage codegen — a pure corpus-scan projection at 100 TB, the
+    standard cheap pre-clustering / pre-ANN dimensionality cut.
+
+    Contract: rows where len(vec) != dims are EXCLUDED (the
+    ann_lsh_topk ragged-vector rule). Overflow bound: dims · scale ·
+    |x|_max must stay far under 2^63 — at unit-ish embeddings and
+    micro-unit scale that is ~1e8 headroom per coordinate.
+    """
+    coefs = rp_coefficients(k, dims)
+    # floor(x·scale + 0.5), NOT round(): pure IEEE arithmetic, identical
+    # on every engine — Spark's HALF_UP-on-decimal round and DuckDB's
+    # differ by 1 near .5 boundaries (the quantize_int8 lesson).
+    q = F.transform(
+        F.col(vec_col), lambda x: F.floor(x * scale + F.lit(0.5)).cast("long")
+    )
+    projs = [
+        F.aggregate(
+            F.zip_with(
+                q,
+                F.array(*[F.lit(c).cast("long") for c in coefs[j]]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias(f"p{j}")
+        for j in range(k)
+    ]
+    return (
+        df.filter(F.size(vec_col) == dims)
+        .select(F.col(id_col), *projs)
+        .select(
+            id_col, F.array(*[F.col(f"p{j}") for j in range(k)]).alias("proj")
+        )
+    )

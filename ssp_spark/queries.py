@@ -4656,6 +4656,46 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "embedding_random_projection",
+    """
+    WITH cells AS (
+      SELECT e.vec_id, s.j, d.d,
+             CASE (('0x' || substr(md5('rp|' || CAST(s.j AS VARCHAR) || '|'
+                                   || CAST(d.d AS VARCHAR)), 1, 15))::BIGINT % 6)
+               WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END
+             * CAST(floor(CAST(e.embedding[d.d + 1] AS DOUBLE) * 1000000 + 0.5)
+                    AS BIGINT) AS t
+      FROM embeddings e, generate_series(0, 15) s(j), generate_series(0, 63) d(d)
+      WHERE len(e.embedding) = 64
+    ),
+    sums AS (SELECT vec_id, j, CAST(sum(t) AS BIGINT) AS y
+             FROM cells GROUP BY 1, 2)
+    SELECT vec_id,
+           string_agg(CAST(y AS VARCHAR), ',' ORDER BY j) AS proj_str
+    FROM sums GROUP BY vec_id
+    """,
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sparse random projection 64 -> 16 dims
+    (Achlioptas ±1/0 signs from the md5-portable hash family, inputs
+    quantized to micro-units) — the standard cheap dimensionality cut
+    before clustering / ANN bucketing. Every projected coordinate is an
+    exact integer sum of literal-coefficient products: zero shuffles,
+    zero Python, bit-identical on any engine; the oracle rebuilds the
+    coefficient matrix cell-for-cell from the same md5 prefix. Exported
+    comma-joined (the quantize_int8 list-cell convention). See
+    linalg.random_project."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = linalg.random_project(emb, k=16, dims=64)
+    return out.select(
+        "vec_id",
+        F.array_join(F.transform("proj", lambda x: x.cast("string")), ",").alias(
+            "proj_str"
+        ),
+    )
+
+
+@_q(
     "skew_key_stats",
     """
     WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
@@ -7558,8 +7598,8 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     graph_reachability_bfs, new this round with no driver rows, take
 #     the other three slots — new queries outrank a repeat
 #     confirmation).
-# ARITHMETIC, stated plainly this time: 18 + 3 + 6 + 50 = 77 candidates
-# for 50 slots, so TWENTY-SEVEN r3-latest queries stay r3 after this round —
+# ARITHMETIC, stated plainly this time: 19 + 3 + 6 + 50 = 78 candidates
+# for 50 slots, so TWENTY-EIGHT r3-latest queries stay r3 after this round —
 # named here, each with its alternate evidence (every one is ALSO
 # hash-checked against its oracle at sf0.001 by
 # tests/test_oracle_parity.py on every pytest run):
@@ -7572,6 +7612,9 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   q13_custdist (rotated out mid-round for the char-entropy slot;
 #     outer-join count-distribution family pinned by r5-green
 #     left_join_customer_order_counts),
+#   q15_top_supplier (rotated out mid-round for the random-projection
+#     slot; view + scalar-max-subquery family pinned by in-window
+#     q17_small_qty_revenue / q2_min_cost_supplier),
 #   word_count (entry() driver smoke every round; bench),
 #   literal_source_wordcount (same wordcount kernel, in-window via
 #     word-count staples; test_stream_api),
@@ -7640,6 +7683,7 @@ _CHECK_FIRST = [
     "label_propagation_communities",  # new in round 6 (LPA communities)
     "winsorized_stats_events",   # new in round 6 (rank-exact winsorized mean)
     "char_entropy_docs",         # new in round 6 (char-entropy quality screen)
+    "embedding_random_projection",  # new in round 6 (JL sparse projection)
     # (b) changed in round 6
     "ann_lsh_topk",
     "fuzzy_name_pairs",
@@ -7651,7 +7695,7 @@ _CHECK_FIRST = [
     "q1_pricing_summary",
     "quality_score",
     "top_customers_per_nation",
-    # (d) round-3-stale (23 of 50; the 27 left out are named above)
+    # (d) round-3-stale (22 of 50; the 28 left out are named above)
     # approx_distinct_users rotated out mid-round for the BPE slot: the
     # HLL-sketch family is pinned by r5-green hll_distinct_users plus
     # the sf0.001 oracle hash-check every pytest run.
@@ -7691,7 +7735,10 @@ _CHECK_FIRST = [
     # outer-join + count-distribution family stays pinned by r5-green
     # left_join_customer_order_counts + the sf0.001 oracle check per run.
     "q14_promo_revenue",
-    "q15_top_supplier",
+    # q15_top_supplier rotated out mid-round for the random-projection
+    # slot: the view + scalar-max-subquery family stays pinned by
+    # in-window q17_small_qty_revenue / q2_min_cost_supplier + the
+    # sf0.001 oracle hash-check every pytest run.
     "q16_supplier_cnt",
     "q17_small_qty_revenue",
     "q19_disjunctive_revenue",

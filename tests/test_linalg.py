@@ -91,3 +91,38 @@ def test_blas_kernel_moments_bit_identical_to_expression_kernel(spark):
     a2 = {(r.i, r.j): (r.s, r.n) for r in linalg.covariance_moments(df2).collect()}
     b2 = {(r.i, r.j): (r.s, r.n) for r in linalg.covariance_moments_blas(df2).collect()}
     assert a2 == b2 == a
+
+
+def test_random_projection_portable_and_ragged_safe(spark):
+    """rp_coefficients is ±1/0 with the documented md5 derivation; the
+    projection excludes ragged vectors, is an exact integer map, and
+    compiles to a ZERO-exchange, zero-Python plan."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from ssp_spark import plans
+    from ssp_spark.operators import linalg
+
+    coefs = linalg.rp_coefficients(4, 8)
+    assert all(c in (-1, 0, 1) for row in coefs for c in row)
+    h = int(hashlib.md5(b"rp|0|0").hexdigest()[:15], 16) % 6
+    assert coefs[0][0] == (1 if h == 0 else (-1 if h == 1 else 0))
+
+    rows = [
+        (1, [1.0] * 8),
+        (2, [0.5] * 7),          # ragged -> excluded
+        (3, [-0.25] * 8),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = linalg.random_project(df, k=4, dims=8)
+    got = {r.vec_id: list(r.proj) for r in out.collect()}
+    assert set(got) == {1, 3}
+    # exact closed form: proj[j] = rowsum(coefs[j]) * q where q=floor(x*1e6+0.5)
+    for j in range(4):
+        s = sum(coefs[j])
+        assert got[1][j] == s * 1_000_000
+        assert got[3][j] == s * -250_000
+    assert plans.exchange_count(out) == 0
+    ps = plans.plan_string(out)
+    assert "BatchEvalPython" not in ps and "ArrowEvalPython" not in ps
