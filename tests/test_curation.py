@@ -986,3 +986,36 @@ def test_char_entropy_known_values(spark):
     assert got == {1: (4, 1, 0.0), 2: (4, 2, 1.0), 3: (4, 4, 2.0)}
     s = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_inverted_index_postings_tie_breaks_to_min_doc(spark):
+    """df/cf and the deterministic top posting: term 'b' has tf=2 in
+    docs 1 and 2 — the tie must resolve to doc 1 (min id), via the
+    exact integer struct-max, not arg_max's arbitrary pick."""
+    import pyspark.sql.functions as F
+    from ssp_spark.functions import tokens
+
+    docs = spark.createDataFrame(
+        [(1, "a b b"), (2, "b b c"), (3, "c")],
+        "doc_id long, text string",
+    )
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    out = (
+        tf.groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+            F.max(F.struct(F.col("tf"), (-F.col("doc_id")).alias("nd"))).alias("m"),
+        )
+        .select("term", "df", "cf", (-F.col("m.nd")).alias("top_doc"), F.col("m.tf").alias("top_tf"))
+    )
+    got = {r.term: (r.df, r.cf, r.top_doc, r.top_tf) for r in out.collect()}
+    assert got == {
+        "a": (1, 1, 1, 1),
+        "b": (2, 4, 1, 2),   # tie on tf=2 -> min doc 1
+        "c": (2, 2, 2, 1),   # tie on tf=1 -> min doc 2
+    }

@@ -34,6 +34,7 @@ _R6_NEVER_CHECKED = {
     "winsorized_stats_events",     # new in round 6 (rank-exact winsorized mean)
     "char_entropy_docs",           # new in round 6 (char-entropy quality screen)
     "embedding_random_projection",  # new in round 6 (JL sparse projection)
+    "inverted_index_postings",     # new in round 6 (posting-list construction)
 }
 
 # Round 6 group (b): implementation-changed this round.
@@ -53,14 +54,14 @@ _R6_R2_STALE = {
     "top_customers_per_nation",
 }
 
-# Round 6 group (d): 22 of the 50 round-3-latest queries. The 28 left
+# Round 6 group (d): 21 of the 50 round-3-latest queries. The 29 left
 # out (and each one's alternate evidence) are named in the queries.py
 # rotation comment; all are oracle-hash-checked at sf0.001 by
 # test_oracle_parity on every pytest run.
 _R6_R3_ROTATED = {
     "q14_promo_revenue", "q16_supplier_cnt",
     "q17_small_qty_revenue", "q19_disjunctive_revenue",
-    "q20_qty_suppliers", "q21_waiting_supplier",
+    "q20_qty_suppliers",
     "q22_idle_rich_customers", "q2_min_cost_supplier",
     "q4_priority_exists", "q7_nation_volume", "q8_market_share",
     "q9_product_profit", "regexp_funcs",
