@@ -1375,6 +1375,61 @@ def cusum_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "time_decayed_user_spend",
+    """
+    WITH v AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS d
+      FROM events WHERE event_type = 'purchase'
+    ),
+    anchor AS (SELECT max(d) AS a FROM v)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(cents) AS BIGINT) AS raw_cents,
+           sum(cents / CAST(CAST(1 AS BIGINT)
+                 << least((a - d) // 604800, 20) AS DOUBLE)) AS decayed_cents
+    FROM v CROSS JOIN anchor
+    GROUP BY user_id
+    """,
+)
+def time_decayed_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted spend per user: each purchase is worth
+    cents · 2^-weeks_old (half-life one week, anchored at the newest
+    purchase day in the corpus, capped at 2^-20) — the standard decayed
+    popularity / freshness score for recency-weighted sampling and
+    mixture design. EXACT across engines by construction: the weight is
+    a dyadic rational built by integer shift (1 << k), never pow()
+    (libm pow differs across engines), so every term — and the sum, all
+    terms being multiples of 2^-20 well inside double's 53-bit mantissa
+    — is the same IEEE value regardless of summation order or
+    partitioning. Plan: one scan, a 1-row anchor aggregate broadcast
+    back, one map-side-combined groupBy — no windows, no global sort."""
+    ev = load_table(spark, "events", sf_dir)
+    v = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.unix_timestamp(F.date_trunc("day", "ts")).alias("d"),
+    )
+    anchor = v.agg(F.max("d").alias("a"))
+    # pyspark's shiftleft() only takes a literal shift amount, so the
+    # 1 << k dyadic weight is built as a SQL expression column
+    w = F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT),"
+        " CAST(least((a - d) div 604800, 20) AS INT)) AS DOUBLE)"
+    )
+    return (
+        v.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("raw_cents"),
+            F.sum(F.col("cents") / w).alias("decayed_cents"),
+        )
+    )
+
+
 def _sql_mmr(k: int, shortlist: int) -> str:
     """DuckDB replay of MMR selection (similarity.mmr_topk): identical
     int8 unit-quantization, integer dot products, and k greedy argmax
@@ -7656,8 +7711,8 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     graph_reachability_bfs, new this round with no driver rows, take
 #     the other three slots — new queries outrank a repeat
 #     confirmation).
-# ARITHMETIC, stated plainly this time: 20 + 3 + 6 + 50 = 79 candidates
-# for 50 slots, so TWENTY-NINE r3-latest queries stay r3 after this round —
+# ARITHMETIC, stated plainly this time: 21 + 3 + 6 + 50 = 80 candidates
+# for 50 slots, so THIRTY r3-latest queries stay r3 after this round —
 # named here, each with its alternate evidence (every one is ALSO
 # hash-checked against its oracle at sf0.001 by
 # tests/test_oracle_parity.py on every pytest run):
@@ -7676,6 +7731,9 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   q21_waiting_supplier (rotated out mid-round for the inverted-index
 #     slot; exists/anti-join family pinned by in-window
 #     q4_priority_exists + r5-green semi/anti joins),
+#   regexp_funcs (rotated out mid-round for the decayed-spend slot;
+#     regexp kernels exercised inside in-window bpe_token_stats,
+#     source_text_scan and dedup_span_pairs),
 #   word_count (entry() driver smoke every round; bench),
 #   literal_source_wordcount (same wordcount kernel, in-window via
 #     word-count staples; test_stream_api),
@@ -7746,6 +7804,7 @@ _CHECK_FIRST = [
     "char_entropy_docs",         # new in round 6 (char-entropy quality screen)
     "embedding_random_projection",  # new in round 6 (JL sparse projection)
     "inverted_index_postings",   # new in round 6 (posting-list construction)
+    "time_decayed_user_spend",   # new in round 6 (exact dyadic recency decay)
     # (b) changed in round 6
     "ann_lsh_topk",
     "fuzzy_name_pairs",
@@ -7757,7 +7816,7 @@ _CHECK_FIRST = [
     "q1_pricing_summary",
     "quality_score",
     "top_customers_per_nation",
-    # (d) round-3-stale (21 of 50; the 29 left out are named above)
+    # (d) round-3-stale (20 of 50; the 30 left out are named above)
     # approx_distinct_users rotated out mid-round for the BPE slot: the
     # HLL-sketch family is pinned by r5-green hll_distinct_users plus
     # the sf0.001 oracle hash-check every pytest run.
@@ -7815,7 +7874,10 @@ _CHECK_FIRST = [
     "q7_nation_volume",
     "q8_market_share",
     "q9_product_profit",
-    "regexp_funcs",
+    # regexp_funcs rotated out mid-round for the decayed-spend slot:
+    # the regexp kernel family (extract/extract_all/replace/like) is
+    # exercised inside in-window bpe_token_stats, source_text_scan and
+    # dedup_span_pairs + the sf0.001 oracle hash-check every pytest run.
     # right_join_order_priority_mix rotated out mid-round for the
     # span-dedup slot: right-join direction is exercised by the r5-green
     # full/left/semi/anti family plus the sf0.001 oracle check per run.

@@ -1019,3 +1019,46 @@ def test_inverted_index_postings_tie_breaks_to_min_doc(spark):
         "b": (2, 4, 1, 2),   # tie on tf=2 -> min doc 1
         "c": (2, 2, 2, 1),   # tie on tf=1 -> min doc 2
     }
+
+
+def test_time_decayed_weights_are_exact_dyadics(spark):
+    """Closed-form decay: purchases 0/1/25 weeks before the anchor
+    weigh 1, 1/2, and 2^-20 (the cap) exactly; the anchor join is
+    BROADCAST and nothing plans a single-partition exchange."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from ssp_spark import plans
+
+    rows = [
+        (1, "purchase", 100.0, dt.datetime(2026, 7, 1)),
+        (1, "purchase", 100.0, dt.datetime(2026, 6, 24)),   # 1 week old
+        (2, "purchase", 100.0, dt.datetime(2026, 1, 7)),    # 25 weeks -> cap
+        (2, "click", 999.0, dt.datetime(2026, 7, 1)),       # filtered out
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, value double, ts timestamp")
+
+    v = df.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.unix_timestamp(F.date_trunc("day", "ts")).alias("d"),
+    )
+    anchor = v.agg(F.max("d").alias("a"))
+    w = F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT),"
+        " CAST(least((a - d) div 604800, 20) AS INT)) AS DOUBLE)"
+    )
+    out = (
+        v.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(F.sum(F.col("cents") / w).alias("decayed_cents"))
+    )
+    got = {r.user_id: r.decayed_cents for r in out.collect()}
+    assert got[1] == 10000.0 + 5000.0          # 1 + 1/2, exact
+    assert got[2] == 10000.0 / (1 << 20)       # capped at 2^-20, exact
+    # the 1-row anchor rides a BroadcastNestedLoopJoin (no join keys),
+    # never a shuffled cartesian or a single-partition exchange
+    s = plans.plan_string(out)
+    assert "BroadcastNestedLoopJoin" in s
+    assert not plans.has_cartesian(out)

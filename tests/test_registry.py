@@ -35,6 +35,7 @@ _R6_NEVER_CHECKED = {
     "char_entropy_docs",           # new in round 6 (char-entropy quality screen)
     "embedding_random_projection",  # new in round 6 (JL sparse projection)
     "inverted_index_postings",     # new in round 6 (posting-list construction)
+    "time_decayed_user_spend",     # new in round 6 (exact dyadic recency decay)
 }
 
 # Round 6 group (b): implementation-changed this round.
@@ -54,7 +55,7 @@ _R6_R2_STALE = {
     "top_customers_per_nation",
 }
 
-# Round 6 group (d): 21 of the 50 round-3-latest queries. The 29 left
+# Round 6 group (d): 20 of the 50 round-3-latest queries. The 30 left
 # out (and each one's alternate evidence) are named in the queries.py
 # rotation comment; all are oracle-hash-checked at sf0.001 by
 # test_oracle_parity on every pytest run.
@@ -64,7 +65,7 @@ _R6_R3_ROTATED = {
     "q20_qty_suppliers",
     "q22_idle_rich_customers", "q2_min_cost_supplier",
     "q4_priority_exists", "q7_nation_volume", "q8_market_share",
-    "q9_product_profit", "regexp_funcs",
+    "q9_product_profit",
     "sample_split_hash",
     "source_csv_scan", "source_json_scan",
     "stratified_sample_events", "text_normalize_redact",
