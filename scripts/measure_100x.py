@@ -49,6 +49,9 @@ NAMES = [
     "mmr_diverse_topk", "mmr_diverse_topk_arrow",
     "multimodal_resize_decoded", "k_anonymity_events",
     "ema_daily_user_spend", "cusum_user_activity",
+    "label_propagation_communities", "winsorized_stats_events",
+    "char_entropy_docs", "embedding_random_projection",
+    "inverted_index_postings", "time_decayed_user_spend",
 ]
 
 # Re-measure a subset without paying for the whole table:

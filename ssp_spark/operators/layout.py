@@ -141,3 +141,49 @@ def global_order_positions(
         "position",
         (off_map[F.col("__shard")] + F.row_number().over(w) - 1).cast("long"),
     ).drop("__shard")
+
+
+def compaction_plan(
+    df: DataFrame,
+    part_col: str,
+    id_col: str,
+    size_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Small-files compaction planner: group ``part_col``'s items (files /
+    docs) into contiguous ~``target_bytes`` bins in ``id_col`` order —
+    the manifest a lakehouse compactor or shard writer executes (one
+    rewrite task per (partition, bin)). Not in the reference (no storage
+    surface); §6-extension territory alongside range sharding above.
+
+    Bin rule — exclusive-prefix-sum offset binning:
+    ``bin = floor((cumsum_inclusive - size) / target)``, i.e. an item
+    belongs to the bin its START offset falls in. Deterministic and
+    engine-replayable (one window cumsum; no sequential greedy state),
+    and every bin's total is < target + its last item — the same bound a
+    first-fit sequential packer gives on sorted-by-position input.
+
+    Scale: ONE keyed exchange (window partitioned by ``part_col``,
+    ordered by ``id_col``) plus a map-side-combined groupBy on
+    (partition, bin); no global sort, no driver collect. A pathological
+    single giant partition serializes into one task — the documented
+    swap is pre-splitting it with ``global_order_positions`` and binning
+    on the stamped rank, which this operator's bin rule survives
+    unchanged (offsets are what it consumes).
+    """
+    w = Window.partitionBy(part_col).orderBy(id_col)
+    binned = df.select(
+        F.col(part_col),
+        F.col(id_col),
+        F.col(size_col).cast("long").alias("__sz"),
+    ).withColumn(
+        "bin",
+        ((F.sum("__sz").over(w) - F.col("__sz")) / F.lit(target_bytes))
+        .cast("long"),
+    )
+    return binned.groupBy(part_col, "bin").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("__sz").cast("long").alias("bin_bytes"),
+        F.min(id_col).alias("first_id"),
+        F.max(id_col).alias("last_id"),
+    )

@@ -201,6 +201,43 @@ def covariance_matrix(
     )
 
 
+def correlation_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale_bits: int = 13,
+    kernel: str = "expr",
+) -> DataFrame:
+    """(i, j, corr) Pearson correlation of the quantized vectors, upper
+    triangle — cov(i,j) / sqrt(var_i · var_j) assembled from the SAME
+    one-pass exact integer moments as covariance_matrix (cost: the same
+    single bounded shuffle; the corr assembly is arithmetic on the
+    model-sized cov frame, diagonal joined back twice via broadcast).
+
+    Determinism: the covariance values are bit-identical across engines
+    (integer moments, fixed division sequence), and sqrt / divide are
+    IEEE correctly-rounded single ops — so the correlations are
+    bit-identical too, with no rounding needed. Zero-variance
+    dimensions yield NULL (0/0 guarded), same rule both engines. The
+    standard embedding-drift / redundant-feature diagnostic: |corr|
+    near 1 across dims flags a collapsed or duplicated axis."""
+    cov = covariance_matrix(df, vec_col, scale_bits, kernel).localCheckpoint()
+    diag = cov.filter(F.col("i") == F.col("j"))
+    vi = diag.select(F.col("i"), F.col("cov").alias("var_i"))
+    vj = diag.select(F.col("j").alias("j2"), F.col("cov").alias("var_j"))
+    return (
+        cov.join(F.broadcast(vi), "i")
+        .join(F.broadcast(vj), F.col("j") == F.col("j2"))
+        .select(
+            "i",
+            "j",
+            F.when(
+                (F.col("var_i") > 0) & (F.col("var_j") > 0),
+                F.col("cov") / F.sqrt(F.col("var_i") * F.col("var_j")),
+            ).alias("corr"),
+        )
+    )
+
+
 def top_component(cov_rows: list, d: int, iters: int = 50) -> list[float]:
     """Driver-side power iteration on the collected (i, j, cov) upper
     triangle — the model artifact is O(d²), never data-sized. Fixed

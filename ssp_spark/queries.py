@@ -5889,6 +5889,50 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "embedding_correlation",
+    """
+    WITH q AS (
+      SELECT vec_id, CAST(u.i - 1 AS INT) AS i,
+             CAST(floor(embedding[u.i] * 8192.0) AS BIGINT) AS qv
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+    ),
+    f AS (SELECT i, sum(qv) AS s, count(*) AS n FROM q GROUP BY i),
+    p AS (
+      SELECT a.i AS i, b.i AS j, sum(a.qv * b.qv) AS sij
+      FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
+      GROUP BY a.i, b.i
+    ),
+    cov AS (
+      SELECT p.i, p.j,
+             ((CAST(p.sij AS DOUBLE)
+               - CAST(fa.s AS DOUBLE) * CAST(fb.s AS DOUBLE) / CAST(fa.n AS DOUBLE))
+              / CAST(fa.n AS DOUBLE)) / 67108864.0 AS cov
+      FROM p JOIN f fa ON fa.i = p.i JOIN f fb ON fb.i = p.j
+    ),
+    d AS (SELECT i, cov AS var_ FROM cov WHERE i = j)
+    SELECT c.i, c.j,
+           CASE WHEN di.var_ > 0 AND dj.var_ > 0
+                THEN c.cov / sqrt(di.var_ * dj.var_) END AS corr
+    FROM cov c JOIN d di ON di.i = c.i JOIN d dj ON dj.i = c.j
+    """,
+)
+def embedding_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix (upper triangle) of the int13-
+    quantized embeddings — cov / sqrt(var_i · var_j) assembled from the
+    SAME one-pass integer moments as embedding_covariance (no extra
+    data pass; the corr arithmetic runs on the model-sized cov frame
+    with the diagonal broadcast back twice). Bit-deterministic with NO
+    rounding: integer moments fix the cov doubles, and sqrt/divide are
+    IEEE correctly-rounded single ops, so both engines land on the
+    identical float. The redundant-axis / embedding-collapse
+    diagnostic. See linalg.correlation_matrix."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return linalg.correlation_matrix(emb, vec_col="embedding", scale_bits=13)
+
+
+@_q(
     "range_shard_manifest",
     """
     WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
@@ -7805,6 +7849,7 @@ _CHECK_FIRST = [
     "embedding_random_projection",  # new in round 6 (JL sparse projection)
     "inverted_index_postings",   # new in round 6 (posting-list construction)
     "time_decayed_user_spend",   # new in round 6 (exact dyadic recency decay)
+    "embedding_correlation",     # new in round 6 (Pearson corr from moments)
     # (b) changed in round 6
     "ann_lsh_topk",
     "fuzzy_name_pairs",
@@ -7895,7 +7940,10 @@ _CHECK_FIRST = [
     "time_rollup_multigrain",
     "udaf_user_spend",
     "window_frame_funcs",
-    "window_rank_stats",
+    # window_rank_stats rotated out mid-round for the correlation slot:
+    # the rank/dense_rank/ntile kernel family stays pinned by in-window
+    # window_frame_funcs + r5-green window_funcs_showcase /
+    # percentiles_by_flag + the sf0.001 oracle hash-check every run.
 ]
 assert len(_CHECK_FIRST) == 50 and len(set(_CHECK_FIRST)) == 50
 _ORDERED = _CHECK_FIRST + sorted(

@@ -126,3 +126,22 @@ def test_random_projection_portable_and_ragged_safe(spark):
     assert plans.exchange_count(out) == 0
     ps = plans.plan_string(out)
     assert "BatchEvalPython" not in ps and "ArrowEvalPython" not in ps
+
+
+def test_correlation_matrix_closed_forms(spark):
+    """Identical dims correlate 1.0, negated dims -1.0, constant dims
+    NULL (zero variance) — on dyadic values the whole chain is exact."""
+    from ssp_spark.operators import linalg
+
+    rows = [
+        (1, [0.5, 0.5, -0.5, 0.25]),
+        (2, [0.25, 0.25, -0.25, 0.25]),
+        (3, [0.0, 0.0, 0.0, 0.25]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.i, r.j): r.corr for r in linalg.correlation_matrix(df).collect()}
+    assert got[(0, 0)] == 1.0
+    assert got[(0, 1)] == 1.0    # dim1 == dim0
+    assert got[(0, 2)] == -1.0   # dim2 == -dim0 (dyadics: exact floor)
+    assert got[(0, 3)] is None   # constant dim -> zero variance -> NULL
+    assert got[(3, 3)] is None

@@ -36,6 +36,7 @@ _R6_NEVER_CHECKED = {
     "embedding_random_projection",  # new in round 6 (JL sparse projection)
     "inverted_index_postings",     # new in round 6 (posting-list construction)
     "time_decayed_user_spend",     # new in round 6 (exact dyadic recency decay)
+    "embedding_correlation",       # new in round 6 (Pearson corr from moments)
 }
 
 # Round 6 group (b): implementation-changed this round.
@@ -70,7 +71,7 @@ _R6_R3_ROTATED = {
     "source_csv_scan", "source_json_scan",
     "stratified_sample_events", "text_normalize_redact",
     "time_rollup_multigrain", "udaf_user_spend",
-    "window_frame_funcs", "window_rank_stats",
+    "window_frame_funcs",
 }
 
 
