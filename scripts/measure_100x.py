@@ -52,7 +52,7 @@ NAMES = [
     "label_propagation_communities", "winsorized_stats_events",
     "char_entropy_docs", "embedding_random_projection",
     "inverted_index_postings", "time_decayed_user_spend",
-    "embedding_correlation",
+    "embedding_correlation", "compaction_plan_docs",
 ]
 
 # Re-measure a subset without paying for the whole table:

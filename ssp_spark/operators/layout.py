@@ -172,14 +172,15 @@ def compaction_plan(
     unchanged (offsets are what it consumes).
     """
     w = Window.partitionBy(part_col).orderBy(id_col)
-    binned = df.select(
-        F.col(part_col),
-        F.col(id_col),
-        F.col(size_col).cast("long").alias("__sz"),
-    ).withColumn(
-        "bin",
-        ((F.sum("__sz").over(w) - F.col("__sz")) / F.lit(target_bytes))
-        .cast("long"),
+    binned = (
+        df.select(
+            F.col(part_col),
+            F.col(id_col),
+            F.col(size_col).cast("long").alias("__sz"),
+        )
+        .withColumn("__start", F.sum("__sz").over(w) - F.col("__sz"))
+        # integer div, not double /: exact past 2^53 cumulative bytes
+        .withColumn("bin", F.expr(f"__start div {int(target_bytes)}"))
     )
     return binned.groupBy(part_col, "bin").agg(
         F.count("*").cast("long").alias("n_items"),

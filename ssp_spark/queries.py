@@ -5976,6 +5976,40 @@ def range_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "compaction_plan_docs",
+    """
+    WITH s AS (
+      SELECT source, doc_id, n_chars,
+             (sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_chars) // 16384 AS bin
+      FROM documents
+    )
+    SELECT source, CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(n_chars) AS BIGINT) AS bin_bytes,
+           min(doc_id) AS first_id, max(doc_id) AS last_id
+    FROM s GROUP BY source, bin
+    """,
+)
+def compaction_plan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction manifest: pack each source's documents
+    into contiguous ~16 KB bins in doc_id order — one rewrite task per
+    (source, bin), the lakehouse compactor / shard-writer planning step.
+    Bin rule is exclusive-prefix-sum offset binning (an item belongs to
+    the bin its start offset falls in): exact integer arithmetic, no
+    sequential greedy state, so both engines replay it bit-identically.
+    Plan: ONE keyed exchange (per-source window cumsum) + a map-side-
+    combined groupBy; no global sort, no collect. See
+    layout.compaction_plan for the skewed-partition swap."""
+    docs = load_table(spark, "documents", sf_dir)
+    return layout.compaction_plan(
+        docs, part_col="source", id_col="doc_id", size_col="n_chars",
+        target_bytes=16384,
+    )
+
+
+@_q(
     "event_cooccurrence",
     """
     WITH ue AS (SELECT DISTINCT user_id, event_type FROM events),
@@ -7850,6 +7884,7 @@ _CHECK_FIRST = [
     "inverted_index_postings",   # new in round 6 (posting-list construction)
     "time_decayed_user_spend",   # new in round 6 (exact dyadic recency decay)
     "embedding_correlation",     # new in round 6 (Pearson corr from moments)
+    "compaction_plan_docs",      # new in round 6 (offset-binned compaction)
     # (b) changed in round 6
     "ann_lsh_topk",
     "fuzzy_name_pairs",
@@ -7932,7 +7967,10 @@ _CHECK_FIRST = [
     # salted_join_event_spend rotated out mid-round for the BFS slot:
     # its kernel keeps 3 unit tests (tests/test_scale_ops.py:16-34) and
     # the sf0.001 oracle hash-check every pytest run.
-    "sample_split_hash",
+    # sample_split_hash rotated out mid-round for the compaction-plan
+    # slot: the portable-hash split family stays pinned by r4-green
+    # leakage_safe_split + in-window stratified_sample_events + the
+    # sf0.001 oracle hash-check every pytest run.
     "source_csv_scan",
     "source_json_scan",
     "stratified_sample_events",

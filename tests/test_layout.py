@@ -91,3 +91,48 @@ def test_global_order_positions_duplicate_order_values(spark):
         r["doc_id"]: i for i, r in enumerate(df.orderBy("h", "doc_id").collect())
     }
     assert got == want
+
+
+def test_compaction_plan_offset_binning_invariants(spark):
+    """Exclusive-prefix-sum binning: bins are contiguous in id order,
+    and a non-final bin only closes once the byte stream has crossed its
+    offset span — the cumulative end offset through bin b is >=
+    (b+1)*target (items are contiguous, so the next bin's first item
+    starts exactly where bin b ends, and that start is >= (b+1)*target
+    by the bin rule)."""
+    rows = [("a", i, 10 + (i * 37) % 90) for i in range(100)] + [
+        ("b", i, 5000) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, ["src", "fid", "sz"])
+    plan = layout.compaction_plan(df, "src", "fid", "sz", target_bytes=500)
+    got = {(r.src, r.bin): r for r in plan.collect()}
+    for src in ("a", "b"):
+        bins = sorted(b for s, b in got if s == src)
+        assert bins == sorted(bins) and bins[0] == 0
+        cum = 0
+        for b in bins[:-1]:  # non-final bins end past their span
+            cum += got[(src, b)].bin_bytes
+            assert cum >= (b + 1) * 500
+        # id ranges are contiguous and non-overlapping
+        edges = [
+            (got[(src, b)].first_id, got[(src, b)].last_id) for b in bins
+        ]
+        for (f1, l1), (f2, l2) in zip(edges, edges[1:]):
+            assert l1 < f2
+    # oversized single items each get their own bin region
+    assert got[("b", 10)].n_items == 1 and got[("b", 10)].bin_bytes == 5000
+    # total bytes conserved
+    assert sum(r.bin_bytes for r in got.values()) == sum(r[2] for r in rows)
+
+
+def test_compaction_plan_one_exchange_no_global_sort(spark):
+    df = spark.createDataFrame(
+        [("a", i, 100) for i in range(50)], ["src", "fid", "sz"]
+    )
+    plan = layout.compaction_plan(df, "src", "fid", "sz", target_bytes=300)
+    s = plans.plan_string(plan, "simple")
+    # window exchange on src is reused by the (src, bin) aggregate:
+    # hashpartitioning(src) satisfies hashpartitioning(src, bin)? No —
+    # but AQE coalesces; assert no range partitioning and no extra sort
+    assert "rangepartitioning" not in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s

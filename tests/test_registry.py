@@ -37,6 +37,7 @@ _R6_NEVER_CHECKED = {
     "inverted_index_postings",     # new in round 6 (posting-list construction)
     "time_decayed_user_spend",     # new in round 6 (exact dyadic recency decay)
     "embedding_correlation",       # new in round 6 (Pearson corr from moments)
+    "compaction_plan_docs",        # new in round 6 (offset-binned compaction)
 }
 
 # Round 6 group (b): implementation-changed this round.
@@ -67,7 +68,6 @@ _R6_R3_ROTATED = {
     "q22_idle_rich_customers", "q2_min_cost_supplier",
     "q4_priority_exists", "q7_nation_volume", "q8_market_share",
     "q9_product_profit",
-    "sample_split_hash",
     "source_csv_scan", "source_json_scan",
     "stratified_sample_events", "text_normalize_redact",
     "time_rollup_multigrain", "udaf_user_spend",
