@@ -53,6 +53,7 @@ NAMES = [
     "char_entropy_docs", "embedding_random_projection",
     "inverted_index_postings", "time_decayed_user_spend",
     "embedding_correlation", "compaction_plan_docs",
+    "psi_drift_orders", "welch_ttest_segments", "gini_spend_concentration",
 ]
 
 # Re-measure a subset without paying for the whole table:

@@ -7754,6 +7754,254 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "psi_drift_orders",
+    """
+    WITH c AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 2 AS grp
+      FROM orders
+    ),
+    ref AS (SELECT cents FROM c WHERE grp = 0),
+    nref AS (SELECT count(*) AS n FROM ref),
+    ranked AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rk FROM ref),
+    ks AS (SELECT unnest(generate_series(1, 9)) AS k),
+    bounds AS (
+      SELECT k, (SELECT cents FROM ranked, nref
+                 WHERE rk = greatest(1, (nref.n * k) // 10)) AS b
+      FROM ks
+    ),
+    binned AS (
+      SELECT grp,
+             CAST((SELECT count(*) FROM bounds b WHERE b.b < c.cents) AS INT)
+               AS bin
+      FROM c
+    ),
+    cnt AS (
+      SELECT bin,
+             sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n_ref,
+             sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n_cur
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM cnt),
+    terms AS (
+      SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+             round((CAST(n_ref + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE)
+                    - CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE))
+                   * ln((CAST(n_ref + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE))
+                        / (CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE))),
+                   9) AS psi_term
+      FROM cnt, tot
+    )
+    SELECT * FROM terms
+    UNION ALL
+    SELECT -1, sum(n_ref), sum(n_cur), round(sum(psi_term), 9) FROM terms
+    """,
+)
+def psi_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two hash-split halves of the
+    order-value distribution — the standard production drift monitor for
+    a feature/score column (PSI < 0.1 stable, > 0.25 drifted). Reference
+    decile edges come from layout.exact_range_boundaries on the
+    reference half (EXACT multiset ranks — the same engine-replayable
+    definition range_shard_manifest pins), both halves are binned
+    map-side against the 9 broadcast literals, and the PSI terms use
+    add-one smoothing so an empty current bin stays finite. Determinism:
+    counts are exact integers, each term is one fixed double sequence
+    (ln is ~1 ulp across libms, far inside the harness's round-9), and
+    the bin=-1 total row sums 10 rounded terms. Plan: one portable-hash
+    projection, the histogram boundary pass, a zero-shuffle bin stamp,
+    and one 10-row aggregate — no global sort, no data-sized collect."""
+    orders = load_table(spark, "orders", sf_dir)
+    c = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (portable_hash64(F.col("o_orderkey").cast("string")) % 2).alias(
+            "grp"
+        ),
+    )
+    bounds = layout.exact_range_boundaries(
+        c.filter(F.col("grp") == 0), "cents", 10
+    )
+    binned = c.withColumn("bin", layout.shard_expr("cents", bounds))
+    cnt = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n_cur"),
+    )
+    tot = cnt.agg(
+        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
+    )
+    p = (F.col("n_ref") + 1).cast("double") / (F.col("tr") + 10).cast("double")
+    q = (F.col("n_cur") + 1).cast("double") / (F.col("tc") + 10).cast("double")
+    terms = cnt.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.round((p - q) * F.log(p / q), 9).alias("psi_term"),
+    )
+    total = terms.agg(
+        F.lit(-1).cast("int").alias("bin"),
+        F.sum("n_ref").alias("n_ref"),
+        F.sum("n_cur").alias("n_cur"),
+        F.round(F.sum("psi_term"), 9).alias("psi_term"),
+    )
+    return terms.unionByName(total)
+
+
+@_q(
+    "welch_ttest_segments",
+    """
+    WITH j AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    m AS (
+      SELECT segment, count(*) AS n,
+             sum(CAST(cents AS DECIMAL(38,0))) AS s1,
+             sum(CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0)))
+               AS s2
+      FROM j GROUP BY segment
+    ),
+    t AS (SELECT sum(n) AS tn, sum(s1) AS ts1, sum(s2) AS ts2 FROM m)
+    SELECT segment, CAST(n AS BIGINT) AS n,
+           round(CAST(s1 AS DOUBLE) / n / 100.0, 4) AS mean_dollars,
+           round((CAST(s1 AS DOUBLE) / n - CAST(ts1 - s1 AS DOUBLE) / (tn - n))
+                 / sqrt(
+                     ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                         * CAST(s1 AS DOUBLE) / n) / (n - 1)) / n
+                     + ((CAST(ts2 - s2 AS DOUBLE) - CAST(ts1 - s1 AS DOUBLE)
+                         * CAST(ts1 - s1 AS DOUBLE) / (tn - n)) / (tn - n - 1))
+                       / (tn - n)),
+                 6) AS t_stat
+    FROM m, t
+    """,
+)
+def welch_ttest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-statistic for each market segment's
+    order value against the rest of the population — the A/B-test /
+    cohort-difference primitive. One join + one grouped moment pass;
+    the complement's moments are (total - segment), so the 'rest' side
+    costs a 1-row broadcast, not a second scan. Exactness: moments
+    accumulate in DECIMAL(38,0) (cents² sums overflow BIGINT past ~1e4
+    rows at these magnitudes — sf0.01 already would), the exact
+    integers cast to double once, and the t-statistic is a fixed
+    double-op sequence identical in both engines; round(6) absorbs the
+    sub-ulp. Plan: broadcast-joined dim, map-side-combined agg, 1-row
+    total broadcast — no window, no sort."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    j = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(F.col("c_mktsegment").alias("segment"), cents.alias("cents"))
+    dec = F.col("cents").cast("decimal(38,0)")
+    m = j.groupBy("segment").agg(
+        F.count("*").alias("n"),
+        F.sum(dec).alias("s1"),
+        F.sum(dec * dec).alias("s2"),
+    )
+    t = m.agg(
+        F.sum("n").alias("tn"),
+        F.sum("s1").alias("ts1"),
+        F.sum("s2").alias("ts2"),
+    )
+    n, tn = F.col("n"), F.col("tn")
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    rs1d = (F.col("ts1") - F.col("s1")).cast("double")
+    rs2d = (F.col("ts2") - F.col("s2")).cast("double")
+    v_seg = (s2d - s1d * s1d / n) / (n - 1)
+    v_rest = (rs2d - rs1d * rs1d / (tn - n)) / (tn - n - 1)
+    return m.crossJoin(F.broadcast(t)).select(
+        "segment",
+        n.cast("long").alias("n"),
+        F.round(s1d / n / 100.0, 4).alias("mean_dollars"),
+        F.round(
+            (s1d / n - rs1d / (tn - n))
+            / F.sqrt(v_seg / n + v_rest / (tn - n)),
+            6,
+        ).alias("t_stat"),
+    )
+
+
+@_q(
+    "gini_spend_concentration",
+    """
+    WITH u AS (
+      SELECT event_type, user_id,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase' OR event_type = 'view'
+      GROUP BY event_type, user_id
+    ),
+    r AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cents, user_id) AS rk
+      FROM u
+    ),
+    g AS (
+      SELECT event_type, count(*) AS n,
+             sum(CAST(cents AS DECIMAL(38,0))) AS s,
+             sum(CAST(rk AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0)))
+               AS rs
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_users,
+           CAST(s AS BIGINT) AS total_cents,
+           round((2.0 * CAST(rs AS DOUBLE) - CAST(n + 1 AS DOUBLE)
+                  * CAST(s AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)), 9) AS gini
+    FROM g
+    """,
+)
+def gini_spend_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user value concentration for the two
+    monetised event families — the inequality / whale-concentration
+    diagnostic (0 = uniform, ->1 = one user is the corpus). Rank-sum
+    form G = (2·Σ rk·x - (n+1)·Σx) / (n·Σx) with rk = row_number by
+    (cents, user_id): ties broken by id give a deterministic,
+    engine-replayable value that equals the classic formula whenever
+    values are distinct. Exactness: cents and ranks are integers,
+    rk·x accumulates in DECIMAL(38,0) (rank×cents products overflow
+    BIGINT at ~1e9 users), and the final expression is a fixed double
+    sequence. Plan: map-side-combined per-(type,user) rollup, ONE keyed
+    window exchange per event_type (rank), one bounded aggregate — the
+    window never sees more than a type's user count, and the documented
+    100 TB swap is the range-sharded exact rank of
+    layout.global_order_positions, which this formula consumes
+    unchanged."""
+    ev = load_table(spark, "events", sf_dir)
+    u = (
+        ev.filter(F.col("event_type").isin("purchase", "view"))
+        .select(
+            "event_type",
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("c").alias("cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "user_id")
+    r = u.withColumn("rk", F.row_number().over(w))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    g = r.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dec("cents")).alias("s"),
+        F.sum(dec("rk") * dec("cents")).alias("rs"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_users"),
+        F.col("s").cast("long").alias("total_cents"),
+        F.round(
+            (2.0 * F.col("rs").cast("double") - (nd + 1.0) * sd) / (nd * sd),
+            9,
+        ).alias("gini"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering
 # ---------------------------------------------------------------------------
@@ -7885,6 +8133,9 @@ _CHECK_FIRST = [
     "time_decayed_user_spend",   # new in round 6 (exact dyadic recency decay)
     "embedding_correlation",     # new in round 6 (Pearson corr from moments)
     "compaction_plan_docs",      # new in round 6 (offset-binned compaction)
+    "psi_drift_orders",          # new in round 6 (PSI drift monitor)
+    "welch_ttest_segments",      # new in round 6 (Welch t from exact moments)
+    "gini_spend_concentration",  # new in round 6 (rank-sum Gini)
     # (b) changed in round 6
     "ann_lsh_topk",
     "fuzzy_name_pairs",
@@ -7942,8 +8193,12 @@ _CHECK_FIRST = [
     # sf0.001 oracle hash-check every pytest run.
     "q16_supplier_cnt",
     "q17_small_qty_revenue",
-    "q19_disjunctive_revenue",
-    "q20_qty_suppliers",
+    # q19_disjunctive_revenue rotated out mid-round for the PSI slot:
+    # the disjunctive-predicate family keeps its r3 driver row + the
+    # sf0.001 oracle hash-check every pytest run.
+    # q20_qty_suppliers rotated out mid-round for the Welch slot: the
+    # nested-subquery family stays pinned by in-window
+    # q2_min_cost_supplier / q22_idle_rich_customers + per-run oracle.
     # q21_waiting_supplier rotated out mid-round for the inverted-index
     # slot: the exists/anti-join family stays pinned by in-window
     # q4_priority_exists + r5-green semi/anti joins + the sf0.001
@@ -7975,7 +8230,10 @@ _CHECK_FIRST = [
     "source_json_scan",
     "stratified_sample_events",
     "text_normalize_redact",
-    "time_rollup_multigrain",
+    # time_rollup_multigrain rotated out mid-round for the Gini slot:
+    # the multi-grain rollup family stays pinned by r5-green
+    # rollup_order_stats / cube_order_stats / grouping_sets_orders +
+    # the sf0.001 oracle hash-check every pytest run.
     "udaf_user_spend",
     "window_frame_funcs",
     # window_rank_stats rotated out mid-round for the correlation slot:

@@ -38,6 +38,9 @@ _R6_NEVER_CHECKED = {
     "time_decayed_user_spend",     # new in round 6 (exact dyadic recency decay)
     "embedding_correlation",       # new in round 6 (Pearson corr from moments)
     "compaction_plan_docs",        # new in round 6 (offset-binned compaction)
+    "psi_drift_orders",            # new in round 6 (PSI drift monitor)
+    "welch_ttest_segments",        # new in round 6 (Welch t, exact moments)
+    "gini_spend_concentration",    # new in round 6 (rank-sum Gini)
 }
 
 # Round 6 group (b): implementation-changed this round.
@@ -63,14 +66,13 @@ _R6_R2_STALE = {
 # test_oracle_parity on every pytest run.
 _R6_R3_ROTATED = {
     "q14_promo_revenue", "q16_supplier_cnt",
-    "q17_small_qty_revenue", "q19_disjunctive_revenue",
-    "q20_qty_suppliers",
+    "q17_small_qty_revenue",
     "q22_idle_rich_customers", "q2_min_cost_supplier",
     "q4_priority_exists", "q7_nation_volume", "q8_market_share",
     "q9_product_profit",
     "source_csv_scan", "source_json_scan",
     "stratified_sample_events", "text_normalize_redact",
-    "time_rollup_multigrain", "udaf_user_spend",
+    "udaf_user_spend",
     "window_frame_funcs",
 }
 
