@@ -54,6 +54,7 @@ NAMES = [
     "inverted_index_postings", "time_decayed_user_spend",
     "embedding_correlation", "compaction_plan_docs",
     "psi_drift_orders", "welch_ttest_segments", "gini_spend_concentration",
+    "kmv_user_overlap", "running_distinct_users", "event_trigram_topk",
 ]
 
 # Re-measure a subset without paying for the whole table:

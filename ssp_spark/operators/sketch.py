@@ -266,3 +266,107 @@ def bloom_member(
         word = F.element_at(mask, (p / F.lit(64)).cast("int") + 1)
         cond = cond & (F.getbit(word, p % 64) == 1)
     return cond
+
+
+def kmv_signatures(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group KMV (k-minimum-values / bottom-k theta) signature:
+    the k smallest DISTINCT portable 60-bit hashes of ``item_col`` —
+    (group, h, rk) with rk = 1..k ascending. The one sketch family
+    whose set ALGEBRA (union/intersection/Jaccard, kmv_pair_estimates)
+    stays exact-to-the-sketch under merge, which HLL cannot do for
+    intersections.
+
+    Scale: the distinct pass is one map-side-combined shuffle on
+    (group, h); the bottom-k filter compiles to WindowGroupLimit, so
+    every task keeps only its local k smallest before the exchange —
+    the signature leaving each executor is k-bounded. Deterministic by
+    construction (md5-derived hashes, integer order) and replayable in
+    ANSI SQL — the oracle property."""
+    h = portable_hash64(F.col(item_col).cast("string"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy("h")
+    return (
+        df.select(F.col(group_col), h.alias("h"))
+        .distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def kmv_pair_estimates(sigs: DataFrame, group_col: str, k: int = 256) -> DataFrame:
+    """Pairwise distinct-set estimates from KMV signatures: for every
+    unordered group pair, merge the two signatures, keep the k smallest
+    of the union, and read off
+
+    - ``est_union``  = (k'-1) · 2^60 / h_k'   (k' = min(k, |union sig|)),
+      exact when the union sketch isn't full (then it IS the union);
+    - ``est_jaccard`` = |bottom-k'(A ∪ B) ∩ A ∩ B| / k'  (the standard
+      KMV coincidence estimator);
+    - ``est_intersection`` = round(est_jaccard · est_union).
+
+    Cost is sketch-sized end to end: |groups|² · k rows max through the
+    merge window — model data, never corpus data. The pair frame is
+    built from the signatures alone, so at 100 TB this stage runs on a
+    few KB per group regardless of input size."""
+    from pyspark.sql import Window
+
+    a = sigs.select(
+        F.col(group_col).alias("ga"), F.col("h").alias("h")
+    )
+    b = sigs.select(
+        F.col(group_col).alias("gb"), F.col("h").alias("h")
+    )
+    pairs = (
+        a.select("ga").distinct()
+        .join(b.select("gb").distinct(), F.col("ga") < F.col("gb"))
+    )
+    merged = (
+        sigs.withColumnRenamed(group_col, "g")
+        .join(
+            F.broadcast(pairs),
+            (F.col("g") == F.col("ga")) | (F.col("g") == F.col("gb")),
+        )
+        .groupBy("ga", "gb", "h")
+        .agg(
+            F.max(F.when(F.col("g") == F.col("ga"), 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("g") == F.col("gb"), 1).otherwise(0)).alias("in_b"),
+        )
+    )
+    w = Window.partitionBy("ga", "gb").orderBy("h")
+    bottom = merged.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )
+    est_u = F.when(
+        F.col("ku") < F.lit(k),
+        F.col("ku").cast("double"),  # union sketch not full -> exact
+    ).otherwise(
+        (F.col("ku") - 1).cast("double") * F.lit(float(1 << 60)) / F.col("hk")
+    )
+    return (
+        bottom.groupBy("ga", "gb")
+        .agg(
+            F.count("*").alias("ku"),
+            F.max("h").alias("hk"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("both"),
+        )
+        .select(
+            F.col("ga").alias("group_a"),
+            F.col("gb").alias("group_b"),
+            F.col("ku").cast("long").alias("k_used"),
+            F.round(est_u, 4).alias("est_union"),
+            F.round(
+                F.col("both").cast("double") / F.col("ku").cast("double"), 6
+            ).alias("est_jaccard"),
+            F.round(
+                est_u * F.col("both").cast("double")
+                / F.col("ku").cast("double"),
+                4,
+            ).alias("est_intersection"),
+        )
+    )

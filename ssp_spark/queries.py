@@ -8002,6 +8002,174 @@ def gini_spend_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "kmv_user_overlap",
+    """
+    WITH sig AS (
+      SELECT * FROM (
+        SELECT event_type,
+               h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+        FROM (
+          SELECT DISTINCT event_type,
+                 CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) AS h
+          FROM events
+        )
+      ) WHERE rk <= 256
+    ),
+    pairs AS (
+      SELECT a.event_type AS ga, b.event_type AS gb
+      FROM (SELECT DISTINCT event_type FROM sig) a,
+           (SELECT DISTINCT event_type FROM sig) b
+      WHERE a.event_type < b.event_type
+    ),
+    merged AS (
+      SELECT ga, gb, h,
+             max(CASE WHEN event_type = ga THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN event_type = gb THEN 1 ELSE 0 END) AS in_b
+      FROM sig JOIN pairs ON event_type = ga OR event_type = gb
+      GROUP BY ga, gb, h
+    ),
+    bottom AS (
+      SELECT * FROM (
+        SELECT ga, gb, h, in_a, in_b,
+               row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rk
+        FROM merged
+      ) WHERE rk <= 256
+    ),
+    agg AS (
+      SELECT ga, gb, count(*) AS ku, max(h) AS hk,
+             sum(in_a * in_b) AS n_both
+      FROM bottom GROUP BY ga, gb
+    )
+    SELECT ga AS group_a, gb AS group_b, CAST(ku AS BIGINT) AS k_used,
+           round(CASE WHEN ku < 256 THEN CAST(ku AS DOUBLE)
+                      ELSE CAST(ku - 1 AS DOUBLE) * 1152921504606846976.0
+                           / CAST(hk AS DOUBLE) END, 4) AS est_union,
+           round(CAST(n_both AS DOUBLE) / CAST(ku AS DOUBLE), 6) AS est_jaccard,
+           round((CASE WHEN ku < 256 THEN CAST(ku AS DOUBLE)
+                       ELSE CAST(ku - 1 AS DOUBLE) * 1152921504606846976.0
+                            / CAST(hk AS DOUBLE) END)
+                 * CAST(n_both AS DOUBLE) / CAST(ku AS DOUBLE), 4)
+             AS est_intersection
+    FROM agg
+    """,
+)
+def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k theta) sketch audience-overlap estimates between
+    every pair of event types: estimated distinct-user union,
+    intersection, and Jaccard from 256-hash signatures — the sketch
+    family whose set algebra supports INTERSECTIONS exactly-to-the-
+    sketch, which HLL (hll_distinct_users) cannot. The distinct pass is
+    one map-side-combined shuffle; the bottom-k compiles to
+    WindowGroupLimit (each task ships only its local 256 smallest); the
+    pair merge runs on |types|²·k signature rows — model data. Hashes
+    are the md5-portable 60-bit family, so the oracle replays every
+    estimate bit-for-bit (fixed double sequence, round 4/6). See
+    sketch.kmv_signatures / kmv_pair_estimates."""
+    ev = load_table(spark, "events", sf_dir)
+    sigs = _sketch.kmv_signatures(ev, "event_type", "user_id", k=256)
+    return _sketch.kmv_pair_estimates(sigs, "event_type", k=256)
+
+
+@_q(
+    "running_distinct_users",
+    """
+    WITH f AS (
+      SELECT event_type, user_id,
+             min(CAST(epoch(date_trunc('day', ts)) AS BIGINT)) AS first_day
+      FROM events GROUP BY event_type, user_id
+    ),
+    d AS (
+      SELECT event_type, first_day AS day, count(*) AS new_users
+      FROM f GROUP BY event_type, first_day
+    )
+    SELECT event_type, day, CAST(new_users AS BIGINT) AS new_users,
+           CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+    FROM d
+    """,
+)
+def running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per event type by day — the audience-
+    growth curve. COUNT(DISTINCT) OVER a running frame is unsupported
+    (and would be quadratic anyway); the scalable identity is
+    first-seen decomposition: cumulative distinct == cumsum of
+    first-appearance counts. Plan: one (type, user) min-day shuffle
+    (map-side combined), one (type, day) count (map-side combined),
+    and a window cumsum over the per-type DAY SERIES — tens of rows
+    per type, never data-sized. Exact integers throughout."""
+    ev = load_table(spark, "events", sf_dir)
+    f = (
+        ev.select(
+            "event_type",
+            "user_id",
+            F.unix_timestamp(F.date_trunc("day", "ts")).alias("day"),
+        )
+        .groupBy("event_type", "user_id")
+        .agg(F.min("day").alias("first_day"))
+    )
+    d = f.groupBy("event_type", F.col("first_day").alias("day")).agg(
+        F.count("*").cast("long").alias("new_users")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return d.select(
+        "event_type",
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )
+
+
+@_q(
+    "event_trigram_topk",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e1,
+             lead(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e2
+      FROM events
+    ),
+    g AS (
+      SELECT event_type || '>' || e1 || '>' || e2 AS trigram,
+             count(*) AS n
+      FROM s WHERE e1 IS NOT NULL AND e2 IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT trigram, CAST(n AS BIGINT) AS n
+    FROM g ORDER BY n DESC, trigram LIMIT 20
+    """,
+)
+def event_trigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 consecutive event-type trigrams across all user journeys
+    (ordered by ts with event_id tie-break) — the behavioral-sequence
+    mining staple feeding next-action models and funnel design. Plan:
+    ONE keyed window exchange per user (both leads share it), a
+    map-side-combined trigram count whose reduce side is
+    |types|³-bounded (≤ a few hundred rows), and a top-20 on that tiny
+    frame — TakeOrderedAndProject, not a global sort of data. Fully
+    deterministic: integer counts, lexicographic tie on the trigram."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e1"),
+        F.lead("event_type", 2).over(w).alias("e2"),
+    ).filter(F.col("e1").isNotNull() & F.col("e2").isNotNull())
+    g = s.groupBy(
+        F.concat_ws(">", "event_type", "e1", "e2").alias("trigram")
+    ).agg(F.count("*").cast("long").alias("n"))
+    return g.orderBy(F.col("n").desc(), "trigram").limit(20)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering
 # ---------------------------------------------------------------------------
@@ -8136,6 +8304,9 @@ _CHECK_FIRST = [
     "psi_drift_orders",          # new in round 6 (PSI drift monitor)
     "welch_ttest_segments",      # new in round 6 (Welch t from exact moments)
     "gini_spend_concentration",  # new in round 6 (rank-sum Gini)
+    "kmv_user_overlap",          # new in round 6 (KMV theta-sketch algebra)
+    "running_distinct_users",    # new in round 6 (first-seen cumulative distinct)
+    "event_trigram_topk",        # new in round 6 (behavioral trigram mining)
     # (b) changed in round 6
     "ann_lsh_topk",
     "fuzzy_name_pairs",
@@ -8187,11 +8358,19 @@ _CHECK_FIRST = [
     # outer-join + count-distribution family stays pinned by r5-green
     # left_join_customer_order_counts + the sf0.001 oracle check per run.
     "q14_promo_revenue",
+    # q16_supplier_cnt rotated out mid-round for the KMV slot: the
+    # agg+HAVING family stays pinned by in-window q2_min_cost_supplier
+    # and q14_promo_revenue + the sf0.001 oracle check every run.
+    # q8_market_share rotated out mid-round for the cumulative-distinct
+    # slot: the multi-join volume-share family stays pinned by in-window
+    # q7_nation_volume / q9_product_profit + per-run oracle check.
+    # source_json_scan rotated out mid-round for the trigram slot: the
+    # non-parquet scan family stays pinned by in-window source_csv_scan
+    # + r5-green source_text_scan / source_orc_scan + per-run oracle.
     # q15_top_supplier rotated out mid-round for the random-projection
     # slot: the view + scalar-max-subquery family stays pinned by
     # in-window q17_small_qty_revenue / q2_min_cost_supplier + the
     # sf0.001 oracle hash-check every pytest run.
-    "q16_supplier_cnt",
     "q17_small_qty_revenue",
     # q19_disjunctive_revenue rotated out mid-round for the PSI slot:
     # the disjunctive-predicate family keeps its r3 driver row + the
@@ -8207,7 +8386,6 @@ _CHECK_FIRST = [
     "q2_min_cost_supplier",
     "q4_priority_exists",
     "q7_nation_volume",
-    "q8_market_share",
     "q9_product_profit",
     # regexp_funcs rotated out mid-round for the decayed-spend slot:
     # the regexp kernel family (extract/extract_all/replace/like) is
@@ -8227,7 +8405,6 @@ _CHECK_FIRST = [
     # leakage_safe_split + in-window stratified_sample_events + the
     # sf0.001 oracle hash-check every pytest run.
     "source_csv_scan",
-    "source_json_scan",
     "stratified_sample_events",
     "text_normalize_redact",
     # time_rollup_multigrain rotated out mid-round for the Gini slot:

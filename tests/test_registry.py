@@ -41,6 +41,9 @@ _R6_NEVER_CHECKED = {
     "psi_drift_orders",            # new in round 6 (PSI drift monitor)
     "welch_ttest_segments",        # new in round 6 (Welch t, exact moments)
     "gini_spend_concentration",    # new in round 6 (rank-sum Gini)
+    "kmv_user_overlap",            # new in round 6 (KMV theta-sketch algebra)
+    "running_distinct_users",      # new in round 6 (first-seen cum. distinct)
+    "event_trigram_topk",          # new in round 6 (behavioral trigrams)
 }
 
 # Round 6 group (b): implementation-changed this round.
@@ -65,12 +68,12 @@ _R6_R2_STALE = {
 # rotation comment; all are oracle-hash-checked at sf0.001 by
 # test_oracle_parity on every pytest run.
 _R6_R3_ROTATED = {
-    "q14_promo_revenue", "q16_supplier_cnt",
+    "q14_promo_revenue",
     "q17_small_qty_revenue",
     "q22_idle_rich_customers", "q2_min_cost_supplier",
-    "q4_priority_exists", "q7_nation_volume", "q8_market_share",
+    "q4_priority_exists", "q7_nation_volume",
     "q9_product_profit",
-    "source_csv_scan", "source_json_scan",
+    "source_csv_scan",
     "stratified_sample_events", "text_normalize_redact",
     "udaf_user_spend",
     "window_frame_funcs",
