@@ -386,3 +386,50 @@ def sample_ppm_stream_frames(
             )
 
     return df.mapInPandas(fn, schema)
+
+
+AHASH_SCHEMA = "media_id long, ahash long, n_pixels int"
+
+
+def ahash_images(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint over REAL decoded
+    pixels: decode_image -> per-pixel grayscale -> one bit per pixel,
+    set iff the pixel is strictly brighter than the image mean. The
+    classic perceptual-dedup primitive (pHash's simpler sibling):
+    near-identical images — recompressed, slightly filtered — land in
+    the same bucket, so exact-duplicate grouping on the hash is
+    perceptual near-dup detection at 100 TB cost of ONE map-side
+    projection + a groupBy on a 64-bit key.
+
+    Integer-exact and engine-replayable: grayscale is the plain RGB sum
+    (0..765, no luma weights — no float), and the threshold comparison
+    is gray * n_pixels > total_gray (cross-multiplied, no division), so
+    an ANSI oracle reproduces every bit. Bit i is pixel i row-major,
+    packed little-endian into a BIGINT (needs n_pixels <= 63; callers
+    hash thumbnails, which is the aHash contract anyway)."""
+    import numpy as np
+    import pandas as pd
+
+    def one(b: bytes):
+        img = decode_image(b).astype(np.int64)
+        gray = img.sum(axis=2).ravel()  # row-major, 0..765 each
+        n = gray.size
+        total = int(gray.sum())
+        bits = (gray * n) > total
+        h = 0
+        for i in np.nonzero(bits)[0]:
+            h |= 1 << int(i)
+        return h, n
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pairs = pdf[bytes_col].map(one)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "ahash": pairs.map(lambda t: t[0]).astype("int64"),
+                    "n_pixels": pairs.map(lambda t: t[1]).astype("int32"),
+                }
+            )
+
+    return df.mapInPandas(fn, AHASH_SCHEMA)

@@ -8170,6 +8170,186 @@ def event_trigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.orderBy(F.col("n").desc(), "trigram").limit(20)
 
 
+@_q(
+    "image_ahash_buckets",
+    """
+    WITH img AS (
+      SELECT doc_id, substr(text, 1, 48) AS px
+      FROM documents WHERE length(text) >= 48
+    ),
+    g AS (
+      SELECT doc_id, p.p AS p,
+             ascii(substr(px, p.p * 3 + 1, 1))
+             + ascii(substr(px, p.p * 3 + 2, 1))
+             + ascii(substr(px, p.p * 3 + 3, 1)) AS gray
+      FROM img, (SELECT unnest(generate_series(0, 15)) AS p) p
+    ),
+    t AS (
+      SELECT doc_id, p, gray,
+             sum(gray) OVER (PARTITION BY doc_id) AS total
+      FROM g
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN gray * 16 > total
+                           THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT)
+               AS ahash
+      FROM t GROUP BY doc_id
+    )
+    SELECT doc_id, ahash,
+           CAST(count(*) OVER (PARTITION BY ahash) AS BIGINT) AS bucket_n
+    FROM h
+    """,
+)
+def image_ahash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate detection over REAL decoded images:
+    each document's first 48 bytes become a genuine 4x4 P6 PPM (the
+    multimodal_resize_decoded fixture trick), multimodal.ahash_images
+    decodes the pixels with the numpy PPM decoder and emits the
+    average-hash fingerprint (bit i = pixel i strictly brighter than
+    the image mean, integer cross-multiplied — no floats), and docs
+    sharing a fingerprint form perceptual-dup buckets. At 100 TB this
+    is ONE Arrow-batched decode projection + one groupBy on a 64-bit
+    key — the cheapest possible image-dedup pass, with Hamming-banded
+    joins (the simhash machinery) as the documented near-miss upgrade.
+    The oracle rebuilds every bit with ascii(substr()) arithmetic."""
+    from ssp_spark.operators import multimodal as mm
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.length("text") >= 48)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit(b"P6\n4 4\n255\n"),
+                F.encode(F.substring("text", 1, 48), "utf-8"),
+            ).alias("data"),
+        )
+    )
+    h = mm.ahash_images(docs, "doc_id", "data")
+    w = Window.partitionBy("ahash")
+    return h.select(
+        F.col("media_id").alias("doc_id"),
+        "ahash",
+        F.count("*").over(w).cast("long").alias("bucket_n"),
+    )
+
+
+@_q(
+    "exact_percentiles_events",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    hist AS (
+      SELECT event_type, cents, count(*) AS c FROM v GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, cents, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+             sum(c) OVER (PARTITION BY event_type) AS n
+      FROM hist
+    )
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+           min(CASE WHEN cc >= (n * 50 + 99) // 100 THEN cents END) AS p50_cents,
+           min(CASE WHEN cc >= (n * 90 + 99) // 100 THEN cents END) AS p90_cents,
+           min(CASE WHEN cc >= (n * 99 + 99) // 100 THEN cents END) AS p99_cents
+    FROM cum GROUP BY event_type
+    """,
+)
+def exact_percentiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT nearest-rank percentiles (p50/p90/p99) of event value per
+    type WITHOUT a per-row sort: aggregate to the (type, cents)
+    HISTOGRAM first (one map-side-combined shuffle), then run the
+    cumulative window over histogram rows — |distinct values| per type,
+    orders of magnitude below row count at any scale (the
+    range_shard_manifest / winsorize argument). The nearest-rank
+    definition (smallest value whose cumulative count reaches
+    ceil(n·p/100)) is pure integer arithmetic, so both engines agree
+    bit-for-bit — no interpolation semantics to reconcile, the exact
+    complement to the approx_percentile_value sketch query."""
+    ev = load_table(spark, "events", sf_dir)
+    hist = (
+        ev.select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count("*").alias("c"))
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "cents",
+        F.sum("c").over(wc).alias("cc"),
+        F.sum("c").over(wn).alias("n"),
+    )
+
+    def pick(p: int) -> F.Column:
+        r = F.expr(f"(n * {p} + 99) div 100")
+        return F.min(F.when(F.col("cc") >= r, F.col("cents"))).alias(
+            f"p{p}_cents"
+        )
+
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"), pick(50), pick(90), pick(99)
+    )
+
+
+@_q(
+    "lexical_richness",
+    r"""
+    WITH w AS (
+      SELECT source,
+             unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                x -> x <> '')) AS word
+      FROM documents
+    ),
+    c AS (SELECT source, word, count(*) AS cnt FROM w GROUP BY 1, 2)
+    SELECT source,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           CAST(count(*) * 1000000 // sum(cnt) AS BIGINT) AS ttr_e6
+    FROM c GROUP BY source
+    """,
+)
+def lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical-richness profile: token count, vocabulary
+    size, hapax legomena (single-occurrence types — the classic
+    machine-generated-vs-natural discriminator), and the type-token
+    ratio as exact integer millionths. Low TTR / low hapax share flags
+    template spam and boilerplate; a complement to char_entropy_docs
+    (character level) and vocab_coverage (global frequency rank). Plan:
+    one (source, word) map-side-combined shuffle — the word_count plan
+    keyed by source — then a source-sized rollup; ttr_e6 is BIGINT
+    floor division, exact in any engine and summation order."""
+    docs = load_table(spark, "documents", sf_dir)
+    c = (
+        docs.select("source", F.explode(tokens("text")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return c.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+        F.expr("CAST(count(1) * 1000000 div sum(cnt) AS BIGINT)").alias(
+            "ttr_e6"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering
 # ---------------------------------------------------------------------------
