@@ -7796,7 +7796,9 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT * FROM terms
     UNION ALL
-    SELECT -1, sum(n_ref), sum(n_cur), round(sum(psi_term), 9) FROM terms
+    SELECT -1, CAST(sum(n_ref) AS BIGINT), CAST(sum(n_cur) AS BIGINT),
+           round(sum(psi_term), 9)
+    FROM terms
     """,
 )
 def psi_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -21,6 +21,33 @@ def test_oracle_parity(spark, duck, name):
     assert res["hash_match"], f"{name}: {res}\n{first_diff(df, duck.sql(ORACLE[name]))}"
 
 
+def test_oracle_result_types_are_driver_hashable(duck):
+    """No oracle may return a DECIMAL column. The driver's value hash is
+    arrow-based: DuckDB's sum(BIGINT) widens to HUGEINT/decimal128, which
+    canonicalizes differently from Spark's bigint even when every printed
+    value is identical — exactly how psi_drift_orders got its only red
+    driver row in round 6 (rows/schema matched, hash didn't). The local
+    harness hashes fetchall() output where Decimal('7661') and 7661 both
+    render '7661', so only a schema-level guard catches this class.
+    Fix pattern: CAST(sum(x) AS BIGINT) / AS DOUBLE in the oracle SQL."""
+    offenders = {}
+    for name in ORACLE_QUERIES:
+        schema = duck.sql(
+            f"SELECT * FROM ({ORACLE[name]}) __q LIMIT 0"
+        ).fetch_arrow_table().schema
+        decs = [
+            f"{f.name}:{f.type}"
+            for f in schema
+            if str(f.type).startswith("decimal")
+        ]
+        if decs:
+            offenders[name] = decs
+    assert not offenders, (
+        f"oracles returning DECIMAL columns (cast them to BIGINT/DOUBLE "
+        f"so the driver's arrow hash matches Spark): {offenders}"
+    )
+
+
 NO_ORACLE = sorted(set(QUERIES) - set(ORACLE))
 
 
