@@ -108,6 +108,14 @@ HEADLINE = [
     "mmr_diverse_topk_arrow",
     "ema_daily_user_spend",
     "cusum_user_activity",
+    # round-7 additions that carry real compute: the range-sharded
+    # skyline (its DuckDB oracle is the O(n²) NOT EXISTS dominance join
+    # — the distributed plan's whole point), asymmetric containment
+    # (inverted-index candidate core + dual-direction scoring), and the
+    # two-state Holt recurrence (recursive-CTE replay on the oracle)
+    "skyline_pareto_parts",
+    "containment_dedup_pairs",
+    "holt_trend_user_spend",
 ]
 
 # The 22-query set rounds 1-3 benched: sum reported as r3_comparable_total

@@ -55,6 +55,13 @@ NAMES = [
     "embedding_correlation", "compaction_plan_docs",
     "psi_drift_orders", "welch_ttest_segments", "gini_spend_concentration",
     "kmv_user_overlap", "running_distinct_users", "event_trigram_topk",
+    # round-7 additions
+    "skyline_pareto_parts", "anomaly_dow_events", "assoc_rules_events",
+    "stratified_kfold_embeddings", "holt_trend_user_spend",
+    "time_split_embargo_events", "containment_dedup_pairs",
+    "token_freq_spectrum_docs", "ks_test_segments",
+    "rfm_customer_segments", "seasonal_decompose_daily",
+    "copurchase_similar_customers",
 ]
 
 # Re-measure a subset without paying for the whole table:

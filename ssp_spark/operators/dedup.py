@@ -57,21 +57,23 @@ def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     return spread.select("doc_id", F.explode(shingles(F.col("__text"), n)).alias("sh")).distinct()
 
 
-def jaccard_pairs(
+def _pair_shared_counts(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    threshold: float = 0.5,
-    max_doc_freq: int = DEFAULT_MAX_DOC_FREQ,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_doc_freq: int,
+    caller: str,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for every pair sharing >=1 kept shingle.
+    """(id1, id2, shared, n1, n2) for every i<j doc pair sharing >=1 kept
+    n-gram shingle — the candidate core jaccard_pairs and
+    containment_pairs both score from.
 
     Plan: explode shingles -> inverted index in ONE shuffle
-    (groupBy(sh).collect_set(doc) — the set dedups, no distinct pass) ->
+    (groupBy(sh).collect_list over per-doc-distinct pairs) ->
     hot-shingle cap as a free filter on set size -> candidate pairs by
     per-row array combinatorics (no self-join shuffle) -> count shared
-    per pair -> jaccard = shared / (n1 + n2 - shared).
+    per pair -> broadcast the doc-sized set-size lookups.
     Scale knob: max_doc_freq bounds per-shingle pair fan-out (k^2).
 
     Id contract: ``id_col`` must be an integral type with NON-NEGATIVE
@@ -80,12 +82,13 @@ def jaccard_pairs(
     in the pack. The type is enforced here (the ids are cast to long
     BEFORE shiftleft: on int columns Java shift counts are mod 32, so
     ``shiftleft(int, 32)`` would silently be a no-op); the value range
-    is the caller's contract.
+    is the caller's contract. The result is localCheckpoint-ed (the
+    inverted index is released before return).
     """
     id_type = dict(df.dtypes).get(id_col)
     if id_type not in ("tinyint", "smallint", "int", "bigint"):
         raise ValueError(
-            f"jaccard_pairs requires an integral {id_col!r} (< 2^31, non-negative) "
+            f"{caller} requires an integral {id_col!r} (< 2^31, non-negative) "
             f"for packed-long pair keys; got {id_type}"
         )
     spread = df.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("__text"))
@@ -152,22 +155,70 @@ def jaccard_pairs(
     )
     # sizes is one row per DOC (tiny next to the pair table) — broadcast
     # both lookups so the pair stream never shuffles for them.
-    out = (
-        shared.join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("id1"), F.col("n_sh").alias("n1"))),
-            "id1",
-        )
-        .join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("id2"), F.col("n_sh").alias("n2"))),
-            "id2",
-        )
-        .withColumn("j_raw", F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared")))
-        .filter(F.col("j_raw") >= threshold)  # threshold on the UNrounded value (oracle parity)
-        .select("id1", "id2", F.round("j_raw", 6).alias("jaccard"))
+    out = shared.join(
+        F.broadcast(sizes.select(F.col("doc_id").alias("id1"), F.col("n_sh").alias("n1"))),
+        "id1",
+    ).join(
+        F.broadcast(sizes.select(F.col("doc_id").alias("id2"), F.col("n_sh").alias("n2"))),
+        "id2",
     )
     out = out.localCheckpoint()  # materialize, then release the inverted index
     kept.unpersist()
     return out
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int = DEFAULT_MAX_DOC_FREQ,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for every pair sharing >=1 kept shingle:
+    jaccard = shared / (n1 + n2 - shared) over the _pair_shared_counts
+    candidate core (see its docstring for the plan and id contract)."""
+    counts = _pair_shared_counts(df, id_col, text_col, n, max_doc_freq, "jaccard_pairs")
+    return (
+        counts.withColumn(
+            "j_raw", F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared"))
+        )
+        .filter(F.col("j_raw") >= threshold)  # threshold on the UNrounded value (oracle parity)
+        .select("id1", "id2", F.round("j_raw", 6).alias("jaccard"))
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int = DEFAULT_MAX_DOC_FREQ,
+) -> DataFrame:
+    """Asymmetric set containment C(A in B) = |A∩B| / |A| for doc pairs —
+    the near-SUPERSET detector Jaccard misses: a snippet quoted inside a
+    much longer page has tiny Jaccard (union is page-sized) but
+    containment ~1, and in training-data curation the contained doc is
+    the redundant one (Broder's containment, the 'subsumed duplicate'
+    rule). Emits one row per unordered candidate pair with BOTH
+    directions' containment, kept when either direction clears the
+    threshold (on the unrounded ratio — oracle parity); same candidate
+    core, cap, and id contract as jaccard_pairs."""
+    counts = _pair_shared_counts(
+        df, id_col, text_col, n, max_doc_freq, "containment_pairs"
+    )
+    c12 = F.col("shared") / F.col("n1")  # how much of doc id1 is inside id2
+    c21 = F.col("shared") / F.col("n2")
+    return (
+        counts.filter((c12 >= threshold) | (c21 >= threshold))
+        .select(
+            "id1",
+            "id2",
+            F.round(c12, 6).alias("containment_1_in_2"),
+            F.round(c21, 6).alias("containment_2_in_1"),
+        )
+    )
 
 
 def minhash_signatures(

@@ -81,6 +81,78 @@ def keyed_ema(
     return df.groupBy(key).applyInPandas(fold, schema)
 
 
+def _round6(y: float) -> float:
+    # sign-aware HALF_UP to match DuckDB round(): Python's round() is
+    # half-EVEN, and dyadic-alpha recurrence values are binary fractions,
+    # so exact .5e-6 ties ARE reachable and would diverge — e.g.
+    # round(0.0078125, 6)
+    return math.copysign(math.floor(abs(y) * 1e6 + 0.5) / 1e6, y)
+
+
+def keyed_holt(
+    df: DataFrame,
+    key: str,
+    order: str,
+    value: str,
+) -> DataFrame:
+    """(key, step, value, level, trend, forecast) — Holt's linear
+    (double-exponential) smoothing per key over the ``order``-sorted
+    series, alpha = 1/2, beta = 1/4 (dyadic, so the fold is a
+    reproducible float64 instruction sequence):
+
+        l_1 = x_1,  b_1 = 0
+        l_t = (x_t + (l_{t-1} + b_{t-1})) / 2
+        b_t = ((l_t - l_{t-1}) + 3 * b_{t-1}) / 4
+        forecast_t = l_t + b_t   (the one-step-ahead prediction)
+
+    The two-state recurrence EMA cannot express (trend feeds back into
+    level); the DuckDB oracle replays the identical op sequence step by
+    step in a recursive CTE carrying (l, b) unrounded — output rounds at
+    6dp with the same sign-aware HALF_UP as keyed_ema. Same scale shape
+    as every recurrence here: one hash exchange on the key, then an
+    Arrow-batched per-key fold with two scalars of state."""
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("step", T.IntegerType()),
+            T.StructField("value", T.LongType()),
+            T.StructField("level", T.DoubleType()),
+            T.StructField("trend", T.DoubleType()),
+            T.StructField("forecast", T.DoubleType()),
+        ]
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order)
+        l = b = None
+        out = []
+        for step, x in enumerate(pdf[value], start=1):
+            x = float(x)
+            if l is None:
+                l, b = x, 0.0
+            else:
+                l_new = (x + (l + b)) / 2
+                b = ((l_new - l) + 3 * b) / 4
+                l = l_new
+            out.append(
+                (
+                    int(pdf[key].iloc[0]),
+                    step,
+                    int(x),
+                    _round6(l),
+                    _round6(b),
+                    _round6(l + b),
+                )
+            )
+        return pd.DataFrame(
+            out, columns=["key", "step", "value", "level", "trend", "forecast"]
+        )
+
+    return df.groupBy(key).applyInPandas(fold, schema)
+
+
 def keyed_cusum(
     df: DataFrame,
     key: str,

@@ -8353,6 +8353,872 @@ def lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 7: skyline, seasonal anomaly, association rules, eval splits
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "skyline_pareto_parts",
+    """
+    WITH p AS (
+      SELECT p_partkey,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+             CAST(p_size AS BIGINT) AS size
+      FROM part
+    )
+    SELECT a.p_partkey, a.cents, a.size
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.cents <= a.cents AND b.size >= a.size
+        AND (b.cents < a.cents OR b.size > a.size)
+    )
+    """,
+)
+def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) over parts: minimize price, maximize
+    size — the multi-criteria shortlist operator (Borzsony et al.,
+    ICDE'01). The oracle is the textbook NOT EXISTS dominance anti-join
+    (O(n²), fine at sf0.01); the Spark plan is the distributed 2-D
+    skyline: range-shard on price (layout.exact_range_boundaries, so
+    equal prices never straddle shards), per-shard prefix-max windows
+    ordered by price (RANGE frames: strict for the price< test,
+    inclusive for price<=), and a shard-level carry-in — the max size
+    of all strictly-cheaper shards, a |shards|-row model artifact
+    broadcast back in. No global sort, no all-pairs join: one range
+    shuffle + shard-local windows, the plan that survives 100 TB
+    (dominance at shard granularity is resolved by 32 numbers)."""
+    parts = load_table(spark, "part", sf_dir).select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    return relational.skyline_min_max(parts, minimize="cents", maximize="size")
+
+
+@_q(
+    "anomaly_dow_events",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT event_type, (d // 86400 + 4) % 7 AS dow,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s1,
+             CAST(sum(c * c) AS BIGINT) AS s2
+      FROM daily GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT daily.event_type, d, c,
+             (CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+               / sqrt((CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                      / (n - 1)) AS z
+      FROM daily
+      JOIN base ON base.event_type = daily.event_type
+               AND base.dow = (daily.d // 86400 + 4) % 7
+      WHERE n >= 4
+        AND CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n
+              > 0
+    )
+    SELECT event_type, d, c, round(z, 6) AS z
+    FROM (SELECT *, row_number()
+                      OVER (PARTITION BY event_type ORDER BY abs(z) DESC, d)
+                    AS rk
+          FROM scored)
+    WHERE rk <= 3
+    """,
+)
+def anomaly_dow_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal (day-of-week) volume-anomaly detection: each
+    (event_type, day) count is z-scored against that type's same-weekday
+    baseline and the top-3 most anomalous days per type are surfaced —
+    the standard ops monitor for ingest pipelines with weekly traffic
+    periodicity (a fixed |z| gate returns nothing on this synthetic
+    data's uniform volumes, so the operator reports the ranked
+    candidates a production gate would threshold). Determinism: dow is
+    pure integer arithmetic on the epoch day ((d/86400 + 4) % 7 —
+    1970-01-01 was a Thursday — identical in both engines, dodging the
+    engines' different dayofweek() origins), baseline moments are exact
+    BIGINT sums (c² sums stay inside BIGINT up to ~3e9 events/day/type;
+    switch s2 to DECIMAL past that), z is one fixed double-op sequence
+    (bit-identical in both engines, so |z| ordering agrees; day
+    tiebreak), rounded at 6dp only on output. Plan: one (type, day)
+    map-side-combined count, a |types|×7 baseline broadcast back, and a
+    per-type top-3 window Spark compiles to WindowGroupLimit — no
+    global sort."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("day", "ts")).alias("d"),
+    ).agg(F.count("*").cast("long").alias("c"))
+    dow = (F.col("d") / 86400).cast("long") + 4
+    daily = daily.withColumn("dow", dow % 7)
+    base = daily.groupBy("event_type", "dow").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    j = daily.join(F.broadcast(base), ["event_type", "dow"])
+    mean = F.col("s1").cast("double") / F.col("n")
+    var_num = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")
+    )
+    z = (F.col("c").cast("double") - mean) / F.sqrt(var_num / (F.col("n") - 1))
+    scored = j.filter((F.col("n") >= 4) & (var_num > 0)).select(
+        "event_type", "d", "c", z.alias("z")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.abs("z").desc(), "d")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("event_type", "d", "c", F.round("z", 6).alias("z"))
+    )
+
+
+@_q(
+    "assoc_rules_events",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    na AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+           FROM ut GROUP BY 1),
+    nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM ut),
+    ab AS (
+      SELECT a.event_type AS antecedent, b.event_type AS consequent,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type <> b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT antecedent, consequent, n_ab,
+           na1.n_t AS n_a, na2.n_t AS n_b,
+           round(CAST(n_ab AS DOUBLE) / n, 6) AS support,
+           round(CAST(n_ab AS DOUBLE) / na1.n_t, 6) AS confidence,
+           round(CAST(n_ab AS DOUBLE) * CAST(n AS DOUBLE)
+                 / (CAST(na1.n_t AS DOUBLE) * CAST(na2.n_t AS DOUBLE)),
+                 6) AS lift
+    FROM ab
+    JOIN na na1 ON na1.event_type = antecedent
+    JOIN na na2 ON na2.event_type = consequent
+    CROSS JOIN nu
+    WHERE CAST(n_ab AS DOUBLE) / n >= 0.05
+    """,
+)
+def assoc_rules_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules A -> B over per-user event-type baskets:
+    support, confidence, lift (Agrawal/Srikant Apriori's rule stage),
+    min-support 5% — the market-basket / co-usage mining primitive.
+    Exactness: every count is an integer; each ratio is a single fixed
+    double expression rounded at 6dp. Plan: one distinct shuffle to
+    (user, type) baskets, a user-keyed pair join whose width is the
+    per-user basket size (bounded by |event types|, NOT by events — the
+    same per-key-bounded blowup contract as event_pair_cooccurrence),
+    then |types|-sized dimension joins broadcast and a 1-row universe
+    count cross-joined. At 100 TB the only data-sized exchange is the
+    distinct; salts are unnecessary because baskets, not events, join."""
+    ev = load_table(spark, "events", sf_dir)
+    ut = ev.select("user_id", "event_type").distinct()
+    na = ut.groupBy("event_type").agg(F.count("*").cast("long").alias("n_t"))
+    nu = ut.agg(
+        F.countDistinct("user_id").cast("long").alias("n")
+    )
+    a, b = ut.alias("a"), ut.alias("b")
+    ab = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") != F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("antecedent"),
+            F.col("b.event_type").alias("consequent"),
+        )
+        .agg(F.count("*").cast("long").alias("n_ab"))
+    )
+    na1 = na.select(
+        F.col("event_type").alias("antecedent"), F.col("n_t").alias("n_a")
+    )
+    na2 = na.select(
+        F.col("event_type").alias("consequent"), F.col("n_t").alias("n_b")
+    )
+    j = (
+        ab.join(F.broadcast(na1), "antecedent")
+        .join(F.broadcast(na2), "consequent")
+        .crossJoin(F.broadcast(nu))
+    )
+    d_ab = F.col("n_ab").cast("double")
+    support = d_ab / F.col("n")
+    return (
+        j.filter(support >= 0.05)
+        .select(
+            "antecedent",
+            "consequent",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(support, 6).alias("support"),
+            F.round(d_ab / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                d_ab
+                * F.col("n").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@_q(
+    "stratified_kfold_embeddings",
+    """
+    WITH h AS (
+      SELECT label,
+             CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hv,
+             vec_id
+      FROM embeddings
+    ),
+    f AS (
+      SELECT label,
+             (row_number() OVER (PARTITION BY label ORDER BY hv, vec_id)
+              - 1) % 5 AS fold
+      FROM h
+    )
+    SELECT CAST(label AS INT) AS label, CAST(fold AS INT) AS fold,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM f GROUP BY 1, 2
+    """,
+)
+def stratified_kfold_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified k-fold assignment (k=5) for evaluation
+    splits: within each label, rows are ordered by a portable hash (a
+    seeded shuffle both engines replay) and dealt round-robin, so every
+    fold holds an exact 1/k of each class — the leakage-free
+    cross-validation split (hash-mod folds only approximate class
+    balance; ranked dealing is exact). Returned as the label × fold
+    census the split consumer audits. Plan: one window per label
+    partition (rank over ~n/|labels| rows — salt-range the rank via
+    layout.global_order_positions if a single class outgrows an
+    executor), then a map-side-combined count."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    h = emb.select(
+        "label",
+        portable_hash64(F.col("vec_id").cast("string")).alias("hv"),
+        "vec_id",
+    )
+    w = Window.partitionBy("label").orderBy("hv", "vec_id")
+    f = h.select(
+        "label", ((F.row_number().over(w) - 1) % 5).alias("fold")
+    )
+    return f.groupBy(
+        F.col("label").cast("int").alias("label"),
+        F.col("fold").cast("int").alias("fold"),
+    ).agg(F.count("*").cast("long").alias("n_rows"))
+
+
+@_q(
+    "holt_trend_user_spend",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT user_id,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    seq AS (SELECT user_id, d, cents,
+                   CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INT) AS t
+            FROM daily),
+    rec(key, t, x, l, b) AS (
+      SELECT user_id, 1, cents, CAST(cents AS DOUBLE), CAST(0 AS DOUBLE)
+      FROM seq WHERE t = 1
+      UNION ALL
+      SELECT s.user_id, s.t, s.cents,
+             (s.cents + (r.l + r.b)) / 2,
+             (((s.cents + (r.l + r.b)) / 2 - r.l) + 3 * r.b) / 4
+      FROM rec r JOIN seq s ON s.user_id = r.key AND s.t = r.t + 1
+    )
+    SELECT key, t AS step, x AS value, round(l, 6) AS level,
+           round(b, 6) AS trend, round(l + b, 6) AS forecast
+    FROM rec
+    """,
+)
+def holt_trend_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend, alpha=1/2,
+    beta=1/4) of each user's daily purchase spend, with the
+    one-step-ahead forecast — the trend-aware upgrade of
+    ema_daily_user_spend, and a TWO-state keyed recurrence (trend feeds
+    back into level) that neither window frames nor a single EMA pass
+    can express. The dyadic smoothing constants make the fold one
+    reproducible float64 op sequence; the oracle's recursive CTE steps
+    the identical expressions carrying (l, b) unrounded, and output
+    rounds 6dp with the sign-aware HALF_UP emulation (dyadic ties are
+    reachable). Plan: the recurrence contract — one keyed exchange,
+    Arrow-batched per-key fold, two scalars of state per key."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id",
+            F.unix_timestamp(F.date_trunc("day", "ts")).alias("d"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    return recurrence.keyed_holt(daily, key="user_id", order="d", value="cents")
+
+
+@_q(
+    "time_split_embargo_events",
+    """
+    WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t, user_id
+               FROM events),
+    n AS (SELECT count(*) AS n FROM e),
+    rk AS (SELECT t, row_number() OVER (ORDER BY t) AS r FROM e),
+    b AS (SELECT
+      (SELECT t FROM rk, n WHERE r = greatest(1, (n.n * 8) // 10)) AS b80,
+      (SELECT t FROM rk, n WHERE r = greatest(1, (n.n * 9) // 10)) AS b90),
+    labeled AS (
+      SELECT CASE WHEN t <= b80 THEN 'train'
+                  WHEN t > b80 + 86400 AND t <= b90 THEN 'val'
+                  WHEN t > b90 + 86400 THEN 'test'
+                  ELSE 'embargoed' END AS split,
+             t, user_id
+      FROM e, b
+    )
+    SELECT split, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           min(t) AS min_t, max(t) AS max_t
+    FROM labeled GROUP BY split
+    """,
+)
+def time_split_embargo_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe temporal train/val/test split with a 1-day embargo:
+    boundaries at the EXACT 80th/90th multiset-rank timestamps
+    (layout.exact_range_boundaries — the engine-replayable quantile
+    definition psi_drift_orders also pins), and rows inside the embargo
+    window after each boundary are PURGED (reported as 'embargoed') so
+    models trained on t <= b80 are never evaluated on samples whose
+    features overlap the training horizon — the walk-forward backtest
+    split (de Prado's purged k-fold, single-split form). Output is the
+    per-split census (rows, users, time range) the split consumer
+    audits. Plan: one histogram boundary pass, then a zero-shuffle
+    map-side split stamp and one 4-row aggregate — no global sort."""
+    ev = load_table(spark, "events", sf_dir)
+    e = ev.select(
+        F.unix_timestamp("ts").alias("t"), "user_id"
+    )
+    b = layout.exact_range_boundaries(e, "t", 10)
+    b80, b90 = b[7], b[8]
+    emb = 86400
+    split = (
+        F.when(F.col("t") <= b80, "train")
+        .when((F.col("t") > b80 + emb) & (F.col("t") <= b90), "val")
+        .when(F.col("t") > b90 + emb, "test")
+        .otherwise("embargoed")
+    )
+    return (
+        e.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.min("t").alias("min_t"),
+            F.max("t").alias("max_t"),
+        )
+    )
+
+
+@_q(
+    "containment_dedup_pairs",
+    f"""
+    WITH {_sql_shingles(4)},
+    freq AS (SELECT sh, count(*) AS df_ FROM sh GROUP BY sh),
+    kept AS (SELECT s.doc_id, s.sh FROM sh s JOIN freq USING (sh) WHERE df_ <= 50),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+      FROM kept a JOIN kept b USING (sh)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    )
+    SELECT id1, id2,
+           round(shared / s1.n_sh, 6) AS containment_1_in_2,
+           round(shared / s2.n_sh, 6) AS containment_2_in_1
+    FROM pairs JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+    WHERE shared / s1.n_sh >= 0.6 OR shared / s2.n_sh >= 0.6
+    """,
+)
+def containment_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-set containment pairs (|A∩B|/|A|, both
+    directions) at threshold 0.6 — catches the near-SUPERSET duplicates
+    Jaccard misses: a snippet quoted inside a much longer page has tiny
+    Jaccard (page-sized union) but containment ~1, and curation drops
+    the contained doc (Broder's containment / subsumed-duplicate rule).
+    Shares jaccard_pairs' candidate core verbatim
+    (operators.dedup._pair_shared_counts: inverted index in one
+    shuffle, doc-freq cap 50 bounding the k² fan-out, packed-long pair
+    keys, broadcast size lookups) — same 100 TB shape, different
+    scoring ratio."""
+    return dedup.containment_pairs(
+        load_table(spark, "documents", sf_dir), n=4, threshold=0.6, max_doc_freq=50
+    )
+
+
+@_q(
+    "token_freq_spectrum_docs",
+    r"""
+    WITH w AS (
+      SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                x -> x <> '')) AS word
+      FROM documents
+    ),
+    tf AS (SELECT word, CAST(count(*) AS BIGINT) AS f FROM w GROUP BY word),
+    spec AS (SELECT f, CAST(count(*) AS BIGINT) AS n_types FROM tf GROUP BY f)
+    SELECT f, n_types, f * n_types AS tokens_at_f,
+           CAST(sum(f * n_types)
+                  OVER (ORDER BY f DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_tokens_from_top
+    FROM spec
+    """,
+)
+def token_freq_spectrum_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-frequency spectrum (frequency-of-frequencies): for
+    each term frequency f, how many vocabulary types occur exactly f
+    times and how much token mass they carry, plus the cumulative mass
+    from the most frequent classes down — the Zipf/Heaps profile that
+    drives vocabulary-size and min-frequency-cutoff decisions for
+    tokenizer training, and the input to Good-Turing smoothing (the
+    N_f table). All-integer, exact in any engine and summation order.
+    Plan: one (word) map-side-combined count, one spectrum rollup; the
+    cumulative window runs over the SPECTRUM, a model-sized frame
+    (distinct frequency values — O(sqrt(total tokens)) by the standard
+    Zipf argument, ~hundreds at any corpus size), the documented
+    single-partition-window exception for model artifacts."""
+    docs = load_table(spark, "documents", sf_dir)
+    tf = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    spec = tf.groupBy("f").agg(F.count("*").cast("long").alias("n_types"))
+    w = Window.orderBy(F.col("f").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return spec.select(
+        "f",
+        "n_types",
+        (F.col("f") * F.col("n_types")).alias("tokens_at_f"),
+        F.sum(F.col("f") * F.col("n_types"))
+        .over(w)
+        .cast("long")
+        .alias("cum_tokens_from_top"),
+    )
+
+
+@_q(
+    "ks_test_segments",
+    """
+    WITH j AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    seg_cnt AS (SELECT segment, cents, CAST(count(*) AS BIGINT) AS c
+                FROM j GROUP BY 1, 2),
+    all_cnt AS (SELECT cents, CAST(count(*) AS BIGINT) AS t
+                FROM j GROUP BY 1),
+    segs AS (SELECT segment, CAST(sum(c) AS BIGINT) AS n_s FROM seg_cnt
+             GROUP BY 1),
+    tot AS (SELECT CAST(sum(t) AS BIGINT) AS n FROM all_cnt),
+    grid AS (
+      SELECT s.segment, a.cents, a.t, coalesce(sc.c, 0) AS c
+      FROM all_cnt a
+      CROSS JOIN (SELECT DISTINCT segment FROM seg_cnt) s
+      LEFT JOIN seg_cnt sc ON sc.segment = s.segment AND sc.cents = a.cents
+    ),
+    cum AS (
+      SELECT segment, cents,
+             sum(c) OVER (PARTITION BY segment ORDER BY cents
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_s,
+             sum(t) OVER (PARTITION BY segment ORDER BY cents
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_all
+      FROM grid
+    )
+    SELECT segment, n_s, n - n_s AS n_rest,
+           CAST(max(abs(cum_s * (n - n_s) - (cum_all - cum_s) * n_s))
+                AS BIGINT) AS d_num,
+           round(CAST(max(abs(cum_s * (n - n_s) - (cum_all - cum_s) * n_s))
+                      AS DOUBLE)
+                 / (CAST(n_s AS DOUBLE) * (n - n_s)), 6) AS d_stat
+    FROM cum JOIN segs USING (segment) CROSS JOIN tot
+    GROUP BY segment, n_s, n
+    """,
+)
+def ks_test_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D for each market segment's order
+    values against the rest of the population — the distribution-shape
+    companion to welch_ttest_segments (mean shift) and psi_drift_orders
+    (binned drift): D = sup |F_seg - F_rest| over the observed support.
+    EXACT: the supremum is computed on the integer lattice —
+    |cum_s·n_rest − cum_rest·n_s| is a BIGINT (the common denominator
+    n_s·n_rest multiplied through), the max is over integers, and the
+    one double division happens once per segment at output (products
+    stay inside BIGINT for n < ~3e9 rows; switch to DECIMAL past that).
+    Plan: one broadcast dim join, a (segment, cents) histogram shuffle,
+    a |segments|-way replicated histogram with per-segment cumulative
+    windows (keyed by segment — histogram-sized, not data-sized), and a
+    |segments|-row output aggregate. No data-sized sort."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    j = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    seg_cnt = j.groupBy("segment", "cents").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    all_cnt = j.groupBy("cents").agg(F.count("*").cast("long").alias("t"))
+    segs = seg_cnt.groupBy("segment").agg(
+        F.sum("c").cast("long").alias("n_s")
+    )
+    tot = all_cnt.agg(F.sum("t").cast("long").alias("n"))
+    grid = (
+        all_cnt.crossJoin(F.broadcast(seg_cnt.select("segment").distinct()))
+        .join(seg_cnt, ["segment", "cents"], "left")
+        .fillna(0, subset=["c"])
+    )
+    w = (
+        Window.partitionBy("segment")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "segment",
+        "cents",
+        F.sum("c").over(w).alias("cum_s"),
+        F.sum("t").over(w).alias("cum_all"),
+    )
+    d_int = F.abs(
+        F.col("cum_s") * (F.col("n") - F.col("n_s"))
+        - (F.col("cum_all") - F.col("cum_s")) * F.col("n_s")
+    )
+    return (
+        cum.join(F.broadcast(segs), "segment")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("segment", "n_s", "n")
+        .agg(F.max(d_int).cast("long").alias("d_num"))
+        .select(
+            "segment",
+            "n_s",
+            (F.col("n") - F.col("n_s")).alias("n_rest"),
+            "d_num",
+            F.round(
+                F.col("d_num").cast("double")
+                / (F.col("n_s").cast("double") * (F.col("n") - F.col("n_s"))),
+                6,
+            ).alias("d_stat"),
+        )
+    )
+
+
+@_q(
+    "rfm_customer_segments",
+    """
+    WITH o AS (
+      SELECT o_custkey AS ck,
+             CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) AS d,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    mx AS (SELECT max(d) AS mxd FROM o),
+    rfm AS (
+      SELECT ck, (mxd - max(d)) // 86400 AS r,
+             CAST(count(*) AS BIGINT) AS f,
+             CAST(sum(cents) AS BIGINT) AS m
+      FROM o, mx GROUP BY ck, mxd
+    ),
+    n AS (SELECT count(*) AS n FROM rfm),
+    rb AS (SELECT r AS v, row_number() OVER (ORDER BY r) AS rk FROM rfm),
+    fb AS (SELECT f AS v, row_number() OVER (ORDER BY f) AS rk FROM rfm),
+    mb AS (SELECT m AS v, row_number() OVER (ORDER BY m) AS rk FROM rfm),
+    ks AS (SELECT unnest(generate_series(1, 3)) AS k),
+    rbs AS (SELECT k, (SELECT v FROM rb, n WHERE rk = greatest(1, (n.n * k) // 4)) AS b FROM ks),
+    fbs AS (SELECT k, (SELECT v FROM fb, n WHERE rk = greatest(1, (n.n * k) // 4)) AS b FROM ks),
+    mbs AS (SELECT k, (SELECT v FROM mb, n WHERE rk = greatest(1, (n.n * k) // 4)) AS b FROM ks),
+    scored AS (
+      SELECT CAST((SELECT count(*) FROM rbs WHERE b < r) + 1 AS INT) * 100
+             + CAST((SELECT count(*) FROM fbs WHERE b < f) + 1 AS INT) * 10
+             + CAST((SELECT count(*) FROM mbs WHERE b < m) + 1 AS INT)
+               AS rfm_code,
+             m
+      FROM rfm
+    )
+    SELECT rfm_code, CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(m) AS BIGINT) AS sum_cents
+    FROM scored GROUP BY rfm_code
+    """,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation with
+    rank-exact quartile scoring: each dimension's quartile edges come
+    from layout.exact_range_boundaries (the engine-replayable multiset
+    rank — NOT ntile, whose data-sized single-partition window is
+    exactly what this avoids), each customer is binned map-side against
+    3 broadcast literals per dimension, and the 3-digit code (recency
+    hundreds, frequency tens, monetary units; bin 1 = lowest quartile
+    of the raw value, so r=1 means MOST recent) is rolled up to the
+    code census with total monetary value. Pure integers end to end.
+    Plan: one orders->customer aggregate, three histogram boundary
+    passes (model artifacts), a zero-shuffle triple bin stamp, one
+    <=64-row rollup."""
+    orders = load_table(spark, "orders", sf_dir)
+    o = orders.select(
+        F.col("o_custkey").alias("ck"),
+        F.unix_timestamp(F.date_trunc("day", "o_orderdate")).alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    mxd = o.agg(F.max("d")).first()[0]
+    rfm = o.groupBy("ck").agg(
+        ((F.lit(mxd) - F.max("d")) / 86400).cast("long").alias("r"),
+        F.count("*").cast("long").alias("f"),
+        F.sum("cents").cast("long").alias("m"),
+    )
+    rfm = rfm.localCheckpoint()  # 3 boundary passes + the stamp read it
+    code = F.lit(0)
+    for col, weight in (("r", 100), ("f", 10), ("m", 1)):
+        bounds = layout.exact_range_boundaries(rfm, col, 4)
+        code = code + (layout.shard_expr(col, bounds) + 1) * weight
+    return (
+        rfm.select(code.cast("int").alias("rfm_code"), "m")
+        .groupBy("rfm_code")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("m").cast("long").alias("sum_cents"),
+        )
+    )
+
+
+@_q(
+    "seasonal_decompose_daily",
+    """
+    WITH daily AS (
+      SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    dowm AS (
+      SELECT (d // 86400 + 4) % 7 AS dow,
+             CAST(count(*) AS BIGINT) AS n_dow,
+             CAST(sum(cents) AS BIGINT) AS s_dow
+      FROM daily GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all,
+                   CAST(sum(cents) AS BIGINT) AS s_all FROM daily),
+    tr AS (
+      SELECT d, cents,
+             CASE WHEN count(*) OVER w7 = 7
+                  THEN CAST(sum(cents) OVER w7 AS DOUBLE) / 7 END AS trend
+      FROM daily
+      WINDOW w7 AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    )
+    SELECT tr.d, cents, round(trend, 6) AS trend,
+           round(CAST(s_dow AS DOUBLE) / n_dow
+                 - CAST(s_all AS DOUBLE) / n_all, 6) AS seasonal,
+           round(cents - trend
+                 - (CAST(s_dow AS DOUBLE) / n_dow
+                    - CAST(s_all AS DOUBLE) / n_all), 6) AS residual
+    FROM tr
+    JOIN dowm ON dowm.dow = (tr.d // 86400 + 4) % 7
+    CROSS JOIN tot
+    """,
+)
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the daily event-value series:
+    trend = centered 7-day moving average (null at the edges — the
+    window must hold exactly 7 observed days), seasonal = day-of-week
+    mean minus the grand mean (both single divisions of exact BIGINT
+    sums — no float accumulation anywhere), residual = value - trend -
+    seasonal as one fixed double-op sequence. The classical-decomposition
+    baseline every ingest-volume monitor starts from (anomaly_dow_events
+    consumes the same dow structure as z-scores). Plan: one daily
+    rollup, a 7-row dow model + 1-row total broadcast back, and the
+    trend window over the DAILY SERIES — time-bounded (|days| rows at
+    any data scale), the documented model-sized-window exception."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        F.unix_timestamp(F.date_trunc("day", "ts")).alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    dow = ((F.col("d") / 86400).cast("long") + 4) % 7
+    dowm = daily.groupBy(dow.alias("dow")).agg(
+        F.count("*").cast("long").alias("n_dow"),
+        F.sum("cents").cast("long").alias("s_dow"),
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n_all"),
+        F.sum("cents").cast("long").alias("s_all"),
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "cents",
+        F.when(
+            F.count("*").over(w7) == 7,
+            F.sum("cents").over(w7).cast("double") / 7,
+        ).alias("trend"),
+    )
+    seasonal = F.col("s_dow").cast("double") / F.col("n_dow") - F.col(
+        "s_all"
+    ).cast("double") / F.col("n_all")
+    return (
+        tr.withColumn("dow", dow)
+        .join(F.broadcast(dowm), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            "cents",
+            F.round("trend", 6).alias("trend"),
+            F.round(seasonal, 6).alias("seasonal"),
+            F.round(F.col("cents") - F.col("trend") - seasonal, 6).alias(
+                "residual"
+            ),
+        )
+    )
+
+
+@_q(
+    "copurchase_similar_customers",
+    """
+    WITH base AS (
+      SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+                      CAST(o_custkey AS BIGINT) AS c
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    kept AS (
+      SELECT s, c FROM (
+        SELECT s, c, row_number() OVER (PARTITION BY s ORDER BY c) AS rk
+        FROM base)
+      WHERE rk <= 64
+    ),
+    sizes AS (SELECT c, CAST(count(*) AS BIGINT) AS n FROM kept GROUP BY c),
+    pairs AS (
+      SELECT a.c AS c1, b.c AS c2, CAST(count(*) AS BIGINT) AS cn
+      FROM kept a JOIN kept b ON a.s = b.s AND a.c < b.c
+      GROUP BY 1, 2
+    ),
+    dirs AS (
+      SELECT c1 AS cust, c2 AS nb, cn FROM pairs
+      UNION ALL
+      SELECT c2 AS cust, c1 AS nb, cn FROM pairs
+    ),
+    scored AS (
+      SELECT cust, nb, cn, cn / (s1.n + s2.n - cn) AS j
+      FROM dirs JOIN sizes s1 ON s1.c = cust JOIN sizes s2 ON s2.c = nb
+    )
+    SELECT cust, nb, cn, round(j, 6) AS jaccard, CAST(rk AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY cust
+                                       ORDER BY j DESC, nb) AS rk
+          FROM scored)
+    WHERE rk <= 5
+    """,
+)
+def copurchase_similar_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most similar customers per customer by supplier-set Jaccard
+    on the co-purchase bipartite graph (the same customer—supplier
+    edges pagerank/BFS/k-core walk) — neighborhood-overlap link scoring,
+    the collaborative-filtering / link-prediction primitive. Hot
+    suppliers are capped at their 64 smallest customer ids (replayed
+    verbatim in the oracle — triangle_count_users' determinism-by-cap
+    pattern), bounding the per-supplier pair fan-out at 64². Candidate
+    pairs come from per-supplier array combinatorics over the sorted
+    capped list (no self-join shuffle; packed-long i<j pair keys,
+    dedup.jaccard_pairs' id contract), sizes join back keyed (NOT
+    broadcast — the customer dimension is data-sized at 100 TB; AQE
+    may still elect broadcast locally), and the per-customer top-5
+    compiles to WindowGroupLimit. Jaccard is one exact-integer double
+    division — bit-identical rank order in both engines, nb tiebreak."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    base = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("l_suppkey").cast("long").alias("s"),
+            F.col("o_custkey").cast("long").alias("c"),
+        )
+        .distinct()
+    )
+    kept = base.groupBy("s").agg(
+        F.slice(F.array_sort(F.collect_list("c")), 1, 64).alias("cs")
+    )
+    sizes = (
+        kept.select(F.explode("cs").alias("c"))
+        .groupBy("c")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    cs = F.col("cs")
+    idx = F.filter(
+        F.sequence(F.lit(1), F.size(cs) - 1),
+        lambda i: (i >= 1) & (i < F.size(cs)),
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.slice(cs, i + 1, F.size(cs) - i),
+                lambda y: F.shiftleft(F.element_at(cs, i), 32) + y,
+            ),
+        )
+    )
+    pairs = (
+        kept.select(F.explode(pair_arr).alias("p"))
+        .groupBy("p")
+        .agg(F.count("*").cast("long").alias("cn"))
+        .select(
+            F.shiftright("p", 32).alias("c1"),
+            F.col("p").bitwiseAND(F.lit((1 << 32) - 1)).alias("c2"),
+            "cn",
+        )
+    )
+    both = pairs.select(
+        F.col("c1").alias("cust"), F.col("c2").alias("nb"), "cn"
+    ).unionByName(
+        pairs.select(F.col("c2").alias("cust"), F.col("c1").alias("nb"), "cn")
+    )
+    scored = (
+        both.join(sizes.select(F.col("c").alias("cust"), F.col("n").alias("n1")), "cust")
+        .join(sizes.select(F.col("c").alias("nb"), F.col("n").alias("n2")), "nb")
+        .withColumn("j", F.col("cn") / (F.col("n1") + F.col("n2") - F.col("cn")))
+    )
+    w = Window.partitionBy("cust").orderBy(F.col("j").desc(), "nb")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "cust",
+            "nb",
+            "cn",
+            F.round("j", 6).alias("jaccard"),
+            F.col("rk").cast("int").alias("rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-gate ordering
 # ---------------------------------------------------------------------------
 # The driver's correctness gate hashes the FIRST 50 registry entries in
@@ -8457,148 +9323,83 @@ def lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   map_funcs_roundtrip + pipeline_train_manifest (rotated out
 #     mid-round for the EMA/CUSUM recurrence slots; per-run oracle
 #     checks, manifest plan assertion tests/test_plans.py:161).
-# ROUND-7 TODO: front-load those 24, then the r4-latest queries.
+# ROUND-7 window (50), computed from the per-query latest-row ages at
+# round start (38 r3 / 46 r4 / 48 r5 / 50 r6, zero never-checked, one
+# failing: psi_drift_orders' r6 hash mismatch — an oracle TYPE skew, not
+# a value bug; fixed this round and re-fronted):
+# (a) the 12 new round-7 queries (no driver rows yet);
+# (b) changed this round: psi_drift_orders (oracle cast fix),
+#     dedup_jaccard_pairs (candidate core factored into
+#     _pair_shared_counts, shared with the new containment_pairs);
+# (c) 36 of the 38 r3-latest queries. ARITHMETIC, stated plainly:
+#     12 + 2 + 36 = 50, and dedup_jaccard_pairs in (b) is also r3-stale,
+#     so exactly ONE r3 query stays r3 after this round —
+#     approx_distinct_users, named at its former slot below with its
+#     alternate evidence (r5-green hll_distinct_users pins the HLL
+#     family; per-run sf0.001 oracle check), first in the r8 queue
+#     together with the 46 r4-latest queries.
 _CHECK_FIRST = [
-    # (a) never driver-checked
-    "ann_lsh_topk_gemm",
-    "bm25_topk_docs",            # new in round 6
-    "weighted_sample_per_source",  # new in round 6
-    "graph_reachability_bfs",    # new in round 6 (frontier BFS)
-    "key_skew_report_events",    # new in round 6 (skew/salt advisor)
-    "dedup_span_pairs",          # new in round 6 (substring-window dedup)
-    "bpe_token_stats",           # new in round 6 (BPE tokenizer encode)
-    "pit_enrich_events",         # new in round 6 (point-in-time SCD-2 join)
-    "kcore_user_graph",          # new in round 6 (k-core peeling)
-    "mmr_diverse_topk",          # new in round 6 (MMR diverse selection)
-    "mmr_diverse_topk_arrow",    # new in round 6 (MMR deployment kernel)
-    "multimodal_resize_decoded", # new in round 6 (real PPM decode path)
-    "k_anonymity_events",        # new in round 6 (privacy audit)
-    "ema_daily_user_spend",      # new in round 6 (keyed EMA recurrence)
-    "cusum_user_activity",       # new in round 6 (CUSUM drift detector)
-    "label_propagation_communities",  # new in round 6 (LPA communities)
-    "winsorized_stats_events",   # new in round 6 (rank-exact winsorized mean)
-    "char_entropy_docs",         # new in round 6 (char-entropy quality screen)
-    "embedding_random_projection",  # new in round 6 (JL sparse projection)
-    "inverted_index_postings",   # new in round 6 (posting-list construction)
-    "time_decayed_user_spend",   # new in round 6 (exact dyadic recency decay)
-    "embedding_correlation",     # new in round 6 (Pearson corr from moments)
-    "compaction_plan_docs",      # new in round 6 (offset-binned compaction)
-    "psi_drift_orders",          # new in round 6 (PSI drift monitor)
-    "welch_ttest_segments",      # new in round 6 (Welch t from exact moments)
-    "gini_spend_concentration",  # new in round 6 (rank-sum Gini)
-    "kmv_user_overlap",          # new in round 6 (KMV theta-sketch algebra)
-    "running_distinct_users",    # new in round 6 (first-seen cumulative distinct)
-    "event_trigram_topk",        # new in round 6 (behavioral trigram mining)
-    # (b) changed in round 6
-    "ann_lsh_topk",
-    "fuzzy_name_pairs",
-    "entity_resolution_parts",
-    # (c) round-2-stale
-    "ann_topk_bruteforce",
-    "dedup_events_keeper",
-    "dedup_simhash",
-    "q1_pricing_summary",
-    "quality_score",
-    "top_customers_per_nation",
-    # (d) round-3-stale (20 of 50; the 30 left out are named above)
-    # approx_distinct_users rotated out mid-round for the BPE slot: the
-    # HLL-sketch family is pinned by r5-green hll_distinct_users plus
-    # the sf0.001 oracle hash-check every pytest run.
-    # array_lateral_explode rotated out mid-round for the PIT slot:
-    # explode/lateral kernels run inside in-window lineitem_unpivot and
-    # the sf0.001 oracle hash-check every pytest run.
-    # asof_join_forward_tolerance rotated out mid-round for the k-core
-    # slot: the forward/tolerance carry is exercised by r5-green
-    # asof_join_purchase_signup, the new pit_enrich_events (backward
-    # carry), and the sf0.001 oracle hash-check every pytest run.
-    # bloom_customer_names rotated out mid-round for the MMR slot: the
-    # Bloom kernel is pinned by r4-green bloom_prefilter_join's driver
-    # row plus the sf0.001 oracle hash-check every pytest run.
-    # cms_user_counts rotated out mid-round for the MMR-arrow slot: the
-    # CMS kernel keeps its never-underestimates property test
-    # (tests/test_properties.py:84) + the sf0.001 oracle check per run.
-    # dedup_minhash_clusters rotated out mid-round for the decoded-resize
-    # slot: its two kernels stay pinned separately (minhash bands via the
-    # bench-measured dedup_minhash_lsh, connected components via the
-    # union-find property tests, tests/test_properties.py:432) + the
-    # sf0.001 oracle check per run.
-    # lineitem_unpivot rotated out mid-round for the privacy-audit slot:
-    # the unpivot/stack kernel stays pinned by the r5-green
-    # user_activity_pivot family + the sf0.001 oracle check per run.
-    # map_funcs_roundtrip and pipeline_train_manifest rotated out
-    # mid-round for the recurrence slots: map functions keep the
-    # sf0.001 oracle check per run; the train manifest keeps its plan
-    # assertion (tests/test_plans.py:161) + per-run oracle check.
-    # q11_important_parts rotated out mid-round for the LPA slot: the
-    # agg+HAVING-over-subquery family stays pinned by in-window
-    # q16_supplier_cnt / q2_min_cost_supplier + the sf0.001 oracle
-    # hash-check every pytest run.
-    # q12_ship_priority_class rotated out mid-round for the winsorize
-    # slot: the conditional-sum agg family stays pinned by in-window
-    # q14_promo_revenue + the sf0.001 oracle hash-check every run.
-    # q13_custdist rotated out mid-round for the char-entropy slot: the
-    # outer-join + count-distribution family stays pinned by r5-green
-    # left_join_customer_order_counts + the sf0.001 oracle check per run.
-    "q14_promo_revenue",
-    # q16_supplier_cnt rotated out mid-round for the KMV slot: the
-    # agg+HAVING family stays pinned by in-window q2_min_cost_supplier
-    # and q14_promo_revenue + the sf0.001 oracle check every run.
-    # q8_market_share rotated out mid-round for the cumulative-distinct
-    # slot: the multi-join volume-share family stays pinned by in-window
-    # q7_nation_volume / q9_product_profit + per-run oracle check.
-    # source_json_scan rotated out mid-round for the trigram slot: the
-    # non-parquet scan family stays pinned by in-window source_csv_scan
-    # + r5-green source_text_scan / source_orc_scan + per-run oracle.
-    # q15_top_supplier rotated out mid-round for the random-projection
-    # slot: the view + scalar-max-subquery family stays pinned by
-    # in-window q17_small_qty_revenue / q2_min_cost_supplier + the
-    # sf0.001 oracle hash-check every pytest run.
-    "q17_small_qty_revenue",
-    # q19_disjunctive_revenue rotated out mid-round for the PSI slot:
-    # the disjunctive-predicate family keeps its r3 driver row + the
-    # sf0.001 oracle hash-check every pytest run.
-    # q20_qty_suppliers rotated out mid-round for the Welch slot: the
-    # nested-subquery family stays pinned by in-window
-    # q2_min_cost_supplier / q22_idle_rich_customers + per-run oracle.
-    # q21_waiting_supplier rotated out mid-round for the inverted-index
-    # slot: the exists/anti-join family stays pinned by in-window
-    # q4_priority_exists + r5-green semi/anti joins + the sf0.001
-    # oracle hash-check every pytest run.
-    "q22_idle_rich_customers",
-    "q2_min_cost_supplier",
-    "q4_priority_exists",
-    "q7_nation_volume",
-    "q9_product_profit",
-    # regexp_funcs rotated out mid-round for the decayed-spend slot:
-    # the regexp kernel family (extract/extract_all/replace/like) is
-    # exercised inside in-window bpe_token_stats, source_text_scan and
-    # dedup_span_pairs + the sf0.001 oracle hash-check every pytest run.
-    # right_join_order_priority_mix rotated out mid-round for the
-    # span-dedup slot: right-join direction is exercised by the r5-green
-    # full/left/semi/anti family plus the sf0.001 oracle check per run.
-    # rolling_30d_spend rotated out mid-round for the skew-advisor slot:
-    # its RANGE-frame kernel stays pinned by in-window window_frame_funcs
-    # plus the sf0.001 oracle hash-check every pytest run.
-    # salted_join_event_spend rotated out mid-round for the BFS slot:
-    # its kernel keeps 3 unit tests (tests/test_scale_ops.py:16-34) and
-    # the sf0.001 oracle hash-check every pytest run.
-    # sample_split_hash rotated out mid-round for the compaction-plan
-    # slot: the portable-hash split family stays pinned by r4-green
-    # leakage_safe_split + in-window stratified_sample_events + the
-    # sf0.001 oracle hash-check every pytest run.
-    "source_csv_scan",
-    "stratified_sample_events",
-    "text_normalize_redact",
-    # time_rollup_multigrain rotated out mid-round for the Gini slot:
-    # the multi-grain rollup family stays pinned by r5-green
-    # rollup_order_stats / cube_order_stats / grouping_sets_orders +
-    # the sf0.001 oracle hash-check every pytest run.
-    "udaf_user_spend",
-    "window_frame_funcs",
-    # window_rank_stats rotated out mid-round for the correlation slot:
-    # the rank/dense_rank/ntile kernel family stays pinned by in-window
-    # window_frame_funcs + r5-green window_funcs_showcase /
-    # percentiles_by_flag + the sf0.001 oracle hash-check every run.
+    # (a) new in round 7, never driver-checked
+    "skyline_pareto_parts",        # distributed 2-D Pareto skyline
+    "anomaly_dow_events",          # day-of-week seasonal volume anomaly
+    "assoc_rules_events",          # association rules (support/conf/lift)
+    "stratified_kfold_embeddings", # exact stratified k-fold dealing
+    "holt_trend_user_spend",       # 2-state Holt level+trend recurrence
+    "time_split_embargo_events",   # purged/embargoed temporal split
+    "containment_dedup_pairs",     # asymmetric shingle containment
+    "token_freq_spectrum_docs",    # Zipf frequency-of-frequencies
+    "ks_test_segments",            # exact-integer two-sample KS
+    "rfm_customer_segments",       # rank-exact RFM quartile codes
+    "seasonal_decompose_daily",    # trend/dow-seasonal/residual
+    "copurchase_similar_customers",  # capped bipartite link Jaccard
+    # (b) changed in round 7
+    "psi_drift_orders",       # oracle total row re-cast to BIGINT (the
+                              # one red r6 hash: DuckDB sum() widened to
+                              # decimal128 vs Spark bigint)
+    "dedup_jaccard_pairs",    # candidate core factored into
+                              # dedup._pair_shared_counts (shared with
+                              # containment_pairs); also r3-stale
+    # (c) the 37 remaining queries whose latest driver row is round 3
+    "ann_ivf_topk",
+    # approx_distinct_users is the ONE r3-stale query left out (the
+    # 12 new queries outrank a repeat confirmation): the HLL-sketch
+    # family is pinned by r5-green hll_distinct_users + the sf0.001
+    # oracle hash-check every pytest run; front of the r8 queue.
+    "array_lateral_explode",
+    "asof_join_forward_tolerance",
+    "bloom_customer_names",
+    "cms_user_counts",
+    "dedup_minhash_clusters",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "event_type_pivot_api",
+    "lineitem_unpivot",
+    "literal_source_wordcount",
+    "map_funcs_roundtrip",
+    "multimodal_resize",
+    "pipeline_train_manifest",
+    "q11_important_parts",
+    "q12_ship_priority_class",
+    "q13_custdist",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_qty_suppliers",
+    "q21_waiting_supplier",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "regexp_funcs",
+    "right_join_order_priority_mix",
+    "rolling_30d_spend",
+    "salted_join_event_spend",
+    "sample_split_hash",
+    "source_json_scan",
+    "stats_numeric",
+    "time_rollup_multigrain",
+    "udtf_sentence_split",
+    "window_rank_stats",
+    "word_count",
 ]
 assert len(_CHECK_FIRST) == 50 and len(set(_CHECK_FIRST)) == 50
 _ORDERED = _CHECK_FIRST + sorted(

@@ -648,3 +648,84 @@ def test_winsorized_stats_no_global_sort_and_broadcast_bounds(spark):
     assert plans.broadcast_join_count(df) >= 1
     assert not plans.has_cartesian(df)
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_skyline_no_global_sort_no_join(spark):
+    """The skyline must be the range-sharded plan: windows partitioned
+    by shard (no single-partition exchange anywhere), the carry-in an
+    array LITERAL (no join of any kind — the broadcast-join variant hit
+    Catalyst's constraint-inference binding bug, see
+    relational.skyline_min_max), no dominance cartesian."""
+    df = QUERIES["skyline_pareto_parts"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert "SinglePartition" not in s
+    assert not plans.has_cartesian(df)
+    assert "Join" not in s  # carry is compiled in, not joined
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_anomaly_dow_partial_topk_and_broadcast_baseline(spark):
+    """The anomaly monitor's per-type top-3 must compile to
+    WindowGroupLimit (partial top-k before the shuffle) and the
+    |types|x7 baseline must broadcast back."""
+    df = QUERIES["anomaly_dow_events"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert "WindowGroupLimit" in s
+    assert plans.broadcast_join_count(df) >= 1
+    assert "SinglePartition" not in s
+
+
+def test_assoc_rules_broadcasts_all_dims(spark):
+    """Association rules: the basket self-join is user-keyed; the
+    |types|-sized n_a/n_b lookups and the 1-row universe count all
+    broadcast (no data-sized exchange after the pair count)."""
+    df = QUERIES["assoc_rules_events"](spark, SF_SMOKE)
+    assert plans.broadcast_join_count(df) >= 2
+    assert "BroadcastNestedLoopJoin" in plans.plan_string(df)  # 1-row N
+    assert not plans.has_cartesian(df)
+
+
+def test_time_split_zero_shuffle_stamp(spark):
+    """After the (eager, separate-job) boundary pass, the split stamp is
+    map-side: the returned plan holds one aggregate exchange and no
+    sort."""
+    df = QUERIES["time_split_embargo_events"](spark, SF_SMOKE)
+    s = plans.plan_string(df, "simple")
+    assert "Sort " not in s and "SinglePartition" not in s
+
+
+def test_ks_test_windows_stay_keyed(spark):
+    """KS cumulative windows run over the histogram keyed BY SEGMENT:
+    the only single-partition exchange allowed is the 1-row grand-total
+    aggregate (the same model-artifact exception welch_ttest uses); dim
+    + model lookups broadcast; no cartesian."""
+    df = QUERIES["ks_test_segments"](spark, SF_SMOKE)
+    s = plans.plan_string(df, "simple")
+    assert s.count("Exchange SinglePartition") <= 1  # the 1-row total
+    assert plans.broadcast_join_count(df) >= 2
+    assert not plans.has_cartesian(df)
+
+
+def test_rfm_stamp_is_zero_shuffle_after_boundaries(spark):
+    """After the (eager) boundary passes, the RFM triple bin stamp is a
+    literal-compiled projection: the returned plan is stamp + one
+    rollup exchange — no ntile-style single-partition window, no
+    joins."""
+    df = QUERIES["rfm_customer_segments"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert "SinglePartition" not in s
+    assert "Join" not in s  # bounds are literals, not joined frames
+    assert "WindowGroupLimit" not in s and "Window" not in s.replace(
+        "WindowGroupLimit", ""
+    )
+
+
+def test_copurchase_partial_topk_no_cartesian(spark):
+    """Co-purchase link scoring: per-customer top-5 compiles to
+    WindowGroupLimit; candidate pairs come from array combinatorics
+    (no cartesian, no nested-loop self-join)."""
+    df = QUERIES["copurchase_similar_customers"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert "WindowGroupLimit" in s
+    assert not plans.has_cartesian(df)
+    assert "BroadcastNestedLoopJoin" not in s

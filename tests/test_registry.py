@@ -11,88 +11,62 @@ import re
 
 from ssp_spark.queries import _CHECK_FIRST, ORACLE, QUERIES
 
-# Round 6 group (a): the one query with no driver row ever (VERDICT r5
-# #1 — ann_lsh_topk_gemm landed in the round-5 snapshot commit after the
-# gate ran; judge-verified at sf0.01, now first in line).
-_R6_NEVER_CHECKED = {
-    "ann_lsh_topk_gemm",
-    "bm25_topk_docs",              # new in round 6 (BM25 top-k retrieval)
-    "weighted_sample_per_source",  # new in round 6 (A-ES weighted sample)
-    "graph_reachability_bfs",      # new in round 6 (frontier BFS reachability)
-    "key_skew_report_events",      # new in round 6 (key-skew / salt advisor)
-    "dedup_span_pairs",            # new in round 6 (substring-window dedup)
-    "bpe_token_stats",             # new in round 6 (BPE tokenizer encode)
-    "pit_enrich_events",           # new in round 6 (point-in-time SCD-2 join)
-    "kcore_user_graph",            # new in round 6 (k-core peeling)
-    "mmr_diverse_topk",            # new in round 6 (MMR diverse selection)
-    "mmr_diverse_topk_arrow",      # new in round 6 (MMR deployment kernel)
-    "multimodal_resize_decoded",   # new in round 6 (real PPM decode path)
-    "k_anonymity_events",          # new in round 6 (privacy audit)
-    "ema_daily_user_spend",        # new in round 6 (keyed EMA recurrence)
-    "cusum_user_activity",         # new in round 6 (CUSUM drift detector)
-    "label_propagation_communities",  # new in round 6 (LPA communities)
-    "winsorized_stats_events",     # new in round 6 (rank-exact winsorized mean)
-    "char_entropy_docs",           # new in round 6 (char-entropy quality screen)
-    "embedding_random_projection",  # new in round 6 (JL sparse projection)
-    "inverted_index_postings",     # new in round 6 (posting-list construction)
-    "time_decayed_user_spend",     # new in round 6 (exact dyadic recency decay)
-    "embedding_correlation",       # new in round 6 (Pearson corr from moments)
-    "compaction_plan_docs",        # new in round 6 (offset-binned compaction)
-    "psi_drift_orders",            # new in round 6 (PSI drift monitor)
-    "welch_ttest_segments",        # new in round 6 (Welch t, exact moments)
-    "gini_spend_concentration",    # new in round 6 (rank-sum Gini)
-    "kmv_user_overlap",            # new in round 6 (KMV theta-sketch algebra)
-    "running_distinct_users",      # new in round 6 (first-seen cum. distinct)
-    "event_trigram_topk",          # new in round 6 (behavioral trigrams)
+# Round 7 group (a): new queries with no driver row yet.
+_R7_NEW = {
+    "skyline_pareto_parts",        # distributed 2-D Pareto skyline
+    "anomaly_dow_events",          # day-of-week seasonal anomaly top-3
+    "assoc_rules_events",          # association rules support/conf/lift
+    "stratified_kfold_embeddings",  # exact stratified k-fold dealing
+    "holt_trend_user_spend",       # Holt level+trend keyed recurrence
+    "time_split_embargo_events",   # purged/embargoed temporal split
+    "containment_dedup_pairs",     # asymmetric shingle containment
+    "token_freq_spectrum_docs",    # Zipf frequency-of-frequencies
+    "ks_test_segments",            # exact-integer two-sample KS
+    "rfm_customer_segments",       # rank-exact RFM quartile codes
+    "seasonal_decompose_daily",    # trend/dow-seasonal/residual
+    "copurchase_similar_customers",  # capped bipartite link Jaccard
 }
 
-# Round 6 group (b): implementation-changed this round.
-_R6_CHANGED = {
-    "ann_lsh_topk",             # kernel= dispatch added
-    "fuzzy_name_pairs",         # distinct-string side path (ADVICE r5)
-    "entity_resolution_parts",  # composes fuzzy_pairs
+# Round 7 group (b): implementation- or oracle-changed this round.
+_R7_CHANGED = {
+    "psi_drift_orders",     # oracle total row cast to BIGINT (r6's one
+                            # hash mismatch: decimal128 vs bigint)
+    "dedup_jaccard_pairs",  # candidate core factored into
+                            # dedup._pair_shared_counts; also r3-stale
 }
 
-# Round 6 group (c): latest driver row still round 2 (VERDICT r5 #3).
-_R6_R2_STALE = {
-    "ann_topk_bruteforce",
-    "dedup_events_keeper",
-    "dedup_simhash",
-    "q1_pricing_summary",
-    "quality_score",
-    "top_customers_per_nation",
-}
-
-# Round 6 group (d): 20 of the 50 round-3-latest queries. The 30 left
-# out (and each one's alternate evidence) are named in the queries.py
-# rotation comment; all are oracle-hash-checked at sf0.001 by
-# test_oracle_parity on every pytest run.
-_R6_R3_ROTATED = {
-    "q14_promo_revenue",
-    "q17_small_qty_revenue",
-    "q22_idle_rich_customers", "q2_min_cost_supplier",
-    "q4_priority_exists", "q7_nation_volume",
-    "q9_product_profit",
-    "source_csv_scan",
-    "stratified_sample_events", "text_normalize_redact",
-    "udaf_user_spend",
-    "window_frame_funcs",
+# Round 7 group (c): 36 of the 38 r3-latest queries — with
+# dedup_jaccard_pairs above, exactly ONE r3 query remains after this
+# round (approx_distinct_users: 12 new queries outrank a repeat
+# confirmation; HLL family pinned by r5-green hll_distinct_users, and
+# it leads the r8 queue).
+_R7_R3_STALE = {
+    "ann_ivf_topk", "array_lateral_explode",
+    "asof_join_forward_tolerance", "bloom_customer_names",
+    "cms_user_counts", "dedup_minhash_clusters", "dedup_minhash_lsh",
+    "dedup_simhash_pairs", "event_type_pivot_api", "lineitem_unpivot",
+    "literal_source_wordcount", "map_funcs_roundtrip",
+    "multimodal_resize", "pipeline_train_manifest", "q11_important_parts",
+    "q12_ship_priority_class", "q13_custdist", "q15_top_supplier",
+    "q16_supplier_cnt", "q18_large_orders", "q19_disjunctive_revenue",
+    "q20_qty_suppliers", "q21_waiting_supplier", "q6_forecast_revenue",
+    "q8_market_share", "regexp_funcs", "right_join_order_priority_mix",
+    "rolling_30d_spend", "salted_join_event_spend", "sample_split_hash",
+    "source_json_scan", "stats_numeric", "time_rollup_multigrain",
+    "udtf_sentence_split", "window_rank_stats", "word_count",
 }
 
 
-def test_driver_window_is_the_round6_target_set():
+def test_driver_window_is_the_round7_target_set():
     window = list(QUERIES)[:50]
     assert window == _CHECK_FIRST
-    assert set(window) == (
-        _R6_NEVER_CHECKED | _R6_CHANGED | _R6_R2_STALE | _R6_R3_ROTATED
-    )
-    # the never-checked queries lead the window (first rows the driver
-    # hashes), followed by this round's changed queries
-    assert set(window[: len(_R6_NEVER_CHECKED)]) == _R6_NEVER_CHECKED
-    assert window[0] == "ann_lsh_topk_gemm"
-    assert set(
-        window[len(_R6_NEVER_CHECKED) : len(_R6_NEVER_CHECKED) + 3]
-    ) == _R6_CHANGED
+    assert set(window) == (_R7_NEW | _R7_CHANGED | _R7_R3_STALE)
+    # the new queries lead the window (first rows the driver hashes),
+    # followed by this round's changed queries — psi_drift_orders (the
+    # repaired r6 mismatch) right behind them
+    assert set(window[: len(_R7_NEW)]) == _R7_NEW
+    assert window[len(_R7_NEW)] == "psi_drift_orders"
+    assert window[len(_R7_NEW) + 1] == "dedup_jaccard_pairs"
 
 
 def test_registry_is_complete_and_fully_oracled():

@@ -1,0 +1,182 @@
+"""Round-7 operator checks beyond the DuckDB parity gate: skyline
+dominance against the naive definition on adversarial inputs, Holt
+recurrence against hand-stepped values, containment direction semantics.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ssp_spark.operators import dedup, recurrence, relational
+
+
+# ---------------------------------------------------------------------------
+# skyline_min_max
+# ---------------------------------------------------------------------------
+
+
+def _naive_skyline(pts):
+    """Textbook NOT EXISTS dominance filter (minimize a, maximize b)."""
+    out = []
+    for i, (a, b) in pts:
+        dominated = any(
+            (a2 <= a and b2 >= b and (a2 < a or b2 > b))
+            for _, (a2, b2) in pts
+        )
+        if not dominated:
+            out.append(i)
+    return sorted(out)
+
+
+def test_skyline_matches_naive_on_dense_grid(spark):
+    # deterministic pseudo-random points with many collisions on both
+    # axes (mod-small-prime grid) — exercises ties, duplicate points,
+    # and shard-boundary values
+    pts = [(i, ((i * 37) % 23, (i * 53) % 19)) for i in range(300)]
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in pts], "id long, cost long, gain long"
+    )
+    got = sorted(
+        r["id"]
+        for r in relational.skyline_min_max(df, "cost", "gain").collect()
+    )
+    assert got == _naive_skyline(pts)
+
+
+def test_skyline_keeps_exact_duplicates(spark):
+    # identical (cost, gain) rows do not dominate each other — ALL kept
+    df = spark.createDataFrame(
+        [(1, 5, 5), (2, 5, 5), (3, 5, 5), (4, 9, 4)],
+        "id long, cost long, gain long",
+    )
+    got = sorted(
+        r["id"]
+        for r in relational.skyline_min_max(df, "cost", "gain").collect()
+    )
+    assert got == [1, 2, 3]  # (9,4) dominated by (5,5); duplicates kept
+
+
+def test_skyline_fewer_rows_than_shards(spark):
+    # n < n_shards duplicates split points; shard stamping must still
+    # partition correctly (the exact_range_boundaries k-keyed probes)
+    df = spark.createDataFrame(
+        [(1, 1, 1), (2, 2, 2), (3, 3, 0)], "id long, cost long, gain long"
+    )
+    got = sorted(
+        r["id"]
+        for r in relational.skyline_min_max(df, "cost", "gain").collect()
+    )
+    assert got == [1, 2]
+
+
+def test_skyline_full_frontier_chain(spark):
+    # gain strictly increases with cost: no point dominates any other,
+    # the whole chain is the frontier
+    df = spark.createDataFrame(
+        [(i, i, i) for i in range(50)], "id long, cost long, gain long"
+    )
+    assert relational.skyline_min_max(df, "cost", "gain").count() == 50
+
+
+def test_skyline_anti_chain_collapses_to_one(spark):
+    # gain strictly decreases with cost: the cheapest/highest point
+    # dominates everything else
+    df = spark.createDataFrame(
+        [(i, i, 100 - i) for i in range(50)], "id long, cost long, gain long"
+    )
+    rows = relational.skyline_min_max(df, "cost", "gain").collect()
+    assert [(r["cost"], r["gain"]) for r in rows] == [(0, 100)]
+
+
+# ---------------------------------------------------------------------------
+# keyed_holt
+# ---------------------------------------------------------------------------
+
+
+def test_keyed_holt_hand_stepped(spark):
+    # x = [4, 8, 6]:
+    #   t1: l=4,     b=0,      f=4
+    #   t2: l=(8+(4+0))/2=6,        b=((6-4)+0)/4=0.5,          f=6.5
+    #   t3: l=(6+(6+0.5))/2=6.25,   b=((6.25-6)+3*0.5)/4=0.4375, f=6.6875
+    df = spark.createDataFrame(
+        [(7, 1, 4), (7, 2, 8), (7, 3, 6)], "user_id long, d long, cents long"
+    )
+    out = {
+        r["step"]: (r["level"], r["trend"], r["forecast"])
+        for r in recurrence.keyed_holt(
+            df, key="user_id", order="d", value="cents"
+        ).collect()
+    }
+    assert out[1] == (4.0, 0.0, 4.0)
+    assert out[2] == (6.0, 0.5, 6.5)
+    assert out[3] == (6.25, 0.4375, 6.6875)
+
+
+def test_keyed_holt_constant_series_is_flat(spark):
+    # constant input: level stays exactly x, trend exactly 0 (no float
+    # drift — (x + (x+0))/2 == x and ((x-x)+0)/4 == 0 are exact)
+    df = spark.createDataFrame(
+        [(1, t, 42) for t in range(10)], "user_id long, d long, cents long"
+    )
+    rows = recurrence.keyed_holt(
+        df, key="user_id", order="d", value="cents"
+    ).collect()
+    assert all(r["level"] == 42.0 and r["trend"] == 0.0 for r in rows)
+
+
+def test_keyed_holt_keys_are_independent(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 10), (2, 1, 99), (1, 2, 20)],
+        "user_id long, d long, cents long",
+    )
+    out = recurrence.keyed_holt(df, key="user_id", order="d", value="cents")
+    by_key = {(r["key"], r["step"]): r["level"] for r in out.collect()}
+    assert by_key[(1, 1)] == 10.0 and by_key[(2, 1)] == 99.0
+    assert by_key[(1, 2)] == (20 + (10 + 0)) / 2
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_containment_detects_subsumed_snippet(spark):
+    # doc 1 is a verbatim snippet inside the much longer doc 2:
+    # containment(1 in 2) == 1.0 while Jaccard is far below any usual
+    # dup threshold — the case this operator exists for
+    snippet = "alpha beta gamma delta epsilon zeta eta theta"
+    page = (
+        "intro words before the quote "
+        + snippet
+        + " and a long tail of unrelated filler tokens "
+        + " ".join(f"filler{i}" for i in range(40))
+    )
+    df = spark.createDataFrame(
+        [(1, snippet), (2, page)], "doc_id long, text string"
+    )
+    rows = dedup.containment_pairs(
+        df, n=3, threshold=0.9, max_doc_freq=50
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id1"], r["id2"]) == (1, 2)
+    assert r["containment_1_in_2"] == 1.0
+    assert r["containment_2_in_1"] < 0.2
+    # and jaccard at the same shingle width stays below 0.5
+    j = dedup.jaccard_pairs(df, n=3, threshold=0.0, max_doc_freq=50).collect()
+    assert j and j[0]["jaccard"] < 0.5
+
+
+def test_containment_threshold_filters_either_direction(spark):
+    # two unrelated docs share nothing -> no candidate pair at all
+    df = spark.createDataFrame(
+        [(1, "aa bb cc dd ee"), (2, "vv ww xx yy zz")],
+        "doc_id long, text string",
+    )
+    assert dedup.containment_pairs(df, n=3).count() == 0
+
+
+def test_containment_rejects_non_integral_ids(spark):
+    df = spark.createDataFrame([("a", "x y z")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="containment_pairs requires"):
+        dedup.containment_pairs(df)
