@@ -62,6 +62,9 @@ NAMES = [
     "token_freq_spectrum_docs", "ks_test_segments",
     "rfm_customer_segments", "seasonal_decompose_daily",
     "copurchase_similar_customers",
+    "chisq_type_dow_events", "user_event_entropy",
+    "interarrival_stats_users", "pmi_collocations_docs",
+    "rolling_corr_view_purchase",
 ]
 
 # Re-measure a subset without paying for the whole table:

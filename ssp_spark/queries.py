@@ -25,7 +25,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ssp_spark.catalog import load_table
-from ssp_spark.functions import cosine, portable_hash64, tokens
+from ssp_spark.functions import cosine, portable_hash64, shingles, tokens
 from ssp_spark.operators import (
     cluster,
     dedup,
@@ -9218,6 +9218,422 @@ def copurchase_similar_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "chisq_type_dow_events",
+    """
+    WITH cont AS (
+      SELECT event_type,
+             (CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 + 4) % 7
+               AS dow,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    rowt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt FROM cont
+             GROUP BY 1),
+    colt AS (SELECT dow, CAST(sum(o) AS BIGINT) AS ct FROM cont GROUP BY 1),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cont),
+    terms AS (
+      SELECT o, CAST(rt AS DOUBLE) * ct / n AS e, n
+      FROM cont JOIN rowt USING (event_type) JOIN colt USING (dow)
+      CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT CAST(sum(CAST(round((o - e) * (o - e) / e * 1000000.0)
+                           AS BIGINT)) AS BIGINT) AS chi2_e6,
+             max(n) AS n
+      FROM terms
+    ),
+    dims AS (SELECT count(DISTINCT event_type) AS r,
+                    count(DISTINCT dow) AS c FROM cont)
+    SELECT chi2_e6, CAST((r - 1) * (c - 1) AS INT) AS dof,
+           CAST(n AS BIGINT) AS n,
+           round(sqrt((CAST(chi2_e6 AS DOUBLE) / 1000000.0)
+                      / (CAST(n AS DOUBLE) * least(r - 1, c - 1))), 6)
+             AS cramers_v
+    FROM agg, dims
+    """,
+)
+def chisq_type_dow_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence for the event_type × day-of-week
+    contingency table, with Cramér's V effect size — 'does traffic mix
+    shift by weekday', the categorical counterpart of
+    anomaly_dow_events. Exactness: observed counts and margins are
+    BIGINTs; each cell's (o-e)²/e is ONE fixed double sequence scaled
+    to an e6 integer before summing, so the statistic is
+    addition-order-free (the bm25 integer-scaled-score pattern); the
+    final χ²/√ conversions are one more fixed sequence on the exact
+    integer. Plan: one (type, dow) count, two margin rollups + a 1-row
+    total broadcast back, a ≤|types|×7 term frame, single-row output."""
+    ev = load_table(spark, "events", sf_dir)
+    cont = ev.groupBy(
+        "event_type",
+        (
+            (
+                (F.unix_timestamp(F.date_trunc("day", "ts")) / 86400).cast(
+                    "long"
+                )
+                + 4
+            )
+            % 7
+        ).alias("dow"),
+    ).agg(F.count("*").cast("long").alias("o"))
+    rowt = cont.groupBy("event_type").agg(
+        F.sum("o").cast("long").alias("rt")
+    )
+    colt = cont.groupBy("dow").agg(F.sum("o").cast("long").alias("ct"))
+    tot = cont.agg(F.sum("o").cast("long").alias("n"))
+    e = F.col("rt").cast("double") * F.col("ct") / F.col("n")
+    terms = (
+        cont.join(F.broadcast(rowt), "event_type")
+        .join(F.broadcast(colt), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "dow",
+            F.round((F.col("o") - e) * (F.col("o") - e) / e * 1000000.0)
+            .cast("long")
+            .alias("t_e6"),
+            "n",
+        )
+    )
+    agg = terms.agg(
+        F.sum("t_e6").cast("long").alias("chi2_e6"),
+        F.max("n").alias("n"),
+        F.countDistinct("event_type").alias("r"),
+        F.countDistinct("dow").alias("c"),
+    )
+    return agg.select(
+        "chi2_e6",
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("int").alias("dof"),
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.sqrt(
+                (F.col("chi2_e6").cast("double") / 1000000.0)
+                / (
+                    F.col("n").cast("double")
+                    * F.least(F.col("r") - 1, F.col("c") - 1)
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@_q(
+    "user_event_entropy",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    n AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS n_types
+          FROM c GROUP BY 1)
+    SELECT c.user_id, max(n) AS n_events, max(n_types) AS n_types,
+           CAST(sum(CAST(round(-(CAST(c AS DOUBLE) / n)
+                                * ln(CAST(c AS DOUBLE) / n)
+                                * 1000000000.0) AS BIGINT))
+                AS BIGINT) AS h_e9,
+           round(CAST(sum(CAST(round(-(CAST(c AS DOUBLE) / n)
+                                      * ln(CAST(c AS DOUBLE) / n)
+                                      * 1000000000.0) AS BIGINT))
+                      AS DOUBLE) / 1000000000.0, 6) AS entropy
+    FROM c JOIN n USING (user_id)
+    GROUP BY c.user_id
+    """,
+)
+def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution —
+    behavioral diversity scoring (bots and single-purpose accounts sit
+    near 0; engaged users near ln|types|), the per-key analogue of
+    char_entropy_docs. Each -p·ln(p) term is one fixed double sequence
+    on exact integer ratios, scaled to an e9 integer BEFORE the per-user
+    sum, so the entropy is addition-order-free in both engines (the
+    bm25/chi-square integer-scaled-term pattern). Plan: one (user, type)
+    map-side-combined count, a user-keyed total join (same exchange
+    key — no extra shuffle), one rollup."""
+    ev = load_table(spark, "events", sf_dir)
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    n = c.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_types"),
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    term = F.round(-p * F.log(p) * 1000000000.0).cast("long")
+    j = c.join(n, "user_id").select("user_id", "n", "n_types", term.alias("t"))
+    return j.groupBy("user_id").agg(
+        F.max("n").alias("n_events"),
+        F.max("n_types").alias("n_types"),
+        F.sum("t").cast("long").alias("h_e9"),
+        F.round(
+            F.sum("t").cast("double") / 1000000000.0, 6
+        ).alias("entropy"),
+    )
+
+
+@_q(
+    "interarrival_stats_users",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id
+      FROM events
+    ),
+    g AS (
+      SELECT user_id,
+             t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+               AS gap
+      FROM e
+    ),
+    s AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+             min(gap) AS min_gap_s, max(gap) AS max_gap_s,
+             CAST(sum(gap) AS BIGINT) AS s1,
+             CAST(sum(gap * gap) AS BIGINT) AS s2
+      FROM g WHERE gap IS NOT NULL GROUP BY 1
+    )
+    SELECT user_id, n_gaps, min_gap_s, max_gap_s,
+           round(CAST(s1 AS DOUBLE) / n_gaps, 4) AS mean_gap_s,
+           round((sqrt(greatest((CAST(s2 AS DOUBLE)
+                                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                                   / n_gaps) / (n_gaps - 1), 0.0))
+                  - CAST(s1 AS DOUBLE) / n_gaps)
+                 / (sqrt(greatest((CAST(s2 AS DOUBLE)
+                                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                                     / n_gaps) / (n_gaps - 1), 0.0))
+                    + CAST(s1 AS DOUBLE) / n_gaps), 6) AS burstiness
+    FROM s WHERE n_gaps >= 3 AND s1 > 0
+    """,
+)
+def interarrival_stats_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user interarrival-gap profile with the Goh-Barabási
+    burstiness coefficient B = (σ-μ)/(σ+μ) ∈ [-1, 1] (B→-1 periodic,
+    B≈0 Poisson, B→1 bursty) — the temporal-behavior fingerprint bot
+    detection and rate-limit tuning read. Gaps are integer SECONDS
+    (unix_timestamp floors; the oracle floors epoch() identically —
+    second granularity keeps gap² sums deep inside BIGINT), moments are
+    exact, and mean/σ/B are one fixed double sequence with a
+    greatest(·,0) guard so a zero-variance user hits sqrt(0), not
+    sqrt(-ε). Plan: one user-keyed lag window, one map-side-combined
+    moment aggregate — two exchanges on the same key."""
+    ev = load_table(spark, "events", sf_dir)
+    e = ev.select(
+        "user_id", F.unix_timestamp("ts").alias("t"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    g = e.select(
+        "user_id", (F.col("t") - F.lag("t").over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    s = g.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.min("gap").alias("min_gap_s"),
+        F.max("gap").alias("max_gap_s"),
+        F.sum("gap").cast("long").alias("s1"),
+        F.sum(F.col("gap") * F.col("gap")).cast("long").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_gaps")
+    var = F.greatest(
+        (
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double")
+            * F.col("s1").cast("double")
+            / F.col("n_gaps")
+        )
+        / (F.col("n_gaps") - 1),
+        F.lit(0.0),
+    )
+    std = F.sqrt(var)
+    return (
+        s.filter((F.col("n_gaps") >= 3) & (F.col("s1") > 0))
+        .select(
+            "user_id",
+            "n_gaps",
+            "min_gap_s",
+            "max_gap_s",
+            F.round(mean, 4).alias("mean_gap_s"),
+            F.round((std - mean) / (std + mean), 6).alias("burstiness"),
+        )
+    )
+
+
+@_q(
+    "pmi_collocations_docs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+               AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT t[i] AS a, t[i+1] AS b
+      FROM toks, LATERAL (SELECT unnest(generate_series(
+             1, greatest(len(t) - 1, 0))) AS i) u
+    ),
+    bgc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab FROM bg
+            GROUP BY 1, 2),
+    uni AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS n_w
+      FROM (SELECT unnest(t) AS word FROM toks) GROUP BY 1
+    ),
+    tots AS (SELECT CAST(sum(n_w) AS BIGINT) AS nu,
+                    (SELECT CAST(sum(n_ab) AS BIGINT) FROM bgc) AS nb
+             FROM uni),
+    scored AS (
+      SELECT a, b, n_ab,
+             CAST(round(ln(CAST(n_ab AS DOUBLE) * nu * nu
+                           / (CAST(nb AS DOUBLE) * u1.n_w * u2.n_w))
+                        * 1000000.0) AS BIGINT) AS pmi_e6
+      FROM bgc JOIN uni u1 ON u1.word = a JOIN uni u2 ON u2.word = b
+      CROSS JOIN tots
+      WHERE n_ab >= 5
+    )
+    SELECT a, b, n_ab, pmi_e6,
+           round(CAST(pmi_e6 AS DOUBLE) / 1000000.0, 6) AS pmi
+    FROM scored
+    ORDER BY pmi_e6 DESC, a, b LIMIT 50
+    """,
+)
+def pmi_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations (consecutive word pairs) by pointwise mutual
+    information, min count 5 — the classic multiword-expression miner
+    (Church & Hanks): high-count bigrams rank by how much MORE often
+    they co-occur than their unigram frequencies predict, which raw
+    count ranking (event_trigram_topk's measure) cannot see. PMI is one
+    fixed double sequence over exact integer counts, scaled to an e6
+    integer that both RANKS (with (a, b) tiebreaks) and reports — no
+    float comparisons cross the engine boundary. Plan: one bigram count
+    + one unigram count off the same tokenization, unigram lookups
+    joined keyed (vocab-sized), global top-50 compiles to
+    TakeOrderedAndProject (per-partition heap, no global sort)."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(F.explode(tokens("text")).alias("word"))
+    uni = toks.groupBy("word").agg(F.count("*").cast("long").alias("n_w"))
+    bg = docs.select(
+        F.explode(shingles(F.col("text"), 2)).alias("sh")
+    ).select(
+        F.split(F.col("sh"), " ", 2).getItem(0).alias("a"),
+        F.split(F.col("sh"), " ", 2).getItem(1).alias("b"),
+    )
+    bgc = bg.groupBy("a", "b").agg(F.count("*").cast("long").alias("n_ab"))
+    tots = uni.agg(F.sum("n_w").cast("long").alias("nu")).crossJoin(
+        bgc.agg(F.sum("n_ab").cast("long").alias("nb"))
+    )
+    pmi_e6 = F.round(
+        F.log(
+            F.col("n_ab").cast("double")
+            * F.col("nu")
+            * F.col("nu")
+            / (F.col("nb").cast("double") * F.col("n_w1") * F.col("n_w2"))
+        )
+        * 1000000.0
+    ).cast("long")
+    scored = (
+        bgc.filter(F.col("n_ab") >= 5)
+        .join(uni.select(F.col("word").alias("a"), F.col("n_w").alias("n_w1")), "a")
+        .join(uni.select(F.col("word").alias("b"), F.col("n_w").alias("n_w2")), "b")
+        .crossJoin(F.broadcast(tots))
+        .select("a", "b", "n_ab", pmi_e6.alias("pmi_e6"))
+    )
+    return (
+        scored.orderBy(F.col("pmi_e6").desc(), "a", "b")
+        .limit(50)
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            "pmi_e6",
+            F.round(F.col("pmi_e6").cast("double") / 1000000.0, 6).alias(
+                "pmi"
+            ),
+        )
+    )
+
+
+@_q(
+    "rolling_corr_view_purchase",
+    """
+    WITH daily AS (
+      SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS d,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    wins AS (
+      SELECT d, x, y,
+             count(*) OVER w7 AS n,
+             sum(x) OVER w7 AS sx, sum(y) OVER w7 AS sy,
+             sum(x * x) OVER w7 AS sxx, sum(y * y) OVER w7 AS syy,
+             sum(x * y) OVER w7 AS sxy
+      FROM daily
+      WINDOW w7 AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT d, x, y,
+           CAST(7 * sxy - sx * sy AS BIGINT) AS cov_num,
+           round(CAST(7 * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(7 * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(7 * syy - sy * sy AS DOUBLE))), 6)
+             AS corr7
+    FROM wins
+    WHERE n = 7 AND 7 * sxx - sx * sx > 0 AND 7 * syy - sy * sy > 0
+    """,
+)
+def rolling_corr_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling Pearson correlation between daily view and purchase
+    volumes — the co-movement monitor for funnel health (a correlation
+    collapse means views stopped converting). EXACT up to one final
+    division: the rolling window accumulates integer moments, the
+    covariance/variance numerators (n·Σxy − ΣxΣy etc.) are BIGINTs, and
+    corr is num / (sqrt(dx)·sqrt(dy)) — one fixed double sequence on
+    exact integers, 6dp output. Windows with fewer than 7 observed days
+    or zero variance are excluded (not NaN). Plan: one daily
+    conditional-sum rollup, then rolling sums over the time-bounded
+    daily series (the documented model-sized-window exception)."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        F.unix_timestamp(F.date_trunc("day", "ts")).alias("d")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    w7 = Window.orderBy("d").rowsBetween(-6, 0)
+    wins = daily.select(
+        "d",
+        "x",
+        "y",
+        F.count("*").over(w7).alias("n"),
+        F.sum("x").over(w7).alias("sx"),
+        F.sum("y").over(w7).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w7).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w7).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w7).alias("sxy"),
+    )
+    num = 7 * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = 7 * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = 7 * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        wins.filter((F.col("n") == 7) & (dx > 0) & (dy > 0))
+        .select(
+            "d",
+            "x",
+            "y",
+            num.cast("long").alias("cov_num"),
+            F.round(
+                num.cast("double")
+                / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))),
+                6,
+            ).alias("corr7"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering
 # ---------------------------------------------------------------------------
@@ -9327,17 +9743,21 @@ def copurchase_similar_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round start (38 r3 / 46 r4 / 48 r5 / 50 r6, zero never-checked, one
 # failing: psi_drift_orders' r6 hash mismatch — an oracle TYPE skew, not
 # a value bug; fixed this round and re-fronted):
-# (a) the 12 new round-7 queries (no driver rows yet);
+# (a) the 17 new round-7 queries (no driver rows yet; the last 5 took
+#     the slots of 4 mid-round rotations, each annotated at its former
+#     slot below);
 # (b) changed this round: psi_drift_orders (oracle cast fix),
 #     dedup_jaccard_pairs (candidate core factored into
 #     _pair_shared_counts, shared with the new containment_pairs);
-# (c) 36 of the 38 r3-latest queries. ARITHMETIC, stated plainly:
-#     12 + 2 + 36 = 50, and dedup_jaccard_pairs in (b) is also r3-stale,
+# (c) 31 of the 38 r3-latest queries. ARITHMETIC, stated plainly:
+#     17 + 2 + 31 = 50, and dedup_jaccard_pairs in (b) is also r3-stale,
 #     so exactly ONE r3 query stays r3 after this round —
-#     approx_distinct_users, named at its former slot below with its
-#     alternate evidence (r5-green hll_distinct_users pins the HLL
-#     family; per-run sf0.001 oracle check), first in the r8 queue
-#     together with the 46 r4-latest queries.
+#     ... so SIX r3 queries stay r3 after this round —
+#     approx_distinct_users plus the 5 mid-round rotations
+#     (event_type_pivot_api, literal_source_wordcount,
+#     map_funcs_roundtrip, multimodal_resize, stats_numeric), each
+#     named at its former slot below with its alternate evidence; all
+#     six lead the r8 queue together with the 46 r4-latest queries.
 _CHECK_FIRST = [
     # (a) new in round 7, never driver-checked
     "skyline_pareto_parts",        # distributed 2-D Pareto skyline
@@ -9352,6 +9772,11 @@ _CHECK_FIRST = [
     "rfm_customer_segments",       # rank-exact RFM quartile codes
     "seasonal_decompose_daily",    # trend/dow-seasonal/residual
     "copurchase_similar_customers",  # capped bipartite link Jaccard
+    "chisq_type_dow_events",       # chi-square independence + Cramér's V
+    "user_event_entropy",          # behavioral Shannon entropy
+    "interarrival_stats_users",    # gap moments + burstiness
+    "pmi_collocations_docs",       # PMI collocation mining
+    "rolling_corr_view_purchase",  # rolling Pearson, integer moments
     # (b) changed in round 7
     "psi_drift_orders",       # oracle total row re-cast to BIGINT (the
                               # one red r6 hash: DuckDB sum() widened to
@@ -9372,11 +9797,21 @@ _CHECK_FIRST = [
     "dedup_minhash_clusters",
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
-    "event_type_pivot_api",
+    # event_type_pivot_api rotated out mid-round for the chi-square
+    # slot: the pivot kernel stays pinned by r5-green
+    # user_activity_pivot + the sf0.001 oracle hash-check every run.
     "lineitem_unpivot",
-    "literal_source_wordcount",
-    "map_funcs_roundtrip",
-    "multimodal_resize",
+    # literal_source_wordcount rotated out mid-round for the entropy
+    # slot: the literal in-memory source (O4) keeps its stream-API
+    # goldens (test_stream_api builds every golden from elements) + the
+    # sf0.001 oracle hash-check every pytest run.
+    # map_funcs_roundtrip rotated out mid-round for the rolling-corr
+    # slot: the map-function kernel family keeps the sf0.001 oracle
+    # hash-check every pytest run (its r3 driver row stands).
+    # multimodal_resize rotated out mid-round for the interarrival
+    # slot: the mapInPandas plumbing is pinned by r6-green
+    # multimodal_resize_decoded / r5-green multimodal_features + the
+    # sf0.001 oracle hash-check every pytest run.
     "pipeline_train_manifest",
     "q11_important_parts",
     "q12_ship_priority_class",
@@ -9395,7 +9830,9 @@ _CHECK_FIRST = [
     "salted_join_event_spend",
     "sample_split_hash",
     "source_json_scan",
-    "stats_numeric",
+    # stats_numeric rotated out mid-round for the PMI slot: its
+    # exact-decimal twin stats_numeric_exact is bench-measured every
+    # round + the sf0.001 oracle hash-check every pytest run.
     "time_rollup_multigrain",
     "udtf_sentence_split",
     "window_rank_stats",

@@ -729,3 +729,43 @@ def test_copurchase_partial_topk_no_cartesian(spark):
     assert "WindowGroupLimit" in s
     assert not plans.has_cartesian(df)
     assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_chisq_broadcasts_margins(spark):
+    """Chi-square: both margins and the 1-row total broadcast back onto
+    the contingency frame; the only single-partition exchanges are the
+    1-row total and the single-row output aggregate."""
+    df = QUERIES["chisq_type_dow_events"](spark, SF_SMOKE)
+    s = plans.plan_string(df, "simple")
+    assert s.count("Exchange SinglePartition") <= 2
+    assert plans.broadcast_join_count(df) >= 2
+    assert not plans.has_cartesian(df)
+
+
+def test_entropy_single_key_exchange_family(spark):
+    """User entropy: the (user, type) count, the per-user total, and the
+    rollup all hash on user_id — no single-partition exchange, no
+    Python eval."""
+    df = QUERIES["user_event_entropy"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert "SinglePartition" not in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_interarrival_two_keyed_exchanges(spark):
+    """Interarrival stats: one user-keyed lag window + one moment
+    aggregate — both exchanges hash on user_id, nothing global."""
+    df = QUERIES["interarrival_stats_users"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert "SinglePartition" not in s
+    assert plans.exchange_count(df) <= 2
+
+
+def test_pmi_topk_partial_heap(spark):
+    """PMI collocations: the global top-50 must compile to
+    TakeOrderedAndProject (per-partition heap), never a global sort of
+    the bigram table."""
+    df = QUERIES["pmi_collocations_docs"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert "TakeOrderedAndProject" in s
+    assert not plans.has_cartesian(df)

@@ -25,6 +25,11 @@ _R7_NEW = {
     "rfm_customer_segments",       # rank-exact RFM quartile codes
     "seasonal_decompose_daily",    # trend/dow-seasonal/residual
     "copurchase_similar_customers",  # capped bipartite link Jaccard
+    "chisq_type_dow_events",       # chi-square independence + Cramér's V
+    "user_event_entropy",          # behavioral Shannon entropy
+    "interarrival_stats_users",    # gap moments + burstiness
+    "pmi_collocations_docs",       # PMI collocation mining
+    "rolling_corr_view_purchase",  # rolling Pearson, integer moments
 }
 
 # Round 7 group (b): implementation- or oracle-changed this round.
@@ -35,24 +40,25 @@ _R7_CHANGED = {
                             # dedup._pair_shared_counts; also r3-stale
 }
 
-# Round 7 group (c): 36 of the 38 r3-latest queries — with
-# dedup_jaccard_pairs above, exactly ONE r3 query remains after this
-# round (approx_distinct_users: 12 new queries outrank a repeat
-# confirmation; HLL family pinned by r5-green hll_distinct_users, and
-# it leads the r8 queue).
+# Round 7 group (c): 31 of the 38 r3-latest queries — with
+# dedup_jaccard_pairs above, SIX r3 queries remain after this round
+# (approx_distinct_users never made the window; event_type_pivot_api,
+# literal_source_wordcount, map_funcs_roundtrip, multimodal_resize and
+# stats_numeric were rotated out mid-round for the batch-4/5 slots —
+# justifications at their former slots in queries.py; all six lead the
+# r8 queue).
 _R7_R3_STALE = {
     "ann_ivf_topk", "array_lateral_explode",
     "asof_join_forward_tolerance", "bloom_customer_names",
     "cms_user_counts", "dedup_minhash_clusters", "dedup_minhash_lsh",
-    "dedup_simhash_pairs", "event_type_pivot_api", "lineitem_unpivot",
-    "literal_source_wordcount", "map_funcs_roundtrip",
-    "multimodal_resize", "pipeline_train_manifest", "q11_important_parts",
+    "dedup_simhash_pairs", "lineitem_unpivot",
+    "pipeline_train_manifest", "q11_important_parts",
     "q12_ship_priority_class", "q13_custdist", "q15_top_supplier",
     "q16_supplier_cnt", "q18_large_orders", "q19_disjunctive_revenue",
     "q20_qty_suppliers", "q21_waiting_supplier", "q6_forecast_revenue",
     "q8_market_share", "regexp_funcs", "right_join_order_priority_mix",
     "rolling_30d_spend", "salted_join_event_spend", "sample_split_hash",
-    "source_json_scan", "stats_numeric", "time_rollup_multigrain",
+    "source_json_scan", "time_rollup_multigrain",
     "udtf_sentence_split", "window_rank_stats", "word_count",
 }
 

@@ -180,3 +180,55 @@ def test_containment_rejects_non_integral_ids(spark):
     df = spark.createDataFrame([("a", "x y z")], "doc_id string, text string")
     with pytest.raises(ValueError, match="containment_pairs requires"):
         dedup.containment_pairs(df)
+
+
+# ---------------------------------------------------------------------------
+# batch-4 closed forms (oracle parity is the gate; these pin the math)
+# ---------------------------------------------------------------------------
+
+
+def test_entropy_integer_term_closed_forms():
+    # the e9 integer-term pipeline reproduces ln(k) for uniform
+    # distributions and 0 for single-type users
+    import math
+
+    def h_e9(counts):
+        n = sum(counts)
+        return sum(
+            int(round(-(c / n) * math.log(c / n) * 1e9)) for c in counts
+        )
+
+    assert h_e9([7]) == 0  # single type: p=1, term = -1*ln(1) = 0
+    for k in (2, 4, 5):
+        assert abs(h_e9([3] * k) / 1e9 - math.log(k)) < 1e-8
+
+
+def test_burstiness_closed_forms():
+    # perfectly periodic gaps: sigma=0 -> B = -1; the Goh-Barabási ends
+    def burst(gaps):
+        n = len(gaps)
+        s1, s2 = sum(gaps), sum(g * g for g in gaps)
+        mean = s1 / n
+        var = max((s2 - s1 * s1 / n) / (n - 1), 0.0)
+        std = var ** 0.5
+        return (std - mean) / (std + mean)
+
+    assert burst([60, 60, 60, 60]) == -1.0
+    # one huge gap among many small ones -> positive (bursty) side;
+    # sample std with n-1 keeps B well under 1 at small n
+    assert burst([1, 1, 1, 997]) > 0.3
+    assert burst([1] * 20 + [10000]) > 0.6
+
+
+def test_chisq_independent_table_is_zero():
+    # a perfectly independent contingency table has chi2 == 0 exactly
+    # (every o == e, every integer-scaled term rounds to 0)
+    rows = {("a", 0): 10, ("a", 1): 20, ("b", 0): 30, ("b", 1): 60}
+    rt = {"a": 30, "b": 90}
+    ct = {0: 40, 1: 80}
+    n = 120
+    chi2_e6 = sum(
+        int(round((o - rt[r] * ct[c] / n) ** 2 / (rt[r] * ct[c] / n) * 1e6))
+        for (r, c), o in rows.items()
+    )
+    assert chi2_e6 == 0

@@ -1300,3 +1300,68 @@ def test_log_to_bucketed_upsert_pipeline_end_to_end(spark, tmpdir):
     }
     live = os.path.realpath(mv)
     assert any(x.startswith("__bucket=") for x in os.listdir(live))
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(spark, tmpdir):
+    """LEFT OUTER stream-stream join (SURVEY §2.3 joins, round 7):
+    unmatched left rows must eventually emit with NULL right side — but
+    only AFTER the watermark passes their join window (Spark holds them
+    as state until then). The golden drives three micro-batches with
+    maxFilesPerTrigger=1 so the third batch's far-future timestamp
+    advances the watermark past the first batch's window and flushes
+    its unmatched row; the far-future row itself stays in state at
+    stream end (availableNow does not force a final flush) — asserting
+    that too, so the semantics are pinned, not idealized."""
+    imp_p = os.path.join(tmpdir, "lo_imp")
+    clk_p = os.path.join(tmpdir, "lo_clk")
+    schema = "ts timestamp, ad long"
+    # batch 1: ads 1 (will match) and 2 (never clicks)
+    _write_parquet(spark, [(_ts(0), 1), (_ts(2), 2)], schema, imp_p)
+    # batch 2 advances nothing much; batch 3 jumps 10 minutes ahead
+    _write_parquet(spark, [(_ts(30), 4)], schema, imp_p)
+    _write_parquet(spark, [(_ts(600), 5)], schema, imp_p)
+    _write_parquet(spark, [(_ts(5), 1), (_ts(601), 9)], schema, clk_p)
+    imp = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(imp_p)
+        .withWatermark("ts", "5 seconds")
+        .select(F.col("ts").alias("imp_ts"), F.col("ad").alias("imp_ad"))
+    )
+    clk = (
+        spark.readStream.schema(schema)
+        .parquet(clk_p)
+        .withWatermark("ts", "5 seconds")
+        .select(F.col("ts").alias("clk_ts"), F.col("ad").alias("clk_ad"))
+    )
+    joined = imp.join(
+        clk,
+        F.expr(
+            "imp_ad = clk_ad AND clk_ts >= imp_ts "
+            "AND clk_ts <= imp_ts + interval 30 seconds"
+        ),
+        "left_outer",
+    ).select(
+        "imp_ad",
+        F.unix_timestamp("imp_ts").alias("i"),
+        F.unix_timestamp("clk_ts").alias("c"),
+    )
+    name = f"lo_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    base = 1704067200
+    got = sorted(
+        (r.imp_ad, r.i - base, None if r.c is None else r.c - base)
+        for r in spark.table(name).collect()
+    )
+    # ad 1 matches (click 5s after). ads 2 and 4: no click ever -> NULL
+    # rows, emitted once the 600s batch pushed the watermark past their
+    # 30s windows. ad 5 (t=600) is unmatched too but its window is
+    # still open at stream end -> held in state, NOT emitted.
+    assert got == [(1, 0, 5), (2, 2, None), (4, 30, None)]
