@@ -64,7 +64,7 @@ NAMES = [
     "copurchase_similar_customers",
     "chisq_type_dow_events", "user_event_entropy",
     "interarrival_stats_users", "pmi_collocations_docs",
-    "rolling_corr_view_purchase",
+    "rolling_corr_view_purchase", "roc_auc_embedding_norm",
 ]
 
 # Re-measure a subset without paying for the whole table:

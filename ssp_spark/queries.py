@@ -9634,6 +9634,95 @@ def rolling_corr_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "roc_auc_embedding_norm",
+    """
+    WITH sc AS (
+      SELECT vec_id, CAST(label % 2 AS BIGINT) AS y,
+             CAST(round(sqrt(list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]))
+                        * 1000000) AS BIGINT) AS s
+      FROM embeddings
+    ),
+    rk AS (SELECT y, s, row_number() OVER (ORDER BY s, vec_id) AS r FROM sc),
+    g AS (SELECT s, CAST(sum(y) AS BIGINT) AS n1,
+                 CAST(min(r) AS BIGINT) AS mn, CAST(max(r) AS BIGINT) AS mx
+          FROM rk GROUP BY s),
+    t AS (SELECT CAST(sum(y) AS BIGINT) AS np,
+                 CAST(count(*) - sum(y) AS BIGINT) AS nn
+          FROM sc),
+    r2 AS (SELECT CAST(sum(n1 * (mn + mx)) AS BIGINT) AS rank2_sum FROM g)
+    SELECT np, nn, rank2_sum,
+           round(CAST(rank2_sum - np * (np + 1) AS DOUBLE)
+                 / CAST(2 * np * nn AS DOUBLE), 6) AS auc
+    FROM t, r2
+    """,
+)
+def roc_auc_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC of the embedding-norm 'score' against the odd-label
+    class via the Mann-Whitney rank-sum identity with midrank tie
+    correction — the classifier-evaluation primitive, computed without
+    any threshold sweep: AUC = (2R⁺ − n⁺(n⁺+1)) / (2 n⁺ n⁻) where R⁺
+    sums positives' midranks. Everything is integer until ONE final
+    division: scores are e6-scaled norms (the JVM array fold is
+    bit-identical to DuckDB's list_dot_product — established by the
+    embedding family), ranks come from layout.global_order_positions
+    (exact global (score, id) ranks WITHOUT a global sort:
+    range-sharded parallel windows + an S-row offset collect), and tie
+    groups contribute n⁺·(min_r+max_r) — twice the midrank sum — as
+    BIGINTs. The oracle replays ranks with a plain row_number. Plan:
+    one sharded rank pass, a score-keyed tie rollup, two scalar
+    aggregates, single-row output."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    from ssp_spark.functions import dot as _dot
+
+    sc = emb.select(
+        "vec_id",
+        (F.col("label") % 2).cast("long").alias("y"),
+        F.round(
+            F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) * 1000000
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    # materialize the 24-byte scored rows ONCE: the rank pass (its
+    # approxQuantile sketch + the shard window), the tie rollup, and the
+    # totals would each re-run the 64-dim HOF norm fold otherwise —
+    # measured 26.5 s -> the fold is the whole cost at 100x, the AUC
+    # arithmetic is free
+    sc = sc.localCheckpoint()
+    ranked = layout.global_order_positions(sc, "s", "vec_id")
+    g = ranked.groupBy("s").agg(
+        F.sum("y").cast("long").alias("n1"),
+        (F.min("position") + 1).cast("long").alias("mn"),
+        (F.max("position") + 1).cast("long").alias("mx"),
+    )
+    t = sc.agg(
+        F.sum("y").cast("long").alias("np"),
+        (F.count("*") - F.sum("y")).cast("long").alias("nn"),
+    )
+    r2 = g.agg(
+        F.sum(F.col("n1") * (F.col("mn") + F.col("mx")))
+        .cast("long")
+        .alias("rank2_sum")
+    )
+    return (
+        t.crossJoin(r2)
+        .select(
+            "np",
+            "nn",
+            "rank2_sum",
+            F.round(
+                (F.col("rank2_sum") - F.col("np") * (F.col("np") + 1)).cast(
+                    "double"
+                )
+                / (2 * F.col("np") * F.col("nn")).cast("double"),
+                6,
+            ).alias("auc"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering
 # ---------------------------------------------------------------------------
@@ -9743,21 +9832,22 @@ def rolling_corr_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round start (38 r3 / 46 r4 / 48 r5 / 50 r6, zero never-checked, one
 # failing: psi_drift_orders' r6 hash mismatch — an oracle TYPE skew, not
 # a value bug; fixed this round and re-fronted):
-# (a) the 17 new round-7 queries (no driver rows yet; the last 5 took
+# (a) the 18 new round-7 queries (no driver rows yet; the last 6 took
 #     the slots of 4 mid-round rotations, each annotated at its former
 #     slot below);
 # (b) changed this round: psi_drift_orders (oracle cast fix),
 #     dedup_jaccard_pairs (candidate core factored into
 #     _pair_shared_counts, shared with the new containment_pairs);
-# (c) 31 of the 38 r3-latest queries. ARITHMETIC, stated plainly:
-#     17 + 2 + 31 = 50, and dedup_jaccard_pairs in (b) is also r3-stale,
+# (c) 30 of the 38 r3-latest queries. ARITHMETIC, stated plainly:
+#     18 + 2 + 30 = 50, and dedup_jaccard_pairs in (b) is also r3-stale,
 #     so exactly ONE r3 query stays r3 after this round —
-#     ... so SIX r3 queries stay r3 after this round —
-#     approx_distinct_users plus the 5 mid-round rotations
+#     ... so SEVEN r3 queries stay r3 after this round —
+#     approx_distinct_users plus the 6 mid-round rotations
 #     (event_type_pivot_api, literal_source_wordcount,
-#     map_funcs_roundtrip, multimodal_resize, stats_numeric), each
-#     named at its former slot below with its alternate evidence; all
-#     six lead the r8 queue together with the 46 r4-latest queries.
+#     map_funcs_roundtrip, multimodal_resize, stats_numeric,
+#     udtf_sentence_split), each named at its former slot below with
+#     its alternate evidence; all seven lead the r8 queue together
+#     with the 46 r4-latest queries.
 _CHECK_FIRST = [
     # (a) new in round 7, never driver-checked
     "skyline_pareto_parts",        # distributed 2-D Pareto skyline
@@ -9777,6 +9867,7 @@ _CHECK_FIRST = [
     "interarrival_stats_users",    # gap moments + burstiness
     "pmi_collocations_docs",       # PMI collocation mining
     "rolling_corr_view_purchase",  # rolling Pearson, integer moments
+    "roc_auc_embedding_norm",      # exact rank-sum ROC-AUC
     # (b) changed in round 7
     "psi_drift_orders",       # oracle total row re-cast to BIGINT (the
                               # one red r6 hash: DuckDB sum() widened to
@@ -9834,7 +9925,9 @@ _CHECK_FIRST = [
     # exact-decimal twin stats_numeric_exact is bench-measured every
     # round + the sf0.001 oracle hash-check every pytest run.
     "time_rollup_multigrain",
-    "udtf_sentence_split",
+    # udtf_sentence_split rotated out mid-round for the ROC-AUC slot:
+    # the UDTF surface is pinned by its own unit tests and in-window
+    # udaf_user_spend + the sf0.001 oracle hash-check every pytest run.
     "window_rank_stats",
     "word_count",
 ]

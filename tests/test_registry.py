@@ -30,6 +30,7 @@ _R7_NEW = {
     "interarrival_stats_users",    # gap moments + burstiness
     "pmi_collocations_docs",       # PMI collocation mining
     "rolling_corr_view_purchase",  # rolling Pearson, integer moments
+    "roc_auc_embedding_norm",      # exact rank-sum ROC-AUC
 }
 
 # Round 7 group (b): implementation- or oracle-changed this round.
@@ -40,13 +41,13 @@ _R7_CHANGED = {
                             # dedup._pair_shared_counts; also r3-stale
 }
 
-# Round 7 group (c): 31 of the 38 r3-latest queries — with
-# dedup_jaccard_pairs above, SIX r3 queries remain after this round
+# Round 7 group (c): 30 of the 38 r3-latest queries — with
+# dedup_jaccard_pairs above, SEVEN r3 queries remain after this round
 # (approx_distinct_users never made the window; event_type_pivot_api,
-# literal_source_wordcount, map_funcs_roundtrip, multimodal_resize and
-# stats_numeric were rotated out mid-round for the batch-4/5 slots —
-# justifications at their former slots in queries.py; all six lead the
-# r8 queue).
+# literal_source_wordcount, map_funcs_roundtrip, multimodal_resize,
+# stats_numeric and udtf_sentence_split were rotated out mid-round for
+# the batch-4/5 slots — justifications at their former slots in
+# queries.py; all seven lead the r8 queue).
 _R7_R3_STALE = {
     "ann_ivf_topk", "array_lateral_explode",
     "asof_join_forward_tolerance", "bloom_customer_names",
@@ -59,7 +60,7 @@ _R7_R3_STALE = {
     "q8_market_share", "regexp_funcs", "right_join_order_priority_mix",
     "rolling_30d_spend", "salted_join_event_spend", "sample_split_hash",
     "source_json_scan", "time_rollup_multigrain",
-    "udtf_sentence_split", "window_rank_stats", "word_count",
+    "window_rank_stats", "word_count",
 }
 
 
