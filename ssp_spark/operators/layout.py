@@ -124,7 +124,13 @@ def global_order_positions(
     """
     probs = [k / n_shards for k in range(1, n_shards)]
     bounds = df.stat.approxQuantile(order_col, probs, 0.001)
-    sharded = df.withColumn("__shard", shard_expr(order_col, [int(b) for b in bounds]))
+    # keep integral boundaries integral (the literal list compiles into
+    # the comparison expression — int vs double literals change nothing
+    # semantically, but int keeps codegen on the long path); fractional
+    # order columns (e.g. Theil-Sen slopes) keep their double boundaries
+    if dict(df.dtypes).get(order_col) in {"tinyint", "smallint", "int", "bigint"}:
+        bounds = [int(b) for b in bounds]
+    sharded = df.withColumn("__shard", shard_expr(order_col, bounds))
     counts = {
         r["__shard"]: r["n"]
         for r in sharded.groupBy("__shard").agg(F.count("*").alias("n")).collect()

@@ -191,3 +191,50 @@ def keyed_cusum(
         return pd.DataFrame(out, columns=["key", "step", "s", "alarm"])
 
     return df.groupBy(key).applyInPandas(fold, schema)
+
+
+def keyed_km_survival(
+    df: DataFrame,
+    key: str,
+    time: str,
+    deaths: str,
+    at_risk: str,
+) -> DataFrame:
+    """(key, t, n_risk, d, survival) — Kaplan-Meier product-limit
+    estimator per key over an already-aggregated risk table:
+    S(t) = prod_{s <= t} (1 - d_s / n_s) over ascending event times.
+
+    The cumulative product is the same non-associative-fold class as
+    keyed_ema above (no window-frame rewrite), and the same determinism
+    contract: each factor (1 - d/n) is one float64 division, the fold
+    multiplies ascending — the DuckDB oracle replays the identical op
+    sequence in a recursive CTE, and the 6dp output uses the sign-aware
+    HALF_UP so both engines round alike.
+
+    Scale: the input is a RISK TABLE (one row per (key, distinct event
+    time)), which is time-bounded — days-in-window rows per key, not
+    data-sized; the fold is trivially cheap. Building that table
+    upstream is one groupBy + one window cumsum, all associative.
+    """
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("t", T.LongType()),
+            T.StructField("n_risk", T.LongType()),
+            T.StructField("d", T.LongType()),
+            T.StructField("survival", T.DoubleType()),
+        ]
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(time)
+        s = 1.0
+        out = []
+        for t, d, n in zip(pdf[time], pdf[deaths], pdf[at_risk]):
+            s = s * (1.0 - float(d) / float(n))
+            out.append((str(pdf[key].iloc[0]), int(t), int(n), int(d), _round6(s)))
+        return pd.DataFrame(out, columns=["key", "t", "n_risk", "d", "survival"])
+
+    return df.groupBy(key).applyInPandas(fold, schema)

@@ -58,13 +58,27 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_stop = _count_occurrences(toks, STOPWORDS)
     avg_len = F.when(n > 0, total_len / n).otherwise(F.lit(0.0))
     stop_ratio = F.when(n > 0, n_stop / n).otherwise(F.lit(0.0))
-    # length factor saturates at 200 tokens; mild stopword presence is good
-    quality = F.round(
-        F.least(n / F.lit(200.0), F.lit(1.0)) * 0.5
-        + F.least(stop_ratio * 4, F.lit(1.0)) * 0.3
-        + F.least(avg_len / F.lit(8.0), F.lit(1.0)) * 0.2,
-        4,
+    # length factor saturates at 200 tokens; mild stopword presence is good.
+    # The 0.5/0.3/0.2 weighted sum is computed in EXACT integer
+    # arithmetic: the round-7 sf0.1 sweep caught a document whose true
+    # quality is 0.42375 — a true 4-decimal tie whose double is NOT
+    # exactly representable, where Spark's BigDecimal HALF_UP (sees the
+    # double just below the tie -> 0.4237) and DuckDB's multiply-then-
+    # rint (the multiply rounds up onto the tie -> 0.4238) disagree.
+    # quality = [n*min(n,200) + 120*min(4s,n) + 10*min(L,8n)] / (400n)
+    # exactly, so the e4-scaled score is HALF_UP((50*NUM + n) / (2n)) —
+    # pure integers, identical in any engine; the /10^4 display division
+    # is a single double op on an exact 4-decimal rational (no 5th
+    # decimal exists, so no tie is reachable). floor() on doubles is
+    # exact here: 50*NUM + n < 2^53 for any n < 2^38 tokens/doc.
+    n_l, s_l, l_l = (c.cast("long") for c in (n, n_stop, total_len))
+    num = (
+        n_l * F.least(n_l, F.lit(200))
+        + 120 * F.least(4 * s_l, n_l)
+        + 10 * F.least(l_l, 8 * n_l)
     )
+    q_e4 = F.floor((50 * num + n_l) / (2 * n_l)).cast("long")
+    quality = F.when(n > 0, q_e4 / F.lit(10000.0)).otherwise(F.lit(0.0))
     return (
         df.withColumn("n_tokens", n)
         .withColumn("avg_token_len", F.round(avg_len, 4))

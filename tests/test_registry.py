@@ -39,28 +39,41 @@ _R7_CHANGED = {
                             # hash mismatch: decimal128 vs bigint)
     "dedup_jaccard_pairs",  # candidate core factored into
                             # dedup._pair_shared_counts; also r3-stale
+    # quality formula rewritten to exact integer arithmetic on BOTH
+    # sides (sf0.1 sweep caught the 0.42375 rounding tie) — every user
+    # of text.quality_score re-fronted:
+    "quality_score",
+    "quality_zscore_by_source",
+    "cluster_dedup_keeper",
+    "pipeline_curation_v2",
+    "token_budget_selection",
+    # (pipeline_train_manifest also uses the formula; it sits in the
+    # r3-stale group below)
 }
 
-# Round 7 group (c): 30 of the 38 r3-latest queries — with
-# dedup_jaccard_pairs above, SEVEN r3 queries remain after this round
-# (approx_distinct_users never made the window; event_type_pivot_api,
+# Round 7 group (c): 25 of the 38 r3-latest queries — with
+# dedup_jaccard_pairs + pipeline_train_manifest above, TWELVE r3
+# queries remain after this round: approx_distinct_users (never made
+# the window), the 6 mid-round r6 rotations (event_type_pivot_api,
 # literal_source_wordcount, map_funcs_roundtrip, multimodal_resize,
-# stats_numeric and udtf_sentence_split were rotated out mid-round for
-# the batch-4/5 slots — justifications at their former slots in
-# queries.py; all seven lead the r8 queue).
+# stats_numeric, udtf_sentence_split), and the 5 displaced for the
+# changed quality-family slots (word_count, dedup_minhash_lsh,
+# dedup_simhash_pairs, q6_forecast_revenue, q18_large_orders —
+# bench-measured/entry-smoked every round). All twelve lead the r8
+# queue; justifications at their former slots in queries.py.
 _R7_R3_STALE = {
     "ann_ivf_topk", "array_lateral_explode",
     "asof_join_forward_tolerance", "bloom_customer_names",
-    "cms_user_counts", "dedup_minhash_clusters", "dedup_minhash_lsh",
-    "dedup_simhash_pairs", "lineitem_unpivot",
+    "cms_user_counts", "dedup_minhash_clusters",
+    "lineitem_unpivot",
     "pipeline_train_manifest", "q11_important_parts",
     "q12_ship_priority_class", "q13_custdist", "q15_top_supplier",
-    "q16_supplier_cnt", "q18_large_orders", "q19_disjunctive_revenue",
-    "q20_qty_suppliers", "q21_waiting_supplier", "q6_forecast_revenue",
+    "q16_supplier_cnt", "q19_disjunctive_revenue",
+    "q20_qty_suppliers", "q21_waiting_supplier",
     "q8_market_share", "regexp_funcs", "right_join_order_priority_mix",
     "rolling_30d_spend", "salted_join_event_spend", "sample_split_hash",
     "source_json_scan", "time_rollup_multigrain",
-    "window_rank_stats", "word_count",
+    "window_rank_stats",
 }
 
 
