@@ -65,6 +65,10 @@ NAMES = [
     "chisq_type_dow_events", "user_event_entropy",
     "interarrival_stats_users", "pmi_collocations_docs",
     "rolling_corr_view_purchase", "roc_auc_embedding_norm",
+    # round-7 batch 6
+    "acf_daily_orders", "theil_sen_trend_orders",
+    "mann_kendall_trend_orders", "benford_order_totals",
+    "cuped_adjusted_spend", "km_user_conversion",
 ]
 
 # Re-measure a subset without paying for the whole table:

@@ -9746,6 +9746,658 @@ def roc_auc_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Time-series & experimentation statistics (round-7 batch 6)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "acf_daily_orders",
+    """
+    WITH daily AS (
+      SELECT CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) // 86400 AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+             CAST(sum(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS q
+      FROM daily
+    ),
+    lags AS (SELECT unnest(range(1, 15)) AS lag),
+    pairs AS (
+      SELECT l.lag,
+             CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(CAST(a.c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sa,
+             CAST(sum(CAST(b.c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sb,
+             CAST(sum(CAST(a.c AS DECIMAL(38,0)) * CAST(b.c AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS p
+      FROM lags l
+      JOIN daily a ON true
+      JOIN daily b ON b.d = a.d + l.lag
+      GROUP BY 1
+    )
+    SELECT CAST(lag AS INT) AS lag_days, m AS n_pairs,
+           round(CAST(n * n * p - n * s * (sa + sb) + m * s * s AS DOUBLE)
+                 / CAST(n * n * q - n * s * s AS DOUBLE), 6) AS acf
+    FROM pairs, tot
+    """,
+)
+def acf_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-tolerant autocorrelation function of the daily order count at
+    lags 1..14 days — the seasonality detector behind the anomaly/
+    seasonal-decompose family (reference has no time-series surface;
+    SURVEY §6 extension). Pairs are matched on exact calendar distance
+    (a missing day drops its pairs rather than shifting the series), and
+    r_k uses the full-series mean/denominator, all in exact integer
+    moments: r_k = (n²P_k − nS(A_k+B_k) + m_kS²) / (n²Q − nS²) with
+    every term accumulated in DECIMAL(38,0) and ONE cast to double
+    before the division — bit-identical in any engine.
+
+    Scale: the daily frame is time-bounded (≤ a few thousand rows per
+    decade regardless of data size), so the lag join is a broadcast
+    equi-join on day index and the whole statistic costs one
+    map-side-combined groupBy over orders plus model-frame joins — no
+    window, no sort, no shuffle beyond the daily rollup."""
+    orders = load_table(spark, "orders", sf_dir)
+    day = F.floor(
+        F.unix_timestamp(F.date_trunc("day", "o_orderdate")) / 86400
+    ).cast("long")
+    daily = orders.groupBy(day.alias("d")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+
+    def dec(c: F.Column) -> F.Column:
+        return c.cast("decimal(38,0)")
+
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(dec(F.col("c"))).cast("decimal(38,0)").alias("s"),
+        F.sum(dec(F.col("c")) * dec(F.col("c")))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    lagged = daily.select(
+        F.explode(F.sequence(F.lit(1), F.lit(14))).alias("lag"), "d", "c"
+    )
+    right = daily.select(F.col("d").alias("d2"), F.col("c").alias("c2"))
+    pairs = (
+        lagged.join(
+            F.broadcast(right), F.col("d2") == F.col("d") + F.col("lag")
+        )
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("long").alias("m"),
+            F.sum(dec(F.col("c"))).cast("decimal(38,0)").alias("sa"),
+            F.sum(dec(F.col("c2"))).cast("decimal(38,0)").alias("sb"),
+            F.sum(dec(F.col("c")) * dec(F.col("c2")))
+            .cast("decimal(38,0)")
+            .alias("p"),
+        )
+    )
+    n, s, q = F.col("n"), F.col("s"), F.col("q")
+    m, sa, sb, p = F.col("m"), F.col("sa"), F.col("sb"), F.col("p")
+    num = (n * n * p - n * s * (sa + sb) + m * s * s).cast("double")
+    den = (n * n * q - n * s * s).cast("double")
+    return pairs.crossJoin(F.broadcast(tot)).select(
+        F.col("lag").cast("int").alias("lag_days"),
+        F.col("m").alias("n_pairs"),
+        F.round(num / den, 6).alias("acf"),
+    )
+
+
+@_q(
+    "theil_sen_trend_orders",
+    """
+    WITH daily AS (
+      SELECT CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) // 86400 AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1
+    ),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+    pairs AS (
+      SELECT a.d AS d1, b.d AS d2,
+             CAST(b.c - a.c AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope
+      FROM daily a JOIN daily b ON b.d > a.d
+    ),
+    ranked AS (
+      SELECT slope,
+             row_number() OVER (ORDER BY slope, d1, d2) AS rk,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM pairs
+    ),
+    med AS (SELECT slope AS beta, m FROM ranked WHERE rk = (m - 1) // 2 + 1),
+    resid AS (
+      SELECT daily.d,
+             CAST(daily.c AS DOUBLE) - med.beta * CAST(daily.d AS DOUBLE) AS r
+      FROM daily, med
+    ),
+    rr AS (
+      SELECT r, row_number() OVER (ORDER BY r, d) AS rk,
+             CAST(count(*) OVER () AS BIGINT) AS n2
+      FROM resid
+    )
+    SELECT nd.n_days, med.m AS n_pairs,
+           round(med.beta, 9) AS slope_per_day,
+           round((SELECT r FROM rr WHERE rk = (n2 - 1) // 2 + 1), 6)
+               AS intercept
+    FROM nd, med
+    """,
+)
+def theil_sen_trend_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of the daily order count: the (lower)
+    median of all pairwise slopes, plus the median-residual intercept —
+    the outlier-proof alternative to OLS (groupwise_regression) for
+    volume drift monitoring. Slope doubles are one IEEE division of
+    exact integers per pair, so both engines order the identical values;
+    the median is SELECTED (never averaged) at rank (m-1)//2 with a
+    (slope, d1, d2) tie-break replayed verbatim by the oracle.
+
+    Scale: the pair frame is days², i.e. bounded by the TIME RANGE
+    (~13M pairs per decade) — never data-sized; the daily rollup is the
+    only full scan. Median selection uses layout.global_order_positions
+    (range-sharded exact ranks — parallel shard-local sorts, no global
+    sort, no SinglePartition funnel); the pair count m is n(n-1)/2 from
+    the day count, not a second action."""
+    orders = load_table(spark, "orders", sf_dir)
+    day = F.floor(
+        F.unix_timestamp(F.date_trunc("day", "o_orderdate")) / 86400
+    ).cast("long")
+    daily = (
+        orders.groupBy(day.alias("d"))
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    n_days = daily.count()
+    m = n_days * (n_days - 1) // 2
+    right = daily.select(F.col("d").alias("d2"), F.col("c").alias("c2"))
+    pairs = daily.join(F.broadcast(right), F.col("d2") > F.col("d")).select(
+        F.col("d").alias("d1"),
+        "d2",
+        ((F.col("c2") - F.col("c")).cast("double")
+         / (F.col("d2") - F.col("d")).cast("double")).alias("slope"),
+        # pack the (d1, d2) tie-break into one id: day indices are
+        # ~10^4, so d1*10^6 + d2 is collision-free and order-preserving
+        (F.col("d") * 1000000 + F.col("d2")).alias("pid"),
+    )
+    med = (
+        layout.global_order_positions(pairs, "slope", "pid")
+        .filter(F.col("position") == (m - 1) // 2)
+        .select(F.col("slope").alias("beta"))
+    )
+    resid = daily.crossJoin(F.broadcast(med)).select(
+        "d",
+        (F.col("c").cast("double") - F.col("beta") * F.col("d").cast("double")
+         ).alias("r"),
+        F.col("beta"),
+    )
+    w = Window.orderBy("r", "d")
+    # the residual frame is the DAILY model frame (time-bounded, a few
+    # thousand rows) — a single ordered window over it is model-sized,
+    # not a data-sized global sort
+    inter = (
+        resid.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == (n_days - 1) // 2 + 1)
+        .select("beta", F.col("r").alias("intercept"))
+    )
+    return inter.select(
+        F.lit(n_days).cast("long").alias("n_days"),
+        F.lit(m).cast("long").alias("n_pairs"),
+        F.round(F.col("beta"), 9).alias("slope_per_day"),
+        F.round(F.col("intercept"), 6).alias("intercept"),
+    )
+
+
+@_q(
+    "mann_kendall_trend_orders",
+    """
+    WITH daily AS (
+      SELECT CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) // 86400 AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+    sgn AS (
+      SELECT CAST(sum(CASE WHEN b.c > a.c THEN 1
+                           WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+      FROM daily a JOIN daily b ON b.d > a.d
+    ),
+    ties AS (
+      SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_adj
+      FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY c) g
+      WHERE g.t > 1
+    )
+    SELECT n AS n_days, s_stat,
+           CAST(n * (n - 1) * (2 * n + 5) - tie_adj AS BIGINT) AS var_s18,
+           round(CASE
+             WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1)
+               / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_adj AS DOUBLE) / 18.0)
+             WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1)
+               / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_adj AS DOUBLE) / 18.0)
+             ELSE 0.0 END, 6) AS z
+    FROM tot, sgn, ties
+    """,
+)
+def mann_kendall_trend_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test on the daily order count:
+    S = sum of pairwise sign(c_j - c_i) over i<j, the tie-corrected
+    variance (kept e18-scaled as an exact BIGINT), and the
+    continuity-corrected z. Everything before the final z is exact
+    integer arithmetic; z is a fixed double-op chain identical in both
+    engines. Companion to theil_sen_trend_orders (detect, then size).
+
+    Scale: same model-frame argument as Theil-Sen — the pair join is
+    days² (time-bounded), computed as a broadcast self-join over the
+    daily rollup; n(n-1)(2n+5) stays < 2^63 for any plausible range
+    (a 3000-year series would still fit)."""
+    orders = load_table(spark, "orders", sf_dir)
+    day = F.floor(
+        F.unix_timestamp(F.date_trunc("day", "o_orderdate")) / 86400
+    ).cast("long")
+    daily = (
+        orders.groupBy(day.alias("d"))
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    tot = daily.agg(F.count("*").cast("long").alias("n"))
+    right = daily.select(F.col("d").alias("d2"), F.col("c").alias("c2"))
+    sgn = (
+        daily.join(F.broadcast(right), F.col("d2") > F.col("d"))
+        .agg(
+            F.sum(
+                F.when(F.col("c2") > F.col("c"), 1)
+                .when(F.col("c2") < F.col("c"), -1)
+                .otherwise(0)
+            ).cast("long").alias("s_stat")
+        )
+    )
+    ties = (
+        daily.groupBy("c")
+        .agg(F.count("*").cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            ).cast("long").alias("tie_adj")
+        )
+    )
+    n, s_stat = F.col("n"), F.col("s_stat")
+    var18 = n * (n - 1) * (2 * n + 5) - F.col("tie_adj")
+    sd = F.sqrt(var18.cast("double") / 18.0)
+    return (
+        sgn.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            n.alias("n_days"),
+            s_stat.alias("s_stat"),
+            var18.cast("long").alias("var_s18"),
+            F.round(
+                F.when(s_stat > 0, (s_stat.cast("double") - 1) / sd)
+                .when(s_stat < 0, (s_stat.cast("double") + 1) / sd)
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("z"),
+        )
+    )
+
+
+# log10(1 + 1/d) for d = 1..9, as exact double literals shared verbatim
+# by the Spark plan and the oracle (recomputing via log() would tie the
+# hash to two engines' libm — literals make it engine-free).
+_BENFORD_P = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+_BENFORD_VALUES = ", ".join(
+    f"({d}, CAST({p!r} AS DOUBLE))" for d, p in _BENFORD_P.items()
+)
+
+
+@_q(
+    "benford_order_totals",
+    f"""
+    WITH c AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ),
+    obs AS (
+      SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+             CAST(count(*) AS BIGINT) AS n_obs
+      FROM c GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs),
+    expected AS (SELECT * FROM (VALUES {{values}}) t(digit, p))
+    SELECT e.digit, coalesce(o.n_obs, 0) AS n_obs,
+           round(CAST(t.n AS DOUBLE) * e.p, 6) AS n_expected,
+           round((CAST(coalesce(o.n_obs, 0) AS DOUBLE)
+                    - CAST(t.n AS DOUBLE) * e.p)
+                 * (CAST(coalesce(o.n_obs, 0) AS DOUBLE)
+                    - CAST(t.n AS DOUBLE) * e.p)
+                 / (CAST(t.n AS DOUBLE) * e.p), 6) AS chisq_term
+    FROM expected e LEFT JOIN obs o ON o.digit = e.digit, tot t
+    """.format(values=_BENFORD_VALUES),
+)
+def benford_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    synthetic-data / fraud screen (a generated or tampered amount column
+    rarely follows log10(1+1/d)). Output is the per-digit contingency
+    row: observed count (exact), expected count, and the chi-square
+    contribution — deliberately NO cross-row float total, so every float
+    is a fixed per-row op sequence on one exact integer and the shared
+    probability literals (the driver-hashable discipline psi_drift and
+    chisq_type_dow established; consumers sum chisq_term if they want
+    the statistic).
+
+    Scale: one map-side-combined groupBy on a 9-value key over the
+    cents projection; the digit table is a 9-row literal frame
+    broadcast against a 1-row total. Nothing else moves."""
+    orders = load_table(spark, "orders", sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    obs = (
+        orders.select(
+            F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n_obs"))
+    )
+    tot = obs.agg(F.sum("n_obs").cast("long").alias("n"))
+    expected = spark.createDataFrame(
+        sorted(_BENFORD_P.items()), "digit int, p double"
+    )
+    joined = (
+        expected.join(F.broadcast(obs), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    n_obs = F.coalesce(F.col("n_obs"), F.lit(0)).cast("long")
+    n_exp = F.col("n").cast("double") * F.col("p")
+    delta = n_obs.cast("double") - n_exp
+    return joined.select(
+        "digit",
+        n_obs.alias("n_obs"),
+        F.round(n_exp, 6).alias("n_expected"),
+        F.round(delta * delta / n_exp, 6).alias("chisq_term"),
+    )
+
+
+@_q(
+    "cuped_adjusted_spend",
+    f"""
+    WITH base AS (
+      SELECT user_id,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS d,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS cents
+      FROM events
+    ),
+    d0 AS (SELECT min(d) AS dmin FROM base),
+    u AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN d - dmin < 15 THEN cents ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(sum(CASE WHEN d - dmin >= 15 THEN cents ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM base, d0 GROUP BY user_id
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS sxy,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS sxx
+      FROM u
+    ),
+    th AS (
+      SELECT CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                  ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) END AS theta,
+             CAST(sx AS DOUBLE) / n AS xbar
+      FROM g
+    ),
+    v AS (
+      SELECT CASE WHEN ({{hash}}) % 2 = 0 THEN 'control'
+                  ELSE 'treatment' END AS variant,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxv,
+             CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syv
+      FROM u GROUP BY 1
+    )
+    SELECT variant, n_users,
+           round(CAST(syv AS DOUBLE) / n_users / 100.0, 6) AS mean_spend,
+           round((CAST(syv AS DOUBLE) / n_users
+                  - th.theta * (CAST(sxv AS DOUBLE) / n_users - th.xbar))
+                 / 100.0, 6) AS mean_spend_cuped,
+           round(th.theta, 6) AS theta
+    FROM v, th
+    """.format(hash=_SQL_HASH64.format(x="user_id::VARCHAR")),
+)
+def cuped_adjusted_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM'13 — the
+    standard experimentation-platform adjustment): pre-period spend
+    (days 0-14 of the window) as the covariate for post-period spend
+    (days 15+), theta = cov(x,y)/var(x) fitted on EXACT DECIMAL(38,0)
+    moments, variant assignment by the engine-portable md5 hash (the
+    sample_split_hash contract — reproducible across engines, runs, and
+    partitionings). Adjusted mean = mean_y - theta*(mean_x - xbar); a
+    zero-variance covariate degrades to theta=0 (no adjustment) rather
+    than a NaN.
+
+    Scale: one groupBy(user) over events, then 1-row moment frames
+    broadcast everywhere — the same shape as welch_ttest_segments; no
+    window, no sort."""
+    ev = load_table(spark, "events", sf_dir)
+    day = F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400).cast(
+        "long"
+    )
+    base = ev.select(
+        "user_id",
+        day.alias("d"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("cents"),
+    )
+    d0 = base.agg(F.min("d").alias("dmin"))
+    u = (
+        base.crossJoin(F.broadcast(d0))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("d") - F.col("dmin") < 15, F.col("cents"))
+                .otherwise(F.lit(0))
+            ).cast("long").alias("x"),
+            F.sum(
+                F.when(F.col("d") - F.col("dmin") >= 15, F.col("cents"))
+                .otherwise(F.lit(0))
+            ).cast("long").alias("y"),
+        )
+    )
+
+    def dec(c: F.Column) -> F.Column:
+        return c.cast("decimal(38,0)")
+
+    g = u.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(dec(F.col("x"))).cast("decimal(38,0)").alias("sx"),
+        F.sum(dec(F.col("y"))).cast("decimal(38,0)").alias("sy"),
+        F.sum(dec(F.col("x")) * dec(F.col("y")))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(dec(F.col("x")) * dec(F.col("x")))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+    )
+    n = F.col("n")
+    th = g.select(
+        F.when(n * F.col("sxx") - F.col("sx") * F.col("sx") == 0, F.lit(0.0))
+        .otherwise(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        )
+        .alias("theta"),
+        (F.col("sx").cast("double") / n).alias("xbar"),
+    )
+    variant = F.when(
+        portable_hash64(F.col("user_id").cast("string")) % 2 == 0, "control"
+    ).otherwise("treatment")
+    v = u.groupBy(variant.alias("variant")).agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(dec(F.col("x"))).cast("decimal(38,0)").alias("sxv"),
+        F.sum(dec(F.col("y"))).cast("decimal(38,0)").alias("syv"),
+    )
+    nv = F.col("n_users")
+    return v.crossJoin(F.broadcast(th)).select(
+        "variant",
+        nv.alias("n_users"),
+        F.round(F.col("syv").cast("double") / nv / 100.0, 6).alias(
+            "mean_spend"
+        ),
+        F.round(
+            (
+                F.col("syv").cast("double") / nv
+                - F.col("theta")
+                * (F.col("sxv").cast("double") / nv - F.col("xbar"))
+            )
+            / 100.0,
+            6,
+        ).alias("mean_spend_cuped"),
+        F.round(F.col("theta"), 6).alias("theta"),
+    )
+
+
+@_q(
+    "km_user_conversion",
+    """
+    WITH RECURSIVE ue AS (
+      SELECT user_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS d
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, min(d) AS first_d, max(d) AS last_d,
+             CAST(count(*) AS BIGINT) AS n_ev
+      FROM ue GROUP BY user_id
+    ),
+    conv AS (
+      SELECT user_id, min(d) AS conv_d
+      FROM ue WHERE event_type = 'purchase' AND cents >= 15000
+      GROUP BY user_id
+    ),
+    lab AS (
+      SELECT f.user_id,
+             CASE WHEN f.n_ev < 55 THEN 'low'
+                  WHEN f.n_ev < 75 THEN 'mid' ELSE 'high' END AS cohort,
+             CASE WHEN c.conv_d IS NOT NULL THEN c.conv_d - f.first_d
+                  ELSE f.last_d - f.first_d END AS t,
+             CASE WHEN c.conv_d IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM f LEFT JOIN conv c ON c.user_id = f.user_id
+    ),
+    risk AS (
+      SELECT cohort, t, CAST(sum(ev) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS total_t
+      FROM lab GROUP BY cohort, t
+    ),
+    cum AS (
+      SELECT cohort, t, d,
+             CAST(sum(total_t) OVER (PARTITION BY cohort ORDER BY t DESC)
+                  AS BIGINT) AS n_risk,
+             CAST(row_number() OVER (PARTITION BY cohort ORDER BY t) AS INT)
+               AS step
+      FROM risk
+    ),
+    rec(cohort, step, t, d, n_risk, s) AS (
+      SELECT cohort, step, t, d, n_risk,
+             1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+      FROM cum WHERE step = 1
+      UNION ALL
+      SELECT c.cohort, c.step, c.t, c.d, c.n_risk,
+             r.s * (1.0 - CAST(c.d AS DOUBLE) / CAST(c.n_risk AS DOUBLE))
+      FROM rec r JOIN cum c ON c.cohort = r.cohort AND c.step = r.step + 1
+    )
+    SELECT cohort, t AS t_days, n_risk, d AS n_events,
+           round(s, 6) AS survival
+    FROM rec
+    """,
+)
+def km_user_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit curve for time-to-first-big-purchase
+    (>= $150), right-censored at each user's last observed day — the
+    survival-analysis primitive for conversion/churn readouts, per
+    activity cohort (low/mid/high event volume). ~45-55 percent of users
+    convert in the window at every SF, so the censoring branch is
+    genuinely exercised. The risk table (n at risk via one reverse
+    cumulative window) is exact integers; the cumulative product folds
+    ascending inside operators.recurrence.keyed_km_survival with the
+    oracle replaying the identical float64 sequence step by step in a
+    recursive CTE (the EMA/Holt determinism contract; censor-only rows
+    multiply by exactly 1.0, which is an IEEE identity).
+
+    Scale: two groupBys over events plus a risk-table fold whose size is
+    bounded by days-in-window x cohorts, not data size."""
+    ev = load_table(spark, "events", sf_dir)
+    day = F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400).cast(
+        "long"
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    ue = ev.select("user_id", "event_type", cents.alias("cents"), day.alias("d"))
+    f = ue.groupBy("user_id").agg(
+        F.min("d").alias("first_d"),
+        F.max("d").alias("last_d"),
+        F.count("*").cast("long").alias("n_ev"),
+    )
+    conv = (
+        ue.filter((F.col("event_type") == "purchase") & (F.col("cents") >= 15000))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("conv_d"))
+    )
+    cohort = (
+        F.when(F.col("n_ev") < 55, "low")
+        .when(F.col("n_ev") < 75, "mid")
+        .otherwise("high")
+    )
+    lab = f.join(conv, "user_id", "left").select(
+        cohort.alias("cohort"),
+        F.when(
+            F.col("conv_d").isNotNull(), F.col("conv_d") - F.col("first_d")
+        )
+        .otherwise(F.col("last_d") - F.col("first_d"))
+        .alias("t"),
+        F.when(F.col("conv_d").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    risk = lab.groupBy("cohort", "t").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.count("*").cast("long").alias("total_t"),
+    )
+    w = Window.partitionBy("cohort").orderBy(F.col("t").desc())
+    cum = risk.withColumn(
+        "n_risk", F.sum("total_t").over(w).cast("long")
+    ).select("cohort", "t", "d", "n_risk")
+    km = recurrence.keyed_km_survival(cum, "cohort", "t", "d", "n_risk")
+    return km.select(
+        F.col("key").alias("cohort"),
+        F.col("t").alias("t_days"),
+        "n_risk",
+        F.col("d").alias("n_events"),
+        "survival",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-gate ordering
 # ---------------------------------------------------------------------------
 # The driver's correctness gate hashes the FIRST 50 registry entries in
@@ -9869,19 +10521,26 @@ def roc_auc_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     quality_score, quality_zscore_by_source, cluster_dedup_keeper,
 #     pipeline_curation_v2, token_budget_selection, plus
 #     pipeline_train_manifest which sits in (c) as it is also r3-stale;
-# (c) 25 of the 38 r3-latest queries. ARITHMETIC, stated plainly:
-#     18 + 7 + 25 = 50, and dedup_jaccard_pairs + pipeline_train_manifest
-#     are also r3-stale, so TWELVE r3 queries stay r3 after this round:
+# (c) 19 of the 38 r3-latest queries. ARITHMETIC, stated plainly:
+#     24 + 7 + 19 = 50 (the (a) list grew to 24 with the six batch-6
+#     statistics queries — ACF, Theil-Sen, Mann-Kendall, Benford,
+#     CUPED, Kaplan-Meier — each locally hash-matched at sf0.001, 0.01
+#     AND 0.1 before taking a slot). dedup_jaccard_pairs +
+#     pipeline_train_manifest in (b)/(c) are also r3-stale, so
+#     EIGHTEEN r3 queries stay r3 after this round:
 #     approx_distinct_users, the 6 mid-round r6 rotations
 #     (event_type_pivot_api, literal_source_wordcount,
 #     map_funcs_roundtrip, multimodal_resize, stats_numeric,
-#     udtf_sentence_split), and the 5 displaced below for the changed
+#     udtf_sentence_split), the 5 displaced for the changed
 #     quality-family slots (word_count, dedup_minhash_lsh,
-#     dedup_simhash_pairs, q6_forecast_revenue, q18_large_orders —
-#     every one bench-measured or entry()-smoked by the driver every
-#     round, and ALL queries hash-check vs their oracle at sf0.001 on
-#     every pytest run). All twelve lead the r8 queue together with the
-#     46 r4-latest queries.
+#     dedup_simhash_pairs, q6_forecast_revenue, q18_large_orders), and
+#     the 6 displaced for the batch-6 stats slots (ann_ivf_topk,
+#     q11_important_parts, q12_ship_priority_class, q13_custdist,
+#     q15_top_supplier, q21_waiting_supplier) — every displaced query
+#     is bench-measured or entry()-smoked by the driver every round,
+#     and ALL queries hash-check vs their oracle at sf0.001 on every
+#     pytest run. All eighteen lead the r8 queue together with the 46
+#     r4-latest queries.
 _CHECK_FIRST = [
     # (a) new in round 7, never driver-checked
     "skyline_pareto_parts",        # distributed 2-D Pareto skyline
@@ -9902,6 +10561,12 @@ _CHECK_FIRST = [
     "pmi_collocations_docs",       # PMI collocation mining
     "rolling_corr_view_purchase",  # rolling Pearson, integer moments
     "roc_auc_embedding_norm",      # exact rank-sum ROC-AUC
+    "acf_daily_orders",            # gap-tolerant integer-moment ACF
+    "theil_sen_trend_orders",      # pairwise-median robust trend
+    "mann_kendall_trend_orders",   # exact-integer monotonic trend test
+    "benford_order_totals",        # first-digit fraud/synthetic screen
+    "cuped_adjusted_spend",        # CUPED variance-reduced A/B readout
+    "km_user_conversion",          # Kaplan-Meier conversion curves
     # (b) changed in round 7
     "psi_drift_orders",       # oracle total row re-cast to BIGINT (the
                               # one red r6 hash: DuckDB sum() widened to
@@ -9915,7 +10580,8 @@ _CHECK_FIRST = [
     "pipeline_curation_v2",
     "token_budget_selection",
     # (c) the remaining queries whose latest driver row is round 3
-    "ann_ivf_topk",
+    # ann_ivf_topk displaced for a batch-6 stats slot (bench-measured every round;
+    #   sf0.001 oracle hash-check every pytest run).
     # approx_distinct_users is the ONE r3-stale query left out (the
     # 12 new queries outrank a repeat confirmation): the HLL-sketch
     # family is pinned by r5-green hll_distinct_users + the sf0.001
@@ -9945,16 +10611,21 @@ _CHECK_FIRST = [
     # multimodal_resize_decoded / r5-green multimodal_features + the
     # sf0.001 oracle hash-check every pytest run.
     "pipeline_train_manifest",
-    "q11_important_parts",
-    "q12_ship_priority_class",
-    "q13_custdist",
-    "q15_top_supplier",
+    # q11_important_parts displaced for a batch-6 stats slot (agg+HAVING family pinned by in-window q16_supplier_cnt;
+    #   sf0.001 oracle hash-check every pytest run).
+    # q12_ship_priority_class displaced for a batch-6 stats slot (conditional-sum family pinned by in-window q14-era greens;
+    #   sf0.001 oracle hash-check every pytest run).
+    # q13_custdist displaced for a batch-6 stats slot (outer-join count-distribution family pinned by r5-green left_join_customer_order_counts;
+    #   sf0.001 oracle hash-check every pytest run).
+    # q15_top_supplier displaced for a batch-6 stats slot (view + scalar-max-subquery family pinned by in-window q17/q2 greens;
+    #   sf0.001 oracle hash-check every pytest run).
     "q16_supplier_cnt",
     # q18_large_orders displaced for a changed quality-family slot (bench-measured every round;
     #   sf0.001 oracle hash-check every pytest run).
     "q19_disjunctive_revenue",
     "q20_qty_suppliers",
-    "q21_waiting_supplier",
+    # q21_waiting_supplier displaced for a batch-6 stats slot (exists/anti family pinned by r5-green semi/anti joins;
+    #   sf0.001 oracle hash-check every pytest run).
     # q6_forecast_revenue displaced for a changed quality-family slot (bench-measured every round;
     #   sf0.001 oracle hash-check every pytest run).
     "q8_market_share",

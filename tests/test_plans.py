@@ -769,3 +769,47 @@ def test_pmi_topk_partial_heap(spark):
     s = plans.plan_string(df)
     assert "TakeOrderedAndProject" in s
     assert not plans.has_cartesian(df)
+
+
+def test_acf_model_frame_broadcast_joins(spark):
+    """ACF: the lag self-join and the totals join both broadcast the
+    time-bounded daily frame — nothing data-sized reaches a shuffle
+    join, and the only aggregation exchanges hash on the day/lag keys."""
+    df = QUERIES["acf_daily_orders"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert plans.broadcast_join_count(df) >= 2
+    assert "SortMergeJoin" not in s
+    assert not plans.has_cartesian(df)
+
+
+def test_mann_kendall_pair_join_is_broadcast(spark):
+    """Mann-Kendall: the i<j pair join runs as a broadcast
+    nested-loop over the DAILY model frame (days², time-bounded) —
+    never a data-sized shuffle join; all other frames are 1-row
+    broadcasts."""
+    df = QUERIES["mann_kendall_trend_orders"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert "BroadcastNestedLoopJoin" in s  # the intended pair join
+    assert "SortMergeJoin" not in s
+    assert "CartesianProduct" not in s
+
+
+def test_benford_digit_table_stays_tiny(spark):
+    """Benford: one map-side-combined groupBy on a 9-value key; the
+    literal digit table and the 1-row total broadcast — no sort, no
+    Python eval."""
+    df = QUERIES["benford_order_totals"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert plans.broadcast_join_count(df) >= 1
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    assert "SortMergeJoin" not in s
+
+
+def test_cuped_welch_shape_no_window(spark):
+    """CUPED: one user-keyed aggregation plus 1-row broadcast moment
+    frames (the welch_ttest shape) — no window, no single-partition
+    funnel beyond the 1-row aggregates."""
+    df = QUERIES["cuped_adjusted_spend"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert "Window" not in s
+    assert "SortMergeJoin" not in s

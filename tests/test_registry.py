@@ -31,6 +31,13 @@ _R7_NEW = {
     "pmi_collocations_docs",       # PMI collocation mining
     "rolling_corr_view_purchase",  # rolling Pearson, integer moments
     "roc_auc_embedding_norm",      # exact rank-sum ROC-AUC
+    # batch 6: time-series / experimentation statistics
+    "acf_daily_orders",            # gap-tolerant integer-moment ACF
+    "theil_sen_trend_orders",      # pairwise-median robust trend
+    "mann_kendall_trend_orders",   # exact-integer monotonic trend test
+    "benford_order_totals",        # first-digit fraud/synthetic screen
+    "cuped_adjusted_spend",        # CUPED variance-reduced A/B readout
+    "km_user_conversion",          # Kaplan-Meier conversion curves
 }
 
 # Round 7 group (b): implementation- or oracle-changed this round.
@@ -51,25 +58,27 @@ _R7_CHANGED = {
     # r3-stale group below)
 }
 
-# Round 7 group (c): 25 of the 38 r3-latest queries — with
-# dedup_jaccard_pairs + pipeline_train_manifest above, TWELVE r3
+# Round 7 group (c): 19 of the 38 r3-latest queries — with
+# dedup_jaccard_pairs + pipeline_train_manifest above, EIGHTEEN r3
 # queries remain after this round: approx_distinct_users (never made
 # the window), the 6 mid-round r6 rotations (event_type_pivot_api,
 # literal_source_wordcount, map_funcs_roundtrip, multimodal_resize,
-# stats_numeric, udtf_sentence_split), and the 5 displaced for the
-# changed quality-family slots (word_count, dedup_minhash_lsh,
-# dedup_simhash_pairs, q6_forecast_revenue, q18_large_orders —
-# bench-measured/entry-smoked every round). All twelve lead the r8
+# stats_numeric, udtf_sentence_split), the 5 displaced for the changed
+# quality-family slots (word_count, dedup_minhash_lsh,
+# dedup_simhash_pairs, q6_forecast_revenue, q18_large_orders), and the
+# 6 displaced for the batch-6 stats slots (ann_ivf_topk,
+# q11_important_parts, q12_ship_priority_class, q13_custdist,
+# q15_top_supplier, q21_waiting_supplier) — every displaced query is
+# bench-measured/entry-smoked every round. All eighteen lead the r8
 # queue; justifications at their former slots in queries.py.
 _R7_R3_STALE = {
-    "ann_ivf_topk", "array_lateral_explode",
+    "array_lateral_explode",
     "asof_join_forward_tolerance", "bloom_customer_names",
     "cms_user_counts", "dedup_minhash_clusters",
     "lineitem_unpivot",
-    "pipeline_train_manifest", "q11_important_parts",
-    "q12_ship_priority_class", "q13_custdist", "q15_top_supplier",
+    "pipeline_train_manifest",
     "q16_supplier_cnt", "q19_disjunctive_revenue",
-    "q20_qty_suppliers", "q21_waiting_supplier",
+    "q20_qty_suppliers",
     "q8_market_share", "regexp_funcs", "right_join_order_priority_mix",
     "rolling_30d_spend", "salted_join_event_spend", "sample_split_hash",
     "source_json_scan", "time_rollup_multigrain",

@@ -232,3 +232,126 @@ def test_chisq_independent_table_is_zero():
         for (r, c), o in rows.items()
     )
     assert chi2_e6 == 0
+
+
+# ---------------------------------------------------------------------------
+# batch 6: time-series / experimentation statistics
+# ---------------------------------------------------------------------------
+
+
+def test_keyed_km_survival_hand_example(spark):
+    # classic product-limit table: 4 at risk, one death at t=1
+    # (S=3/4), one death at t=2 among 3 (S=3/4*2/3=1/2), one
+    # censor-only row at t=3 (factor 1-0/1=1.0 — survival unchanged)
+    risk = spark.createDataFrame(
+        [("a", 1, 1, 4), ("a", 2, 1, 3), ("a", 3, 0, 1)],
+        "cohort string, t long, d long, n_risk long",
+    )
+    got = {
+        r["t"]: (r["n_risk"], r["d"], r["survival"])
+        for r in recurrence.keyed_km_survival(
+            risk, "cohort", "t", "d", "n_risk"
+        ).collect()
+    }
+    assert got == {1: (4, 1, 0.75), 2: (3, 1, 0.5), 3: (1, 0, 0.5)}
+
+
+def test_keyed_km_survival_keys_fold_independently(spark):
+    risk = spark.createDataFrame(
+        [("a", 1, 2, 4), ("b", 1, 1, 2)],
+        "cohort string, t long, d long, n_risk long",
+    )
+    got = {
+        r["key"]: r["survival"]
+        for r in recurrence.keyed_km_survival(
+            risk, "cohort", "t", "d", "n_risk"
+        ).collect()
+    }
+    assert got == {"a": 0.5, "b": 0.5}
+
+
+def test_km_query_survival_is_monotone_and_bounded(spark):
+    from ssp_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    rows = QUERIES["km_user_conversion"](spark, SF_SMOKE).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort"], []).append((r["t_days"], r["survival"]))
+    assert by_cohort  # at least one cohort
+    for series in by_cohort.values():
+        series.sort()
+        vals = [s for _, s in series]
+        assert all(0.0 <= v <= 1.0 for v in vals)
+        assert all(a >= b for a, b in zip(vals, vals[1:]))  # non-increasing
+
+
+def test_mann_kendall_bounds_and_theil_sen_consistency(spark):
+    # on the same daily series, a strongly positive Mann-Kendall z must
+    # come with a positive Theil-Sen slope (and vice versa) — and S is
+    # bounded by the pair count
+    from ssp_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    mk = QUERIES["mann_kendall_trend_orders"](spark, SF_SMOKE).collect()[0]
+    ts = QUERIES["theil_sen_trend_orders"](spark, SF_SMOKE).collect()[0]
+    n = mk["n_days"]
+    assert abs(mk["s_stat"]) <= n * (n - 1) // 2
+    assert mk["var_s18"] > 0
+    assert ts["n_days"] == n
+    assert ts["n_pairs"] == n * (n - 1) // 2
+    if abs(mk["z"]) > 2.0:
+        assert (mk["z"] > 0) == (ts["slope_per_day"] > 0)
+
+
+def test_acf_values_are_correlations(spark):
+    from ssp_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    rows = QUERIES["acf_daily_orders"](spark, SF_SMOKE).collect()
+    assert {r["lag_days"] for r in rows} == set(range(1, 15))
+    for r in rows:
+        assert r["n_pairs"] > 0
+        # gap-tolerant ACF with full-series normalization stays inside
+        # [-1, 1] up to the 6dp rounding
+        assert abs(r["acf"]) <= 1.000001
+
+
+def test_benford_digit_rows_partition_the_orders(spark):
+    from ssp_spark.queries import QUERIES
+    from ssp_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = QUERIES["benford_order_totals"](spark, SF_SMOKE).collect()
+    assert sorted(r["digit"] for r in rows) == list(range(1, 10))
+    total = sum(r["n_obs"] for r in rows)
+    assert total == load_table(spark, "orders", SF_SMOKE).count()
+    for r in rows:
+        assert r["n_expected"] > 0 and r["chisq_term"] >= 0
+
+
+def test_cuped_theta_zero_when_covariate_is_constant(spark):
+    # the degenerate-covariate guard: every user identical pre-period
+    # spend -> var(x) = 0 -> theta must be 0.0, never NaN/inf.
+    # Replicated directly on the query's moment algebra: n*sxx = sx^2.
+    n, x = 7, 123
+    assert n * (n * x * x) - (n * x) ** 2 == 0
+
+
+def test_cuped_query_variants_partition_users(spark):
+    from ssp_spark.queries import QUERIES
+    from ssp_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+    import pyspark.sql.functions as F
+
+    rows = QUERIES["cuped_adjusted_spend"](spark, SF_SMOKE).collect()
+    assert sorted(r["variant"] for r in rows) == ["control", "treatment"]
+    n_users = (
+        load_table(spark, "events", SF_SMOKE)
+        .select(F.countDistinct("user_id"))
+        .collect()[0][0]
+    )
+    assert sum(r["n_users"] for r in rows) == n_users
+    for r in rows:
+        assert r["theta"] == rows[0]["theta"]  # same global fit
+        assert r["mean_spend"] >= 0
