@@ -9912,15 +9912,25 @@ def theil_sen_trend_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_days = daily.count()
     m = n_days * (n_days - 1) // 2
     right = daily.select(F.col("d").alias("d2"), F.col("c").alias("c2"))
-    pairs = daily.join(F.broadcast(right), F.col("d2") > F.col("d")).select(
-        F.col("d").alias("d1"),
-        "d2",
+    # AQE coalesces the tiny daily rollup to ONE partition — fine for
+    # the rollup, but it would serialize the n² pair expansion and every
+    # rank pass below into a single task (measured 10 s at 100x);
+    # spreading the 2405-row streamed side first keeps the wide pair
+    # frame parallel for the cost of a trivial shuffle
+    pairs = daily.repartition(32).join(
+        F.broadcast(right), F.col("d2") > F.col("d")
+    ).select(
         ((F.col("c2") - F.col("c")).cast("double")
          / (F.col("d2") - F.col("d")).cast("double")).alias("slope"),
         # pack the (d1, d2) tie-break into one id: day indices are
         # ~10^4, so d1*10^6 + d2 is collision-free and order-preserving
+        # (numeric order == lexicographic (d1, d2) order)
         (F.col("d") * 1000000 + F.col("d2")).alias("pid"),
-    )
+    ).localCheckpoint()
+    # ^ the rank machinery below (quantile sketch, shard counts, final
+    # filter) makes three passes — checkpointing the 16-byte pair rows
+    # builds the nested-loop join ONCE (the 100x run read 14 s without
+    # this: every pass re-derived the pairs from the orders scan)
     med = (
         layout.global_order_positions(pairs, "slope", "pid")
         .filter(F.col("position") == (m - 1) // 2)
