@@ -69,6 +69,10 @@ NAMES = [
     "acf_daily_orders", "theil_sen_trend_orders",
     "mann_kendall_trend_orders", "benford_order_totals",
     "cuped_adjusted_spend", "km_user_conversion",
+    # round-7 batch 7
+    "bootstrap_ci_spend", "spearman_customer_value",
+    "calibration_bins_embeddings", "lift_gain_deciles",
+    "streaks_user_activity",
 ]
 
 # Re-measure a subset without paying for the whole table:

@@ -10441,6 +10441,526 @@ def km_user_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Model-evaluation & resampling statistics (round-7 batch 7)
+# ---------------------------------------------------------------------------
+
+# Quantized Poisson(1) CDF at 1e-6 resolution, as declared integer
+# thresholds shared verbatim by the Spark plan and the oracle: a uniform
+# draw u in [0, 1e6) maps to weight w = #{thresholds <= u}. Correctness
+# of the cross-engine hash depends only on both engines applying the SAME
+# literals to the SAME md5-derived u — not on how closely they track
+# exp(-1)/k! (they are the rounded cumulative values).
+_POIS1_CUM = [
+    367879,  # F(0)
+    735759,  # F(1)
+    919699,  # F(2)
+    981012,  # F(3)
+    996340,  # F(4)
+    999406,  # F(5)
+    999917,  # F(6)
+    999990,  # F(7)
+    999999,  # F(8) — else 9
+]
+
+_POIS1_W_SQL = " + ".join(
+    f"(CASE WHEN u >= {t} THEN 1 ELSE 0 END)" for t in _POIS1_CUM
+)
+
+_BOOT_HASH_SQL = _SQL_HASH64.format(
+    x="'pb:' || CAST(b AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)"
+)
+
+
+@_q(
+    "bootstrap_ci_spend",
+    f"""
+    WITH p AS (
+      SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    bs AS (
+      SELECT b, cents, ({_BOOT_HASH_SQL}) % 1000000 AS u
+      FROM p, (SELECT unnest(generate_series(0, 63)) AS b) r
+    ),
+    wt AS (SELECT b, cents, {_POIS1_W_SQL} AS w FROM bs),
+    g AS (
+      SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+             CAST(sum(w * cents) AS BIGINT) AS total_cents
+      FROM wt GROUP BY b
+    ),
+    m AS (
+      SELECT b, n_eff, total_cents,
+             CAST(total_cents AS DOUBLE) / CAST(n_eff AS DOUBLE) AS mean_v
+      FROM g
+    ),
+    rk AS (
+      SELECT mean_v,
+             row_number() OVER (ORDER BY mean_v, total_cents, n_eff) AS r
+      FROM m
+    ),
+    pt AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+             CAST(sum(cents) AS BIGINT) AS tot
+      FROM p
+    )
+    SELECT n_purchases, CAST(64 AS BIGINT) AS n_resamples,
+           round(CAST(tot AS DOUBLE) / CAST(n_purchases AS DOUBLE) / 100.0,
+                 6) AS point_mean,
+           round(lo.mean_v / 100.0, 6) AS ci_lo,
+           round(hi.mean_v / 100.0, 6) AS ci_hi
+    FROM pt, (SELECT mean_v FROM rk WHERE r = 2) lo,
+         (SELECT mean_v FROM rk WHERE r = 63) hi
+    """,
+)
+def bootstrap_ci_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap 95% CI for mean purchase value — THE bootstrap
+    that scales: classic resampling-with-replacement needs the global n
+    to draw multinomial counts, but Poisson(1) weights are independent
+    per (row, resample), so the whole procedure is one stateless map.
+    Weights are deterministic: u = portable md5-hash(b, event_id) mod
+    1e6 against the declared quantized-Poisson thresholds (_POIS1_CUM),
+    identical in both engines by construction. Not in the reference
+    (§2.3 extension).
+
+    Plan: the purchase projection crossed with a 64-value literal range
+    (map-side explode — no join), partial-aggregated per resample into
+    EXACTLY 64 (sum w, sum w*cents) BIGINT rows; the CI is a rank pick
+    over that bounded 64-row frame (the single-partition window is over
+    B rows, never data rows). At 100 TB this is one wide scan + a
+    64-row shuffle — resample count, not data volume, bounds state.
+    Ordering for the rank pick is (mean, total, n_eff): the double mean
+    is one IEEE division of two exact BIGINTs, bit-identical across
+    engines, and the integer tie-breaks pin ties."""
+    ev = load_table(spark, "events", sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    expl = p.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(63))))
+    expl = expl.withColumn(
+        "u",
+        portable_hash64(
+            F.concat(
+                F.lit("pb:"),
+                F.col("b").cast("string"),
+                F.lit(":"),
+                F.col("event_id").cast("string"),
+            )
+        )
+        % 1000000,
+    )
+    w_col = None
+    for t in _POIS1_CUM:
+        term = (F.col("u") >= t).cast("int")
+        w_col = term if w_col is None else (w_col + term)
+    weighted = expl.select(
+        "b", w_col.cast("long").alias("w"), F.col("cents")
+    )
+    g = weighted.groupBy("b").agg(
+        F.sum("w").cast("long").alias("n_eff"),
+        F.sum(F.col("w") * F.col("cents")).cast("long").alias("total_cents"),
+    )
+    m = g.withColumn(
+        "mean_v",
+        F.col("total_cents").cast("double") / F.col("n_eff").cast("double"),
+    )
+    # 64-row frame: the unpartitioned window is bounded by B, not data
+    rk = m.withColumn(
+        "r",
+        F.row_number().over(
+            Window.orderBy("mean_v", "total_cents", "n_eff")
+        ),
+    )
+    # both CI endpoints off ONE ranked branch (two filters would each
+    # recompute the whole explode+agg pipeline — seen in the plan)
+    ci = rk.filter(F.col("r").isin(2, 63)).agg(
+        F.min(F.when(F.col("r") == 2, F.col("mean_v"))).alias("lo_v"),
+        F.min(F.when(F.col("r") == 63, F.col("mean_v"))).alias("hi_v"),
+    )
+    pt = p.agg(
+        F.count("*").cast("long").alias("n_purchases"),
+        F.sum("cents").cast("long").alias("tot"),
+    )
+    return (
+        pt.crossJoin(F.broadcast(ci))
+        .select(
+            "n_purchases",
+            F.lit(64).cast("long").alias("n_resamples"),
+            F.round(
+                F.col("tot").cast("double")
+                / F.col("n_purchases").cast("double")
+                / 100.0,
+                6,
+            ).alias("point_mean"),
+            F.round(F.col("lo_v") / 100.0, 6).alias("ci_lo"),
+            F.round(F.col("hi_v") / 100.0, 6).alias("ci_hi"),
+        )
+    )
+
+
+@_q(
+    "spearman_customer_value",
+    """
+    WITH cv AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS x,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM orders GROUP BY o_custkey
+    ),
+    rx AS (
+      SELECT x, o_custkey, row_number() OVER (ORDER BY x, o_custkey) AS r
+      FROM cv
+    ),
+    gx AS (
+      SELECT x, CAST(min(r) + max(r) AS BIGINT) AS r2x FROM rx GROUP BY x
+    ),
+    ry AS (
+      SELECT y, o_custkey, row_number() OVER (ORDER BY y, o_custkey) AS r
+      FROM cv
+    ),
+    gy AS (
+      SELECT y, CAST(min(r) + max(r) AS BIGINT) AS r2y FROM ry GROUP BY y
+    ),
+    j AS (
+      SELECT cv.o_custkey, gx.r2x, gy.r2y
+      FROM cv JOIN gx USING (x) JOIN gy USING (y)
+    ),
+    mo AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(r2x) AS BIGINT) AS sx,
+             CAST(sum(r2y) AS BIGINT) AS sy,
+             CAST(sum(r2x * r2x) AS BIGINT) AS sxx,
+             CAST(sum(r2y * r2y) AS BIGINT) AS syy,
+             CAST(sum(r2x * r2y) AS BIGINT) AS sxy
+      FROM j
+    )
+    SELECT n AS n_customers, sxy AS rank_cross_sum,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+             AS spearman_rho
+    FROM mo
+    """,
+)
+def spearman_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Spearman rank correlation between a customer's order count
+    and their total spend — the tie-correct definition (Pearson on
+    midranks), computed entirely in integers by carrying 2*midrank =
+    min_rank + max_rank per value group (the roc_auc_embedding_norm
+    trick, generalized to two variables). Not in the reference (§2.3
+    extension).
+
+    Plan: one groupBy builds the per-customer (count, cents) frame;
+    each variable gets exact global (value, id) ranks from
+    layout.global_order_positions (range-sharded parallel windows — no
+    global sort), rolled up per distinct value and equi-joined back.
+    Moments are five BIGINT sums; rho is one final expression with two
+    correctly-rounded IEEE sqrts, so the hash is engine-free. Products
+    stay under 2^63 up to ~1e5 ranked keys per variable; past that the
+    moment sums move to DECIMAL(38,0) like the ACF family."""
+    orders = load_table(spark, "orders", sf_dir)
+    cv = orders.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("x"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("y"),
+    )
+    # three consumers (two rank passes + the join-back): materialize once
+    cv = cv.localCheckpoint()
+    r2 = {}
+    for var in ("x", "y"):
+        ranked = layout.global_order_positions(
+            cv.select("o_custkey", var), var, "o_custkey"
+        )
+        r2[var] = ranked.groupBy(var).agg(
+            ((F.min("position") + 1) + (F.max("position") + 1))
+            .cast("long")
+            .alias(f"r2{var}")
+        )
+    j = cv.join(r2["x"], "x").join(r2["y"], "y")
+    mo = j.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("r2x").cast("long").alias("sx"),
+        F.sum("r2y").cast("long").alias("sy"),
+        F.sum(F.col("r2x") * F.col("r2x")).cast("long").alias("sxx"),
+        F.sum(F.col("r2y") * F.col("r2y")).cast("long").alias("syy"),
+        F.sum(F.col("r2x") * F.col("r2y")).cast("long").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return mo.select(
+        F.col("n").alias("n_customers"),
+        F.col("sxy").alias("rank_cross_sum"),
+        F.round(num / (F.sqrt(den_x) * F.sqrt(den_y)), 6).alias(
+            "spearman_rho"
+        ),
+    )
+
+
+def _scored_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared scored frame of the model-eval trio (ROC-AUC /
+    calibration / lift): e6-scaled embedding-norm score, odd-label
+    positive class. localCheckpoint'ed because every consumer drives
+    multiple passes (rank + totals) and the 64-dim HOF norm fold is the
+    whole cost otherwise (measured on roc_auc at 100x: 26.5 s -> 1.78 s)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    from ssp_spark.functions import dot as _dot
+
+    sc = emb.select(
+        "vec_id",
+        (F.col("label") % 2).cast("long").alias("y"),
+        F.round(
+            F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) * 1000000
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    return sc.localCheckpoint()
+
+
+_SQL_SCORED_EMB = """
+      SELECT vec_id, CAST(label % 2 AS BIGINT) AS y,
+             CAST(round(sqrt(list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]))
+                        * 1000000) AS BIGINT) AS s
+      FROM embeddings
+"""
+
+
+@_q(
+    "calibration_bins_embeddings",
+    f"""
+    WITH sc AS ({_SQL_SCORED_EMB}),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sc),
+    rk AS (
+      SELECT y, s, row_number() OVER (ORDER BY s, vec_id) - 1 AS pos
+      FROM sc
+    ),
+    b AS (SELECT (pos * 10) // tot.n AS bin, y, s FROM rk, tot)
+    SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_bin,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           round(CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 / 1000000.0, 6) AS mean_score,
+           round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS pos_rate
+    FROM b GROUP BY 1
+    """,
+)
+def calibration_bins_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins — the calibration half of the model-eval
+    trio (with roc_auc_embedding_norm and lift_gain_deciles): exact
+    rank-based score deciles, each reporting its mean score vs observed
+    positive rate. Deciles come from the 0-based global (score, id)
+    position — integer (pos*10) div n, so bin edges are exact and ties
+    split deterministically by id, never by engine sort order. Not in
+    the reference (§2.3 extension).
+
+    Plan: one sharded rank pass (no global sort), a broadcast 1-row
+    total, one 10-key map-side-combined groupBy. Every float is a fixed
+    per-bin op sequence on two exact BIGINTs."""
+    sc = _scored_embeddings(spark, sf_dir)
+    ranked = layout.global_order_positions(sc, "s", "vec_id")
+    tot = sc.agg(F.count("*").cast("long").alias("n"))
+    b = ranked.crossJoin(F.broadcast(tot)).withColumn(
+        "bin", F.expr("(position * 10) div n")
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n_bin"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.sum("s").cast("long").alias("sum_s"),
+        )
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            "n_bin",
+            "n_pos",
+            F.round(
+                F.col("sum_s").cast("double")
+                / F.col("n_bin").cast("double")
+                / 1000000.0,
+                6,
+            ).alias("mean_score"),
+            F.round(
+                F.col("n_pos").cast("double") / F.col("n_bin").cast("double"),
+                6,
+            ).alias("pos_rate"),
+        )
+    )
+
+
+@_q(
+    "lift_gain_deciles",
+    f"""
+    WITH sc AS ({_SQL_SCORED_EMB}),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS np FROM sc),
+    rk AS (
+      SELECT y, row_number() OVER (ORDER BY -s, vec_id) - 1 AS pos
+      FROM sc
+    ),
+    d AS (SELECT (pos * 10) // tot.n AS decile, y FROM rk, tot),
+    g AS (
+      SELECT CAST(decile AS BIGINT) AS decile,
+             CAST(count(*) AS BIGINT) AS n_d,
+             CAST(sum(y) AS BIGINT) AS pos_d
+      FROM d GROUP BY 1
+    ),
+    c AS (
+      SELECT decile, n_d, pos_d,
+             CAST(sum(n_d) OVER w AS BIGINT) AS cum_n,
+             CAST(sum(pos_d) OVER w AS BIGINT) AS cum_pos
+      FROM g
+      WINDOW w AS (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT decile, n_d, pos_d, cum_n, cum_pos,
+           round(CAST(cum_pos AS DOUBLE) / CAST(np AS DOUBLE), 6) AS gain,
+           round(CAST(cum_pos * n AS DOUBLE) / CAST(cum_n * np AS DOUBLE), 6)
+             AS lift
+    FROM c, tot
+    """,
+)
+def lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-gains / lift table — the targeting half of the
+    model-eval trio: rank the population by score descending, cut exact
+    rank deciles, and report what share of all positives the top-k
+    deciles capture (gain) and the rate ratio vs. base (lift). Ordering
+    is (-score, id): the integer negation reuses the ascending
+    range-sharded rank pass unchanged, and ties pin to id. Not in the
+    reference (§2.3 extension).
+
+    Plan: one sharded rank pass, a 10-key groupBy, then cumulative sums
+    over the BOUNDED 10-row decile frame (the unpartitioned window is
+    over deciles, never data rows) against a broadcast totals row."""
+    sc = _scored_embeddings(spark, sf_dir)
+    ranked = layout.global_order_positions(
+        sc.withColumn("ns", (-F.col("s")).cast("long")), "ns", "vec_id"
+    )
+    tot = sc.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("np"),
+    )
+    d = ranked.crossJoin(F.broadcast(tot)).withColumn(
+        "decile", F.expr("(position * 10) div n")
+    )
+    g = d.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_d"),
+        F.sum("y").cast("long").alias("pos_d"),
+    )
+    # 10-row frame: the unpartitioned window is bounded by decile count
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = g.select(
+        F.col("decile").cast("long").alias("decile"),
+        "n_d",
+        "pos_d",
+        F.sum("n_d").over(w).cast("long").alias("cum_n"),
+        F.sum("pos_d").over(w).cast("long").alias("cum_pos"),
+    )
+    return c.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_d",
+        "pos_d",
+        "cum_n",
+        "cum_pos",
+        F.round(
+            F.col("cum_pos").cast("double") / F.col("np").cast("double"), 6
+        ).alias("gain"),
+        F.round(
+            (F.col("cum_pos") * F.col("n")).cast("double")
+            / (F.col("cum_n") * F.col("np")).cast("double"),
+            6,
+        ).alias("lift"),
+    )
+
+
+@_q(
+    "streaks_user_activity",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS d
+      FROM events
+    ),
+    isl AS (
+      SELECT user_id, d,
+             d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS k
+      FROM ud
+    ),
+    runs AS (
+      SELECT user_id, k, CAST(count(*) AS BIGINT) AS len,
+             CAST(min(d) AS BIGINT) AS d0
+      FROM isl GROUP BY user_id, k
+    ),
+    best AS (
+      SELECT user_id, len, d0,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY len DESC, d0) AS rn
+      FROM runs
+    ),
+    days AS (
+      SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days
+      FROM runs GROUP BY user_id
+    )
+    SELECT b.user_id, b.len AS best_streak_days, b.d0 AS streak_start_d,
+           d.n_active_days
+    FROM best b JOIN days d ON b.user_id = d.user_id
+    WHERE b.rn = 1
+    """,
+)
+def streaks_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands engagement primitive (retention/streak features for
+    ranking and churn models): distinct user-days, island key = day −
+    per-user row_number, longest run wins with earliest-start tie-break.
+    Not in the reference (§2.3 extension).
+
+    Plan: one distinct shuffle on (user, day), then every window is
+    PARTITIONED by user (bounded per-key state, scales with users ×
+    days-per-user, no global sort anywhere); two map-side-combined
+    groupBys and one keyed self-join close it out."""
+    ev = load_table(spark, "events", sf_dir)
+    ud = ev.select(
+        "user_id",
+        F.expr("unix_timestamp(date_trunc('day', ts)) div 86400").alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = ud.withColumn(
+        "k", F.col("d") - F.row_number().over(w).cast("long")
+    )
+    runs = isl.groupBy("user_id", "k").agg(
+        F.count("*").cast("long").alias("len"),
+        F.min("d").cast("long").alias("d0"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), F.col("d0")
+    )
+    best = (
+        runs.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "k")
+    )
+    days = runs.groupBy("user_id").agg(
+        F.sum("len").cast("long").alias("n_active_days")
+    )
+    return best.join(days, "user_id").select(
+        "user_id",
+        F.col("len").alias("best_streak_days"),
+        F.col("d0").alias("streak_start_d"),
+        "n_active_days",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-gate ordering
 # ---------------------------------------------------------------------------
 # The driver's correctness gate hashes the FIRST 50 registry entries in
@@ -10549,9 +11069,10 @@ def km_user_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round start (38 r3 / 46 r4 / 48 r5 / 50 r6, zero never-checked, one
 # failing: psi_drift_orders' r6 hash mismatch — an oracle TYPE skew, not
 # a value bug; fixed this round and re-fronted):
-# (a) the 18 new round-7 queries (no driver rows yet; the last 6 took
-#     the slots of 4 mid-round rotations, each annotated at its former
-#     slot below);
+# (a) the 29 new round-7 queries (no driver rows yet; grew 18 -> 24 ->
+#     29 across the round's three batches — later batches took the
+#     slots of mid-round rotations and displaced (c) entries, each
+#     annotated at its former slot below);
 # (b) changed this round: psi_drift_orders (oracle cast fix),
 #     dedup_jaccard_pairs (candidate core factored into
 #     _pair_shared_counts, shared with the new containment_pairs), and
@@ -10564,26 +11085,30 @@ def km_user_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     quality_score, quality_zscore_by_source, cluster_dedup_keeper,
 #     pipeline_curation_v2, token_budget_selection, plus
 #     pipeline_train_manifest which sits in (c) as it is also r3-stale;
-# (c) 19 of the 38 r3-latest queries. ARITHMETIC, stated plainly:
-#     24 + 7 + 19 = 50 (the (a) list grew to 24 with the six batch-6
+# (c) 14 of the 38 r3-latest queries. ARITHMETIC, stated plainly:
+#     29 + 7 + 14 = 50 (the (a) list grew to 24 with the six batch-6
 #     statistics queries — ACF, Theil-Sen, Mann-Kendall, Benford,
-#     CUPED, Kaplan-Meier — each locally hash-matched at sf0.001, 0.01
-#     AND 0.1 before taking a slot). dedup_jaccard_pairs +
-#     pipeline_train_manifest in (b)/(c) are also r3-stale, so
-#     EIGHTEEN r3 queries stay r3 after this round:
-#     approx_distinct_users, the 6 mid-round r6 rotations
+#     CUPED, Kaplan-Meier — then to 29 with the five batch-7
+#     model-eval/resampling queries — Poisson bootstrap CI, Spearman,
+#     calibration bins, lift/gain deciles, activity streaks — each
+#     locally hash-matched at sf0.001, 0.01 AND 0.1 before taking a
+#     slot). dedup_jaccard_pairs + pipeline_train_manifest in (b)/(c)
+#     are also r3-stale, so TWENTY-THREE r3 queries stay r3 after this
+#     round: approx_distinct_users, the 6 mid-round r6 rotations
 #     (event_type_pivot_api, literal_source_wordcount,
 #     map_funcs_roundtrip, multimodal_resize, stats_numeric,
 #     udtf_sentence_split), the 5 displaced for the changed
 #     quality-family slots (word_count, dedup_minhash_lsh,
-#     dedup_simhash_pairs, q6_forecast_revenue, q18_large_orders), and
+#     dedup_simhash_pairs, q6_forecast_revenue, q18_large_orders),
 #     the 6 displaced for the batch-6 stats slots (ann_ivf_topk,
 #     q11_important_parts, q12_ship_priority_class, q13_custdist,
-#     q15_top_supplier, q21_waiting_supplier) — every displaced query
-#     is bench-measured or entry()-smoked by the driver every round,
-#     and ALL queries hash-check vs their oracle at sf0.001 on every
-#     pytest run. All eighteen lead the r8 queue together with the 46
-#     r4-latest queries.
+#     q15_top_supplier, q21_waiting_supplier), and the 5 displaced for
+#     the batch-7 stats slots (bloom_customer_names, cms_user_counts,
+#     lineitem_unpivot, regexp_funcs, rolling_30d_spend) — every
+#     displaced query is bench-measured or entry()-smoked by the driver
+#     every round, and ALL queries hash-check vs their oracle at
+#     sf0.001 on every pytest run. All twenty-three lead the r8 queue
+#     together with the 46 r4-latest queries.
 _CHECK_FIRST = [
     # (a) new in round 7, never driver-checked
     "skyline_pareto_parts",        # distributed 2-D Pareto skyline
@@ -10610,6 +11135,13 @@ _CHECK_FIRST = [
     "benford_order_totals",        # first-digit fraud/synthetic screen
     "cuped_adjusted_spend",        # CUPED variance-reduced A/B readout
     "km_user_conversion",          # Kaplan-Meier conversion curves
+    # batch 7: model-evaluation & resampling statistics (each locally
+    # hash-matched at sf0.001, 0.01 AND 0.1 before taking a slot)
+    "bootstrap_ci_spend",          # Poisson bootstrap 95% CI
+    "spearman_customer_value",     # exact midrank Spearman rho
+    "calibration_bins_embeddings", # reliability-diagram deciles
+    "lift_gain_deciles",           # cumulative gains / lift table
+    "streaks_user_activity",       # gaps-and-islands daily streaks
     # (b) changed in round 7
     "psi_drift_orders",       # oracle total row re-cast to BIGINT (the
                               # one red r6 hash: DuckDB sum() widened to
@@ -10631,8 +11163,12 @@ _CHECK_FIRST = [
     # oracle hash-check every pytest run; front of the r8 queue.
     "array_lateral_explode",
     "asof_join_forward_tolerance",
-    "bloom_customer_names",
-    "cms_user_counts",
+    # bloom_customer_names displaced for a batch-7 stats slot (Bloom
+    #   kernel pinned by its sketch.py unit tests + r4-green
+    #   bloom_prefilter_join; sf0.001 oracle hash-check every pytest run).
+    # cms_user_counts displaced for a batch-7 stats slot (sketch family
+    #   pinned by r5-green hll_distinct_users + CMS unit tests;
+    #   sf0.001 oracle hash-check every pytest run).
     "dedup_minhash_clusters",
     # dedup_minhash_lsh displaced for a changed quality-family slot (bench-measured every round;
     #   sf0.001 oracle hash-check every pytest run).
@@ -10641,7 +11177,9 @@ _CHECK_FIRST = [
     # event_type_pivot_api rotated out mid-round for the chi-square
     # slot: the pivot kernel stays pinned by r5-green
     # user_activity_pivot + the sf0.001 oracle hash-check every run.
-    "lineitem_unpivot",
+    # lineitem_unpivot displaced for a batch-7 stats slot (unpivot
+    #   kernel pinned by r5-green user_activity_pivot family;
+    #   sf0.001 oracle hash-check every pytest run).
     # literal_source_wordcount rotated out mid-round for the entropy
     # slot: the literal in-memory source (O4) keeps its stream-API
     # goldens (test_stream_api builds every golden from elements) + the
@@ -10672,9 +11210,13 @@ _CHECK_FIRST = [
     # q6_forecast_revenue displaced for a changed quality-family slot (bench-measured every round;
     #   sf0.001 oracle hash-check every pytest run).
     "q8_market_share",
-    "regexp_funcs",
+    # regexp_funcs displaced for a batch-7 stats slot (regexp kernels
+    #   exercised inside r6-green bpe_token_stats / dedup_span_pairs;
+    #   sf0.001 oracle hash-check every pytest run).
     "right_join_order_priority_mix",
-    "rolling_30d_spend",
+    # rolling_30d_spend displaced for a batch-7 stats slot (RANGE-frame
+    #   kernel pinned by r6-green window_frame_funcs;
+    #   sf0.001 oracle hash-check every pytest run).
     "salted_join_event_spend",
     "sample_split_hash",
     "source_json_scan",

@@ -813,3 +813,42 @@ def test_cuped_welch_shape_no_window(spark):
     s = plans.plan_string(df)
     assert "Window" not in s
     assert "SortMergeJoin" not in s
+
+
+def test_bootstrap_resample_path_is_one_map_side_explode(spark):
+    """The Poisson bootstrap's data path must be join-free and
+    JVM-side: the 64-way resample is a Generate (explode) feeding a
+    partial-aggregated 64-key groupBy — no Python eval, no cartesian,
+    and the only unpartitioned window sits on the bounded 64-row
+    resample frame, never on data rows."""
+    df = QUERIES["bootstrap_ci_spend"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    # exactly ONE explode in the plan tree: both CI endpoints must ride
+    # one ranked branch (a filter per endpoint re-runs the pipeline)
+    assert s.count("Generate (") == 1 and "explode(" in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    assert not plans.has_cartesian(df)
+
+
+def test_streaks_all_windows_are_keyed(spark):
+    """Gaps-and-islands must never funnel through one task: every
+    window partitions by user_id, so no SinglePartition exchange exists
+    anywhere in the plan."""
+    df = QUERIES["streaks_user_activity"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert "SinglePartition" not in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    assert not plans.has_cartesian(df)
+
+
+def test_calibration_bins_rank_pass_is_sharded(spark):
+    """Reliability bins ride the range-sharded rank pass: windows are
+    keyed by shard (no SinglePartition), the 1-row total broadcasts,
+    and the bin rollup is a 10-key hash aggregate."""
+    df = QUERIES["calibration_bins_embeddings"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    # the ONLY single-partition exchange is the 1-row totals aggregate
+    # that immediately broadcasts; rank windows stay sharded
+    assert s.count("SinglePartition") <= 1
+    assert "BroadcastExchange" in s or "BroadcastQueryStage" in s
+    assert not plans.has_cartesian(df)

@@ -38,6 +38,12 @@ _R7_NEW = {
     "benford_order_totals",        # first-digit fraud/synthetic screen
     "cuped_adjusted_spend",        # CUPED variance-reduced A/B readout
     "km_user_conversion",          # Kaplan-Meier conversion curves
+    # batch 7: model-evaluation & resampling statistics
+    "bootstrap_ci_spend",          # Poisson bootstrap 95% CI
+    "spearman_customer_value",     # exact midrank Spearman rho
+    "calibration_bins_embeddings", # reliability-diagram deciles
+    "lift_gain_deciles",           # cumulative gains / lift table
+    "streaks_user_activity",       # gaps-and-islands daily streaks
 }
 
 # Round 7 group (b): implementation- or oracle-changed this round.
@@ -58,31 +64,37 @@ _R7_CHANGED = {
     # r3-stale group below)
 }
 
-# Round 7 group (c): 19 of the 38 r3-latest queries — with
-# dedup_jaccard_pairs + pipeline_train_manifest above, EIGHTEEN r3
+# Round 7 group (c): 14 of the 38 r3-latest queries — with
+# dedup_jaccard_pairs + pipeline_train_manifest above, TWENTY-THREE r3
 # queries remain after this round: approx_distinct_users (never made
 # the window), the 6 mid-round r6 rotations (event_type_pivot_api,
 # literal_source_wordcount, map_funcs_roundtrip, multimodal_resize,
 # stats_numeric, udtf_sentence_split), the 5 displaced for the changed
 # quality-family slots (word_count, dedup_minhash_lsh,
-# dedup_simhash_pairs, q6_forecast_revenue, q18_large_orders), and the
+# dedup_simhash_pairs, q6_forecast_revenue, q18_large_orders), the
 # 6 displaced for the batch-6 stats slots (ann_ivf_topk,
 # q11_important_parts, q12_ship_priority_class, q13_custdist,
-# q15_top_supplier, q21_waiting_supplier) — every displaced query is
-# bench-measured/entry-smoked every round. All eighteen lead the r8
-# queue; justifications at their former slots in queries.py.
+# q15_top_supplier, q21_waiting_supplier), and the 5 displaced for the
+# batch-7 stats slots (bloom_customer_names, cms_user_counts,
+# lineitem_unpivot, regexp_funcs, rolling_30d_spend) — every displaced
+# query is bench-measured/entry-smoked every round. All twenty-three
+# lead the r8 queue; justifications at their former slots in
+# queries.py.
 _R7_R3_STALE = {
     "array_lateral_explode",
-    "asof_join_forward_tolerance", "bloom_customer_names",
-    "cms_user_counts", "dedup_minhash_clusters",
-    "lineitem_unpivot",
+    "asof_join_forward_tolerance",
+    "dedup_minhash_clusters",
     "pipeline_train_manifest",
     "q16_supplier_cnt", "q19_disjunctive_revenue",
     "q20_qty_suppliers",
-    "q8_market_share", "regexp_funcs", "right_join_order_priority_mix",
-    "rolling_30d_spend", "salted_join_event_spend", "sample_split_hash",
+    "q8_market_share", "right_join_order_priority_mix",
+    "salted_join_event_spend", "sample_split_hash",
     "source_json_scan", "time_rollup_multigrain",
     "window_rank_stats",
+    # bloom_customer_names, cms_user_counts, lineitem_unpivot,
+    # regexp_funcs, rolling_30d_spend displaced mid-round for the
+    # batch-7 stats slots (annotated at their former slots in
+    # queries.py); they lead the r8 queue.
 }
 
 

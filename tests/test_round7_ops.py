@@ -355,3 +355,162 @@ def test_cuped_query_variants_partition_users(spark):
     for r in rows:
         assert r["theta"] == rows[0]["theta"]  # same global fit
         assert r["mean_spend"] >= 0
+
+
+# ---------------------------------------------------------------------------
+# batch 7: model-evaluation & resampling statistics
+# ---------------------------------------------------------------------------
+
+
+def test_poisson_weight_thresholds_closed_form():
+    # the declared quantized-Poisson(1) map: w = #{thresholds <= u}
+    from ssp_spark.queries import _POIS1_CUM
+
+    def w(u):
+        return sum(1 for t in _POIS1_CUM if u >= t)
+
+    assert w(0) == 0
+    assert w(367878) == 0 and w(367879) == 1
+    assert w(735758) == 1 and w(735759) == 2
+    assert w(999998) == 8 and w(999999) == 9
+    # expected weight under uniform u is ~1 (it IS a Poisson(1) pmf)
+    mean_w = sum(w(u) for u in range(0, 1000000, 997)) / len(
+        range(0, 1000000, 997)
+    )
+    assert 0.95 < mean_w < 1.05
+
+
+def test_bootstrap_ci_brackets_point_estimate(spark):
+    from ssp_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    row = QUERIES["bootstrap_ci_spend"](spark, SF_SMOKE).collect()[0]
+    assert row["n_resamples"] == 64
+    assert row["ci_lo"] < row["ci_hi"]
+    # the bootstrap distribution centers on the sample mean; with 64
+    # Poisson resamples the point estimate sits inside the 95% band
+    assert row["ci_lo"] <= row["point_mean"] <= row["ci_hi"]
+
+
+def test_spearman_matches_pure_python_oracle(spark):
+    # engine-independent re-derivation: midranks + Pearson in pure
+    # Python on the same parquet, no SQL engine involved
+    import duckdb
+
+    from ssp_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    rows = duckdb.sql(
+        f"SELECT o_custkey, count(*) AS x, "
+        f"CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS y "
+        f"FROM '{SF_SMOKE}/orders.parquet' GROUP BY 1"
+    ).fetchall()
+
+    def midranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        r = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            mr = (i + 1 + j + 1) / 2
+            for k in range(i, j + 1):
+                r[order[k]] = mr
+            i = j + 1
+        return r
+
+    rx = midranks([r[1] for r in rows])
+    ry = midranks([r[2] for r in rows])
+    n = len(rows)
+    mx = sum(rx) / n
+    my = sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = (
+        sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)
+    ) ** 0.5
+    expected = num / den
+
+    got = QUERIES["spearman_customer_value"](spark, SF_SMOKE).collect()[0]
+    assert got["n_customers"] == n
+    assert abs(got["spearman_rho"] - expected) < 1e-4
+
+
+def test_calibration_bins_partition_and_order(spark):
+    from ssp_spark.catalog import load_table
+    from ssp_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    rows = sorted(
+        QUERIES["calibration_bins_embeddings"](spark, SF_SMOKE).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert [r["bin"] for r in rows] == list(range(10))
+    total = load_table(spark, "embeddings", SF_SMOKE).count()
+    assert sum(r["n_bin"] for r in rows) == total
+    # bins are ascending exact score ranks -> mean score non-decreasing
+    means = [r["mean_score"] for r in rows]
+    assert means == sorted(means)
+    assert all(0.0 <= r["pos_rate"] <= 1.0 for r in rows)
+
+
+def test_lift_deciles_gain_monotone_to_one(spark):
+    from ssp_spark.catalog import load_table
+    from ssp_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    rows = sorted(
+        QUERIES["lift_gain_deciles"](spark, SF_SMOKE).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(10))
+    gains = [r["gain"] for r in rows]
+    assert gains == sorted(gains)
+    assert gains[-1] == 1.0
+    assert rows[-1]["cum_n"] == load_table(
+        spark, "embeddings", SF_SMOKE
+    ).count()
+    assert all(r["lift"] > 0 for r in rows)
+
+
+def test_streaks_match_pure_python_oracle(spark):
+    # independent gaps-and-islands re-derivation in pure Python
+    import duckdb
+
+    from ssp_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    rows = duckdb.sql(
+        f"SELECT DISTINCT user_id, "
+        f"CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS d "
+        f"FROM '{SF_SMOKE}/events.parquet'"
+    ).fetchall()
+    by_user: dict = {}
+    for u, d in rows:
+        by_user.setdefault(u, set()).add(d)
+    expected = {}
+    for u, days in by_user.items():
+        ds = sorted(days)
+        best_len, best_start = 0, None
+        run_len, run_start = 0, None
+        prev = None
+        for d in ds:
+            if prev is not None and d == prev + 1:
+                run_len += 1
+            else:
+                run_len, run_start = 1, d
+            # strict > keeps the EARLIEST start on ties
+            if run_len > best_len:
+                best_len, best_start = run_len, run_start
+            prev = d
+        expected[u] = (best_len, best_start, len(ds))
+
+    got = {
+        r["user_id"]: (
+            r["best_streak_days"],
+            r["streak_start_d"],
+            r["n_active_days"],
+        )
+        for r in QUERIES["streaks_user_activity"](spark, SF_SMOKE).collect()
+    }
+    assert got == expected
