@@ -116,6 +116,16 @@ HEADLINE = [
     "skyline_pareto_parts",
     "containment_dedup_pairs",
     "holt_trend_user_spend",
+    # round-7 batch-7 additions that carry real compute: the Poisson
+    # bootstrap's 64-way resample explode (both engines expand ~64x the
+    # purchase rows through the md5 weight map), Spearman's two
+    # range-sharded rank passes + moment join-back, and the
+    # gaps-and-islands streak windows over distinct user-days (the
+    # model-eval deciles stay out: their cost is the roc_auc norm fold
+    # already in the suite's embedding family)
+    "bootstrap_ci_spend",
+    "spearman_customer_value",
+    "streaks_user_activity",
 ]
 
 # The 22-query set rounds 1-3 benched: sum reported as r3_comparable_total
