@@ -126,6 +126,13 @@ HEADLINE = [
     "bootstrap_ci_spend",
     "spearman_customer_value",
     "streaks_user_activity",
+    # second batch-7 rotation: cross-source quantile normalization pays
+    # the full tokenize+rank cost on both engines; U-shaped attribution
+    # carries three keyed window passes over events (isotonic stays
+    # out: its data cost is the same norm fold + rank pass the
+    # embedding family already times — the minimax frame is bounded)
+    "quantile_normalize_quality",
+    "attribution_position_based",
 ]
 
 # The 22-query set rounds 1-3 benched: sum reported as r3_comparable_total

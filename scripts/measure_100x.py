@@ -73,6 +73,8 @@ NAMES = [
     "bootstrap_ci_spend", "spearman_customer_value",
     "calibration_bins_embeddings", "lift_gain_deciles",
     "streaks_user_activity",
+    "isotonic_calibration_embeddings", "quantile_normalize_quality",
+    "attribution_position_based",
 ]
 
 # Re-measure a subset without paying for the whole table:

@@ -87,6 +87,28 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_e4_expr(text_col: str = "text"):
+    """The e4-scaled integer quality score as a bare Column — the exact
+    integer rational quality_score() divides by 10^4 for display (same
+    formula, same HALF_UP integer division; see the tie note above).
+    For rank/quantile consumers that must never touch a float."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    n_stop = _count_occurrences(toks, STOPWORDS)
+    n_l, s_l, l_l = (c.cast("long") for c in (n, n_stop, total_len))
+    num = (
+        n_l * F.least(n_l, F.lit(200))
+        + 120 * F.least(4 * s_l, n_l)
+        + 10 * F.least(l_l, 8 * n_l)
+    )
+    return (
+        F.when(n > 0, F.floor((50 * num + n_l) / (2 * n_l)))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+
+
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count + BPE-ish piece count (regexp-extracted)."""
     ws = F.size(tokens(F.col(text_col)))

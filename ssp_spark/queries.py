@@ -10960,6 +10960,346 @@ def streaks_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "isotonic_calibration_embeddings",
+    f"""
+    WITH sc AS ({_SQL_SCORED_EMB}),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sc),
+    rk AS (
+      SELECT y, row_number() OVER (ORDER BY s, vec_id) - 1 AS pos
+      FROM sc
+    ),
+    cells AS (
+      SELECT CAST((pos * 100) // tot.n AS BIGINT) AS cell,
+             CAST(count(*) AS BIGINT) AS n_c,
+             CAST(sum(y) AS BIGINT) AS p_c
+      FROM rk, tot GROUP BY 1
+    ),
+    cum AS (
+      SELECT cell, n_c, p_c,
+             CAST(sum(n_c) OVER w AS BIGINT) AS cum_n,
+             CAST(sum(p_c) OVER w AS BIGINT) AS cum_pos
+      FROM cells
+      WINDOW w AS (ORDER BY cell
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    pairs AS (
+      SELECT a.cell AS i, b.cell AS j,
+             CAST(b.cum_pos - (a.cum_pos - a.p_c) AS DOUBLE)
+               / CAST(b.cum_n - (a.cum_n - a.n_c) AS DOUBLE) AS m
+      FROM cum a JOIN cum b ON a.cell <= b.cell
+    ),
+    t1 AS (
+      SELECT k.cell AS cell, p.i, min(p.m) AS lo
+      FROM pairs p JOIN cum k ON p.i <= k.cell AND k.cell <= p.j
+      GROUP BY 1, 2
+    ),
+    iso AS (SELECT cell, max(lo) AS fit FROM t1 GROUP BY cell)
+    SELECT c.cell, c.n_c, c.p_c,
+           round(CAST(c.p_c AS DOUBLE) / CAST(c.n_c AS DOUBLE), 6)
+             AS raw_rate,
+           round(i.fit, 6) AS iso_rate
+    FROM cells c JOIN iso i ON c.cell = i.cell
+    """,
+)
+def isotonic_calibration_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Isotonic (PAV) calibration of the embedding-norm score against
+    the odd-label class — the standard monotone-regression calibrator
+    (Zadrozny & Elkan 2002), computed EXACTLY via the minimax identity
+    fit[k] = max_{{i<=k}} min_{{j>=k}} mean(y[i..j]) (Barlow & Brunk
+    1972) over 100 exact rank centile cells, which equals the weighted
+    pool-adjacent-violators fit without any sequential pooling loop.
+    Not in the reference (§2.3 extension).
+
+    Plan: the data pays ONE sharded rank pass + a 100-key rollup; the
+    minimax evaluation then runs entirely on the BOUNDED centile frame
+    — 100 rows, 5,050 block pairs, ~500k (i,k,j) triples — joined via
+    broadcast, so its cost is fixed by the cell count at any data
+    scale. Block means are IEEE divisions of exact BIGINT cumulative
+    sums; min/max over them are order-free; the only rounding is the
+    final display round(…, 6)."""
+    sc = _scored_embeddings(spark, sf_dir)
+    ranked = layout.global_order_positions(sc, "s", "vec_id")
+    tot = sc.agg(F.count("*").cast("long").alias("n"))
+    cells = (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn("cell", F.expr("(position * 100) div n"))
+        .groupBy("cell")
+        .agg(
+            F.count("*").cast("long").alias("n_c"),
+            F.sum("y").cast("long").alias("p_c"),
+        )
+    )
+    # bounded 100-row frame from here on
+    w = Window.orderBy("cell").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cells.select(
+        F.col("cell").cast("long").alias("cell"),
+        "n_c",
+        "p_c",
+        F.sum("n_c").over(w).cast("long").alias("cum_n"),
+        F.sum("p_c").over(w).cast("long").alias("cum_pos"),
+    ).localCheckpoint()
+    a = cum.select(
+        F.col("cell").alias("i"),
+        (F.col("cum_n") - F.col("n_c")).alias("excl_n"),
+        (F.col("cum_pos") - F.col("p_c")).alias("excl_pos"),
+    )
+    b = cum.select(
+        F.col("cell").alias("j"),
+        F.col("cum_n").alias("cn_j"),
+        F.col("cum_pos").alias("cp_j"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("i") <= F.col("j")).select(
+        "i",
+        "j",
+        (
+            (F.col("cp_j") - F.col("excl_pos")).cast("double")
+            / (F.col("cn_j") - F.col("excl_n")).cast("double")
+        ).alias("m"),
+    )
+    k = cum.select(F.col("cell").alias("k"))
+    t1 = (
+        pairs.join(
+            F.broadcast(k),
+            (F.col("i") <= F.col("k")) & (F.col("k") <= F.col("j")),
+        )
+        .groupBy("k", "i")
+        .agg(F.min("m").alias("lo"))
+    )
+    iso = t1.groupBy("k").agg(F.max("lo").alias("fit"))
+    return (
+        cum.join(iso, cum.cell == iso.k)
+        .select(
+            "cell",
+            "n_c",
+            "p_c",
+            F.round(
+                F.col("p_c").cast("double") / F.col("n_c").cast("double"), 6
+            ).alias("raw_rate"),
+            F.round(F.col("fit"), 6).alias("iso_rate"),
+        )
+    )
+
+
+@_q(
+    "quantile_normalize_quality",
+    r"""
+    WITH qt AS (SELECT doc_id, source,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS qtoks
+                FROM documents),
+    qm AS (
+      SELECT doc_id, source,
+             CAST(len(qtoks) AS INT) AS n_tokens,
+             CAST(list_sum(list_transform(qtoks, x -> length(x))) AS INT)
+               AS total_len,
+             CAST(len(list_filter(qtoks,
+                                  x -> x IN ('the', 'a', 'of', 'and')))
+               AS INT) AS n_stop
+      FROM qt
+    ),
+    q AS (
+      SELECT doc_id, source,
+             CASE WHEN n_tokens > 0 THEN
+               ((50 * (CAST(n_tokens AS BIGINT) * least(n_tokens, 200)
+                       + 120 * least(4 * CAST(n_stop AS BIGINT), n_tokens)
+                       + 10 * least(CAST(total_len AS BIGINT),
+                                    8 * CAST(n_tokens AS BIGINT)))
+                 + n_tokens) // (2 * CAST(n_tokens AS BIGINT)))
+             ELSE 0 END AS qv
+      FROM qm
+    ),
+    r AS (
+      SELECT doc_id, source, qv,
+             row_number() OVER (PARTITION BY source ORDER BY qv, doc_id)
+               AS rs,
+             count(*) OVER (PARTITION BY source) AS ns,
+             row_number() OVER (ORDER BY qv, doc_id) - 1 AS pos,
+             count(*) OVER () AS n
+      FROM q
+    ),
+    tgt AS (
+      SELECT doc_id, source, qv,
+             CASE WHEN ns > 1
+                  THEN ((rs - 1) * (n - 1)) // (ns - 1)
+                  ELSE (n - 1) // 2 END AS g
+      FROM r
+    )
+    SELECT t.doc_id, t.source, t.qv / 10000.0 AS q_raw,
+           r2.qv / 10000.0 AS q_norm
+    FROM tgt t JOIN r r2 ON t.g = r2.pos
+    """,
+)
+def quantile_normalize_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of the per-document quality score ACROSS
+    sources — the batch-effect correction step of a multi-source
+    curation pipeline (heterogeneous crawls score on different scales;
+    rank-mapping each source's distribution onto the pooled one makes
+    one global quality threshold meaningful). Every doc's source-rank
+    quantile is re-expressed as the pooled value at the matching exact
+    integer rank: g = ((r_s-1)(N-1)) div (n_s-1) — no interpolation, no
+    floats until the final /10^4 display division of the exact
+    e4-integer quality (text.quality_e4_expr). Not in the reference
+    (§2.3 extension).
+
+    Plan: source ranks ride ONE source-keyed exchange (row_number and
+    count share it); pooled ranks come from the range-sharded pass (no
+    global sort); the value lookup is an equi-join on the unique
+    position key. Rank products stay under 2^63 to ~3e9 docs; past
+    that the g expression moves to DECIMAL(38,0) like the ACF moments."""
+    docs = load_table(spark, "documents", sf_dir)
+    q = docs.select(
+        "doc_id", "source", text.quality_e4_expr("text").alias("qv")
+    ).localCheckpoint()
+    ws = Window.partitionBy("source").orderBy("qv", "doc_id")
+    r = q.withColumn("rs", F.row_number().over(ws).cast("long")).withColumn(
+        "ns", F.count("*").over(Window.partitionBy("source")).cast("long")
+    )
+    pos = layout.global_order_positions(q, "qv", "doc_id").select(
+        F.col("position").alias("pos"), F.col("qv").alias("qv_g")
+    )
+    tot = q.agg(F.count("*").cast("long").alias("n"))
+    tgt = r.crossJoin(F.broadcast(tot)).withColumn(
+        "g",
+        F.when(
+            F.col("ns") > 1,
+            F.expr("((rs - 1) * (n - 1)) div (ns - 1)"),
+        ).otherwise(F.expr("(n - 1) div 2")),
+    )
+    return tgt.join(pos, tgt.g == pos.pos).select(
+        "doc_id",
+        "source",
+        (F.col("qv") / 10000.0).alias("q_raw"),
+        (F.col("qv_g") / 10000.0).alias("q_norm"),
+    )
+
+
+@_q(
+    "attribution_position_based",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+             CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END AS pt
+      FROM events
+    ),
+    nxt AS (
+      SELECT user_id, event_id, event_type, t,
+             min(pt) OVER (PARTITION BY user_id
+                           ORDER BY t DESC, event_id DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS np
+      FROM ev
+    ),
+    touches AS (
+      SELECT user_id, event_type, np,
+             row_number() OVER (PARTITION BY user_id, np
+                                ORDER BY t, event_id) AS p,
+             count(*) OVER (PARTITION BY user_id, np) AS k
+      FROM nxt
+      WHERE event_type <> 'purchase' AND np IS NOT NULL
+    ),
+    credited AS (
+      SELECT event_type,
+             CASE
+               WHEN k = 1 THEN 10000
+               WHEN k = 2 THEN 5000
+               WHEN p = 1 OR p = k THEN 4000
+               ELSE 2000 // (k - 2)
+                    + (CASE WHEN p - 1 <= 2000 % (k - 2) THEN 1 ELSE 0 END)
+             END AS bp
+      FROM touches
+    ),
+    conv AS (
+      SELECT CAST(count(DISTINCT (user_id, np)) AS BIGINT) AS n_conv
+      FROM touches
+    )
+    SELECT event_type AS channel, CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(bp) AS BIGINT) AS credit_bp,
+           round(CAST(sum(bp) AS DOUBLE) / CAST(10000 * n_conv AS DOUBLE), 6)
+             AS credit_share
+    FROM credited, conv GROUP BY event_type, n_conv
+    """,
+)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution — 40/20/40 in
+    exact integer basis points: each non-purchase touch joins the NEXT
+    purchase in its user's timeline (conversion resets the window);
+    first and last touch get 4000 bp each, the middle 2000 bp split by
+    integer division with the remainder distributed to the EARLIEST
+    middles (+1 each) so every conversion's credits sum to exactly
+    10000; k=1 takes all 10000, k=2 splits 5000/5000. Complements the
+    r4 as-of last-touch query with the multi-touch family. Not in the
+    reference (§2.3 extension).
+
+    Plan: the next-purchase stamp is one user-keyed DESC window (a
+    reverse running min — no as-of join needed because the probe and
+    build sides are the same stream); position/size ride one
+    (user, conversion)-keyed exchange; credits are a pure projection
+    and the rollup is a channel-keyed map-side-combined groupBy. The
+    one DISTINCT is over (user, conversion) pairs — conversion-bounded,
+    not touch-bounded."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("t"),
+    )
+    ev = ev.withColumn(
+        "pt", F.when(F.col("event_type") == "purchase", F.col("t"))
+    )
+    wd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    nxt = ev.withColumn("np", F.min("pt").over(wd))
+    touches = nxt.filter(
+        (F.col("event_type") != "purchase") & F.col("np").isNotNull()
+    )
+    wp = Window.partitionBy("user_id", "np").orderBy("t", "event_id")
+    wk = Window.partitionBy("user_id", "np")
+    touches = touches.withColumn(
+        "p", F.row_number().over(wp).cast("long")
+    ).withColumn("k", F.count("*").over(wk).cast("long"))
+    bp = (
+        F.when(F.col("k") == 1, F.lit(10000))
+        .when(F.col("k") == 2, F.lit(5000))
+        .when((F.col("p") == 1) | (F.col("p") == F.col("k")), F.lit(4000))
+        .otherwise(
+            F.expr("2000 div (k - 2)")
+            + F.when(
+                F.col("p") - 1 <= F.expr("2000 % (k - 2)"), F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+    )
+    credited = touches.select("user_id", "np", "event_type", bp.alias("bp"))
+    conv = credited.agg(
+        F.countDistinct("user_id", "np").cast("long").alias("n_conv")
+    )
+    return (
+        credited.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.sum("bp").cast("long").alias("credit_bp"),
+        )
+        .crossJoin(F.broadcast(conv))
+        .select(
+            F.col("event_type").alias("channel"),
+            "n_touches",
+            "credit_bp",
+            F.round(
+                F.col("credit_bp").cast("double")
+                / (10000 * F.col("n_conv")).cast("double"),
+                6,
+            ).alias("credit_share"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering
 # ---------------------------------------------------------------------------
@@ -11069,8 +11409,8 @@ def streaks_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round start (38 r3 / 46 r4 / 48 r5 / 50 r6, zero never-checked, one
 # failing: psi_drift_orders' r6 hash mismatch — an oracle TYPE skew, not
 # a value bug; fixed this round and re-fronted):
-# (a) the 29 new round-7 queries (no driver rows yet; grew 18 -> 24 ->
-#     29 across the round's three batches — later batches took the
+# (a) the 32 new round-7 queries (no driver rows yet; grew 18 -> 24 ->
+#     29 -> 32 across the round's four batches — later batches took the
 #     slots of mid-round rotations and displaced (c) entries, each
 #     annotated at its former slot below);
 # (b) changed this round: psi_drift_orders (oracle cast fix),
@@ -11085,15 +11425,17 @@ def streaks_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     quality_score, quality_zscore_by_source, cluster_dedup_keeper,
 #     pipeline_curation_v2, token_budget_selection, plus
 #     pipeline_train_manifest which sits in (c) as it is also r3-stale;
-# (c) 14 of the 38 r3-latest queries. ARITHMETIC, stated plainly:
-#     29 + 7 + 14 = 50 (the (a) list grew to 24 with the six batch-6
+# (c) 11 of the 38 r3-latest queries. ARITHMETIC, stated plainly:
+#     32 + 7 + 11 = 50 (the (a) list grew to 24 with the six batch-6
 #     statistics queries — ACF, Theil-Sen, Mann-Kendall, Benford,
 #     CUPED, Kaplan-Meier — then to 29 with the five batch-7
 #     model-eval/resampling queries — Poisson bootstrap CI, Spearman,
-#     calibration bins, lift/gain deciles, activity streaks — each
-#     locally hash-matched at sf0.001, 0.01 AND 0.1 before taking a
-#     slot). dedup_jaccard_pairs + pipeline_train_manifest in (b)/(c)
-#     are also r3-stale, so TWENTY-THREE r3 queries stay r3 after this
+#     calibration bins, lift/gain deciles, activity streaks — then to
+#     32 with isotonic PAV calibration, cross-source quantile
+#     normalization, and position-based attribution; each locally
+#     hash-matched at sf0.001, 0.01 AND 0.1 before taking a slot).
+#     dedup_jaccard_pairs + pipeline_train_manifest in (b)/(c)
+#     are also r3-stale, so TWENTY-SIX r3 queries stay r3 after this
 #     round: approx_distinct_users, the 6 mid-round r6 rotations
 #     (event_type_pivot_api, literal_source_wordcount,
 #     map_funcs_roundtrip, multimodal_resize, stats_numeric,
@@ -11102,12 +11444,14 @@ def streaks_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     dedup_simhash_pairs, q6_forecast_revenue, q18_large_orders),
 #     the 6 displaced for the batch-6 stats slots (ann_ivf_topk,
 #     q11_important_parts, q12_ship_priority_class, q13_custdist,
-#     q15_top_supplier, q21_waiting_supplier), and the 5 displaced for
-#     the batch-7 stats slots (bloom_customer_names, cms_user_counts,
-#     lineitem_unpivot, regexp_funcs, rolling_30d_spend) — every
+#     q15_top_supplier, q21_waiting_supplier), the 5 displaced for
+#     the first batch-7 slots (bloom_customer_names, cms_user_counts,
+#     lineitem_unpivot, regexp_funcs, rolling_30d_spend), and the 3
+#     displaced for the second batch-7 slots (array_lateral_explode,
+#     sample_split_hash, window_rank_stats) — every
 #     displaced query is bench-measured or entry()-smoked by the driver
 #     every round, and ALL queries hash-check vs their oracle at
-#     sf0.001 on every pytest run. All twenty-three lead the r8 queue
+#     sf0.001 on every pytest run. All twenty-six lead the r8 queue
 #     together with the 46 r4-latest queries.
 _CHECK_FIRST = [
     # (a) new in round 7, never driver-checked
@@ -11142,6 +11486,9 @@ _CHECK_FIRST = [
     "calibration_bins_embeddings", # reliability-diagram deciles
     "lift_gain_deciles",           # cumulative gains / lift table
     "streaks_user_activity",       # gaps-and-islands daily streaks
+    "isotonic_calibration_embeddings",  # exact minimax PAV fit
+    "quantile_normalize_quality",  # cross-source rank normalization
+    "attribution_position_based",  # U-shaped multi-touch attribution
     # (b) changed in round 7
     "psi_drift_orders",       # oracle total row re-cast to BIGINT (the
                               # one red r6 hash: DuckDB sum() widened to
@@ -11161,7 +11508,10 @@ _CHECK_FIRST = [
     # 12 new queries outrank a repeat confirmation): the HLL-sketch
     # family is pinned by r5-green hll_distinct_users + the sf0.001
     # oracle hash-check every pytest run; front of the r8 queue.
-    "array_lateral_explode",
+    # array_lateral_explode displaced for a batch-7 slot (explode
+    #   kernel exercised by in-window bootstrap_ci_spend's Generate +
+    #   the r3-green array function family;
+    #   sf0.001 oracle hash-check every pytest run).
     "asof_join_forward_tolerance",
     # bloom_customer_names displaced for a batch-7 stats slot (Bloom
     #   kernel pinned by its sketch.py unit tests + r4-green
@@ -11218,16 +11568,22 @@ _CHECK_FIRST = [
     #   kernel pinned by r6-green window_frame_funcs;
     #   sf0.001 oracle hash-check every pytest run).
     "salted_join_event_spend",
-    "sample_split_hash",
+    # sample_split_hash displaced for a batch-7 slot (portable-hash
+    #   split family pinned by in-window stratified_kfold_embeddings /
+    #   time_split_embargo_events + test_portable_hash;
+    #   sf0.001 oracle hash-check every pytest run).
     "source_json_scan",
     # stats_numeric rotated out mid-round for the PMI slot: its
     # exact-decimal twin stats_numeric_exact is bench-measured every
     # round + the sf0.001 oracle hash-check every pytest run.
     "time_rollup_multigrain",
+    # window_rank_stats displaced for a batch-7 slot (rank-window
+    #   family pinned by in-window rfm_customer_segments + the
+    #   streaks/attribution row_number windows;
+    #   sf0.001 oracle hash-check every pytest run).
     # udtf_sentence_split rotated out mid-round for the ROC-AUC slot:
     # the UDTF surface is pinned by its own unit tests and in-window
     # udaf_user_spend + the sf0.001 oracle hash-check every pytest run.
-    "window_rank_stats",
     # word_count displaced for a changed quality-family slot (entry() driver smoke + bench staple every round;
     #   sf0.001 oracle hash-check every pytest run).
 ]

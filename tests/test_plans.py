@@ -852,3 +852,28 @@ def test_calibration_bins_rank_pass_is_sharded(spark):
     assert s.count("SinglePartition") <= 1
     assert "BroadcastExchange" in s or "BroadcastQueryStage" in s
     assert not plans.has_cartesian(df)
+
+
+def test_isotonic_minimax_runs_on_bounded_frame(spark):
+    """The PAV minimax evaluation must be broadcast-joined over the
+    100-row centile frame — the data pays ONE rank pass; everything
+    after the 100-key rollup is bounded by cell count, so the
+    (i,k,j) expansion never touches an exchange."""
+    df = QUERIES["isotonic_calibration_embeddings"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert "BroadcastNestedLoopJoin" in s  # the bounded range joins
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    assert not plans.has_cartesian(df)
+
+
+def test_attribution_windows_all_keyed(spark):
+    """Position-based attribution must never leave user-keyed state:
+    the reverse running-min and the position/size windows partition by
+    (user) / (user, conversion) — no SinglePartition anywhere except
+    the 1-row conversion total that broadcasts."""
+    df = QUERIES["attribution_position_based"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert s.count("SinglePartition") <= 1
+    assert "BroadcastExchange" in s or "BroadcastQueryStage" in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    assert not plans.has_cartesian(df)

@@ -44,6 +44,9 @@ _R7_NEW = {
     "calibration_bins_embeddings", # reliability-diagram deciles
     "lift_gain_deciles",           # cumulative gains / lift table
     "streaks_user_activity",       # gaps-and-islands daily streaks
+    "isotonic_calibration_embeddings",  # exact minimax PAV fit
+    "quantile_normalize_quality",  # cross-source rank normalization
+    "attribution_position_based",  # U-shaped multi-touch attribution
 }
 
 # Round 7 group (b): implementation- or oracle-changed this round.
@@ -64,8 +67,8 @@ _R7_CHANGED = {
     # r3-stale group below)
 }
 
-# Round 7 group (c): 14 of the 38 r3-latest queries — with
-# dedup_jaccard_pairs + pipeline_train_manifest above, TWENTY-THREE r3
+# Round 7 group (c): 11 of the 38 r3-latest queries — with
+# dedup_jaccard_pairs + pipeline_train_manifest above, TWENTY-SIX r3
 # queries remain after this round: approx_distinct_users (never made
 # the window), the 6 mid-round r6 rotations (event_type_pivot_api,
 # literal_source_wordcount, map_funcs_roundtrip, multimodal_resize,
@@ -74,27 +77,29 @@ _R7_CHANGED = {
 # dedup_simhash_pairs, q6_forecast_revenue, q18_large_orders), the
 # 6 displaced for the batch-6 stats slots (ann_ivf_topk,
 # q11_important_parts, q12_ship_priority_class, q13_custdist,
-# q15_top_supplier, q21_waiting_supplier), and the 5 displaced for the
-# batch-7 stats slots (bloom_customer_names, cms_user_counts,
-# lineitem_unpivot, regexp_funcs, rolling_30d_spend) — every displaced
-# query is bench-measured/entry-smoked every round. All twenty-three
+# q15_top_supplier, q21_waiting_supplier), the 5 displaced for the
+# first batch-7 slots (bloom_customer_names, cms_user_counts,
+# lineitem_unpivot, regexp_funcs, rolling_30d_spend), and the 3
+# displaced for the second batch-7 slots (array_lateral_explode,
+# sample_split_hash, window_rank_stats) — every displaced
+# query is bench-measured/entry-smoked every round. All twenty-six
 # lead the r8 queue; justifications at their former slots in
 # queries.py.
 _R7_R3_STALE = {
-    "array_lateral_explode",
     "asof_join_forward_tolerance",
     "dedup_minhash_clusters",
     "pipeline_train_manifest",
     "q16_supplier_cnt", "q19_disjunctive_revenue",
     "q20_qty_suppliers",
     "q8_market_share", "right_join_order_priority_mix",
-    "salted_join_event_spend", "sample_split_hash",
+    "salted_join_event_spend",
     "source_json_scan", "time_rollup_multigrain",
-    "window_rank_stats",
     # bloom_customer_names, cms_user_counts, lineitem_unpivot,
-    # regexp_funcs, rolling_30d_spend displaced mid-round for the
-    # batch-7 stats slots (annotated at their former slots in
-    # queries.py); they lead the r8 queue.
+    # regexp_funcs, rolling_30d_spend (first batch-7 rotation) and
+    # array_lateral_explode, sample_split_hash, window_rank_stats
+    # (second batch-7 rotation) displaced mid-round for the batch-7
+    # slots (annotated at their former slots in queries.py); they lead
+    # the r8 queue.
 }
 
 

@@ -514,3 +514,73 @@ def test_streaks_match_pure_python_oracle(spark):
         for r in QUERIES["streaks_user_activity"](spark, SF_SMOKE).collect()
     }
     assert got == expected
+
+
+def test_isotonic_fit_matches_pure_python_pav(spark):
+    # the minimax identity must equal the sequential PAV pooling loop —
+    # verified against an independent pure-Python PAV on the same cells
+    from ssp_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    rows = sorted(
+        QUERIES["isotonic_calibration_embeddings"](spark, SF_SMOKE).collect(),
+        key=lambda r: r["cell"],
+    )
+    # sequential weighted PAV over the (n_c, p_c) cells
+    blocks = []  # [sum_w, sum_y]
+    for r in rows:
+        blocks.append([r["n_c"], r["p_c"]])
+        while len(blocks) > 1 and (
+            blocks[-2][1] * blocks[-1][0] >= blocks[-1][1] * blocks[-2][0]
+        ):  # prev_mean >= cur_mean -> pool (exact integer cross-compare)
+            w, y = blocks.pop()
+            blocks[-1][0] += w
+            blocks[-1][1] += y
+    # expand block means back to cells by walking cell weights
+    expanded = []
+    bi, used = 0, 0
+    for r in rows:
+        expanded.append(blocks[bi][1] / blocks[bi][0])
+        used += r["n_c"]
+        if used >= blocks[bi][0]:
+            used = 0
+            bi += 1
+    for r, e in zip(rows, expanded):
+        assert abs(r["iso_rate"] - round(e, 6)) <= 1e-6
+    # monotone non-decreasing by construction
+    iso = [r["iso_rate"] for r in rows]
+    assert iso == sorted(iso)
+
+
+def test_quantile_normalize_preserves_source_order(spark):
+    # within a source, normalization is rank-monotone: q_raw order
+    # (with doc_id tie-break) implies q_norm order; and the pooled
+    # multiset of q_norm values is drawn from the raw value set
+    from ssp_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    rows = QUERIES["quantile_normalize_quality"](spark, SF_SMOKE).collect()
+    raw_values = {round(r["q_raw"], 4) for r in rows}
+    assert all(round(r["q_norm"], 4) in raw_values for r in rows)
+    by_source: dict = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for src, rs in by_source.items():
+        rs.sort(key=lambda r: (r["q_raw"], r["doc_id"]))
+        norms = [r["q_norm"] for r in rs]
+        assert norms == sorted(norms), src
+
+
+def test_attribution_credits_sum_to_conversions(spark):
+    # exact integer invariant: total credit across channels is exactly
+    # 10000 bp per attributed conversion
+    from ssp_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    rows = QUERIES["attribution_position_based"](spark, SF_SMOKE).collect()
+    total_bp = sum(r["credit_bp"] for r in rows)
+    assert total_bp % 10000 == 0
+    assert abs(sum(r["credit_share"] for r in rows) - 1.0) < 1e-4
+    # n_conv cross-check: conversions with at least one prior touch
+    n_conv = total_bp // 10000
+    assert n_conv > 0
