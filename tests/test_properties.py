@@ -626,3 +626,55 @@ def test_bpe_train_and_encode_match_python_reference(spark, texts, num_merges):
     # but sort both sides by the token list to stay order-agnostic
     want = [_py_bpe_encode(t, merges) for t in texts]
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+@given(
+    cells=st.lists(
+        st.tuples(st.integers(1, 50), st.integers(0, 50)).map(
+            lambda t: (t[0], min(t[1], t[0]))
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_isotonic_minimax_identity_equals_sequential_pav(cells):
+    """The identity isotonic_calibration_embeddings evaluates in-plan:
+    fit[k] = max_{i<=k} min_{j>=k} mean(y[i..j]) must equal sequential
+    weighted pool-adjacent-violators on ANY (weight, positives) cells —
+    validated as pure math, independent of either engine."""
+    # minimax form (what the query computes via its (i,k,j) expansion)
+    n = len(cells)
+    pref_w = [0]
+    pref_y = [0]
+    for w, y in cells:
+        pref_w.append(pref_w[-1] + w)
+        pref_y.append(pref_y[-1] + y)
+
+    def mean(i, j):  # inclusive block
+        return (pref_y[j + 1] - pref_y[i]) / (pref_w[j + 1] - pref_w[i])
+
+    minimax = [
+        max(min(mean(i, j) for j in range(k, n)) for i in range(k + 1))
+        for k in range(n)
+    ]
+    # sequential weighted PAV (exact integer cross-compare for pooling)
+    blocks = []  # [w, y]
+    for w, y in cells:
+        blocks.append([w, y])
+        while len(blocks) > 1 and (
+            blocks[-2][1] * blocks[-1][0] >= blocks[-1][1] * blocks[-2][0]
+        ):
+            w2, y2 = blocks.pop()
+            blocks[-1][0] += w2
+            blocks[-1][1] += y2
+    pav = []
+    bi, used = 0, 0
+    for w, y in cells:
+        pav.append(blocks[bi][1] / blocks[bi][0])
+        used += w
+        if used >= blocks[bi][0]:
+            used = 0
+            bi += 1
+    for a, b in zip(minimax, pav):
+        assert abs(a - b) < 1e-9
