@@ -11444,8 +11444,12 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     quality_score, quality_zscore_by_source, cluster_dedup_keeper,
 #     pipeline_curation_v2, token_budget_selection, plus
 #     pipeline_train_manifest which sits in (c) as it is also r3-stale;
-# (c) 11 of the 38 r3-latest queries. ARITHMETIC, stated plainly:
-#     32 + 7 + 11 = 50 (the (a) list grew to 24 with the six batch-6
+# (a2) the 3 r6 additions that never made a driver window
+#     (exact_percentiles_events, image_ahash_buckets, lexical_richness)
+#     — the only never-checked queries outside (a); never-checked
+#     outranks r3-stale, so they take three (c) slots;
+# (c) 8 of the 38 r3-latest queries. ARITHMETIC, stated plainly:
+#     32 + 3 + 7 + 8 = 50 (the (a) list grew to 24 with the six batch-6
 #     statistics queries — ACF, Theil-Sen, Mann-Kendall, Benford,
 #     CUPED, Kaplan-Meier — then to 29 with the five batch-7
 #     model-eval/resampling queries — Poisson bootstrap CI, Spearman,
@@ -11454,7 +11458,7 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     normalization, and position-based attribution; each locally
 #     hash-matched at sf0.001, 0.01 AND 0.1 before taking a slot).
 #     dedup_jaccard_pairs + pipeline_train_manifest in (b)/(c)
-#     are also r3-stale, so TWENTY-SIX r3 queries stay r3 after this
+#     are also r3-stale, so TWENTY-NINE r3 queries stay r3 after this
 #     round: approx_distinct_users, the 6 mid-round r6 rotations
 #     (event_type_pivot_api, literal_source_wordcount,
 #     map_funcs_roundtrip, multimodal_resize, stats_numeric,
@@ -11465,13 +11469,16 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     q11_important_parts, q12_ship_priority_class, q13_custdist,
 #     q15_top_supplier, q21_waiting_supplier), the 5 displaced for
 #     the first batch-7 slots (bloom_customer_names, cms_user_counts,
-#     lineitem_unpivot, regexp_funcs, rolling_30d_spend), and the 3
+#     lineitem_unpivot, regexp_funcs, rolling_30d_spend), the 3
 #     displaced for the second batch-7 slots (array_lateral_explode,
-#     sample_split_hash, window_rank_stats) — every
+#     sample_split_hash, window_rank_stats), and the 3 displaced for
+#     the never-checked (a2) slots (right_join_order_priority_mix,
+#     salted_join_event_spend, source_json_scan) — every
 #     displaced query is bench-measured or entry()-smoked by the driver
 #     every round, and ALL queries hash-check vs their oracle at
-#     sf0.001 on every pytest run. All twenty-six lead the r8 queue
-#     together with the 46 r4-latest queries.
+#     sf0.001 on every pytest run. All twenty-nine lead the r8 queue
+#     together with the 46 r4-latest queries; after this round ZERO
+#     registry queries are never-driver-checked.
 _CHECK_FIRST = [
     # (a) new in round 7, never driver-checked
     "skyline_pareto_parts",        # distributed 2-D Pareto skyline
@@ -11508,6 +11515,13 @@ _CHECK_FIRST = [
     "isotonic_calibration_embeddings",  # exact minimax PAV fit
     "quantile_normalize_quality",  # cross-source rank normalization
     "attribution_position_based",  # U-shaped multi-touch attribution
+    # (a2) r6 additions that never made a driver window — the ONLY
+    # never-checked queries outside (a); never-checked outranks
+    # r3-stale, so they take three (c) slots (each re-verified at
+    # sf0.01 this round before taking one)
+    "exact_percentiles_events",    # rank-exact percentiles
+    "image_ahash_buckets",         # perceptual average-hash buckets
+    "lexical_richness",            # TTR / hapax / Herdan's C
     # (b) changed in round 7
     "psi_drift_orders",       # oracle total row re-cast to BIGINT (the
                               # one red r6 hash: DuckDB sum() widened to
@@ -11582,16 +11596,23 @@ _CHECK_FIRST = [
     # regexp_funcs displaced for a batch-7 stats slot (regexp kernels
     #   exercised inside r6-green bpe_token_stats / dedup_span_pairs;
     #   sf0.001 oracle hash-check every pytest run).
-    "right_join_order_priority_mix",
+    # right_join_order_priority_mix displaced for a never-checked (a2)
+    #   slot (join-direction family r5-green: full/left/semi/anti all
+    #   have fresh rows; sf0.001 oracle hash-check every pytest run).
     # rolling_30d_spend displaced for a batch-7 stats slot (RANGE-frame
     #   kernel pinned by r6-green window_frame_funcs;
     #   sf0.001 oracle hash-check every pytest run).
-    "salted_join_event_spend",
+    # salted_join_event_spend displaced for a never-checked (a2) slot
+    #   (salted-join kernel keeps 3 unit tests,
+    #   tests/test_scale_ops.py:16-34; sf0.001 oracle hash-check every
+    #   pytest run).
     # sample_split_hash displaced for a batch-7 slot (portable-hash
     #   split family pinned by in-window stratified_kfold_embeddings /
     #   time_split_embargo_events + test_portable_hash;
     #   sf0.001 oracle hash-check every pytest run).
-    "source_json_scan",
+    # source_json_scan displaced for a never-checked (a2) slot (scan
+    #   family fresh everywhere else: csv r3, orc/evolution r4, text
+    #   r5; sf0.001 oracle hash-check every pytest run).
     # stats_numeric rotated out mid-round for the PMI slot: its
     # exact-decimal twin stats_numeric_exact is bench-measured every
     # round + the sf0.001 oracle hash-check every pytest run.

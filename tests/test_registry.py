@@ -49,6 +49,17 @@ _R7_NEW = {
     "attribution_position_based",  # U-shaped multi-touch attribution
 }
 
+# Round 7 group (a2): the r6 additions that never made a driver window
+# — the only never-checked queries outside (a). Never-checked outranks
+# r3-stale, so they take (c) slots; each was re-verified vs its oracle
+# at sf0.01 this round before taking one. After the r7 driver run, ZERO
+# registry queries are never-driver-checked.
+_R6_NEVER_CHECKED = {
+    "exact_percentiles_events",    # rank-exact percentiles
+    "image_ahash_buckets",         # perceptual average-hash buckets
+    "lexical_richness",            # TTR / hapax / Herdan's C
+}
+
 # Round 7 group (b): implementation- or oracle-changed this round.
 _R7_CHANGED = {
     "psi_drift_orders",     # oracle total row cast to BIGINT (r6's one
@@ -67,8 +78,8 @@ _R7_CHANGED = {
     # r3-stale group below)
 }
 
-# Round 7 group (c): 11 of the 38 r3-latest queries — with
-# dedup_jaccard_pairs + pipeline_train_manifest above, TWENTY-SIX r3
+# Round 7 group (c): 8 of the 38 r3-latest queries — with
+# dedup_jaccard_pairs + pipeline_train_manifest above, TWENTY-NINE r3
 # queries remain after this round: approx_distinct_users (never made
 # the window), the 6 mid-round r6 rotations (event_type_pivot_api,
 # literal_source_wordcount, map_funcs_roundtrip, multimodal_resize,
@@ -81,8 +92,10 @@ _R7_CHANGED = {
 # first batch-7 slots (bloom_customer_names, cms_user_counts,
 # lineitem_unpivot, regexp_funcs, rolling_30d_spend), and the 3
 # displaced for the second batch-7 slots (array_lateral_explode,
-# sample_split_hash, window_rank_stats) — every displaced
-# query is bench-measured/entry-smoked every round. All twenty-six
+# sample_split_hash, window_rank_stats), and the 3 displaced for the
+# never-checked (a2) trio (right_join_order_priority_mix,
+# salted_join_event_spend, source_json_scan) — every displaced
+# query is bench-measured/entry-smoked every round. All twenty-nine
 # lead the r8 queue; justifications at their former slots in
 # queries.py.
 _R7_R3_STALE = {
@@ -91,28 +104,32 @@ _R7_R3_STALE = {
     "pipeline_train_manifest",
     "q16_supplier_cnt", "q19_disjunctive_revenue",
     "q20_qty_suppliers",
-    "q8_market_share", "right_join_order_priority_mix",
-    "salted_join_event_spend",
-    "source_json_scan", "time_rollup_multigrain",
+    "q8_market_share",
+    "time_rollup_multigrain",
     # bloom_customer_names, cms_user_counts, lineitem_unpivot,
-    # regexp_funcs, rolling_30d_spend (first batch-7 rotation) and
+    # regexp_funcs, rolling_30d_spend (first batch-7 rotation);
     # array_lateral_explode, sample_split_hash, window_rank_stats
-    # (second batch-7 rotation) displaced mid-round for the batch-7
-    # slots (annotated at their former slots in queries.py); they lead
-    # the r8 queue.
+    # (second batch-7 rotation); and right_join_order_priority_mix,
+    # salted_join_event_spend, source_json_scan (displaced for the
+    # never-checked (a2) trio) — all annotated at their former slots in
+    # queries.py; they lead the r8 queue.
 }
 
 
 def test_driver_window_is_the_round7_target_set():
     window = list(QUERIES)[:50]
     assert window == _CHECK_FIRST
-    assert set(window) == (_R7_NEW | _R7_CHANGED | _R7_R3_STALE)
+    assert set(window) == (
+        _R7_NEW | _R6_NEVER_CHECKED | _R7_CHANGED | _R7_R3_STALE
+    )
     # the new queries lead the window (first rows the driver hashes),
-    # followed by this round's changed queries — psi_drift_orders (the
-    # repaired r6 mismatch) right behind them
+    # then the never-checked r6 trio, then this round's changed queries
+    # — psi_drift_orders (the repaired r6 mismatch) right behind them
     assert set(window[: len(_R7_NEW)]) == _R7_NEW
-    assert window[len(_R7_NEW)] == "psi_drift_orders"
-    assert window[len(_R7_NEW) + 1] == "dedup_jaccard_pairs"
+    n_front = len(_R7_NEW) + len(_R6_NEVER_CHECKED)
+    assert set(window[len(_R7_NEW): n_front]) == _R6_NEVER_CHECKED
+    assert window[n_front] == "psi_drift_orders"
+    assert window[n_front + 1] == "dedup_jaccard_pairs"
 
 
 def test_registry_is_complete_and_fully_oracled():
