@@ -200,3 +200,28 @@ def test_readme_declared_count_matches_registry():
 def test_every_query_name_is_unique_and_callable():
     for name, fn in QUERIES.items():
         assert callable(fn), name
+
+
+def test_no_registry_query_escapes_driver_evidence():
+    """Every declared query must either already have a driver row in
+    some CORRECTNESS_r*.json or sit in the CURRENT window (so it gets
+    one this round). This automates the round-7 window audit that found
+    exact_percentiles_events / image_ahash_buckets / lexical_richness
+    had silently never been driver-checked (added mid-round-6, never
+    given a slot) — a new query now fails this test unless it is
+    scheduled for evidence."""
+    import glob
+    import json
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    seen: set[str] = set()
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        with open(f) as fh:
+            seen |= set(json.load(fh))
+    escaped = sorted(
+        q for q in QUERIES if q not in seen and q not in set(_CHECK_FIRST)
+    )
+    assert not escaped, (
+        f"queries with no driver evidence and no slot in the current "
+        f"window — front them in _CHECK_FIRST: {escaped}"
+    )
