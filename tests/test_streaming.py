@@ -1365,3 +1365,72 @@ def test_stream_stream_left_outer_join_emits_unmatched(spark, tmpdir):
     # 30s windows. ad 5 (t=600) is unmatched too but its window is
     # still open at stream end -> held in state, NOT emitted.
     assert got == [(1, 0, 5), (2, 2, None), (4, 30, None)]
+
+
+def test_stream_stream_full_outer_join_emits_both_sides(spark, tmpdir):
+    """FULL OUTER stream-stream join (SURVEY §2.3 joins, round 7): the
+    two-sided twin of the left-outer golden above — unmatched LEFT rows
+    emit with a NULL right side AND unmatched RIGHT rows emit with a
+    NULL left side, each only after the watermark passes its join
+    window. A right row (click ad 7) with no impression ever must
+    surface as (None, 3); the far-future rows on BOTH sides stay held
+    in state at stream end (availableNow does not force a final
+    flush)."""
+    imp_p = os.path.join(tmpdir, "fo_imp")
+    clk_p = os.path.join(tmpdir, "fo_clk")
+    schema = "ts timestamp, ad long"
+    _write_parquet(spark, [(_ts(0), 1), (_ts(2), 2)], schema, imp_p)
+    _write_parquet(spark, [(_ts(30), 4)], schema, imp_p)
+    _write_parquet(spark, [(_ts(600), 5)], schema, imp_p)
+    # click ad 7 at t=3 has NO impression ever -> unmatched right;
+    # click ad 9 at t=601 is far-future -> held in state at stream end
+    _write_parquet(
+        spark, [(_ts(3), 7), (_ts(5), 1), (_ts(601), 9)], schema, clk_p
+    )
+    imp = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(imp_p)
+        .withWatermark("ts", "5 seconds")
+        .select(F.col("ts").alias("imp_ts"), F.col("ad").alias("imp_ad"))
+    )
+    clk = (
+        spark.readStream.schema(schema)
+        .parquet(clk_p)
+        .withWatermark("ts", "5 seconds")
+        .select(F.col("ts").alias("clk_ts"), F.col("ad").alias("clk_ad"))
+    )
+    joined = imp.join(
+        clk,
+        F.expr(
+            "imp_ad = clk_ad AND clk_ts >= imp_ts "
+            "AND clk_ts <= imp_ts + interval 30 seconds"
+        ),
+        "full_outer",
+    ).select(
+        F.coalesce("imp_ad", "clk_ad").alias("ad"),
+        F.unix_timestamp("imp_ts").alias("i"),
+        F.unix_timestamp("clk_ts").alias("c"),
+    )
+    name = f"fo_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    base = 1704067200
+    got = sorted(
+        (
+            r.ad,
+            None if r.i is None else r.i - base,
+            None if r.c is None else r.c - base,
+        )
+        for r in spark.table(name).collect()
+    )
+    # ad 1 matches; ads 2/4 unmatched-left (NULL click); click ad 7
+    # unmatched-right (NULL impression); imp ad 5 (t=600) and click
+    # ad 9 (t=601) both held in open state at stream end.
+    assert got == [(1, 0, 5), (2, 2, None), (4, 30, None), (7, None, 3)]
