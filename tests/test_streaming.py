@@ -1434,3 +1434,54 @@ def test_stream_stream_full_outer_join_emits_both_sides(spark, tmpdir):
     # unmatched-right (NULL impression); imp ad 5 (t=600) and click
     # ad 9 (t=601) both held in open state at stream end.
     assert got == [(1, 0, 5), (2, 2, None), (4, 30, None), (7, None, 3)]
+
+
+def test_stream_stream_left_semi_join_emits_once(spark, tmpdir):
+    """LEFT SEMI stream-stream join (SURVEY §2.3 joins, round 7): an
+    impression emits (once, left columns only) as soon as ANY click
+    matches inside its window — multiple clicks must NOT duplicate it —
+    and an impression with no click never emits. Matched rows emit
+    eagerly; the never-matched row is simply dropped when its state
+    expires (semi join has no NULL-padded flush)."""
+    imp_p = os.path.join(tmpdir, "se_imp")
+    clk_p = os.path.join(tmpdir, "se_clk")
+    schema = "ts timestamp, ad long"
+    _write_parquet(spark, [(_ts(0), 1), (_ts(2), 2)], schema, imp_p)
+    _write_parquet(spark, [(_ts(600), 5)], schema, imp_p)
+    # ad 1 clicks TWICE inside the window (must emit once); ad 2 never
+    _write_parquet(
+        spark, [(_ts(5), 1), (_ts(9), 1), (_ts(601), 9)], schema, clk_p
+    )
+    imp = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(imp_p)
+        .withWatermark("ts", "5 seconds")
+        .select(F.col("ts").alias("imp_ts"), F.col("ad").alias("imp_ad"))
+    )
+    clk = (
+        spark.readStream.schema(schema)
+        .parquet(clk_p)
+        .withWatermark("ts", "5 seconds")
+        .select(F.col("ts").alias("clk_ts"), F.col("ad").alias("clk_ad"))
+    )
+    joined = imp.join(
+        clk,
+        F.expr(
+            "imp_ad = clk_ad AND clk_ts >= imp_ts "
+            "AND clk_ts <= imp_ts + interval 30 seconds"
+        ),
+        "left_semi",
+    ).select("imp_ad", F.unix_timestamp("imp_ts").alias("i"))
+    name = f"se_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    base = 1704067200
+    got = sorted((r.imp_ad, r.i - base) for r in spark.table(name).collect())
+    assert got == [(1, 0)]
