@@ -1485,3 +1485,33 @@ def test_stream_stream_left_semi_join_emits_once(spark, tmpdir):
     base = 1704067200
     got = sorted((r.imp_ad, r.i - base) for r in spark.table(name).collect())
     assert got == [(1, 0)]
+
+
+def test_complete_mode_reemits_full_updated_table(spark, tmpdir):
+    """COMPLETE output mode (SURVEY §2.3 streaming-only): every trigger
+    re-emits the WHOLE updated aggregate and the memory sink REPLACES
+    its table — keys counted across micro-batches must show their total
+    (not per-batch deltas), with no stale duplicate rows left behind."""
+    src = os.path.join(tmpdir, "cm_src")
+    schema = "word string"
+    _write_parquet(spark, [("a",), ("b",)], schema, src)
+    _write_parquet(spark, [("a",), ("c",)], schema, src)
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    counts = sdf.groupBy("word").agg(F.count("*").alias("cnt"))
+    name = f"cm_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r.word, r.cnt) for r in spark.table(name).collect())
+    # 'a' seen in BOTH batches -> 2 in the final full emission; exactly
+    # one row per key (the sink replaced, never appended)
+    assert got == [("a", 2), ("b", 1), ("c", 1)]
