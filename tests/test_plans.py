@@ -877,3 +877,15 @@ def test_attribution_windows_all_keyed(spark):
     assert "BroadcastExchange" in s or "BroadcastQueryStage" in s
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
     assert not plans.has_cartesian(df)
+
+
+def test_quantile_normalize_one_source_exchange(spark):
+    """The source-rank window (row_number) and the source-size window
+    (count) must ride ONE source-keyed exchange — Catalyst reuses the
+    (source -> sort) distribution for both; the pooled rank pass stays
+    shard-keyed and the 1-row total broadcasts."""
+    df = QUERIES["quantile_normalize_quality"](spark, SF_SMOKE)
+    s = plans.plan_string(df, "simple")
+    assert s.count("Exchange hashpartitioning(source") == 1
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    assert not plans.has_cartesian(df)
