@@ -1515,3 +1515,71 @@ def test_complete_mode_reemits_full_updated_table(spark, tmpdir):
     # 'a' seen in BOTH batches -> 2 in the final full emission; exactly
     # one row per key (the sink replaced, never appended)
     assert got == [("a", 2), ("b", 1), ("c", 1)]
+
+
+def test_stream_stream_anti_join_boundary_and_workaround(spark, tmpdir):
+    """LEFT ANTI stream-stream joins are NOT supported by Spark (pinned
+    here so an upgrade that adds them is noticed); the supported
+    equivalent is LEFT OUTER + IS NULL on the right side — the
+    NULL-padded rows the left-outer golden asserts ARE the anti rows,
+    with identical expiry timing (emit only once the watermark closes
+    the window). This test pins both the boundary and the workaround."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    imp_p = os.path.join(tmpdir, "an_imp")
+    clk_p = os.path.join(tmpdir, "an_clk")
+    schema = "ts timestamp, ad long"
+    _write_parquet(spark, [(_ts(0), 1), (_ts(2), 2)], schema, imp_p)
+    _write_parquet(spark, [(_ts(600), 5)], schema, imp_p)
+    _write_parquet(spark, [(_ts(5), 1), (_ts(601), 9)], schema, clk_p)
+
+    def sides():
+        imp = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(imp_p)
+            .withWatermark("ts", "5 seconds")
+            .select(F.col("ts").alias("imp_ts"), F.col("ad").alias("imp_ad"))
+        )
+        clk = (
+            spark.readStream.schema(schema)
+            .parquet(clk_p)
+            .withWatermark("ts", "5 seconds")
+            .select(F.col("ts").alias("clk_ts"), F.col("ad").alias("clk_ad"))
+        )
+        cond = F.expr(
+            "imp_ad = clk_ad AND clk_ts >= imp_ts "
+            "AND clk_ts <= imp_ts + interval 30 seconds"
+        )
+        return imp, clk, cond
+
+    # the boundary: native anti raises at analysis time
+    imp, clk, cond = sides()
+    with _pytest.raises(AnalysisException):
+        imp.join(clk, cond, "left_anti").writeStream.format("memory").queryName(
+            f"anx_{uuid.uuid4().hex[:8]}"
+        ).outputMode("append").trigger(availableNow=True).start()
+
+    # the workaround: left outer + right-IS-NULL == anti semantics
+    imp, clk, cond = sides()
+    anti = (
+        imp.join(clk, cond, "left_outer")
+        .filter(F.col("clk_ts").isNull())
+        .select("imp_ad", F.unix_timestamp("imp_ts").alias("i"))
+    )
+    name = f"an_{uuid.uuid4().hex[:8]}"
+    q = (
+        anti.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    base = 1704067200
+    got = sorted((r.imp_ad, r.i - base) for r in spark.table(name).collect())
+    # ad 1 clicked -> never emits; ad 2 unclicked -> emits once the
+    # 600s batch expires its window; ad 5 (t=600) unclicked but its
+    # window is open at stream end -> held, not emitted.
+    assert got == [(2, 2)]
