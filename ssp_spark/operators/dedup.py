@@ -64,10 +64,15 @@ def _pair_shared_counts(
     n: int,
     max_doc_freq: int,
     caller: str,
+    keep=None,
 ) -> DataFrame:
     """(id1, id2, shared, n1, n2) for every i<j doc pair sharing >=1 kept
     n-gram shingle — the candidate core jaccard_pairs and
-    containment_pairs both score from.
+    containment_pairs both score from. ``keep`` (a Column predicate over
+    those five columns) is applied BEFORE the localCheckpoint so the
+    materialized artifact is the caller's thresholded pair set, never
+    the full candidate table — at high candidate density the unfiltered
+    pairs are the storage hazard, the survivors are tiny.
 
     Plan: explode shingles -> inverted index in ONE shuffle
     (groupBy(sh).collect_list over per-doc-distinct pairs) ->
@@ -162,6 +167,8 @@ def _pair_shared_counts(
         F.broadcast(sizes.select(F.col("doc_id").alias("id2"), F.col("n_sh").alias("n2"))),
         "id2",
     )
+    if keep is not None:
+        out = out.filter(keep)
     out = out.localCheckpoint()  # materialize, then release the inverted index
     kept.unpersist()
     return out
@@ -178,14 +185,14 @@ def jaccard_pairs(
     """Exact shingle-set Jaccard for every pair sharing >=1 kept shingle:
     jaccard = shared / (n1 + n2 - shared) over the _pair_shared_counts
     candidate core (see its docstring for the plan and id contract)."""
-    counts = _pair_shared_counts(df, id_col, text_col, n, max_doc_freq, "jaccard_pairs")
-    return (
-        counts.withColumn(
-            "j_raw", F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared"))
-        )
-        .filter(F.col("j_raw") >= threshold)  # threshold on the UNrounded value (oracle parity)
-        .select("id1", "id2", F.round("j_raw", 6).alias("jaccard"))
+    # threshold on the UNrounded value (oracle parity), applied inside
+    # the core BEFORE its checkpoint so only survivors materialize
+    j_raw = F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared"))
+    counts = _pair_shared_counts(
+        df, id_col, text_col, n, max_doc_freq, "jaccard_pairs",
+        keep=j_raw >= threshold,
     )
+    return counts.select("id1", "id2", F.round(j_raw, 6).alias("jaccard"))
 
 
 def containment_pairs(
@@ -205,14 +212,14 @@ def containment_pairs(
     directions' containment, kept when either direction clears the
     threshold (on the unrounded ratio — oracle parity); same candidate
     core, cap, and id contract as jaccard_pairs."""
-    counts = _pair_shared_counts(
-        df, id_col, text_col, n, max_doc_freq, "containment_pairs"
-    )
     c12 = F.col("shared") / F.col("n1")  # how much of doc id1 is inside id2
     c21 = F.col("shared") / F.col("n2")
+    counts = _pair_shared_counts(
+        df, id_col, text_col, n, max_doc_freq, "containment_pairs",
+        keep=(c12 >= threshold) | (c21 >= threshold),
+    )
     return (
-        counts.filter((c12 >= threshold) | (c21 >= threshold))
-        .select(
+        counts.select(
             "id1",
             "id2",
             F.round(c12, 6).alias("containment_1_in_2"),

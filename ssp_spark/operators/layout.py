@@ -99,6 +99,7 @@ def global_order_positions(
     order_col: str,
     id_col: str,
     n_shards: int = 32,
+    boundaries: list | None = None,
 ) -> DataFrame:
     """Exact 0-based global rank by ``(order_col, id_col)`` WITHOUT a
     global sort — the deterministic-corpus-shuffle primitive: stamp every
@@ -121,9 +122,18 @@ def global_order_positions(
     equal ``order_col`` always share a shard (strict-less boundary
     comparison), so the within-shard (order, id) tie-break reproduces
     the exact global (order, id) order.
+
+    ``boundaries``: precomputed split points to reuse instead of paying
+    the approxQuantile sketch again — ANY value list yields exact
+    positions (boundary quality only moves shard balance), so a caller
+    ranking several same-distribution frames (or a derived column such
+    as a negation) can amortize one sketch across the calls.
     """
-    probs = [k / n_shards for k in range(1, n_shards)]
-    bounds = df.stat.approxQuantile(order_col, probs, 0.001)
+    if boundaries is not None:
+        bounds = list(boundaries)
+    else:
+        probs = [k / n_shards for k in range(1, n_shards)]
+        bounds = df.stat.approxQuantile(order_col, probs, 0.001)
     # keep integral boundaries integral (the literal list compiles into
     # the comparison expression — int vs double literals change nothing
     # semantically, but int keeps codegen on the long path); fractional

@@ -52,13 +52,6 @@ def keyed_ema(
     import pandas as pd
 
     a, b = alpha_num, alpha_den - alpha_num
-
-    def _round6(y: float) -> float:
-        # sign-aware HALF_UP to match DuckDB round(): Python's round()
-        # is half-EVEN, and EMA values are dyadic rationals (4^-t
-        # fractions), so exact .5e-6 ties ARE reachable and would
-        # diverge — e.g. round(0.0078125, 6)
-        return math.copysign(math.floor(abs(y) * 1e6 + 0.5) / 1e6, y)
     schema = T.StructType(
         [
             T.StructField("key", T.LongType()),
@@ -69,14 +62,33 @@ def keyed_ema(
     )
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         pdf = pdf.sort_values(order)
+        k = int(pdf[key].iloc[0])
+        # Native-Python-float loop: the state update is the ONLY
+        # per-row work left. Each step's a*x, b*y, +, /den round, so a
+        # blocked/associative scan would change bits — but the numpy-
+        # scalar iteration, per-row key .iloc, tuple appends, and
+        # per-row rounding of the ORIGINAL loop were ~10x the cost of
+        # the pinned arithmetic itself; display rounding never feeds
+        # back into y, so it vectorizes at the end (_round6_arr).
+        xs = [float(x) for x in pdf[value].to_list()]
+        ys = []
+        push = ys.append
         y = None
-        out = []
-        for step, x in enumerate(pdf[value], start=1):
-            x = float(x)
+        for x in xs:
             y = x if y is None else (a * x + b * y) / alpha_den
-            out.append((int(pdf[key].iloc[0]), step, int(x), _round6(y)))
-        return pd.DataFrame(out, columns=["key", "step", "value", "ema"])
+            push(y)
+        n = len(xs)
+        return pd.DataFrame(
+            {
+                "key": np.full(n, k, dtype="int64"),
+                "step": np.arange(1, n + 1, dtype="int32"),
+                "value": np.asarray(pdf[value].to_numpy(), dtype="int64"),
+                "ema": _round6_arr(ys),
+            }
+        )
 
     return df.groupBy(key).applyInPandas(fold, schema)
 
@@ -87,6 +99,20 @@ def _round6(y: float) -> float:
     # so exact .5e-6 ties ARE reachable and would diverge — e.g.
     # round(0.0078125, 6)
     return math.copysign(math.floor(abs(y) * 1e6 + 0.5) / 1e6, y)
+
+
+def _round6_arr(ys):
+    """Vectorized _round6 over a float64 array — the SAME IEEE op
+    sequence elementwise (abs, *1e6, +0.5, floor, /1e6, copysign are
+    each one correctly-rounded double op in numpy exactly as in math.*),
+    so results are bit-identical to the scalar helper. Display rounding
+    never feeds back into any recurrence state, which is what makes it
+    safe to lift out of the sequential fold: only the state updates are
+    order-pinned; everything around them vectorizes."""
+    import numpy as np
+
+    ya = np.asarray(ys, dtype="float64")
+    return np.copysign(np.floor(np.abs(ya) * 1e6 + 0.5) / 1e6, ya)
 
 
 def keyed_holt(
@@ -125,29 +151,39 @@ def keyed_holt(
     )
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         pdf = pdf.sort_values(order)
+        k = int(pdf[key].iloc[0])
+        # same fold discipline as keyed_ema: only the (l, b) updates are
+        # order-pinned; key stamp, forecast add, rounding, and frame
+        # construction all vectorize outside the loop
+        xs = [float(x) for x in pdf[value].to_list()]
+        ls, bs = [], []
         l = b = None
-        out = []
-        for step, x in enumerate(pdf[value], start=1):
-            x = float(x)
+        for x in xs:
             if l is None:
                 l, b = x, 0.0
             else:
                 l_new = (x + (l + b)) / 2
                 b = ((l_new - l) + 3 * b) / 4
                 l = l_new
-            out.append(
-                (
-                    int(pdf[key].iloc[0]),
-                    step,
-                    int(x),
-                    _round6(l),
-                    _round6(b),
-                    _round6(l + b),
-                )
-            )
+            ls.append(l)
+            bs.append(b)
+        n = len(xs)
+        la = np.asarray(ls, dtype="float64")
+        ba = np.asarray(bs, dtype="float64")
         return pd.DataFrame(
-            out, columns=["key", "step", "value", "level", "trend", "forecast"]
+            {
+                "key": np.full(n, k, dtype="int64"),
+                "step": np.arange(1, n + 1, dtype="int32"),
+                "value": np.asarray(pdf[value].to_numpy(), dtype="int64"),
+                "level": _round6_arr(la),
+                "trend": _round6_arr(ba),
+                # elementwise l+b is the same single IEEE add the scalar
+                # loop performed before rounding
+                "forecast": _round6_arr(la + ba),
+            }
         )
 
     return df.groupBy(key).applyInPandas(fold, schema)
@@ -179,16 +215,31 @@ def keyed_cusum(
     )
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         pdf = pdf.sort_values(order)
+        k = int(pdf[key].iloc[0])
+        xs = [int(x) for x in pdf[value].to_list()]
+        ss, alarms = [], []
         s = 0
-        out = []
-        for step, x in enumerate(pdf[value], start=1):
-            s = max(0, s + int(x) - drift)
+        for x in xs:
+            s = s + x - drift
+            if s < 0:
+                s = 0
             alarm = s >= threshold
-            out.append((int(pdf[key].iloc[0]), step, s, alarm))
+            ss.append(s)
+            alarms.append(alarm)
             if alarm:
                 s = 0
-        return pd.DataFrame(out, columns=["key", "step", "s", "alarm"])
+        n = len(xs)
+        return pd.DataFrame(
+            {
+                "key": np.full(n, k, dtype="int64"),
+                "step": np.arange(1, n + 1, dtype="int32"),
+                "s": np.asarray(ss, dtype="int64"),
+                "alarm": np.asarray(alarms, dtype=bool),
+            }
+        )
 
     return df.groupBy(key).applyInPandas(fold, schema)
 
@@ -229,12 +280,26 @@ def keyed_km_survival(
     )
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         pdf = pdf.sort_values(time)
+        kk = str(pdf[key].iloc[0])
+        ds = [float(d) for d in pdf[deaths].to_list()]
+        ns = [float(v) for v in pdf[at_risk].to_list()]
+        surv = []
         s = 1.0
-        out = []
-        for t, d, n in zip(pdf[time], pdf[deaths], pdf[at_risk]):
-            s = s * (1.0 - float(d) / float(n))
-            out.append((str(pdf[key].iloc[0]), int(t), int(n), int(d), _round6(s)))
-        return pd.DataFrame(out, columns=["key", "t", "n_risk", "d", "survival"])
+        for d, v in zip(ds, ns):
+            s = s * (1.0 - d / v)
+            surv.append(s)
+        m = len(surv)
+        return pd.DataFrame(
+            {
+                "key": [kk] * m,
+                "t": np.asarray(pdf[time].to_numpy(), dtype="int64"),
+                "n_risk": np.asarray(pdf[at_risk].to_numpy(), dtype="int64"),
+                "d": np.asarray(pdf[deaths].to_numpy(), dtype="int64"),
+                "survival": _round6_arr(surv),
+            }
+        )
 
     return df.groupBy(key).applyInPandas(fold, schema)

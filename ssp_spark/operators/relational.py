@@ -323,6 +323,18 @@ def skyline_min_max(
     window exchange, shard-local windows, zero global sorts: the
     100 TB shape.
     """
+    # The strict-less frame below is rangeBetween(unboundedPreceding, -1)
+    # — "current minimize value minus 1" only expresses `minimize < p`
+    # when the column is integral (a fractional q.min in (p.min-1, p.min)
+    # would fall OUT of the strict frame, missing a dominator). Enforce
+    # the assumption the way dedup's packed-id contract does rather than
+    # silently returning a too-large frontier on doubles/decimals.
+    if dict(df.dtypes)[minimize] not in {"tinyint", "smallint", "int", "bigint"}:
+        raise ValueError(
+            "skyline_min_max requires an integral minimize column "
+            "(strict-less RANGE frame is offset -1); scale fractional "
+            "values to integers (e.g. cents) first"
+        )
     dtype = dict(df.dtypes)[maximize]
     bounds = layout.exact_range_boundaries(df, minimize, n_shards)
     p = df.withColumn("__shard", layout.shard_expr(minimize, bounds))

@@ -50,34 +50,45 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
     return df.withColumn(out_col, pred)
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Adds n_tokens, avg_token_len, stopword_ratio, quality (0..1)."""
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-    n_stop = _count_occurrences(toks, STOPWORDS)
-    avg_len = F.when(n > 0, total_len / n).otherwise(F.lit(0.0))
-    stop_ratio = F.when(n > 0, n_stop / n).otherwise(F.lit(0.0))
-    # length factor saturates at 200 tokens; mild stopword presence is good.
-    # The 0.5/0.3/0.2 weighted sum is computed in EXACT integer
-    # arithmetic: the round-7 sf0.1 sweep caught a document whose true
-    # quality is 0.42375 — a true 4-decimal tie whose double is NOT
-    # exactly representable, where Spark's BigDecimal HALF_UP (sees the
-    # double just below the tie -> 0.4237) and DuckDB's multiply-then-
-    # rint (the multiply rounds up onto the tie -> 0.4238) disagree.
-    # quality = [n*min(n,200) + 120*min(4s,n) + 10*min(L,8n)] / (400n)
-    # exactly, so the e4-scaled score is HALF_UP((50*NUM + n) / (2n)) —
-    # pure integers, identical in any engine; the /10^4 display division
-    # is a single double op on an exact 4-decimal rational (no 5th
-    # decimal exists, so no tie is reachable). floor() on doubles is
-    # exact here: 50*NUM + n < 2^53 for any n < 2^38 tokens/doc.
+def _quality_e4_raw(n: Column, total_len: Column, n_stop: Column) -> Column:
+    """The ONE home of the quality formula (both quality_score and
+    quality_e4_expr build from it, so the next formula change edits a
+    single Spark-side site — its six oracle SQL copies are located by
+    grepping the 0.42375 tie note below).
+
+    Length factor saturates at 200 tokens; mild stopword presence is
+    good. The 0.5/0.3/0.2 weighted sum is computed in EXACT integer
+    arithmetic: the round-7 sf0.1 sweep caught a document whose true
+    quality is 0.42375 — a true 4-decimal tie whose double is NOT
+    exactly representable, where Spark's BigDecimal HALF_UP (sees the
+    double just below the tie -> 0.4237) and DuckDB's multiply-then-
+    rint (the multiply rounds up onto the tie -> 0.4238) disagree.
+    quality = [n*min(n,200) + 120*min(4s,n) + 10*min(L,8n)] / (400n)
+    exactly, so the e4-scaled score is HALF_UP((50*NUM + n) / (2n)) —
+    pure integers, identical in any engine; the /10^4 display division
+    is a single double op on an exact 4-decimal rational (no 5th
+    decimal exists, so no tie is reachable). floor() on doubles is
+    exact here: 50*NUM + n < 2^53 for any n < 2^38 tokens/doc.
+    Undefined (division by zero) when n = 0 — callers gate on n > 0."""
     n_l, s_l, l_l = (c.cast("long") for c in (n, n_stop, total_len))
     num = (
         n_l * F.least(n_l, F.lit(200))
         + 120 * F.least(4 * s_l, n_l)
         + 10 * F.least(l_l, 8 * n_l)
     )
-    q_e4 = F.floor((50 * num + n_l) / (2 * n_l)).cast("long")
+    return F.floor((50 * num + n_l) / (2 * n_l))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_tokens, avg_token_len, stopword_ratio, quality (0..1).
+    quality = the exact e4 integer score (_quality_e4_raw) / 10^4."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    n_stop = _count_occurrences(toks, STOPWORDS)
+    avg_len = F.when(n > 0, total_len / n).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n > 0, n_stop / n).otherwise(F.lit(0.0))
+    q_e4 = _quality_e4_raw(n, total_len, n_stop).cast("long")
     quality = F.when(n > 0, q_e4 / F.lit(10000.0)).otherwise(F.lit(0.0))
     return (
         df.withColumn("n_tokens", n)
@@ -90,20 +101,14 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 def quality_e4_expr(text_col: str = "text"):
     """The e4-scaled integer quality score as a bare Column — the exact
     integer rational quality_score() divides by 10^4 for display (same
-    formula, same HALF_UP integer division; see the tie note above).
+    _quality_e4_raw expression, same HALF_UP integer division).
     For rank/quantile consumers that must never touch a float."""
     toks = tokens(F.col(text_col))
     n = F.size(toks)
     total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     n_stop = _count_occurrences(toks, STOPWORDS)
-    n_l, s_l, l_l = (c.cast("long") for c in (n, n_stop, total_len))
-    num = (
-        n_l * F.least(n_l, F.lit(200))
-        + 120 * F.least(4 * s_l, n_l)
-        + 10 * F.least(l_l, 8 * n_l)
-    )
     return (
-        F.when(n > 0, F.floor((50 * num + n_l) / (2 * n_l)))
+        F.when(n > 0, _quality_e4_raw(n, total_len, n_stop))
         .otherwise(F.lit(0))
         .cast("long")
     )

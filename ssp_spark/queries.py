@@ -51,11 +51,32 @@ ORACLE: dict[str, str] = {}
 # Per-session model-artifact cache (IVF codebooks): collected once per
 # (session, dataset), weak-keyed so stopped sessions drop their entries —
 # same lifetime rule as catalog._DF_CACHE.
+import os as _os  # noqa: E402
 import weakref as _weakref  # noqa: E402
 
 _IVF_CODEBOOKS: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
     _weakref.WeakKeyDictionary()
 )
+
+# Per-session derived-artifact cache (checkpointed shared frames such as
+# the model-eval trio's scored embeddings and their rank pass): keyed by
+# (artifact, abspath(sf_dir)), weak-keyed by session like _IVF_CODEBOOKS
+# so a stopped session's pinned checkpoint blocks are never handed to a
+# new one. Rationale: four registry queries (roc_auc / calibration /
+# lift / isotonic) consume the SAME scored frame and the SAME exact
+# global rank; unmemoized, each paid the rank pass's approxQuantile
+# sketch + offsets collect (measured as ~half the query) plus its own
+# localCheckpoint of identical bytes.
+_ARTIFACTS: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
+def _session_memo(spark: SparkSession, key: tuple, build: Callable):
+    per_session = _ARTIFACTS.setdefault(spark, {})
+    if key not in per_session:
+        per_session[key] = build()
+    return per_session[key]
 
 
 def _q(name: str, oracle: str | None = None):
@@ -9406,7 +9427,19 @@ def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum, so the entropy is addition-order-free in both engines (the
     bm25/chi-square integer-scaled-term pattern). Plan: one (user, type)
     map-side-combined count, a user-keyed total join (same exchange
-    key — no extra shuffle), one rollup."""
+    key — no extra shuffle), one rollup.
+
+    Libm-parity bound (this query and pmi_collocations_docs): the e9
+    round assumes JVM StrictMath.log and DuckDB's libm agree on ln(p)
+    for the p values reached — a 1-ulp ln skew only flips the hashed
+    integer if -p·ln(p)·1e9 lands within ~1 ulp of an exact .5. p here
+    is a ratio of two ≤ 2^31 counts; unlike the dyadic quality-score
+    ties, no such near-tie input has been constructed or observed
+    (verified across sf0.01/sf0.1 every round the query was checked),
+    and JVM Math.log is documented within 1 ulp of the correctly-
+    rounded result with semi-monotonicity. If a fixture ever hits one,
+    the fix is the Benford route: share literal per-count constants
+    instead of engine libm calls."""
     ev = load_table(spark, "events", sf_dir)
     c = ev.groupBy("user_id", "event_type").agg(
         F.count("*").cast("long").alias("c")
@@ -9561,7 +9594,12 @@ def pmi_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     float comparisons cross the engine boundary. Plan: one bigram count
     + one unigram count off the same tokenization, unigram lookups
     joined keyed (vocab-sized), global top-50 compiles to
-    TakeOrderedAndProject (per-partition heap, no global sort)."""
+    TakeOrderedAndProject (per-partition heap, no global sort).
+    Libm-parity bound: same contract as user_event_entropy — the e6
+    round assumes both engines' ln agree to the last ulp away from a
+    .5 tie; the count-ratio arguments here have produced no near-tie
+    across every checked fixture, and the escape hatch (shared literal
+    constants, the Benford route) is documented there."""
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(F.explode(tokens("text")).alias("word"))
     uni = toks.groupBy("word").agg(F.count("*").cast("long").alias("n_w"))
@@ -9727,26 +9765,11 @@ def roc_auc_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups contribute n⁺·(min_r+max_r) — twice the midrank sum — as
     BIGINTs. The oracle replays ranks with a plain row_number. Plan:
     one sharded rank pass, a score-keyed tie rollup, two scalar
-    aggregates, single-row output."""
-    emb = load_table(spark, "embeddings", sf_dir)
-    from ssp_spark.functions import dot as _dot
-
-    sc = emb.select(
-        "vec_id",
-        (F.col("label") % 2).cast("long").alias("y"),
-        F.round(
-            F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) * 1000000
-        )
-        .cast("long")
-        .alias("s"),
-    )
-    # materialize the 24-byte scored rows ONCE: the rank pass (its
-    # approxQuantile sketch + the shard window), the tie rollup, and the
-    # totals would each re-run the 64-dim HOF norm fold otherwise —
-    # measured 26.5 s -> the fold is the whole cost at 100x, the AUC
-    # arithmetic is free
-    sc = sc.localCheckpoint()
-    ranked = layout.global_order_positions(sc, "s", "vec_id")
+    aggregates, single-row output. The scored checkpoint and the rank
+    pass are the memoized family artifacts (_scored_embeddings /
+    _ranked_scored_embeddings) shared with calibration/lift/isotonic."""
+    sc = _scored_embeddings(spark, sf_dir)
+    ranked = _ranked_scored_embeddings(spark, sf_dir)
     g = ranked.groupBy("s").agg(
         F.sum("y").cast("long").alias("n1"),
         (F.min("position") + 1).cast("long").alias("mn"),
@@ -10724,24 +10747,51 @@ def spearman_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _scored_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The shared scored frame of the model-eval trio (ROC-AUC /
-    calibration / lift): e6-scaled embedding-norm score, odd-label
-    positive class. localCheckpoint'ed because every consumer drives
-    multiple passes (rank + totals) and the 64-dim HOF norm fold is the
-    whole cost otherwise (measured on roc_auc at 100x: 26.5 s -> 1.78 s)."""
-    emb = load_table(spark, "embeddings", sf_dir)
-    from ssp_spark.functions import dot as _dot
+    """The shared scored frame of the model-eval family (ROC-AUC /
+    calibration / lift / isotonic): e6-scaled embedding-norm score,
+    odd-label positive class. localCheckpoint'ed because every consumer
+    drives multiple passes (rank + totals) and the 64-dim HOF norm fold
+    is the whole cost otherwise (measured on roc_auc at 100x: 26.5 s ->
+    1.78 s); memoized per (session, sf_dir) so the four consumers share
+    ONE checkpoint instead of materializing identical bytes four times."""
 
-    sc = emb.select(
-        "vec_id",
-        (F.col("label") % 2).cast("long").alias("y"),
-        F.round(
-            F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) * 1000000
+    def build() -> DataFrame:
+        emb = load_table(spark, "embeddings", sf_dir)
+        from ssp_spark.functions import dot as _dot
+
+        sc = emb.select(
+            "vec_id",
+            (F.col("label") % 2).cast("long").alias("y"),
+            F.round(
+                F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                * 1000000
+            )
+            .cast("long")
+            .alias("s"),
         )
-        .cast("long")
-        .alias("s"),
+        return sc.localCheckpoint()
+
+    return _session_memo(
+        spark, ("scored_emb", _os.path.abspath(sf_dir)), build
     )
-    return sc.localCheckpoint()
+
+
+def _ranked_scored_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scored frame stamped with its exact 0-based global
+    (score, vec_id) ascending rank — the ONE sharded rank pass the whole
+    model-eval family rides. Memoized + checkpointed per (session,
+    sf_dir): unmemoized, each consumer re-paid the pass's approxQuantile
+    boundary sketch and S-row offsets collect (layout.py) — BASELINE.md
+    measured those two driver jobs as ~half of a rank-consuming query.
+    Descending ranks derive from this same frame (see lift_gain_deciles)
+    rather than running a second pass over negated scores."""
+    return _session_memo(
+        spark,
+        ("ranked_emb", _os.path.abspath(sf_dir)),
+        lambda: layout.global_order_positions(
+            _scored_embeddings(spark, sf_dir), "s", "vec_id"
+        ).localCheckpoint(),
+    )
 
 
 _SQL_SCORED_EMB = """
@@ -10781,11 +10831,12 @@ def calibration_bins_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     split deterministically by id, never by engine sort order. Not in
     the reference (§2.3 extension).
 
-    Plan: one sharded rank pass (no global sort), a broadcast 1-row
-    total, one 10-key map-side-combined groupBy. Every float is a fixed
-    per-bin op sequence on two exact BIGINTs."""
+    Plan: one sharded rank pass (no global sort; the memoized family
+    artifact), a broadcast 1-row total, one 10-key map-side-combined
+    groupBy. Every float is a fixed per-bin op sequence on two exact
+    BIGINTs."""
     sc = _scored_embeddings(spark, sf_dir)
-    ranked = layout.global_order_positions(sc, "s", "vec_id")
+    ranked = _ranked_scored_embeddings(spark, sf_dir)
     tot = sc.agg(F.count("*").cast("long").alias("n"))
     b = ranked.crossJoin(F.broadcast(tot)).withColumn(
         "bin", F.expr("(position * 10) div n")
@@ -10852,23 +10903,37 @@ def lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     model-eval trio: rank the population by score descending, cut exact
     rank deciles, and report what share of all positives the top-k
     deciles capture (gain) and the rate ratio vs. base (lift). Ordering
-    is (-score, id): the integer negation reuses the ascending
-    range-sharded rank pass unchanged, and ties pin to id. Not in the
-    reference (§2.3 extension).
+    is (-score, id): derived EXACTLY from the memoized ascending rank
+    pass (ties pin to id on both sides). Not in the reference (§2.3
+    extension).
 
-    Plan: one sharded rank pass, a 10-key groupBy, then cumulative sums
-    over the BOUNDED 10-row decile frame (the unpartitioned window is
-    over deciles, never data rows) against a broadcast totals row."""
+    Plan: the shared sharded rank pass, one score-keyed window to flip
+    it descending, a 10-key groupBy, then cumulative sums over the
+    BOUNDED 10-row decile frame (the unpartitioned window is over
+    deciles, never data rows) against a broadcast totals row."""
     sc = _scored_embeddings(spark, sf_dir)
-    ranked = layout.global_order_positions(
-        sc.withColumn("ns", (-F.col("s")).cast("long")), "ns", "vec_id"
-    )
+    ranked = _ranked_scored_embeddings(spark, sf_dir)
     tot = sc.agg(
         F.count("*").cast("long").alias("n"),
         F.sum("y").cast("long").alias("np"),
     )
-    d = ranked.crossJoin(F.broadcast(tot)).withColumn(
-        "decile", F.expr("(position * 10) div n")
+    # (s desc, vec_id asc) position from the ASC pass: an s-tie block
+    # occupying ascending positions [a..b] keeps its internal vec_id-asc
+    # order and lands at [n-1-b .. n-1-a] in the descending order, so
+    # pos_desc = (n-1-b) + (pos-a). ONE s-keyed window (near-unique key,
+    # tiny frames) replaces a whole second rank pass (its approxQuantile
+    # sketch + offsets collect + shard window).
+    wg = Window.partitionBy("s")
+    d = (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "pd",
+            F.col("n")
+            - 1
+            - F.max("position").over(wg)
+            + (F.col("position") - F.min("position").over(wg)),
+        )
+        .withColumn("decile", F.expr("(pd * 10) div n"))
     )
     g = d.groupBy("decile").agg(
         F.count("*").cast("long").alias("n_d"),
@@ -11040,7 +11105,7 @@ def isotonic_calibration_embeddings(
     sums; min/max over them are order-free; the only rounding is the
     final display round(…, 6)."""
     sc = _scored_embeddings(spark, sf_dir)
-    ranked = layout.global_order_positions(sc, "s", "vec_id")
+    ranked = _ranked_scored_embeddings(spark, sf_dir)
     tot = sc.agg(F.count("*").cast("long").alias("n"))
     cells = (
         ranked.crossJoin(F.broadcast(tot))

@@ -844,7 +844,17 @@ def test_streaks_all_windows_are_keyed(spark):
 def test_calibration_bins_rank_pass_is_sharded(spark):
     """Reliability bins ride the range-sharded rank pass: windows are
     keyed by shard (no SinglePartition), the 1-row total broadcasts,
-    and the bin rollup is a 10-key hash aggregate."""
+    and the bin rollup is a 10-key hash aggregate. The rank pass itself
+    is the memoized+checkpointed family artifact, so its shape is
+    asserted on the pre-checkpoint frame — the checkpoint would hide it
+    from the query's own plan."""
+    from ssp_spark.operators import layout
+    from ssp_spark.queries import _scored_embeddings
+
+    pre = layout.global_order_positions(
+        _scored_embeddings(spark, SF_SMOKE), "s", "vec_id"
+    )
+    assert "SinglePartition" not in plans.plan_string(pre)
     df = QUERIES["calibration_bins_embeddings"](spark, SF_SMOKE)
     s = plans.plan_string(df)
     # the ONLY single-partition exchange is the 1-row totals aggregate
