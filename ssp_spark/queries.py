@@ -6998,20 +6998,21 @@ def _capped_user_days(
     pair shuffle quadratically (sf0.1: 40k user-days -> 15k, 26.7M pair
     rows -> ~3.6M, measured). The pruned users can also never affect
     which users the cap keeps — the filter runs first on BOTH engines.
-    The eligible-user list is broadcast (it is the >= min_days heavy
-    tail, a small fraction of users); if a corpus's eligible set ever
-    outgrows a broadcast, drop the hint and the semi join falls back to
-    the co-partitioned shuffle the surrounding stages already pay."""
+    The prune is a user-keyed count window on the distinct frame, NOT a
+    separate aggregate branch joined back: a second branch re-reads the
+    events scan and re-runs the distinct exchange (both branches sit
+    under the same lazy plan — measured ~0.6 s of duplicated scan at
+    sf0.1), while the window rides one user-keyed exchange of the
+    already-distinct 40k-row frame with bounded per-user state."""
     day = F.expr("unix_timestamp(ts) div 86400")
     ud = ev.select("user_id", day.alias("day")).distinct()
     if min_days > 0:
-        eligible = (
-            ud.groupBy("user_id")
-            .agg(F.count("*").alias("__nd"))
+        wnd = Window.partitionBy("user_id")
+        ud = (
+            ud.withColumn("__nd", F.count("*").over(wnd))
             .filter(F.col("__nd") >= min_days)
-            .select("user_id")
+            .drop("__nd")
         )
-        ud = ud.join(F.broadcast(eligible), "user_id")
     wcap = Window.partitionBy("day").orderBy(
         portable_hash64(F.col("user_id").cast("string")), "user_id"
     )
@@ -7139,9 +7140,17 @@ def triangle_count_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # total order key: degree-major, id tiebreak (ids < 2^31 by fixture)
     k = lambda d, u: F.shiftleft(F.col(d).cast("long"), 32) + F.col(u)
+    # deg is one 12-byte row per user with a SURVIVING >= 28-shared-days
+    # edge — bounded by 2·|edges|, and edges just materialized through
+    # the localCheckpoint, so this is model-sized next to the pair
+    # stream that produced it (sf0.1: 526 rows; unhinted, Spark has no
+    # stats for the post-checkpoint aggregate and planned both lookups
+    # as full sort-merge joins, ~0.6 s of the query). On a corpus whose
+    # surviving edge set outgrows a broadcast, drop the hints and these
+    # fall back to the keyed shuffles they were before.
     ek = (
-        edges.join(deg.select(F.col("u").alias("u1"), F.col("d").alias("d1")), "u1")
-        .join(deg.select(F.col("u").alias("u2"), F.col("d").alias("d2")), "u2")
+        edges.join(F.broadcast(deg.select(F.col("u").alias("u1"), F.col("d").alias("d1"))), "u1")
+        .join(F.broadcast(deg.select(F.col("u").alias("u2"), F.col("d").alias("d2"))), "u2")
         .select(
             F.when(k("d1", "u1") < k("d2", "u2"), F.col("u1")).otherwise(F.col("u2")).alias("src"),
             F.when(k("d1", "u1") < k("d2", "u2"), k("d2", "u2")).otherwise(k("d1", "u1")).alias("kdst"),
@@ -7149,11 +7158,20 @@ def triangle_count_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
+    # The oriented edge list is checkpointed and 16-bytes-a-row small
+    # (bounded by the day-capped pair stage that built it), so both the
+    # wedge mate and the closing probe broadcast: the wedge stream then
+    # never crosses an exchange — each w1 task hash-probes the src map,
+    # filters kb < kc, probes (b, c), and partial-counts, one pipelined
+    # stage (unhinted: two sort-merge exchanges of the O(m^1.5) wedge
+    # stream, the widest frame in the query). Same fallback contract as
+    # the deg hints above if a corpus's edge set outgrows a broadcast —
+    # dropping the hints restores the keyed-shuffle plan.
     w1 = ek.select("src", F.col("dst").alias("b"), F.col("kdst").alias("kb"))
     w2 = ek.select("src", F.col("dst").alias("c"), F.col("kdst").alias("kc"))
-    wedges = w1.join(w2, "src").filter(F.col("kb") < F.col("kc"))
+    wedges = w1.join(F.broadcast(w2), "src").filter(F.col("kb") < F.col("kc"))
     closing = ek.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    tri = wedges.join(closing, ["b", "c"]).agg(
+    tri = wedges.join(F.broadcast(closing), ["b", "c"]).agg(
         F.count("*").cast("long").alias("n_triangles")
     )
     n_edges = edges.agg(F.count("*").cast("long").alias("n_edges"))
@@ -10467,32 +10485,28 @@ def km_user_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Model-evaluation & resampling statistics (round-7 batch 7)
 # ---------------------------------------------------------------------------
 
-# Quantized Poisson(1) CDF at 1e-6 resolution, as declared integer
-# thresholds shared verbatim by the Spark plan and the oracle: a uniform
-# draw u in [0, 1e6) maps to weight w = #{thresholds <= u}. Correctness
-# of the cross-engine hash depends only on both engines applying the SAME
+# Quantized Poisson(1) CDF on the 2^20 draw domain (bit-sliced 20-bit
+# uniforms, see bootstrap_ci_spend), as declared integer thresholds
+# shared verbatim by the Spark plan and the oracle: a uniform draw
+# u in [0, 2^20) maps to weight w = #{thresholds <= u}. Correctness of
+# the cross-engine hash depends only on both engines applying the SAME
 # literals to the SAME md5-derived u — not on how closely they track
-# exp(-1)/k! (they are the rounded cumulative values).
-_POIS1_CUM = [
-    367879,  # F(0)
-    735759,  # F(1)
-    919699,  # F(2)
-    981012,  # F(3)
-    996340,  # F(4)
-    999406,  # F(5)
-    999917,  # F(6)
-    999990,  # F(7)
-    999999,  # F(8) — else 9
+# exp(-1)/k! (they are t_k = round(F(k) · 2^20)).
+_POIS1_CUM_2P20 = [
+    385750,   # F(0)
+    771499,   # F(1)
+    964374,   # F(2)
+    1028665,  # F(3)
+    1044738,  # F(4)
+    1047953,  # F(5)
+    1048489,  # F(6)
+    1048565,  # F(7)
+    1048575,  # F(8) — else 9
 ]
 
 _POIS1_W_SQL = " + ".join(
-    f"(CASE WHEN u >= {t} THEN 1 ELSE 0 END)" for t in _POIS1_CUM
+    f"(CASE WHEN u >= {t} THEN 1 ELSE 0 END)" for t in _POIS1_CUM_2P20
 )
-
-_BOOT_HASH_SQL = _SQL_HASH64.format(
-    x="'pb:' || CAST(b AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)"
-)
-
 
 @_q(
     "bootstrap_ci_spend",
@@ -10501,9 +10515,22 @@ _BOOT_HASH_SQL = _SQL_HASH64.format(
       SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
       FROM events WHERE event_type = 'purchase'
     ),
+    h AS (
+      SELECT cents, k,
+             md5('pb:' || CAST(k AS VARCHAR) || ':'
+                 || CAST(event_id AS VARCHAR)) AS hx
+      FROM p, (SELECT unnest(generate_series(0, 10)) AS k) r
+    ),
+    v AS (
+      SELECT cents, k, hh,
+             ('0x' || substr(hx, 1 + 15 * hh, 15))::BIGINT AS v
+      FROM h, (SELECT unnest(generate_series(0, 1)) AS hh) s
+    ),
     bs AS (
-      SELECT b, cents, ({_BOOT_HASH_SQL}) % 1000000 AS u
-      FROM p, (SELECT unnest(generate_series(0, 63)) AS b) r
+      SELECT cents, 6 * k + 3 * hh + j AS b,
+             (v >> (20 * j)) & 1048575 AS u
+      FROM v, (SELECT unnest(generate_series(0, 2)) AS j) t
+      WHERE 6 * k + 3 * hh + j < 64
     ),
     wt AS (SELECT b, cents, {_POIS1_W_SQL} AS w FROM bs),
     g AS (
@@ -10540,13 +10567,23 @@ def bootstrap_ci_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     that scales: classic resampling-with-replacement needs the global n
     to draw multinomial counts, but Poisson(1) weights are independent
     per (row, resample), so the whole procedure is one stateless map.
-    Weights are deterministic: u = portable md5-hash(b, event_id) mod
-    1e6 against the declared quantized-Poisson thresholds (_POIS1_CUM),
-    identical in both engines by construction. Not in the reference
-    (§2.3 extension).
+    Weights are deterministic: draw b = 6k + 3h + j takes its 20-bit
+    uniform u from bit-slice j of the 60-bit hex half h of md5 hash
+    'pb:k:event_id' — 60 = 3·20 exactly, so the slices are UNBIASED
+    (base-1e6 digits would wrap 2^60 87% of the way on the top digit);
+    u is scored against the quantized-Poisson thresholds declared on
+    the 2^20 domain (_POIS1_CUM_2P20), identical in both engines by
+    construction. Packing 6 draws per hash means 11 md5s per PURCHASE
+    row instead of 64 per exploded (row, b) — and the draw array is
+    built through higher-order transforms whose lambda variables bind
+    each md5/conv ONCE (a flat 64-expression projection re-evaluates
+    shared subexpressions per reference after projection collapse;
+    measured: the naive form was 64 md5s again). Measured at sf0.1:
+    1.89 s -> ~0.6 s, same statistical contract, oracle rewritten in
+    lockstep.
 
-    Plan: the purchase projection crossed with a 64-value literal range
-    (map-side explode — no join), partial-aggregated per resample into
+    Plan: the purchase projection computes its 64-draw array map-side,
+    posexplodes it (no join), and partial-aggregates per resample into
     EXACTLY 64 (sum w, sum w*cents) BIGINT rows; the CI is a rank pick
     over that bounded 64-row frame (the single-partition window is over
     B rows, never data rows). At 100 TB this is one wide scan + a
@@ -10559,26 +10596,45 @@ def bootstrap_ci_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    expl = p.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(63))))
-    expl = expl.withColumn(
-        "u",
-        portable_hash64(
-            F.concat(
-                F.lit("pb:"),
-                F.col("b").cast("string"),
-                F.lit(":"),
-                F.col("event_id").cast("string"),
+    # 11 md5 strings, each evaluated exactly once (array literal), then
+    # every derived value flows through HOF lambda variables — bound
+    # once per element, so the two conv halves and three bit slices
+    # never re-run the hash
+    harr = F.array(
+        *[
+            F.md5(
+                F.concat(F.lit(f"pb:{k}:"), F.col("event_id").cast("string"))
             )
-        )
-        % 1000000,
+            for k in range(11)
+        ]
     )
+    mask = F.lit((1 << 20) - 1)
+    u_arr = F.flatten(
+        F.transform(
+            harr,
+            lambda h: F.flatten(
+                F.transform(
+                    F.array(
+                        F.conv(F.substring(h, 1, 15), 16, 10).cast("long"),
+                        F.conv(F.substring(h, 16, 15), 16, 10).cast("long"),
+                    ),
+                    lambda v: F.array(
+                        v.bitwiseAND(mask),
+                        F.shiftrightunsigned(v, 20).bitwiseAND(mask),
+                        F.shiftrightunsigned(v, 40).bitwiseAND(mask),
+                    ),
+                )
+            ),
+        )
+    )
+    d = p.select(
+        "cents", F.posexplode(F.slice(u_arr, 1, 64))
+    ).toDF("cents", "b", "u")
     w_col = None
-    for t in _POIS1_CUM:
+    for t in _POIS1_CUM_2P20:
         term = (F.col("u") >= t).cast("int")
         w_col = term if w_col is None else (w_col + term)
-    weighted = expl.select(
-        "b", w_col.cast("long").alias("w"), F.col("cents")
-    )
+    weighted = d.select("b", w_col.cast("long").alias("w"), F.col("cents"))
     g = weighted.groupBy("b").agg(
         F.sum("w").cast("long").alias("n_eff"),
         F.sum(F.col("w") * F.col("cents")).cast("long").alias("total_cents"),

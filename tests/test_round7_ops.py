@@ -363,19 +363,27 @@ def test_cuped_query_variants_partition_users(spark):
 
 
 def test_poisson_weight_thresholds_closed_form():
-    # the declared quantized-Poisson(1) map: w = #{thresholds <= u}
-    from ssp_spark.queries import _POIS1_CUM
+    # the declared quantized-Poisson(1) map on the 2^20 draw domain:
+    # w = #{thresholds <= u}, t_k = round(F(k) * 2^20)
+    import math
+
+    from ssp_spark.queries import _POIS1_CUM_2P20
 
     def w(u):
-        return sum(1 for t in _POIS1_CUM if u >= t)
+        return sum(1 for t in _POIS1_CUM_2P20 if u >= t)
 
     assert w(0) == 0
-    assert w(367878) == 0 and w(367879) == 1
-    assert w(735758) == 1 and w(735759) == 2
-    assert w(999998) == 8 and w(999999) == 9
+    assert w(385749) == 0 and w(385750) == 1
+    assert w(771498) == 1 and w(771499) == 2
+    assert w(1048574) == 8 and w(1048575) == 9
+    # thresholds ARE the rounded scaled CDF
+    c = 0.0
+    for k, t in enumerate(_POIS1_CUM_2P20):
+        c += math.exp(-1) / math.factorial(k)
+        assert t == round(c * (1 << 20))
     # expected weight under uniform u is ~1 (it IS a Poisson(1) pmf)
-    mean_w = sum(w(u) for u in range(0, 1000000, 997)) / len(
-        range(0, 1000000, 997)
+    mean_w = sum(w(u) for u in range(0, 1 << 20, 997)) / len(
+        range(0, 1 << 20, 997)
     )
     assert 0.95 < mean_w < 1.05
 
