@@ -3,13 +3,15 @@
 Pattern: media is an opaque ``binary`` column plus a typed metadata
 struct; decode/feature steps are Arrow-batched pandas functions over
 mapInPandas so bytes stream through executors without driver collection.
-``decode_image`` is a REAL pure-numpy decoder for the uncompressed
-public formats (binary PPM P6; 24-bit BI_RGB BMP incl. bottom-up rows
-and 4-byte padding) — resize_media resizes actual pixels for those.
-Compressed codecs (png/jpeg/webp) are not in this container: those
-branches raise NotImplementedError and byte-level deterministic
-fallbacks keep the plumbing testable; a deployment swaps PIL/OpenCV
-into decode_image only.
+``decode_image`` is a REAL decoder, stdlib + numpy only, for the
+formats a pure implementation can carry: binary PPM P6; 24-bit BI_RGB
+BMP (bottom-up rows, 4-byte padding); and 8-bit RGB/RGBA PNG (zlib
+inflate + all five scanline filters, non-interlaced) — resize_media
+resizes actual pixels for those. Codecs a pure implementation cannot
+reasonably carry (jpeg/webp; palette/16-bit/Adam7 PNG) raise
+NotImplementedError and byte-level deterministic fallbacks keep the
+plumbing testable; a deployment swaps PIL/OpenCV into decode_image
+only.
 
 At 100 TB the binary column is usually a pointer (uri, offset, length)
 into an object store rather than inlined bytes; both layouts share the
@@ -59,14 +61,15 @@ def attach_media(df: DataFrame, bytes_col: str, media_type: str, fmt: str) -> Da
 
 
 def decode_image(data: bytes):
-    """(h, w, 3) uint8 numpy array for UNCOMPRESSED formats — a real
-    decoder, pure numpy, no codec library: binary PPM (P6) and 24-bit
-    uncompressed BMP (BI_RGB, bottom-up or top-down, 4-byte row
-    padding, BGR->RGB). Compressed formats (png/jpeg/webp) still raise
-    NotImplementedError — their codecs are not in this container; a
-    real deployment swaps in PIL/OpenCV for those branches and every
-    downstream operator (resize_media, extract_features) is unchanged
-    because they only see the (h, w, 3) array."""
+    """(h, w, 3) uint8 numpy array — a real decoder, stdlib + numpy, no
+    codec library: binary PPM (P6); 24-bit uncompressed BMP (BI_RGB,
+    bottom-up or top-down, 4-byte row padding, BGR->RGB); and 8-bit
+    RGB/RGBA PNG (zlib inflate + the five scanline filters — see
+    _decode_png; RGBA alpha is stripped). jpeg/webp and the exotic PNG
+    profiles still raise NotImplementedError — a real deployment swaps
+    in PIL/OpenCV for those branches and every downstream operator
+    (resize_media, extract_features) is unchanged because they only
+    see the (h, w, 3) array."""
     import numpy as np
 
     if data[:2] == b"P6":
@@ -104,7 +107,226 @@ def decode_image(data: bytes):
         if h > 0:
             img = img[::-1]  # positive height = bottom-up row order
         return img.copy()
-    raise NotImplementedError("only uncompressed PPM(P6)/BMP(24-bit) decodable here")
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(data)
+    raise NotImplementedError(
+        "only PPM(P6)/BMP(24-bit)/PNG(8-bit RGB/RGBA) decodable here"
+    )
+
+
+def _decode_png(data: bytes):
+    """Pure-stdlib PNG decode (zlib inflate + the five scanline filters,
+    PNG spec RFC 2083 §6): 8-bit truecolor (color type 2) and
+    truecolor+alpha (type 6, alpha stripped so every downstream operator
+    keeps its (h, w, 3) contract), non-interlaced. Palette / 16-bit /
+    Adam7 raise NotImplementedError — same disclosure contract as the
+    other codec boundaries in this module. Sub is a per-lane cumulative
+    sum (vectorized); Average/Paeth are inherently left-to-right
+    sequential (each byte's predictor reads the just-reconstructed left
+    neighbor), looped per scanline — fine for the gate fixtures, and a
+    deployment that needs bulk PNG throughput swaps PIL here without
+    touching any caller."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pos = 8
+    w = h = color_type = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        if ctype == b"IHDR":
+            w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color_type not in (2, 6):
+                raise NotImplementedError(
+                    f"PNG depth={depth} color_type={color_type} not supported"
+                )
+            if interlace != 0:
+                raise NotImplementedError("Adam7-interlaced PNG not supported")
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln  # length + type + body + crc32
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    ch = 3 if color_type == 2 else 4
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel payload size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        cur = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).astype(np.int64)
+        if ft == 0:  # None
+            pass
+        elif ft == 1:  # Sub: recon[x] = filt[x] + recon[x-ch]
+            for lane in range(ch):
+                cur[lane::ch] = np.cumsum(cur[lane::ch]) & 0xFF
+        elif ft == 2:  # Up
+            cur = (cur + prev) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(stride):
+                left = cur[x - ch] if x >= ch else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pr) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter type {ft}")
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    img = out.reshape(h, w, ch)
+    return np.ascontiguousarray(img[:, :, :3])
+
+
+def encode_png(img, filters=None) -> bytes:
+    """Minimal REAL PNG writer (stdlib zlib/struct only): 8-bit RGB,
+    non-interlaced, one zlib-deflated IDAT. ``filters`` picks the filter
+    type per scanline (default all 0); filtering applies the exact
+    inverse of the decode reconstruction, so writer bugs cannot cancel
+    against _decode_png's — the golden tests pin decode against
+    hand-assembled fixed bytes, and the driver-gated query uses this
+    writer only to SOURCE real deflate streams from fixture text."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(img, dtype=np.uint8)
+    h, w, ch = a.shape
+    if ch != 3:
+        raise ValueError("encode_png writes 8-bit RGB only")
+    stride = w * 3
+    flat = a.reshape(h, stride).astype(np.int64)
+    filters = list(filters) if filters is not None else [0] * h
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        cur = flat[r]
+        ft = filters[r]
+        if ft == 0:
+            line = cur
+        elif ft == 1:
+            left = np.concatenate([np.zeros(3, dtype=np.int64), cur[:-3]])
+            line = (cur - left) & 0xFF
+        elif ft == 2:
+            line = (cur - prev) & 0xFF
+        elif ft == 3:
+            left = np.concatenate([np.zeros(3, dtype=np.int64), cur[:-3]])
+            line = (cur - ((left + prev) >> 1)) & 0xFF
+        elif ft == 4:
+            line = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                aa = int(cur[x - 3]) if x >= 3 else 0
+                bb = int(prev[x])
+                cc = int(prev[x - 3]) if x >= 3 else 0
+                p = aa + bb - cc
+                pa, pb, pc = abs(p - aa), abs(p - bb), abs(p - cc)
+                pr = aa if (pa <= pb and pa <= pc) else (bb if pb <= pc else cc)
+                line[x] = (cur[x] - pr) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ft}")
+        raw.append(ft)
+        raw += bytes(int(v) for v in line)
+        prev = cur
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(bytes(raw))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_roundtrip_stats(
+    df: DataFrame,
+    id_col: str,
+    bytes_col: str,
+    w: int,
+    h: int,
+    filters=None,
+) -> DataFrame:
+    """mapInPandas: interpret each row's bytes as w x h RGB pixels,
+    write a REAL PNG from them (zlib-deflated IDAT; per-scanline filter
+    types default to cycling 0..4 so None/Sub/Up/Average/Paeth are ALL
+    on the decode path of every image), decode it back with
+    decode_image, and emit exact channel sums of the DECODED pixels —
+    the shape an oracle can replay directly from the source bytes,
+    proving the zlib + unfilter pipeline inverts to identity. Arrow-
+    batched, one row in -> one row out, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    flts = list(filters) if filters is not None else [r % 5 for r in range(h)]
+    need = w * h * 3
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("pix_sum", T.LongType()),
+            T.StructField("r_sum", T.LongType()),
+            T.StructField("g_sum", T.LongType()),
+            T.StructField("b_sum", T.LongType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                px = np.frombuffer(
+                    bytes(data)[:need], dtype=np.uint8
+                ).reshape(h, w, 3)
+                dec = decode_image(encode_png(px, filters=flts))
+                sums = dec.astype(np.int64).sum(axis=(0, 1))
+                rows.append(
+                    (
+                        int(mid),
+                        int(dec.shape[1]),
+                        int(dec.shape[0]),
+                        int(sums.sum()),
+                        int(sums[0]),
+                        int(sums[1]),
+                        int(sums[2]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "pix_sum",
+                    "r_sum",
+                    "g_sum",
+                    "b_sum",
+                ],
+            )
+
+    return df.mapInPandas(fn, schema)
 
 
 def _fake_feature(data: bytes, dim: int = 8) -> list[float]:

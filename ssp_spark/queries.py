@@ -4605,6 +4605,59 @@ def multimodal_resize_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_decode_png",
+    """
+    WITH img AS (
+      SELECT doc_id, substr(text, 1, 60) AS px
+      FROM documents WHERE length(text) >= 60
+    ),
+    b AS (
+      SELECT doc_id, i, ascii(substr(px, i, 1)) AS v
+      FROM img, (SELECT unnest(generate_series(1, 60)) AS i) u
+    )
+    SELECT doc_id AS media_id, 4 AS width, 5 AS height,
+           CAST(sum(v) AS BIGINT) AS pix_sum,
+           CAST(sum(CASE WHEN (i - 1) % 3 = 0 THEN v ELSE 0 END) AS BIGINT)
+             AS r_sum,
+           CAST(sum(CASE WHEN (i - 1) % 3 = 1 THEN v ELSE 0 END) AS BIGINT)
+             AS g_sum,
+           CAST(sum(CASE WHEN (i - 1) % 3 = 2 THEN v ELSE 0 END) AS BIGINT)
+             AS b_sum
+    FROM b GROUP BY doc_id
+    """,
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stdlib PNG codec under the driver gate: each document's
+    first 60 bytes become the pixels of a genuine 4x5 8-bit RGB PNG —
+    written with a REAL zlib-deflated IDAT and per-scanline filters
+    cycling None/Sub/Up/Average/Paeth, so all five reconstruction
+    paths of multimodal._decode_png run on EVERY image — then decoded
+    back and reduced to exact per-channel sums. The oracle replays the
+    sums with ascii(substr()) arithmetic on the source text (pure
+    ASCII fixture: chars == bytes), so a single wrong reconstructed
+    byte anywhere in the inflate/unfilter pipeline breaks the hash.
+    Proves decode inverts a real deflate stream, not just the
+    fixed-byte goldens (test_multimodal pins those independently so
+    writer and reader bugs cannot cancel).
+
+    Plan: one documents scan -> mapInPandas (Arrow-batched, row-local
+    encode/decode, no shuffle) -> driver-hashable 7-column frame; at
+    100 TB this is the classic decode-map: pure per-row CPU that
+    scales with executors, zero exchanges."""
+    from ssp_spark.operators import multimodal as mm
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.length("text") >= 60)
+        .select(
+            "doc_id",
+            F.encode(F.substring("text", 1, 60), "utf-8").alias("px"),
+        )
+    )
+    return mm.png_roundtrip_stats(docs, "doc_id", "px", w=4, h=5)
+
+
+@_q(
     "array_lateral_explode",
     """
     WITH base AS (
@@ -11601,152 +11654,75 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     together with the 46 r4-latest queries; after this round ZERO
 #     registry queries are never-driver-checked.
 _CHECK_FIRST = [
-    # (a) new in round 7, never driver-checked
-    "skyline_pareto_parts",        # distributed 2-D Pareto skyline
-    "anomaly_dow_events",          # day-of-week seasonal volume anomaly
-    "assoc_rules_events",          # association rules (support/conf/lift)
-    "stratified_kfold_embeddings", # exact stratified k-fold dealing
-    "holt_trend_user_spend",       # 2-state Holt level+trend recurrence
-    "time_split_embargo_events",   # purged/embargoed temporal split
-    "containment_dedup_pairs",     # asymmetric shingle containment
-    "token_freq_spectrum_docs",    # Zipf frequency-of-frequencies
-    "ks_test_segments",            # exact-integer two-sample KS
-    "rfm_customer_segments",       # rank-exact RFM quartile codes
-    "seasonal_decompose_daily",    # trend/dow-seasonal/residual
-    "copurchase_similar_customers",  # capped bipartite link Jaccard
-    "chisq_type_dow_events",       # chi-square independence + Cramér's V
-    "user_event_entropy",          # behavioral Shannon entropy
-    "interarrival_stats_users",    # gap moments + burstiness
-    "pmi_collocations_docs",       # PMI collocation mining
-    "rolling_corr_view_purchase",  # rolling Pearson, integer moments
-    "roc_auc_embedding_norm",      # exact rank-sum ROC-AUC
-    "acf_daily_orders",            # gap-tolerant integer-moment ACF
-    "theil_sen_trend_orders",      # pairwise-median robust trend
-    "mann_kendall_trend_orders",   # exact-integer monotonic trend test
-    "benford_order_totals",        # first-digit fraud/synthetic screen
-    "cuped_adjusted_spend",        # CUPED variance-reduced A/B readout
-    "km_user_conversion",          # Kaplan-Meier conversion curves
-    # batch 7: model-evaluation & resampling statistics (each locally
-    # hash-matched at sf0.001, 0.01 AND 0.1 before taking a slot)
-    "bootstrap_ci_spend",          # Poisson bootstrap 95% CI
-    "spearman_customer_value",     # exact midrank Spearman rho
-    "calibration_bins_embeddings", # reliability-diagram deciles
-    "lift_gain_deciles",           # cumulative gains / lift table
-    "streaks_user_activity",       # gaps-and-islands daily streaks
-    "isotonic_calibration_embeddings",  # exact minimax PAV fit
-    "quantile_normalize_quality",  # cross-source rank normalization
-    "attribution_position_based",  # U-shaped multi-touch attribution
-    # (a2) r6 additions that never made a driver window — the ONLY
-    # never-checked queries outside (a); never-checked outranks
-    # r3-stale, so they take three (c) slots (each re-verified at
-    # sf0.01 this round before taking one)
-    "exact_percentiles_events",    # rank-exact percentiles
-    "image_ahash_buckets",         # perceptual average-hash buckets
-    "lexical_richness",            # TTR / hapax / Herdan's C
-    # (b) changed in round 7
-    "psi_drift_orders",       # oracle total row re-cast to BIGINT (the
-                              # one red r6 hash: DuckDB sum() widened to
-                              # decimal128 vs Spark bigint)
-    "dedup_jaccard_pairs",    # candidate core factored into
-                              # dedup._pair_shared_counts (shared with
-                              # containment_pairs); also r3-stale
-    "quality_score",             # exact-integer quality formula (both
-    "quality_zscore_by_source",  # sides changed; see (b) note above)
-    "cluster_dedup_keeper",
-    "pipeline_curation_v2",
-    "token_budget_selection",
-    # (c) the remaining queries whose latest driver row is round 3
-    # ann_ivf_topk displaced for a batch-6 stats slot (bench-measured every round;
-    #   sf0.001 oracle hash-check every pytest run).
-    # approx_distinct_users is the ONE r3-stale query left out (the
-    # 12 new queries outrank a repeat confirmation): the HLL-sketch
-    # family is pinned by r5-green hll_distinct_users + the sf0.001
-    # oracle hash-check every pytest run; front of the r8 queue.
-    # array_lateral_explode displaced for a batch-7 slot (explode
-    #   kernel exercised by in-window bootstrap_ci_spend's Generate +
-    #   the r3-green array function family;
-    #   sf0.001 oracle hash-check every pytest run).
-    "asof_join_forward_tolerance",
-    # bloom_customer_names displaced for a batch-7 stats slot (Bloom
-    #   kernel pinned by its sketch.py unit tests + r4-green
-    #   bloom_prefilter_join; sf0.001 oracle hash-check every pytest run).
-    # cms_user_counts displaced for a batch-7 stats slot (sketch family
-    #   pinned by r5-green hll_distinct_users + CMS unit tests;
-    #   sf0.001 oracle hash-check every pytest run).
-    "dedup_minhash_clusters",
-    # dedup_minhash_lsh displaced for a changed quality-family slot (bench-measured every round;
-    #   sf0.001 oracle hash-check every pytest run).
-    # dedup_simhash_pairs displaced for a changed quality-family slot (fingerprint kernel in bench's dedup_simhash64_pairs + r6-green dedup_simhash;
-    #   sf0.001 oracle hash-check every pytest run).
-    # event_type_pivot_api rotated out mid-round for the chi-square
-    # slot: the pivot kernel stays pinned by r5-green
-    # user_activity_pivot + the sf0.001 oracle hash-check every run.
-    # lineitem_unpivot displaced for a batch-7 stats slot (unpivot
-    #   kernel pinned by r5-green user_activity_pivot family;
-    #   sf0.001 oracle hash-check every pytest run).
-    # literal_source_wordcount rotated out mid-round for the entropy
-    # slot: the literal in-memory source (O4) keeps its stream-API
-    # goldens (test_stream_api builds every golden from elements) + the
-    # sf0.001 oracle hash-check every pytest run.
-    # map_funcs_roundtrip rotated out mid-round for the rolling-corr
-    # slot: the map-function kernel family keeps the sf0.001 oracle
-    # hash-check every pytest run (its r3 driver row stands).
-    # multimodal_resize rotated out mid-round for the interarrival
-    # slot: the mapInPandas plumbing is pinned by r6-green
-    # multimodal_resize_decoded / r5-green multimodal_features + the
-    # sf0.001 oracle hash-check every pytest run.
-    "pipeline_train_manifest",
-    # q11_important_parts displaced for a batch-6 stats slot (agg+HAVING family pinned by in-window q16_supplier_cnt;
-    #   sf0.001 oracle hash-check every pytest run).
-    # q12_ship_priority_class displaced for a batch-6 stats slot (conditional-sum family pinned by in-window q14-era greens;
-    #   sf0.001 oracle hash-check every pytest run).
-    # q13_custdist displaced for a batch-6 stats slot (outer-join count-distribution family pinned by r5-green left_join_customer_order_counts;
-    #   sf0.001 oracle hash-check every pytest run).
-    # q15_top_supplier displaced for a batch-6 stats slot (view + scalar-max-subquery family pinned by in-window q17/q2 greens;
-    #   sf0.001 oracle hash-check every pytest run).
-    "q16_supplier_cnt",
-    # q18_large_orders displaced for a changed quality-family slot (bench-measured every round;
-    #   sf0.001 oracle hash-check every pytest run).
-    "q19_disjunctive_revenue",
-    "q20_qty_suppliers",
-    # q21_waiting_supplier displaced for a batch-6 stats slot (exists/anti family pinned by r5-green semi/anti joins;
-    #   sf0.001 oracle hash-check every pytest run).
-    # q6_forecast_revenue displaced for a changed quality-family slot (bench-measured every round;
-    #   sf0.001 oracle hash-check every pytest run).
-    "q8_market_share",
-    # regexp_funcs displaced for a batch-7 stats slot (regexp kernels
-    #   exercised inside r6-green bpe_token_stats / dedup_span_pairs;
-    #   sf0.001 oracle hash-check every pytest run).
-    # right_join_order_priority_mix displaced for a never-checked (a2)
-    #   slot (join-direction family r5-green: full/left/semi/anti all
-    #   have fresh rows; sf0.001 oracle hash-check every pytest run).
-    # rolling_30d_spend displaced for a batch-7 stats slot (RANGE-frame
-    #   kernel pinned by r6-green window_frame_funcs;
-    #   sf0.001 oracle hash-check every pytest run).
-    # salted_join_event_spend displaced for a never-checked (a2) slot
-    #   (salted-join kernel keeps 3 unit tests,
-    #   tests/test_scale_ops.py:16-34; sf0.001 oracle hash-check every
-    #   pytest run).
-    # sample_split_hash displaced for a batch-7 slot (portable-hash
-    #   split family pinned by in-window stratified_kfold_embeddings /
-    #   time_split_embargo_events + test_portable_hash;
-    #   sf0.001 oracle hash-check every pytest run).
-    # source_json_scan displaced for a never-checked (a2) slot (scan
-    #   family fresh everywhere else: csv r3, orc/evolution r4, text
-    #   r5; sf0.001 oracle hash-check every pytest run).
-    # stats_numeric rotated out mid-round for the PMI slot: its
-    # exact-decimal twin stats_numeric_exact is bench-measured every
-    # round + the sf0.001 oracle hash-check every pytest run.
-    "time_rollup_multigrain",
-    # window_rank_stats displaced for a batch-7 slot (rank-window
-    #   family pinned by in-window rfm_customer_segments + the
-    #   streaks/attribution row_number windows;
-    #   sf0.001 oracle hash-check every pytest run).
-    # udtf_sentence_split rotated out mid-round for the ROC-AUC slot:
-    # the UDTF surface is pinned by its own unit tests and in-window
-    # udaf_user_spend + the sf0.001 oracle hash-check every pytest run.
-    # word_count displaced for a changed quality-family slot (entry() driver smoke + bench staple every round;
-    #   sf0.001 oracle hash-check every pytest run).
+    # ---- ROUND 8 WINDOW ----------------------------------------------
+    # After the r7 run every registry query had driver evidence; this
+    # round's contract (VERDICT r7 #3): the 29 queries whose latest row
+    # is r3 ALL rotate in, plus everything new/changed in r8, plus an
+    # r4-rotation tail filling the remaining slots. Composition:
+    # 1 new + 14 changed + 29 r3-stale + 6 r4-rotation = 50.
+    #
+    # (a) new in round 8, never driver-checked
+    "multimodal_decode_png",       # stdlib PNG codec under the gate
+    # (b) changed in round 8 (implementation and/or oracle; each
+    # re-hash-matched at sf0.01 before taking a slot)
+    "bootstrap_ci_spend",          # bit-slice packed draws, 2^20-domain
+                                   # thresholds — BOTH sides rewritten
+    "roc_auc_embedding_norm",           # model-eval family: memoized
+    "calibration_bins_embeddings",      # scored checkpoint + shared
+    "lift_gain_deciles",                # rank pass (lift now derives
+    "isotonic_calibration_embeddings",  # desc ranks from the asc pass)
+    "dedup_jaccard_pairs",         # threshold filter moved pre-checkpoint
+    "containment_dedup_pairs",     # (same candidate-core change)
+    "triangle_count_users",        # single-scan prune + broadcast
+                                   # degree/wedge joins (2.3 -> 1.4 s)
+    "quality_score",               # formula re-homed in _quality_e4_raw
+                                   # (expression-identical; host changed)
+    "skyline_pareto_parts",        # integral-minimize dtype guard
+    "ema_daily_user_spend",        # recurrence folds: vectorized
+    "cusum_user_activity",         # rounding/output, state updates
+    "holt_trend_user_spend",       # unchanged op-for-op (bit-exact
+    "km_user_conversion",          # contract re-verified)
+    # (c) the 29 queries whose latest driver row is round 3 — the whole
+    # r8 queue promised at their former slots last round, alphabetical
+    "ann_ivf_topk",
+    "approx_distinct_users",
+    "array_lateral_explode",
+    "bloom_customer_names",
+    "cms_user_counts",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "event_type_pivot_api",
+    "lineitem_unpivot",
+    "literal_source_wordcount",
+    "map_funcs_roundtrip",
+    "multimodal_resize",
+    "q11_important_parts",
+    "q12_ship_priority_class",
+    "q13_custdist",
+    "q15_top_supplier",
+    "q18_large_orders",
+    "q21_waiting_supplier",
+    "q6_forecast_revenue",
+    "regexp_funcs",
+    "right_join_order_priority_mix",
+    "rolling_30d_spend",
+    "salted_join_event_spend",
+    "sample_split_hash",
+    "source_json_scan",
+    "stats_numeric",
+    "udtf_sentence_split",
+    "window_rank_stats",
+    "word_count",
+    # (d) r4-rotation tail: with zero r3 rows left after this window,
+    # the oldest evidence cohort is r4 (43 queries); the remaining six
+    # slots take its alphabetical head so the freshness floor starts
+    # advancing — the rest of the cohort leads the r9 queue
+    "approx_percentile_value",
+    "attribution_last_touch",
+    "bigram_lm_score",
+    "bloom_prefilter_join",
+    "bucketed_join_order_revenue",
+    "cluster_balanced_sample",
 ]
 assert len(_CHECK_FIRST) == 50 and len(set(_CHECK_FIRST)) == 50
 _ORDERED = _CHECK_FIRST + sorted(

@@ -1,6 +1,9 @@
 """Multimodal column plumbing: binary payloads + typed metadata through
-Arrow-batched mapInPandas (decode itself is stubbed — no codecs in this
-environment — but schema, batching, and fan-out shapes are real).
+Arrow-batched mapInPandas. decode_image/decode_audio are REAL for the
+pure-stdlib formats (PPM, 24-bit BMP, 8-bit RGB/RGBA PNG, PCM WAV) —
+pixel/sample-exact goldens below, including hand-assembled PNG bytes so
+writer and reader bugs cannot cancel; jpeg/webp/mp3-class codecs stay
+NotImplementedError boundaries.
 """
 
 from __future__ import annotations
@@ -57,9 +60,9 @@ def test_sample_frames_fan_out(spark):
     assert sorted(per_id[2]) == [(0, 0)]
 
 
-def test_decode_image_is_stubbed():
+def test_decode_image_unsupported_codecs_raise():
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\x89PNG")
+        mm.decode_image(b"\xff\xd8\xff\xe0jpeg-junk")  # JFIF magic
 
 
 def test_resize_media_shape_and_edges(spark):
@@ -125,7 +128,7 @@ def test_decode_image_real_formats():
     assert (decode_image(ppm_comment) == img).all()
     px = np.arange(18, dtype=np.uint8).reshape(2, 3, 3)
     assert (decode_image(_bmp24(px)) == px).all()
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):  # PNG signature but no IHDR chunk
         decode_image(b"\x89PNG\r\n\x1a\n....")
 
 
@@ -227,3 +230,146 @@ def test_sample_ppm_stream_frames_real(spark):
     )
     L = len(f1)
     assert out == [(0, 0, 0, 2, 2), (2, 2 * L, 80, 2, 2), (4, 4 * L, 160, 2, 2)]
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (stdlib zlib + the five scanline filters)
+# ---------------------------------------------------------------------------
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+    return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+
+def _hand_png(w, h, color_type, raw_scanlines: bytes) -> bytes:
+    """PNG assembled by hand around a STORED-deflate zlib stream — the
+    payload bytes are written verbatim (no compressor involved), so the
+    expected reconstruction is fully hand-derivable and independent of
+    mm.encode_png: a shared writer/reader bug cannot cancel here."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    n = len(raw_scanlines)
+    stored = (
+        b"\x78\x01"  # zlib header
+        + b"\x01"  # final, stored block
+        + struct.pack("<HH", n, n ^ 0xFFFF)
+        + raw_scanlines
+        + struct.pack(">I", zlib.adler32(raw_scanlines) & 0xFFFFFFFF)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", stored)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_hand_assembled_none_and_up_filters():
+    """2x2 RGB, row 0 filter None (raw), row 1 filter Up (deltas):
+    reconstruction is pen-and-paper checkable byte by byte."""
+    import numpy as np
+
+    row0 = bytes([0, 1, 2, 3, 4, 5, 6])          # filter 0, pixels (1,2,3),(4,5,6)
+    row1 = bytes([2, 6, 6, 6, 6, 6, 6])          # filter 2 (Up): recon = 6 + above
+    img = mm.decode_image(_hand_png(2, 2, 2, row0 + row1))
+    expect = np.array(
+        [[[1, 2, 3], [4, 5, 6]], [[7, 8, 9], [10, 11, 12]]], dtype=np.uint8
+    )
+    assert img.dtype == np.uint8 and img.shape == (2, 2, 3)
+    assert (img == expect).all()
+
+
+def test_decode_png_hand_assembled_sub_average_paeth():
+    """3x1-wide rows exercising Sub, Average, and Paeth against
+    hand-computed reconstructions (PNG spec §6 reference algorithms)."""
+    import numpy as np
+
+    # 2x3 RGB. Row 0: Sub — recon[x] = filt[x] + recon[x-3].
+    #   filt = 10,20,30, 1,1,1, 2,2,2 -> recon 10,20,30, 11,21,31, 13,23,33
+    row0 = bytes([1, 10, 20, 30, 1, 1, 1, 2, 2, 2])
+    # Row 1: Paeth — a=left, b=up, c=up-left; first pixel a=c=0 -> pred=b.
+    #   filt 1,1,1 -> 11,21,31; next: a=(11,21,31), b=(11,21,31), c=(10,20,30)
+    #   p = a+b-c = (12,22,32); pa=|p-a|=1,pb=1,pc=2 -> pred=a -> filt 1,1,1
+    #   -> 12,22,32; next: a=(12,22,32), b=(13,23,33), c=(11,21,31),
+    #   p=(14,24,34), pa=2, pb=1, pc=3 -> pred=b -> filt 1,1,1 -> 14,24,34
+    row1 = bytes([4, 1, 1, 1, 1, 1, 1, 1, 1, 1])
+    img = mm.decode_image(_hand_png(3, 2, 2, row0 + row1))
+    expect = np.array(
+        [
+            [[10, 20, 30], [11, 21, 31], [13, 23, 33]],
+            [[11, 21, 31], [12, 22, 32], [14, 24, 34]],
+        ],
+        dtype=np.uint8,
+    )
+    assert (img == expect).all()
+    # Average on its own image: recon[x] = filt[x] + (left + up) >> 1
+    #   row0 filter 3, no up row: 8,9,10, then left>>1: 8+4=12, 9+4=13,
+    #   10+5=15
+    imgA = mm.decode_image(_hand_png(2, 1, 2, bytes([3, 8, 9, 10, 8, 9, 10])))
+    assert (imgA == np.array([[[8, 9, 10], [12, 13, 15]]], dtype=np.uint8)).all()
+
+
+def test_decode_png_rgba_strips_alpha():
+    import numpy as np
+
+    # 1x2 RGBA, filter 0 rows: (1,2,3,255) / (4,5,6,7)
+    raw = bytes([0, 1, 2, 3, 255]) + bytes([0, 4, 5, 6, 7])
+    img = mm.decode_image(_hand_png(1, 2, 6, raw))
+    assert img.shape == (2, 1, 3)
+    assert (img == np.array([[[1, 2, 3]], [[4, 5, 6]]], dtype=np.uint8)).all()
+
+
+def test_png_encode_decode_roundtrip_all_filters():
+    """encode_png with every filter type in one image, decode back to
+    the exact original pixels — a REAL deflate stream on the path (the
+    hand-assembled goldens above pin the reader independently)."""
+    import numpy as np
+
+    rng = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(5, 4, 3) * 7 % 251
+    data = mm.encode_png(rng, filters=[0, 1, 2, 3, 4])
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    out = mm.decode_image(data)
+    assert (out == rng).all()
+
+
+def test_png_unsupported_profiles_raise():
+    import struct
+
+    with pytest.raises(NotImplementedError):  # 16-bit depth
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+        mm.decode_image(
+            b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+        )
+    with pytest.raises(NotImplementedError):  # palette
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+        mm.decode_image(
+            b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+        )
+    with pytest.raises(NotImplementedError):  # Adam7 interlace
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)
+        mm.decode_image(
+            b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+        )
+
+
+def test_png_roundtrip_stats_operator(spark):
+    """The driver-gate operator end to end on constructed bytes: channel
+    sums of the decoded pixels equal the sums of the source bytes."""
+    import numpy as np
+
+    payload = bytes(range(60))
+    rows = [(7, bytearray(payload))]
+    df = spark.createDataFrame(rows, "doc_id long, px binary")
+    r = mm.png_roundtrip_stats(df, "doc_id", "px", w=4, h=5).collect()[0]
+    a = np.frombuffer(payload, dtype=np.uint8).astype(int)
+    assert (r.media_id, r.width, r.height) == (7, 4, 5)
+    assert r.pix_sum == a.sum()
+    assert r.r_sum == a[0::3].sum()
+    assert r.g_sum == a[1::3].sum()
+    assert r.b_sum == a[2::3].sum()

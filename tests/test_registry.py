@@ -11,6 +11,79 @@ import re
 
 from ssp_spark.queries import _CHECK_FIRST, ORACLE, QUERIES
 
+# Round 8 group (a): new queries with no driver row yet.
+_R8_NEW = {
+    "multimodal_decode_png",  # stdlib PNG codec (zlib + 5 filters)
+}
+
+# Round 8 group (b): implementation- or oracle-changed this round; each
+# re-hash-matched vs its oracle at sf0.01 before taking a slot.
+_R8_CHANGED = {
+    "bootstrap_ci_spend",     # packed bit-slice draws + 2^20 thresholds
+    "roc_auc_embedding_norm",           # memoized scored checkpoint +
+    "calibration_bins_embeddings",      # shared rank pass across the
+    "lift_gain_deciles",                # model-eval family (lift derives
+    "isotonic_calibration_embeddings",  # desc ranks from the asc pass)
+    "dedup_jaccard_pairs",    # threshold filter pre-checkpoint
+    "containment_dedup_pairs",
+    "triangle_count_users",   # single-scan prune + broadcast wedges
+    "quality_score",          # formula re-homed in _quality_e4_raw
+    "skyline_pareto_parts",   # integral-minimize dtype guard
+    "ema_daily_user_spend",   # recurrence folds: vectorized rounding /
+    "cusum_user_activity",    # output; the sequential state updates are
+    "holt_trend_user_spend",  # op-for-op unchanged (bit-exact contract)
+    "km_user_conversion",
+}
+
+# Round 8 group (c): the 29 queries whose latest driver row was r3 —
+# the entire queue VERDICT r7 #3 demanded rotate in. After the r8 run,
+# NO registry query's evidence is older than r4.
+_R8_R3_STALE = {
+    "ann_ivf_topk", "approx_distinct_users", "array_lateral_explode",
+    "bloom_customer_names", "cms_user_counts", "dedup_minhash_lsh",
+    "dedup_simhash_pairs", "event_type_pivot_api", "lineitem_unpivot",
+    "literal_source_wordcount", "map_funcs_roundtrip",
+    "multimodal_resize", "q11_important_parts",
+    "q12_ship_priority_class", "q13_custdist", "q15_top_supplier",
+    "q18_large_orders", "q21_waiting_supplier", "q6_forecast_revenue",
+    "regexp_funcs", "right_join_order_priority_mix", "rolling_30d_spend",
+    "salted_join_event_spend", "sample_split_hash", "source_json_scan",
+    "stats_numeric", "udtf_sentence_split", "window_rank_stats",
+    "word_count",
+}
+
+# Round 8 group (d): six remaining slots advance the freshness floor —
+# the alphabetical head of the r4-latest cohort (43 queries; the rest
+# lead the r9 queue).
+_R8_R4_ROTATION = {
+    "approx_percentile_value", "attribution_last_touch",
+    "bigram_lm_score", "bloom_prefilter_join",
+    "bucketed_join_order_revenue", "cluster_balanced_sample",
+}
+
+
+def test_driver_window_is_the_round8_target_set():
+    window = list(QUERIES)[:50]
+    assert window == _CHECK_FIRST
+    assert set(window) == (
+        _R8_NEW | _R8_CHANGED | _R8_R3_STALE | _R8_R4_ROTATION
+    )
+    # ordering: the new query leads (first row the driver hashes), then
+    # this round's changed queries, then the 29-strong r3 queue, then
+    # the r4-rotation tail
+    assert window[0] == "multimodal_decode_png"
+    n_b = 1 + len(_R8_CHANGED)
+    assert set(window[1:n_b]) == _R8_CHANGED
+    n_c = n_b + len(_R8_R3_STALE)
+    assert set(window[n_b:n_c]) == _R8_R3_STALE
+    assert set(window[n_c:]) == _R8_R4_ROTATION
+
+
+# ---------------------------------------------------------------------
+# Round 7 window records (kept as the historical contract the r7 driver
+# run was hashed against; see CORRECTNESS_r07.json)
+# ---------------------------------------------------------------------
+
 # Round 7 group (a): new queries with no driver row yet.
 _R7_NEW = {
     "skyline_pareto_parts",        # distributed 2-D Pareto skyline
@@ -116,20 +189,21 @@ _R7_R3_STALE = {
 }
 
 
-def test_driver_window_is_the_round7_target_set():
-    window = list(QUERIES)[:50]
-    assert window == _CHECK_FIRST
-    assert set(window) == (
+def test_round7_window_record_matches_correctness_r07():
+    """The r7 window is history now (the r8 window above supersedes
+    it); this pins the RECORD: the four r7 groups still partition
+    exactly the 50 names CORRECTNESS_r07.json hashed, so the historical
+    evidence trail stays auditable."""
+    import json
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "CORRECTNESS_r07.json"
+    )
+    with open(path) as f:
+        checked = set(json.load(f))
+    assert checked == (
         _R7_NEW | _R6_NEVER_CHECKED | _R7_CHANGED | _R7_R3_STALE
     )
-    # the new queries lead the window (first rows the driver hashes),
-    # then the never-checked r6 trio, then this round's changed queries
-    # — psi_drift_orders (the repaired r6 mismatch) right behind them
-    assert set(window[: len(_R7_NEW)]) == _R7_NEW
-    n_front = len(_R7_NEW) + len(_R6_NEVER_CHECKED)
-    assert set(window[len(_R7_NEW): n_front]) == _R6_NEVER_CHECKED
-    assert window[n_front] == "psi_drift_orders"
-    assert window[n_front + 1] == "dedup_jaccard_pairs"
 
 
 def test_registry_is_complete_and_fully_oracled():
