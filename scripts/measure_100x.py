@@ -75,6 +75,8 @@ NAMES = [
     "streaks_user_activity",
     "isotonic_calibration_embeddings", "quantile_normalize_quality",
     "attribution_position_based",
+    # round-8 additions
+    "multimodal_decode_png",
 ]
 
 # Re-measure a subset without paying for the whole table:

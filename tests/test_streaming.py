@@ -280,9 +280,9 @@ def test_streaming_session_window(spark, tmpdir):
 @pytest.mark.skipif(
     not ss.has_transform_with_state(),
     reason="transformWithStateInPandas needs the protobuf runtime, which is "
-    "absent here and uninstallable (no-install environment; checked r6: only "
-    "typeshed stubs exist on this image) — the applyInPandasWithState twins "
-    "cover the same semantics",
+    "absent here and uninstallable (no-install environment; re-checked r8: "
+    "import google.protobuf still fails, only typeshed stubs exist on this "
+    "image) — the applyInPandasWithState twins cover the same semantics",
 )
 def test_transform_with_state_running_count(spark, tmp_path):
     """Modern-API twin of test_running_count_stream_update_emission."""
