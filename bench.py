@@ -129,6 +129,11 @@ HEADLINE = [
     # suite's embedding family. All eight stay driver-hashed (r7
     # window) and 100x-measured (SCALE.md).
     "bootstrap_ci_spend",
+    # round-8 addition: the GEMM assignment kernel twin for IVF (the
+    # sf1 suite point exposed the expr kernel's corpus x cells stage as
+    # 69.9 s of the 248 s total; the twin pins the deployment number —
+    # cf. the ann_lsh_topk / ann_lsh_topk_gemm precedent above)
+    "ann_ivf_topk_gemm",
 ]
 
 # The 22-query set rounds 1-3 benched: sum reported as r3_comparable_total

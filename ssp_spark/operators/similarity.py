@@ -478,6 +478,72 @@ def ivf_cells(
     )
 
 
+def ivf_cells_gemm(
+    df: DataFrame,
+    codebook: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+    out_col: str = "cells",
+) -> DataFrame:
+    """GEMM twin of ivf_cells — the deployment assignment kernel (the
+    ann_lsh_topk_gemm / covariance_blas precedent): each Arrow batch
+    scores against the WHOLE codebook with one numpy matmul instead of
+    |cells| codegen'd index-order folds per vector. Motivation is the
+    sf1 suite point (BASELINE.md round 8): flat assignment is
+    O(corpus x cells) on ANY engine, and with the fixture's cells
+    growing with the corpus that stage is the entire ann_ivf_topk
+    wall-clock (69.9 s at sf1); the matmul pays the same FLOP count at
+    BLAS throughput.
+
+    Same selection order as ivf_cells: top-nprobe by
+    (round(cos, 6) desc, cid asc) — the codebook is held cid-ascending
+    (ivf_codebook sorts) so a STABLE argsort's tie-break IS the cid
+    tie-break. Centroid norms reuse _py_norm's sequential op order; the
+    only divergence risk vs the exact kernel is a cosine whose true
+    value sits on a 1e-6 rounding boundary where BLAS pairwise
+    summation lands on the other side (disclosed — the lsh_topk_gemm
+    caveat; the consistency test pins kernel equality on the
+    fixtures). vnorm is deliberately NOT emitted: callers recompute it
+    with the exact JVM fold so the FINAL cosine arithmetic stays on
+    the oracle's index-order path."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    pairs = sorted(codebook)
+    cids = np.asarray([c for c, _ in pairs], dtype=np.int64)
+    C = np.asarray([v for _, v in pairs], dtype=np.float64)
+    cn = np.asarray([_py_norm(v) for _, v in pairs])
+    schema = T.StructType(
+        [
+            df.schema[id_col],
+            df.schema[vec_col],
+            T.StructField(out_col, T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            vn = np.sqrt((x * x).sum(axis=1))
+            cos = np.round((x @ C.T) / (vn[:, None] * cn[None, :]), 6)
+            idx = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    vec_col: pdf[vec_col],
+                    out_col: [cids[row].tolist() for row in idx],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(fn, schema)
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -488,6 +554,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     codebook: list[tuple[int, list[float]]] | None = None,
     cent_frame: DataFrame | None = None,
+    kernel: str = "expr",
 ) -> DataFrame:
     """Approximate top-k via an inverted-file index.
 
@@ -503,30 +570,53 @@ def ivf_topk(
     ~nprobe/n_cells of its rows past the filter), followed by
     WindowGroupLimit partial top-k whose shuffle carries only candidate
     rows. The corpus is never cross-joined and never shuffled ×cells.
+
+    ``kernel``: 'expr' (codegen'd index-order folds — the oracle-shaped
+    default) or 'gemm' (Arrow-batched numpy matmul assignment,
+    ivf_cells_gemm — the deployment switch for the corpus x cells
+    stage at scale; vnorms and final cosines stay on the exact JVM
+    fold either way).
     """
-    from ssp_spark.functions import dot
+    from ssp_spark.functions import dot, norm
 
     if codebook is None:
         # pass a precollected codebook to skip the collect job — the
         # artifact is immutable, so callers indexing the same corpus
         # repeatedly (or a model registry) should reuse it
         codebook = ivf_codebook(centroids, id_col, vec_col)
-    # ONE centroid frame shared by both ivf_cells calls (createDataFrame
-    # costs ~0.1-0.2 s of py4j round trips; the artifact is identical)
-    if cent_frame is None:
-        cent_frame = _centroid_frame(corpus.sparkSession, codebook)
-    c = ivf_cells(corpus, codebook, id_col, vec_col, nprobe=1, cent_frame=cent_frame).select(
-        F.col(id_col).alias("nid"),
-        F.col(vec_col).alias("nv"),
-        F.col("vnorm").alias("nn"),
-        F.element_at("cells", 1).alias("cell"),
-    )
-    q = ivf_cells(queries, codebook, id_col, vec_col, nprobe=nprobe, cent_frame=cent_frame).select(
-        F.col(id_col).alias("qid"),
-        F.col(vec_col).alias("qv"),
-        F.col("vnorm").alias("qn"),
-        F.explode("cells").alias("cell"),
-    )
+    if kernel == "gemm":
+        c = ivf_cells_gemm(corpus, codebook, id_col, vec_col, nprobe=1).select(
+            F.col(id_col).alias("nid"),
+            F.col(vec_col).alias("nv"),
+            norm(vec_col).alias("nn"),
+            F.element_at("cells", 1).alias("cell"),
+        )
+        q = ivf_cells_gemm(
+            queries, codebook, id_col, vec_col, nprobe=nprobe
+        ).select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("qv"),
+            norm(vec_col).alias("qn"),
+            F.explode("cells").alias("cell"),
+        )
+    else:
+        # ONE centroid frame shared by both ivf_cells calls
+        # (createDataFrame costs ~0.1-0.2 s of py4j round trips; the
+        # artifact is identical)
+        if cent_frame is None:
+            cent_frame = _centroid_frame(corpus.sparkSession, codebook)
+        c = ivf_cells(corpus, codebook, id_col, vec_col, nprobe=1, cent_frame=cent_frame).select(
+            F.col(id_col).alias("nid"),
+            F.col(vec_col).alias("nv"),
+            F.col("vnorm").alias("nn"),
+            F.element_at("cells", 1).alias("cell"),
+        )
+        q = ivf_cells(queries, codebook, id_col, vec_col, nprobe=nprobe, cent_frame=cent_frame).select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("qv"),
+            F.col("vnorm").alias("qn"),
+            F.explode("cells").alias("cell"),
+        )
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("qid") != F.col("nid"))

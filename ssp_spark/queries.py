@@ -2771,6 +2771,41 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("ann_ivf_topk_gemm", None)
+def ann_ivf_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_ivf_topk with the GEMM assignment kernel
+    (similarity.ivf_cells_gemm): identical codebook, probes, and rank
+    semantics, but the corpus x cells scoring — the ENTIRE wall clock
+    once cells grow with the corpus (sf1 measured 69.9 s on the expr
+    kernel, BASELINE.md round 8) — runs as one numpy matmul per Arrow
+    batch. vnorms and the final candidate cosines stay on the exact
+    JVM index-order fold, so the only divergence risk vs the expr twin
+    is a CELL choice whose rounded cosine sits on a 1e-6 boundary (the
+    lsh_topk_gemm caveat; none on these fixtures — consistency test
+    tests/test_curation.py::test_ivf_topk_gemm_kernel_consistency).
+    Routed through ``ivf_topk(kernel="gemm")`` — the documented
+    deployment switch — so the driver row covers the wiring."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    per_session = _IVF_CODEBOOKS.setdefault(spark, {})
+    cached = per_session.get(sf_dir)
+    if cached is None:
+        centroids = emb.filter(F.col("vec_id") % 50 == 7)
+        codebook = similarity.ivf_codebook(centroids)
+        cent_frame = similarity._centroid_frame(spark, codebook)
+        cached = per_session[sf_dir] = (codebook, cent_frame)
+    codebook, _ = cached
+    return similarity.ivf_topk(
+        queries, emb, None, k=10, nprobe=2, codebook=codebook, kernel="gemm"
+    )
+
+
+# The GEMM assignment kernel is oracle-checked against the SAME ground
+# truth as the expr fold — the oracle describes codebook/probe/rank
+# semantics, not the kernel (cf. ann_lsh_topk_gemm above).
+ORACLE["ann_ivf_topk_gemm"] = ORACLE["ann_ivf_topk"]
+
+
 @_q(
     "q7_nation_volume",
     """
@@ -11663,6 +11698,8 @@ _CHECK_FIRST = [
     #
     # (a) new in round 8, never driver-checked
     "multimodal_decode_png",       # stdlib PNG codec under the gate
+    "ann_ivf_topk_gemm",           # GEMM assignment kernel twin (the
+                                   # sf1 red's deployment fix)
     # (b) changed in round 8 (implementation and/or oracle; each
     # re-hash-matched at sf0.01 before taking a slot)
     "bootstrap_ci_spend",          # bit-slice packed draws, 2^20-domain
@@ -11714,7 +11751,7 @@ _CHECK_FIRST = [
     "window_rank_stats",
     "word_count",
     # (d) r4-rotation tail: with zero r3 rows left after this window,
-    # the oldest evidence cohort is r4 (43 queries); the remaining six
+    # the oldest evidence cohort is r4 (43 queries); the remaining
     # slots take its alphabetical head so the freshness floor starts
     # advancing — the rest of the cohort leads the r9 queue
     "approx_percentile_value",
@@ -11722,7 +11759,6 @@ _CHECK_FIRST = [
     "bigram_lm_score",
     "bloom_prefilter_join",
     "bucketed_join_order_revenue",
-    "cluster_balanced_sample",
 ]
 assert len(_CHECK_FIRST) == 50 and len(set(_CHECK_FIRST)) == 50
 _ORDERED = _CHECK_FIRST + sorted(

@@ -296,6 +296,37 @@ def test_lsh_topk_gemm_kernel_consistency(spark):
     assert jvm == gemm  # identical rank and rounded cosine everywhere
 
 
+def test_ivf_topk_gemm_kernel_consistency(spark):
+    """The IVF twin of the pinned lsh claim: the GEMM assignment kernel
+    (one matmul per Arrow batch against the codebook) must land every
+    vector in the SAME cell / probe set as the codegen'd index-order
+    fold, so the two kernels emit identical (qid, nid, rank, cos)
+    everywhere. Routed through ivf_topk(kernel="gemm") so the
+    deployment switch is the tested path."""
+    from ssp_spark.catalog import load_table
+    from ssp_spark.operators import similarity
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    cents = emb.filter(F.col("vec_id") % 50 == 7)
+    cb = similarity.ivf_codebook(cents)
+    expr = {
+        (r.qid, r.nid): (r.rank, r.cos)
+        for r in similarity.ivf_topk(
+            q, emb, None, k=10, nprobe=2, codebook=cb
+        ).collect()
+    }
+    gemm = {
+        (r.qid, r.nid): (r.rank, r.cos)
+        for r in similarity.ivf_topk(
+            q, emb, None, k=10, nprobe=2, codebook=cb, kernel="gemm"
+        ).collect()
+    }
+    assert set(expr) == set(gemm)  # identical candidate sets
+    assert expr == gemm  # identical rank and rounded cosine everywhere
+
+
 def test_lsh_buckets_project_non_dims_length_vectors(spark):
     """Round-6 latent-bug regression: zip_with NULL-pads (it does not
     stop at the shorter array), and the old fold absorbed the null —

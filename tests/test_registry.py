@@ -14,6 +14,7 @@ from ssp_spark.queries import _CHECK_FIRST, ORACLE, QUERIES
 # Round 8 group (a): new queries with no driver row yet.
 _R8_NEW = {
     "multimodal_decode_png",  # stdlib PNG codec (zlib + 5 filters)
+    "ann_ivf_topk_gemm",      # GEMM assignment kernel twin (sf1 red)
 }
 
 # Round 8 group (b): implementation- or oracle-changed this round; each
@@ -52,13 +53,13 @@ _R8_R3_STALE = {
     "word_count",
 }
 
-# Round 8 group (d): six remaining slots advance the freshness floor —
+# Round 8 group (d): the remaining slots advance the freshness floor —
 # the alphabetical head of the r4-latest cohort (43 queries; the rest
 # lead the r9 queue).
 _R8_R4_ROTATION = {
     "approx_percentile_value", "attribution_last_touch",
     "bigram_lm_score", "bloom_prefilter_join",
-    "bucketed_join_order_revenue", "cluster_balanced_sample",
+    "bucketed_join_order_revenue",
 }
 
 
@@ -71,9 +72,10 @@ def test_driver_window_is_the_round8_target_set():
     # ordering: the new query leads (first row the driver hashes), then
     # this round's changed queries, then the 29-strong r3 queue, then
     # the r4-rotation tail
-    assert window[0] == "multimodal_decode_png"
-    n_b = 1 + len(_R8_CHANGED)
-    assert set(window[1:n_b]) == _R8_CHANGED
+    n_a = len(_R8_NEW)
+    assert set(window[:n_a]) == _R8_NEW
+    n_b = n_a + len(_R8_CHANGED)
+    assert set(window[n_a:n_b]) == _R8_CHANGED
     n_c = n_b + len(_R8_R3_STALE)
     assert set(window[n_b:n_c]) == _R8_R3_STALE
     assert set(window[n_c:]) == _R8_R4_ROTATION
