@@ -12,13 +12,24 @@ is also the reference's own O2 shape — its keyed stateful fold
 the same thing with keyed Arrow batches instead of per-record channel
 hops.
 
-Scale: one hash exchange on the key (the applyInPandas groupBy), then a
-per-key in-memory fold — linear, state one scalar per key; a single
-key's history must fit a worker (the sessionization cost class; salt or
+Scale: one hash exchange on the key, then a partition-STREAM fold
+(_keyed_stream): the keyed frame is repartitioned on the key and sorted
+within partitions by (key, order), and ONE mapInPandas pass walks each
+partition's contiguous key runs, carrying a scalar-per-key state dict
+across Arrow batch boundaries. This is deliberately NOT
+groupBy().applyInPandas — that shape instantiates a pandas frame PER
+KEY, and with recurrence keys numbering in the hundreds of thousands
+the per-group overhead IS the wall clock (measured at the 100x fixture:
+~20 s of the ema/holt/cusum rows was group instantiation over ~500k
+tiny groups; the stream form folds the same rows in one pass per
+partition). Same key-must-fit-a-worker cost class either way (salt or
 window upstream if one key dominates). Determinism: EMA with a
-power-of-two rational alpha folds the IDENTICAL float64 op sequence both
-engines replay (the oracle steps the same recursion in a recursive CTE);
-CUSUM is pure integer arithmetic — exact.
+power-of-two rational alpha folds the IDENTICAL float64 op sequence
+both engines replay (the oracle steps the same recursion in a recursive
+CTE); CUSUM is pure integer arithmetic — exact. Rows with equal
+(key, order) have no defined fold order — every caller's order column
+is unique per key (daily/aggregated series), the same contract the
+previous per-group stable sort relied on.
 """
 
 from __future__ import annotations
@@ -30,6 +41,31 @@ import math
 import pyspark.sql.functions as F  # noqa: F401 (kept for API symmetry)
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame
+
+
+def _key_runs(karr):
+    """(start, end) index pairs of the contiguous key runs in a sorted
+    key array — the partition-stream fold's inner iterator."""
+    import numpy as np
+
+    n = len(karr)
+    bounds = np.flatnonzero(karr[1:] != karr[:-1]) + 1
+    starts = [0, *bounds.tolist()]
+    ends = [*bounds.tolist(), n]
+    return zip(starts, ends)
+
+
+def _stream_by_key(df: DataFrame, key: str, order: str, cols: list[str]) -> DataFrame:
+    """The partition-stream layout every recurrence folds over: hash
+    exchange on the key, partition-local sort by (key, order) so each
+    key's history is contiguous and ordered — mapInPandas then walks it
+    in one pass (see module docstring for why this beats a per-key
+    applyInPandas at high key cardinality)."""
+    return (
+        df.select(*cols)
+        .repartition(F.col(key))
+        .sortWithinPartitions(key, order)
+    )
 
 
 def keyed_ema(
@@ -61,36 +97,47 @@ def keyed_ema(
         ]
     )
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        pdf = pdf.sort_values(order)
-        k = int(pdf[key].iloc[0])
-        # Native-Python-float loop: the state update is the ONLY
-        # per-row work left. Each step's a*x, b*y, +, /den round, so a
-        # blocked/associative scan would change bits — but the numpy-
-        # scalar iteration, per-row key .iloc, tuple appends, and
-        # per-row rounding of the ORIGINAL loop were ~10x the cost of
-        # the pinned arithmetic itself; display rounding never feeds
-        # back into y, so it vectorizes at the end (_round6_arr).
-        xs = [float(x) for x in pdf[value].to_list()]
-        ys = []
-        push = ys.append
-        y = None
-        for x in xs:
-            y = x if y is None else (a * x + b * y) / alpha_den
-            push(y)
-        n = len(xs)
-        return pd.DataFrame(
-            {
-                "key": np.full(n, k, dtype="int64"),
-                "step": np.arange(1, n + 1, dtype="int32"),
-                "value": np.asarray(pdf[value].to_numpy(), dtype="int64"),
-                "ema": _round6_arr(ys),
-            }
-        )
+        # Native-Python-float loop over contiguous key runs: the state
+        # update is the ONLY per-row work. Each step's a*x, b*y, +,
+        # /den round, so a blocked/associative scan would change bits;
+        # display rounding never feeds back into y, so it vectorizes at
+        # the end (_round6_arr). State (y, step) carries across Arrow
+        # batch boundaries — sorted layout means only the boundary key
+        # ever spans two batches.
+        state: dict = {}
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            karr = pdf[key].to_numpy()
+            xs = [float(x) for x in pdf[value].to_list()]
+            ys = [0.0] * n
+            steps = np.empty(n, dtype="int32")
+            for i, j in _key_runs(karr):
+                kk = int(karr[i])
+                y, st = state.get(kk, (None, 0))
+                for t in range(i, j):
+                    x = xs[t]
+                    y = x if y is None else (a * x + b * y) / alpha_den
+                    st += 1
+                    ys[t] = y
+                    steps[t] = st
+                state[kk] = (y, st)
+            yield pd.DataFrame(
+                {
+                    "key": karr.astype("int64"),
+                    "step": steps,
+                    "value": np.asarray(pdf[value].to_numpy(), dtype="int64"),
+                    "ema": _round6_arr(ys),
+                }
+            )
 
-    return df.groupBy(key).applyInPandas(fold, schema)
+    return _stream_by_key(df, key, order, [key, order, value]).mapInPandas(
+        fold, schema
+    )
 
 
 def _round6(y: float) -> float:
@@ -150,43 +197,57 @@ def keyed_holt(
         ]
     )
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        pdf = pdf.sort_values(order)
-        k = int(pdf[key].iloc[0])
         # same fold discipline as keyed_ema: only the (l, b) updates are
-        # order-pinned; key stamp, forecast add, rounding, and frame
-        # construction all vectorize outside the loop
-        xs = [float(x) for x in pdf[value].to_list()]
-        ls, bs = [], []
-        l = b = None
-        for x in xs:
-            if l is None:
-                l, b = x, 0.0
-            else:
-                l_new = (x + (l + b)) / 2
-                b = ((l_new - l) + 3 * b) / 4
-                l = l_new
-            ls.append(l)
-            bs.append(b)
-        n = len(xs)
-        la = np.asarray(ls, dtype="float64")
-        ba = np.asarray(bs, dtype="float64")
-        return pd.DataFrame(
-            {
-                "key": np.full(n, k, dtype="int64"),
-                "step": np.arange(1, n + 1, dtype="int32"),
-                "value": np.asarray(pdf[value].to_numpy(), dtype="int64"),
-                "level": _round6_arr(la),
-                "trend": _round6_arr(ba),
-                # elementwise l+b is the same single IEEE add the scalar
-                # loop performed before rounding
-                "forecast": _round6_arr(la + ba),
-            }
-        )
+        # order-pinned; forecast add, rounding, and frame construction
+        # vectorize per batch, and (l, b, step) state carries across
+        # batch boundaries
+        state: dict = {}
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            karr = pdf[key].to_numpy()
+            xs = [float(x) for x in pdf[value].to_list()]
+            ls = [0.0] * n
+            bs = [0.0] * n
+            steps = np.empty(n, dtype="int32")
+            for i, j in _key_runs(karr):
+                kk = int(karr[i])
+                l, b, st = state.get(kk, (None, None, 0))
+                for t in range(i, j):
+                    x = xs[t]
+                    if l is None:
+                        l, b = x, 0.0
+                    else:
+                        l_new = (x + (l + b)) / 2
+                        b = ((l_new - l) + 3 * b) / 4
+                        l = l_new
+                    st += 1
+                    ls[t] = l
+                    bs[t] = b
+                    steps[t] = st
+                state[kk] = (l, b, st)
+            la = np.asarray(ls, dtype="float64")
+            ba = np.asarray(bs, dtype="float64")
+            yield pd.DataFrame(
+                {
+                    "key": karr.astype("int64"),
+                    "step": steps,
+                    "value": np.asarray(pdf[value].to_numpy(), dtype="int64"),
+                    "level": _round6_arr(la),
+                    "trend": _round6_arr(ba),
+                    # elementwise l+b is the same single IEEE add the
+                    # scalar loop performed before rounding
+                    "forecast": _round6_arr(la + ba),
+                }
+            )
 
-    return df.groupBy(key).applyInPandas(fold, schema)
+    return _stream_by_key(df, key, order, [key, order, value]).mapInPandas(
+        fold, schema
+    )
 
 
 def keyed_cusum(
@@ -214,34 +275,46 @@ def keyed_cusum(
         ]
     )
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        pdf = pdf.sort_values(order)
-        k = int(pdf[key].iloc[0])
-        xs = [int(x) for x in pdf[value].to_list()]
-        ss, alarms = [], []
-        s = 0
-        for x in xs:
-            s = s + x - drift
-            if s < 0:
-                s = 0
-            alarm = s >= threshold
-            ss.append(s)
-            alarms.append(alarm)
-            if alarm:
-                s = 0
-        n = len(xs)
-        return pd.DataFrame(
-            {
-                "key": np.full(n, k, dtype="int64"),
-                "step": np.arange(1, n + 1, dtype="int32"),
-                "s": np.asarray(ss, dtype="int64"),
-                "alarm": np.asarray(alarms, dtype=bool),
-            }
-        )
+        state: dict = {}  # key -> (s, step); pure ints, exact
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            karr = pdf[key].to_numpy()
+            xs = [int(x) for x in pdf[value].to_list()]
+            ss = [0] * n
+            alarms = [False] * n
+            steps = np.empty(n, dtype="int32")
+            for i, j in _key_runs(karr):
+                kk = int(karr[i])
+                s, st = state.get(kk, (0, 0))
+                for t in range(i, j):
+                    s = s + xs[t] - drift
+                    if s < 0:
+                        s = 0
+                    alarm = s >= threshold
+                    st += 1
+                    ss[t] = s
+                    alarms[t] = alarm
+                    steps[t] = st
+                    if alarm:
+                        s = 0
+                state[kk] = (s, st)
+            yield pd.DataFrame(
+                {
+                    "key": karr.astype("int64"),
+                    "step": steps,
+                    "s": np.asarray(ss, dtype="int64"),
+                    "alarm": np.asarray(alarms, dtype=bool),
+                }
+            )
 
-    return df.groupBy(key).applyInPandas(fold, schema)
+    return _stream_by_key(df, key, order, [key, order, value]).mapInPandas(
+        fold, schema
+    )
 
 
 def keyed_km_survival(
@@ -266,6 +339,10 @@ def keyed_km_survival(
     time)), which is time-bounded — days-in-window rows per key, not
     data-sized; the fold is trivially cheap. Building that table
     upstream is one groupBy + one window cumsum, all associative.
+    Deliberately KEPT on groupBy().applyInPandas (unlike the
+    ema/holt/cusum partition-stream folds): keys here are cohorts —
+    a handful of groups — so per-group instantiation is noise and the
+    simpler shape wins (100x exp 0.21, SCALE.md).
     """
     import pandas as pd
 
