@@ -11715,10 +11715,12 @@ _CHECK_FIRST = [
     "quality_score",               # formula re-homed in _quality_e4_raw
                                    # (expression-identical; host changed)
     "skyline_pareto_parts",        # integral-minimize dtype guard
-    "ema_daily_user_spend",        # recurrence folds: vectorized
-    "cusum_user_activity",         # rounding/output, state updates
-    "holt_trend_user_spend",       # unchanged op-for-op (bit-exact
-    "km_user_conversion",          # contract re-verified)
+    "ema_daily_user_spend",        # recurrence folds: partition-stream
+    "cusum_user_activity",         # rewrite (state updates unchanged
+    "holt_trend_user_spend",       # op-for-op; bit-exact contract
+    "km_user_conversion",          # re-verified)
+    "embedding_covariance",        # moments kernel: primitive posexplode
+    "embedding_correlation",       # cells + model-sized (i,j) decode
     # (c) the 29 queries whose latest driver row is round 3 — the whole
     # r8 queue promised at their former slots last round, alphabetical
     "ann_ivf_topk",
@@ -11757,8 +11759,6 @@ _CHECK_FIRST = [
     "approx_percentile_value",
     "attribution_last_touch",
     "bigram_lm_score",
-    "bloom_prefilter_join",
-    "bucketed_join_order_revenue",
 ]
 assert len(_CHECK_FIRST) == 50 and len(set(_CHECK_FIRST)) == 50
 _ORDERED = _CHECK_FIRST + sorted(

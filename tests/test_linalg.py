@@ -55,11 +55,15 @@ def test_projection_is_zero_shuffle_jvm_side(spark):
     assert abs(row[0] - float(np.dot(base[0], comp))) < 1e-6
 
 
-def test_covariance_moments_single_scan_single_shuffle(spark):
+def test_covariance_moments_single_scan_data_shuffle_plus_model_stage(spark):
+    """The DATA pays exactly one scan and one partial-aggregated
+    shuffle (keyed by (width, pos), primitive rows, no struct cells);
+    the second exchange feeds the MODEL-SIZED (i, j) decode/merge stage
+    — distinct widths x d(d+3)/2 rows, never data-sized."""
     _, df = _toy(spark)
     m = linalg.covariance_moments(df)
     s = plans.plan_string(m, "simple")
-    assert plans.exchange_count(m) == 1
+    assert plans.exchange_count(m) == 2
     assert s.count("Scan") == 1
     assert "partial_sum" in plans.plan_string(m)  # map-side combine
 

@@ -30,10 +30,12 @@ _R8_CHANGED = {
     "triangle_count_users",   # single-scan prune + broadcast wedges
     "quality_score",          # formula re-homed in _quality_e4_raw
     "skyline_pareto_parts",   # integral-minimize dtype guard
-    "ema_daily_user_spend",   # recurrence folds: vectorized rounding /
-    "cusum_user_activity",    # output; the sequential state updates are
-    "holt_trend_user_spend",  # op-for-op unchanged (bit-exact contract)
+    "ema_daily_user_spend",   # recurrence folds: partition-stream form
+    "cusum_user_activity",    # (state updates op-for-op unchanged;
+    "holt_trend_user_spend",  # bit-exact contract re-verified)
     "km_user_conversion",
+    "embedding_covariance",   # moments kernel: primitive posexplode
+    "embedding_correlation",  # cells + model-sized (i, j) decode stage
 }
 
 # Round 8 group (c): the 29 queries whose latest driver row was r3 —
@@ -58,8 +60,7 @@ _R8_R3_STALE = {
 # lead the r9 queue).
 _R8_R4_ROTATION = {
     "approx_percentile_value", "attribution_last_touch",
-    "bigram_lm_score", "bloom_prefilter_join",
-    "bucketed_join_order_revenue",
+    "bigram_lm_score",
 }
 
 
