@@ -36,6 +36,9 @@ _R8_CHANGED = {
     "km_user_conversion",
     "embedding_covariance",   # moments kernel: primitive posexplode
     "embedding_correlation",  # cells + model-sized (i, j) decode stage
+    "cluster_dedup_keeper",   # downstream dedup stages now consume the
+    "leakage_safe_split",     # materialized minhash pair artifact
+    "pipeline_curation_v2",   # (_minhash_pairs_artifact)
 }
 
 # Round 8 group (c): the 29 queries whose latest driver row was r3 —
@@ -55,13 +58,10 @@ _R8_R3_STALE = {
     "word_count",
 }
 
-# Round 8 group (d): the remaining slots advance the freshness floor —
-# the alphabetical head of the r4-latest cohort (43 queries; the rest
-# lead the r9 queue).
-_R8_R4_ROTATION = {
-    "approx_percentile_value", "attribution_last_touch",
-    "bigram_lm_score",
-}
+# Round 8 group (d): ended EMPTY — changed-this-round queries outrank
+# repeat confirmations and round 8's perf work kept displacing the
+# planned r4 head. The whole r4 cohort (43 queries) leads the r9 queue.
+_R8_R4_ROTATION: set = set()
 
 
 def test_driver_window_is_the_round8_target_set():
