@@ -10693,13 +10693,14 @@ def bootstrap_ci_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     u is scored against the quantized-Poisson thresholds declared on
     the 2^20 domain (_POIS1_CUM_2P20), identical in both engines by
     construction. Packing 6 draws per hash means 11 md5s per PURCHASE
-    row instead of 64 per exploded (row, b) — and the draw array is
-    built through higher-order transforms whose lambda variables bind
-    each md5/conv ONCE (a flat 64-expression projection re-evaluates
-    shared subexpressions per reference after projection collapse;
-    measured: the naive form was 64 md5s again). Measured at sf0.1:
-    1.89 s -> ~0.6 s, same statistical contract, oracle rewritten in
-    lockstep.
+    row instead of 64 per exploded (row, b). Plan shape matters as
+    much as hash count: exploding k FIRST (11 rows/purchase) keeps the
+    md5/conv/bit-slice chain in PLAIN whole-stage-codegen projections
+    (named columns between stages, codegen CSE handles the double
+    substring reference) where an in-row 64-draw array built through
+    nested higher-order transforms evaluates interpreted — measured
+    1.89 s (64 md5s, HOF) -> 1.57 s (11 md5s, HOF) -> 0.73 s (this
+    form) at sf0.1. Same statistical contract, oracle in lockstep.
 
     Plan: the purchase projection computes its 64-draw array map-side,
     posexplodes it (no join), and partial-aggregates per resample into
@@ -10715,48 +10716,60 @@ def bootstrap_ci_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    # 11 md5 strings, each evaluated exactly once (array literal), then
-    # every derived value flows through HOF lambda variables — bound
-    # once per element, so the two conv halves and three bit slices
-    # never re-run the hash
-    harr = F.array(
-        *[
-            F.md5(
-                F.concat(F.lit(f"pb:{k}:"), F.col("event_id").cast("string"))
-            )
-            for k in range(11)
-        ]
-    )
     mask = F.lit((1 << 20) - 1)
-    u_arr = F.flatten(
-        F.transform(
-            harr,
-            lambda h: F.flatten(
-                F.transform(
-                    F.array(
-                        F.conv(F.substring(h, 1, 15), 16, 10).cast("long"),
-                        F.conv(F.substring(h, 16, 15), 16, 10).cast("long"),
-                    ),
-                    lambda v: F.array(
-                        v.bitwiseAND(mask),
-                        F.shiftrightunsigned(v, 20).bitwiseAND(mask),
-                        F.shiftrightunsigned(v, 40).bitwiseAND(mask),
-                    ),
-                )
-            ),
-        )
+    ek = p.select(
+        "cents",
+        "event_id",
+        F.explode(F.sequence(F.lit(0), F.lit(10))).alias("k"),
     )
-    d = p.select(
-        "cents", F.posexplode(F.slice(u_arr, 1, 64))
-    ).toDF("cents", "b", "u")
+    hx = ek.select(
+        "cents",
+        "k",
+        F.md5(
+            F.concat(
+                F.lit("pb:"),
+                F.col("k").cast("string"),
+                F.lit(":"),
+                F.col("event_id").cast("string"),
+            )
+        ).alias("hx"),
+    )
+    v = hx.select(
+        "cents",
+        "k",
+        F.conv(F.substring("hx", 1, 15), 16, 10).cast("long").alias("v0"),
+        F.conv(F.substring("hx", 16, 15), 16, 10).cast("long").alias("v1"),
+    )
+    # array position = 3*half + j, so b = 6k + pos — the same draw
+    # numbering the oracle's (k, hh, j) unnests produce
+    draws = F.array(
+        F.col("v0").bitwiseAND(mask),
+        F.shiftrightunsigned("v0", 20).bitwiseAND(mask),
+        F.shiftrightunsigned("v0", 40).bitwiseAND(mask),
+        F.col("v1").bitwiseAND(mask),
+        F.shiftrightunsigned("v1", 20).bitwiseAND(mask),
+        F.shiftrightunsigned("v1", 40).bitwiseAND(mask),
+    )
+    d = (
+        v.select("cents", (F.col("k") * 6).alias("k6"), F.posexplode(draws))
+        .toDF("cents", "k6", "j", "u")
+        .select("cents", (F.col("k6") + F.col("j")).alias("b"), "u")
+        .filter(F.col("b") < 64)
+    )
     w_col = None
     for t in _POIS1_CUM_2P20:
         term = (F.col("u") >= t).cast("int")
         w_col = term if w_col is None else (w_col + term)
     weighted = d.select("b", w_col.cast("long").alias("w"), F.col("cents"))
+    # every resample b sees EXACTLY one row per purchase, so the
+    # unweighted point statistics (n_purchases, Σcents) fall out of the
+    # SAME 64-key aggregate — identical values on every b-row, no
+    # second events scan, no crossJoin of a separate point branch
     g = weighted.groupBy("b").agg(
         F.sum("w").cast("long").alias("n_eff"),
         F.sum(F.col("w") * F.col("cents")).cast("long").alias("total_cents"),
+        F.count("*").cast("long").alias("n_purch"),
+        F.sum("cents").cast("long").alias("tot"),
     )
     m = g.withColumn(
         "mean_v",
@@ -10774,25 +10787,20 @@ def bootstrap_ci_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ci = rk.filter(F.col("r").isin(2, 63)).agg(
         F.min(F.when(F.col("r") == 2, F.col("mean_v"))).alias("lo_v"),
         F.min(F.when(F.col("r") == 63, F.col("mean_v"))).alias("hi_v"),
+        F.min("n_purch").alias("n_purchases"),
+        F.min("tot").alias("tot"),
     )
-    pt = p.agg(
-        F.count("*").cast("long").alias("n_purchases"),
-        F.sum("cents").cast("long").alias("tot"),
-    )
-    return (
-        pt.crossJoin(F.broadcast(ci))
-        .select(
-            "n_purchases",
-            F.lit(64).cast("long").alias("n_resamples"),
-            F.round(
-                F.col("tot").cast("double")
-                / F.col("n_purchases").cast("double")
-                / 100.0,
-                6,
-            ).alias("point_mean"),
-            F.round(F.col("lo_v") / 100.0, 6).alias("ci_lo"),
-            F.round(F.col("hi_v") / 100.0, 6).alias("ci_hi"),
-        )
+    return ci.select(
+        "n_purchases",
+        F.lit(64).cast("long").alias("n_resamples"),
+        F.round(
+            F.col("tot").cast("double")
+            / F.col("n_purchases").cast("double")
+            / 100.0,
+            6,
+        ).alias("point_mean"),
+        F.round(F.col("lo_v") / 100.0, 6).alias("ci_lo"),
+        F.round(F.col("hi_v") / 100.0, 6).alias("ci_hi"),
     )
 
 

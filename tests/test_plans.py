@@ -823,9 +823,13 @@ def test_bootstrap_resample_path_is_one_map_side_explode(spark):
     resample frame, never on data rows."""
     df = QUERIES["bootstrap_ci_spend"](spark, SF_SMOKE)
     s = plans.plan_string(df)
-    # exactly ONE explode in the plan tree: both CI endpoints must ride
-    # one ranked branch (a filter per endpoint re-runs the pipeline)
-    assert s.count("Generate (") == 1 and "explode(" in s
+    # exactly TWO Generates in one linear pipeline — the 11-way hash-k
+    # explode and the 6-draw posexplode — and exactly ONE scan: the CI
+    # endpoints AND the point statistics all ride the single ranked
+    # branch (a second branch would re-scan events; seen in the plan
+    # before round 8 folded the point stats into the 64-key aggregate)
+    assert s.count("Generate (") == 2 and "explode(" in s
+    assert plans.plan_string(df, "simple").count("Scan ") == 1
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
     assert not plans.has_cartesian(df)
 
