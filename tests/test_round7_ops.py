@@ -592,3 +592,37 @@ def test_attribution_credits_sum_to_conversions(spark):
     # n_conv cross-check: conversions with at least one prior touch
     n_conv = total_bp // 10000
     assert n_conv > 0
+
+
+def test_session_memo_artifacts_key_on_sf_dir(spark):
+    """The per-session artifact caches (scored embeddings + rank pass,
+    minhash pair table) key on abspath(sf_dir): the same session
+    serving two fixtures must NOT hand one fixture's checkpoint to the
+    other — a mis-keyed memo would poison every downstream consumer
+    silently (results would still LOOK plausible)."""
+    from ssp_spark.queries import (
+        _minhash_pairs_artifact,
+        _ranked_scored_embeddings,
+        _scored_embeddings,
+    )
+    from tests.conftest import SF_SMOKE
+
+    # sf0.001 and sf0.01 share an embeddings row count (500); sf0.1
+    # (2000 rows) is the fixture pair that makes cross-poisoning visible
+    SF_BIG = "/root/testdata/sf0.1"
+    small = _scored_embeddings(spark, SF_SMOKE)
+    big = _scored_embeddings(spark, SF_BIG)
+    assert small is not big
+    assert small.count() < big.count()
+    rs = _ranked_scored_embeddings(spark, SF_SMOKE)
+    rb = _ranked_scored_embeddings(spark, SF_BIG)
+    assert rs is not rb
+    assert rs.count() == small.count() and rb.count() == big.count()
+    # positions are a permutation 0..n-1 of THEIR OWN fixture
+    assert rs.agg({"position": "max"}).collect()[0][0] == small.count() - 1
+    ps = _minhash_pairs_artifact(spark, SF_SMOKE)
+    pb = _minhash_pairs_artifact(spark, SF_BIG)
+    assert ps is not pb
+    # memo hit: same object back on a second call
+    assert _minhash_pairs_artifact(spark, SF_SMOKE) is ps
+    assert _scored_embeddings(spark, SF_SMOKE) is small
