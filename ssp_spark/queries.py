@@ -8919,7 +8919,11 @@ def time_split_embargo_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("ts").alias("t"), "user_id"
     )
     b = layout.exact_range_boundaries(e, "t", 10)
-    b80, b90 = b[7], b[8]
+    # empty source -> zero split points (any n >= 1 yields all 9, see
+    # the k-keyed probes in exact_range_boundaries); the census below
+    # is the empty frame regardless, so stamp placeholders instead of
+    # indexing into nothing (caught by the empty-input sweep, round 8)
+    b80, b90 = (b[7], b[8]) if len(b) >= 9 else (0, 0)
     emb = 86400
     split = (
         F.when(F.col("t") <= b80, "train")

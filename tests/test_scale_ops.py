@@ -219,6 +219,9 @@ def test_queries_survive_empty_inputs(spark, tmp_path):
         "pagerank_customer_supplier",
         "sink_partitioned_scan",
         "token_budget_selection",
+        # round-8 sweep catch: zero split points on an empty source
+        # indexed b[7]/b[8]
+        "time_split_embargo_events",
     ):
         out = QUERIES[name](spark, d)
         assert out.count() == 0, name
