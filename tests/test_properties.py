@@ -678,3 +678,31 @@ def test_isotonic_minimax_identity_equals_sequential_pav(cells):
             bi += 1
     for a, b in zip(minimax, pav):
         assert abs(a - b) < 1e-9
+
+
+@given(st.integers(min_value=1, max_value=200))
+@settings(max_examples=60, deadline=None)
+def test_covariance_triangular_inverse_is_exact(d):
+    """The moment kernel's pos -> (i, j) decode (linalg.covariance_moments)
+    replayed in pure Python with the SAME float64 op sequence the SQL
+    expressions execute: for EVERY cell position of a width-d vector the
+    closed form must land exactly on the enumerated (i, j) — including
+    the run-start positions where the sqrt discriminant is a perfect
+    square and a 1-ulp wobble would flip the floor. d ranges past any
+    realistic embedding width's shard of the formula's domain."""
+    import math
+
+    # enumeration: first moments then row-major upper triangle
+    expect = [(p, -1) for p in range(d)]
+    for i in range(d):
+        for j in range(i, d):
+            expect.append((i, j))
+    for pos, (ei, ej) in enumerate(expect):
+        if pos < d:
+            i, j = pos, -1
+        else:
+            k = pos - d
+            i = int(math.floor((2 * d + 1 - math.sqrt(float((2 * d + 1) * (2 * d + 1) - 8 * k))) / 2))
+            off = i * d - (i * (i - 1)) // 2
+            j = i + (k - off)
+        assert (i, j) == (ei, ej), (d, pos)
