@@ -61,7 +61,6 @@ HEADLINE = [
     "doc_fingerprint",
     "q6_forecast_revenue",
     "q18_large_orders",
-    "ann_ivf_topk",
     "stats_numeric_exact",
     # round-4 additions: the lsh_buckets sign-matrix rewrite needs a bench
     # row to show the win; the production-width simhash is a new operator
@@ -73,11 +72,11 @@ HEADLINE = [
     "cluster_dedup_keeper",
     "bigram_lm_score",
     # latest round-4 additions: the new operator families that carry real
-    # compute (fuzzy blocking+verify, iterative CC composition, the d²
-    # moment explode, the histogram-window sharding)
+    # compute (fuzzy blocking+verify, iterative CC composition, the
+    # histogram-window sharding; the d² moment explode moved to
+    # EXPR_TWINS below in round 9)
     "fuzzy_name_pairs",
     "entity_resolution_parts",
-    "embedding_covariance",
     "range_shard_manifest",
     "interval_overlap_orders",
     "funnel_conversion",
@@ -136,9 +135,50 @@ HEADLINE = [
     "ann_ivf_topk_gemm",
 ]
 
+# Round 9 (VERDICT r8 #1): the two deliberate "expression twin" rows —
+# ANSI-replayable oracle-shaped forms whose SHIPPED kernels
+# (embedding_covariance_blas, ann_ivf_topk_gemm) are in HEADLINE and win
+# outright — move to this secondary comparison section, exactly like the
+# md5/xxhash production-hash profile: measured every run under the same
+# best-of-2 + steal-retry protocol, DuckDB-paired, reported as
+# ``expr_twin_profile`` / ``expr_twin_duckdb``, but NOT summed into the
+# headline ratio. Both keep their driver correctness rows (they share
+# their kernels' oracles) — only the bench placement changes, and
+# BASELINE.md round 9 records the disposition.
+EXPR_TWINS = [
+    "embedding_covariance",
+    "ann_ivf_topk",
+]
+
 # The 22-query set rounds 1-3 benched: sum reported as r3_comparable_total
-# so round-over-round deltas aren't confounded by suite growth.
-_R3_SET = HEADLINE[:22]
+# so round-over-round deltas aren't confounded by suite growth. Explicit
+# list (not HEADLINE[:22]) since round 9: ann_ivf_topk moved to
+# EXPR_TWINS but stays in this comparability sum, drawn from that
+# section's timings under the identical protocol.
+_R3_SET = [
+    "word_count",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "sliding_window_counts",
+    "session_windows",
+    "running_user_spend",
+    "user_activity_pivot",
+    "top_customers_per_nation",
+    "asof_join_purchase_signup",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "ann_topk_bruteforce",
+    "lang_id",
+    "quality_score",
+    "doc_fingerprint",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "ann_ivf_topk",
+    "stats_numeric_exact",
+]
 
 
 def cpu_jiffies() -> tuple[int, int]:
@@ -236,6 +276,29 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
+    # Secondary section: the oracle-shaped expression twins, identical
+    # protocol (cold + two interleaved sweeps + steal-gated retries) but
+    # reported separately from the headline ratio (see EXPR_TWINS note).
+    twin: dict[str, float] = {}
+    twin_steal: dict[str, float] = {}
+    for name in EXPR_TWINS:  # cold pass, not eligible for the min
+        run_once(spark, name, sf_dir)
+    for _sweep in range(2):
+        for name in EXPR_TWINS:
+            t, st = run_once(spark, name, sf_dir)
+            t = round(t, 3)
+            if name not in twin or t < twin[name]:
+                twin[name], twin_steal[name] = t, st
+    for name in EXPR_TWINS:
+        for _attempt in range(2):
+            if twin_steal[name] <= retry_above:
+                break
+            t, st = run_once(spark, name, sf_dir)
+            t = round(t, 3)
+            if t < twin[name]:
+                twin[name], twin_steal[name] = t, st
+    all_timings = {**timings, **twin}
+
     # Production hash profile: the md5-based portable_hash64 exists ONLY so
     # DuckDB oracles can replay hashes bit-for-bit; a deployment would use
     # the xxhash64 profile (SSP_PORTABLE_HASH=off — same 60-bit domain, no
@@ -285,10 +348,10 @@ def main() -> None:
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
             )
         dt_all, ds_all = cpu_jiffies()
-        for name in HEADLINE:  # cold pass (not eligible for the min)
+        for name in HEADLINE + EXPR_TWINS:  # cold pass (not eligible)
             con.execute(ORACLE[name]).fetchall()
         for _sweep in range(2):
-            for name in HEADLINE:
+            for name in HEADLINE + EXPR_TWINS:
                 t0 = time.perf_counter()
                 con.execute(ORACLE[name]).fetchall()
                 t = round(time.perf_counter() - t0, 3)
@@ -310,12 +373,17 @@ def main() -> None:
                 "sf": sf,
                 "cold_total_sec": round(sum(cold.values()), 3),
                 "r3_comparable_total": round(
-                    sum(timings[n] for n in _R3_SET), 3
+                    sum(all_timings[n] for n in _R3_SET), 3
                 ),
                 "production_hash_profile": prod,
+                "expr_twin_profile": twin,
+                "expr_twin_duckdb": {n: duck[n] for n in EXPR_TWINS if n in duck}
+                or None,
                 "host_steal_pct": steal_pct,
                 "query_steal_pct": best_steal,
-                "duckdb_total_sec": round(sum(duck.values()), 3) if duck else None,
+                "duckdb_total_sec": round(sum(duck[n] for n in HEADLINE if n in duck), 3)
+                if duck
+                else None,
                 "duckdb_queries": duck or None,
                 "duckdb_steal_pct": duck_steal,
             }
@@ -337,9 +405,11 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf,
-            "r3_comparable_total": round(sum(timings[n] for n in _R3_SET), 3),
+            "r3_comparable_total": round(sum(all_timings[n] for n in _R3_SET), 3),
             "cold_total_sec": round(sum(cold.values()), 3),
-            "duckdb_total_sec": round(sum(duck.values()), 3) if duck else None,
+            "duckdb_total_sec": round(sum(duck[n] for n in HEADLINE if n in duck), 3)
+            if duck
+            else None,
             "host_steal_pct": steal_pct,
             "duckdb_steal_pct": duck_steal,
             "n_dirty": n_dirty,
@@ -354,9 +424,15 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(HEADLINE),
-                "r3_comparable_total": round(sum(timings[n] for n in _R3_SET), 3),
+                "r3_comparable_total": round(
+                    sum(all_timings[n] for n in _R3_SET), 3
+                ),
                 "cold_total_sec": round(sum(cold.values()), 3),
-                "duckdb_total_sec": round(sum(duck.values()), 3) if duck else None,
+                "duckdb_total_sec": round(
+                    sum(duck[n] for n in HEADLINE if n in duck), 3
+                )
+                if duck
+                else None,
                 "host_steal_pct": steal_pct,
                 "duckdb_steal_pct": duck_steal,
                 "n_dirty": n_dirty,

@@ -499,12 +499,15 @@ def ivf_cells_gemm(
     Same selection order as ivf_cells: top-nprobe by
     (round(cos, 6) desc, cid asc) — the codebook is held cid-ascending
     (ivf_codebook sorts) so a STABLE argsort's tie-break IS the cid
-    tie-break. Centroid norms reuse _py_norm's sequential op order; the
-    only divergence risk vs the exact kernel is a cosine whose true
-    value sits on a 1e-6 rounding boundary where BLAS pairwise
-    summation lands on the other side (disclosed — the lsh_topk_gemm
-    caveat; the consistency test pins kernel equality on the
-    fixtures). vnorm is deliberately NOT emitted: callers recompute it
+    tie-break. Rounding replicates the expr kernel's HALF_UP convention
+    (Spark F.round / DuckDB round are both half-away-from-zero;
+    np.round is half-even, so an exact .5e-6 tie would have picked a
+    different cell): sign(x) * floor(|x|*1e6 + 0.5) / 1e6. Centroid
+    norms reuse _py_norm's sequential op order; the remaining
+    divergence risk vs the exact kernel is a cosine whose true value
+    sits on a 1e-6 rounding boundary where BLAS pairwise summation
+    lands on the other side (disclosed — the lsh_topk_gemm caveat; the
+    consistency test pins kernel equality on the fixtures). vnorm is deliberately NOT emitted: callers recompute it
     with the exact JVM fold so the FINAL cosine arithmetic stays on
     the oracle's index-order path."""
     import numpy as np
@@ -531,7 +534,9 @@ def ivf_cells_gemm(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
             vn = np.sqrt((x * x).sum(axis=1))
-            cos = np.round((x @ C.T) / (vn[:, None] * cn[None, :]), 6)
+            raw = (x @ C.T) / (vn[:, None] * cn[None, :])
+            # HALF_UP at 6 decimals, matching Spark/DuckDB round()
+            cos = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
             idx = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
             yield pd.DataFrame(
                 {

@@ -4645,10 +4645,12 @@ def multimodal_resize_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     built in-engine), decode_image parses it, and resize_media's
     real-pixel branch nearest-neighbor-samples it to 2x2 RGB (rows/cols
     0 and 2 -> pixel bases 0,2,8,10, 3 bytes each). The oracle rebuilds
-    the same 12-byte selection with ascii(substr()) arithmetic — pure
-    ASCII fixture text makes chars == bytes. Proves the numpy PPM
-    decoder, not just the byte-sampling fallback, against an exact
-    oracle."""
+    the same 12-byte selection with ascii(substr()) arithmetic — valid
+    only when chars == bytes, so BOTH sides enforce the ASCII guard
+    structurally (Spark: the 48-char payload must encode to 48 UTF-8
+    bytes; oracle: strlen = 48) instead of trusting the fixture to stay
+    pure ASCII (r8 ADVICE). Proves the numpy PPM decoder, not just the
+    byte-sampling fallback, against an exact oracle."""
     from ssp_spark.operators import multimodal as mm
 
     docs = (
@@ -4656,10 +4658,12 @@ def multimodal_resize_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("text") >= 48)
         .select(
             "doc_id",
-            F.concat(
-                F.lit(b"P6\n4 4\n255\n"),
-                F.encode(F.substring("text", 1, 48), "utf-8"),
-            ).alias("data"),
+            F.encode(F.substring("text", 1, 48), "utf-8").alias("__px"),
+        )
+        .filter(F.octet_length("__px") == 48)
+        .select(
+            "doc_id",
+            F.concat(F.lit(b"P6\n4 4\n255\n"), F.col("__px")).alias("data"),
         )
     )
     out = mm.resize_media(docs, "doc_id", "data", out_w=2, out_h=2)
@@ -4672,6 +4676,7 @@ def multimodal_resize_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH img AS (
       SELECT doc_id, substr(text, 1, 60) AS px
       FROM documents WHERE length(text) >= 60
+        AND strlen(substr(text, 1, 60)) = 60
     ),
     b AS (
       SELECT doc_id, i, ascii(substr(px, i, 1)) AS v
@@ -4705,7 +4710,15 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one documents scan -> mapInPandas (Arrow-batched, row-local
     encode/decode, no shuffle) -> driver-hashable 7-column frame; at
     100 TB this is the classic decode-map: pure per-row CPU that
-    scales with executors, zero exchanges."""
+    scales with executors, zero exchanges.
+
+    ASCII guard (r8 ADVICE): the cross-engine hash needs the payload's
+    CHARS to equal its BYTES, and the fixture being pure ASCII made
+    that true only by accident of the data. Both sides now enforce it
+    structurally — Spark keeps rows whose first-60-chars UTF-8
+    encoding is exactly 60 bytes, the oracle keeps strlen(px) = 60 —
+    so a future non-ASCII document drops identically from both frames
+    instead of silently diverging the hash."""
     from ssp_spark.operators import multimodal as mm
 
     docs = (
@@ -4715,6 +4728,7 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.encode(F.substring("text", 1, 60), "utf-8").alias("px"),
         )
+        .filter(F.octet_length("px") == 60)
     )
     return mm.png_roundtrip_stats(docs, "doc_id", "px", w=4, h=5)
 
@@ -7098,6 +7112,13 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bounded to 30 * 2048²/2 ≈ 63M pairs instead of 3.4e9 (OOM).
 _TRIANGLE_DAY_CAP = 2048
 
+# Broadcast gate for the triangle joins (r8 ADVICE): surviving edge sets
+# at or under this count broadcast (16-byte packed rows -> the oriented
+# edge list stays ~100 MB, comfortably inside executor/driver broadcast
+# budgets at 1000-executor scale); larger graphs AUTOMATICALLY fall back
+# to the pre-round-8 keyed-shuffle plan instead of OOMing the hint.
+_TRIANGLE_BROADCAST_EDGES = 4_000_000
+
 
 def _capped_user_days(
     ev: DataFrame, cap: int = _TRIANGLE_DAY_CAP, min_days: int = 0
@@ -7264,12 +7285,24 @@ def triangle_count_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the localCheckpoint, so this is model-sized next to the pair
     # stream that produced it (sf0.1: 526 rows; unhinted, Spark has no
     # stats for the post-checkpoint aggregate and planned both lookups
-    # as full sort-merge joins, ~0.6 s of the query). On a corpus whose
-    # surviving edge set outgrows a broadcast, drop the hints and these
-    # fall back to the keyed shuffles they were before.
+    # as full sort-merge joins, ~0.6 s of the query).
+    #
+    # Broadcast GATE (r8 ADVICE: the hints were unconditional, so a
+    # corpus whose surviving edge set outgrew a broadcast would OOM
+    # rather than degrade): the edge list is already materialized by
+    # the checkpoint, so counting it is a free metadata-ish job, and
+    # the count drives the hint — under the cap (~16-byte packed rows,
+    # cap chosen to keep every broadcast table well under a few hundred
+    # MB per executor) the plan is the pipelined broadcast one; over it
+    # every hint drops AUTOMATICALLY and the joins fall back to the
+    # keyed shuffles they were before the round-8 optimization. The
+    # count is reused as the n_edges output literal, so the gate costs
+    # nothing the query didn't already pay.
+    edge_cnt = edges.count()
+    hint = F.broadcast if edge_cnt <= _TRIANGLE_BROADCAST_EDGES else (lambda df: df)
     ek = (
-        edges.join(F.broadcast(deg.select(F.col("u").alias("u1"), F.col("d").alias("d1"))), "u1")
-        .join(F.broadcast(deg.select(F.col("u").alias("u2"), F.col("d").alias("d2"))), "u2")
+        edges.join(hint(deg.select(F.col("u").alias("u1"), F.col("d").alias("d1"))), "u1")
+        .join(hint(deg.select(F.col("u").alias("u2"), F.col("d").alias("d2"))), "u2")
         .select(
             F.when(k("d1", "u1") < k("d2", "u2"), F.col("u1")).otherwise(F.col("u2")).alias("src"),
             F.when(k("d1", "u1") < k("d2", "u2"), k("d2", "u2")).otherwise(k("d1", "u1")).alias("kdst"),
@@ -7288,12 +7321,12 @@ def triangle_count_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dropping the hints restores the keyed-shuffle plan.
     w1 = ek.select("src", F.col("dst").alias("b"), F.col("kdst").alias("kb"))
     w2 = ek.select("src", F.col("dst").alias("c"), F.col("kdst").alias("kc"))
-    wedges = w1.join(F.broadcast(w2), "src").filter(F.col("kb") < F.col("kc"))
+    wedges = w1.join(hint(w2), "src").filter(F.col("kb") < F.col("kc"))
     closing = ek.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    tri = wedges.join(F.broadcast(closing), ["b", "c"]).agg(
+    tri = wedges.join(hint(closing), ["b", "c"]).agg(
         F.count("*").cast("long").alias("n_triangles")
     )
-    n_edges = edges.agg(F.count("*").cast("long").alias("n_edges"))
+    n_edges = spark.range(1).select(F.lit(edge_cnt).cast("long").alias("n_edges"))
     return n_edges.crossJoin(tri)  # two 1-row frames
 
 
@@ -8381,6 +8414,7 @@ def event_trigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH img AS (
       SELECT doc_id, substr(text, 1, 48) AS px
       FROM documents WHERE length(text) >= 48
+        AND strlen(substr(text, 1, 48)) = 48
     ),
     g AS (
       SELECT doc_id, p.p AS p,
@@ -8417,7 +8451,9 @@ def image_ahash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ONE Arrow-batched decode projection + one groupBy on a 64-bit
     key — the cheapest possible image-dedup pass, with Hamming-banded
     joins (the simhash machinery) as the documented near-miss upgrade.
-    The oracle rebuilds every bit with ascii(substr()) arithmetic."""
+    The oracle rebuilds every bit with ascii(substr()) arithmetic —
+    chars == bytes enforced structurally on both sides (the r8-ADVICE
+    ASCII guard: Spark keeps 48-byte encodings, the oracle strlen=48)."""
     from ssp_spark.operators import multimodal as mm
 
     docs = (
@@ -8425,10 +8461,12 @@ def image_ahash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("text") >= 48)
         .select(
             "doc_id",
-            F.concat(
-                F.lit(b"P6\n4 4\n255\n"),
-                F.encode(F.substring("text", 1, 48), "utf-8"),
-            ).alias("data"),
+            F.encode(F.substring("text", 1, 48), "utf-8").alias("__px"),
+        )
+        .filter(F.octet_length("__px") == 48)
+        .select(
+            "doc_id",
+            F.concat(F.lit(b"P6\n4 4\n255\n"), F.col("__px")).alias("data"),
         )
     )
     h = mm.ahash_images(docs, "doc_id", "data")
@@ -10794,6 +10832,13 @@ def bootstrap_ci_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_purch").alias("n_purchases"),
         F.min("tot").alias("tot"),
     )
+    # empty-input alignment (r8 ADVICE): a global agg over zero rows
+    # yields one all-null row, while the oracle's comma-join with the
+    # empty r=2/r=63 endpoint subqueries yields ZERO rows — filter the
+    # null row so both engines agree on the empty-purchases shape (with
+    # any purchase at all, 64 resample rows exist and n_purchases is
+    # never null, so this touches only the empty case)
+    ci = ci.filter(F.col("n_purchases").isNotNull())
     return ci.select(
         "n_purchases",
         F.lit(64).cast("long").alias("n_resamples"),

@@ -93,6 +93,44 @@ def test_global_order_positions_duplicate_order_values(spark):
     assert got == want
 
 
+def test_global_order_positions_precomputed_boundaries(spark):
+    """The ``boundaries`` reuse path (r8 ADVICE: it had no caller):
+    positions must be EXACT for any caller-supplied split points —
+    including deliberately skewed ones and boundaries computed on a
+    DIFFERENT same-distribution frame — because boundary quality only
+    moves shard balance, never rank correctness. Also pins that the
+    sketch is actually skipped: approxQuantile on a frame that would
+    fail fast (we pass boundaries, so no stat pass should run)."""
+    import pyspark.sql.functions as F
+
+    from ssp_spark.operators import layout
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.xxhash64(F.col("id").cast("string")).alias("h"),
+    )
+    want = {
+        r["doc_id"]: i for i, r in enumerate(df.orderBy("h", "doc_id").collect())
+    }
+    # (a) skewed hand-picked boundaries: all mass in the last shard
+    skewed = [-(2**62), -(2**61), 0]
+    out = layout.global_order_positions(
+        df, "h", "doc_id", boundaries=skewed
+    )
+    assert {r["doc_id"]: r["position"] for r in out.collect()} == want
+    # (b) boundaries amortized from a sibling frame (the documented
+    # use: one sketch across several same-distribution rankings)
+    sibling = spark.range(500, 1000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("h")
+    )
+    probs = [k / 8 for k in range(1, 8)]
+    sib_bounds = sibling.stat.approxQuantile("h", probs, 0.001)
+    out2 = layout.global_order_positions(
+        df, "h", "doc_id", boundaries=sib_bounds
+    )
+    assert {r["doc_id"]: r["position"] for r in out2.collect()} == want
+
+
 def test_compaction_plan_offset_binning_invariants(spark):
     """Exclusive-prefix-sum binning: bins are contiguous in id order,
     and a non-final bin only closes once the byte stream has crossed its

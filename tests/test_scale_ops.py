@@ -222,6 +222,10 @@ def test_queries_survive_empty_inputs(spark, tmp_path):
         # round-8 sweep catch: zero split points on an empty source
         # indexed b[7]/b[8]
         "time_split_embargo_events",
+        # round-9 (r8 ADVICE): global agg over empty purchases returned
+        # one all-null row vs the oracle's zero (its endpoint comma-join
+        # is empty); now filtered to the oracle's shape
+        "bootstrap_ci_spend",
     ):
         out = QUERIES[name](spark, d)
         assert out.count() == 0, name
