@@ -64,12 +64,13 @@ def decode_image(data: bytes):
     """(h, w, 3) uint8 numpy array — a real decoder, stdlib + numpy, no
     codec library: binary PPM (P6); 24-bit uncompressed BMP (BI_RGB,
     bottom-up or top-down, 4-byte row padding, BGR->RGB); and 8-bit
-    RGB/RGBA PNG (zlib inflate + the five scanline filters — see
-    _decode_png; RGBA alpha is stripped). jpeg/webp and the exotic PNG
-    profiles still raise NotImplementedError — a real deployment swaps
-    in PIL/OpenCV for those branches and every downstream operator
-    (resize_media, extract_features) is unchanged because they only
-    see the (h, w, 3) array."""
+    RGB/RGBA/palette PNG (zlib inflate + the five scanline filters +
+    the PLTE indexed lookup — see _decode_png; RGBA alpha is
+    stripped). jpeg/webp and the exotic PNG profiles (16-bit,
+    sub-8-bit palette, Adam7) still raise NotImplementedError — a real
+    deployment swaps in PIL/OpenCV for those branches and every
+    downstream operator (resize_media, extract_features) is unchanged
+    because they only see the (h, w, 3) array."""
     import numpy as np
 
     if data[:2] == b"P6":
@@ -110,15 +111,18 @@ def decode_image(data: bytes):
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(data)
     raise NotImplementedError(
-        "only PPM(P6)/BMP(24-bit)/PNG(8-bit RGB/RGBA) decodable here"
+        "only PPM(P6)/BMP(24-bit)/PNG(8-bit RGB/RGBA/palette) decodable here"
     )
 
 
 def _decode_png(data: bytes):
     """Pure-stdlib PNG decode (zlib inflate + the five scanline filters,
-    PNG spec RFC 2083 §6): 8-bit truecolor (color type 2) and
+    PNG spec RFC 2083 §6): 8-bit truecolor (color type 2),
     truecolor+alpha (type 6, alpha stripped so every downstream operator
-    keeps its (h, w, 3) contract), non-interlaced. Palette / 16-bit /
+    keeps its (h, w, 3) contract), and 8-bit indexed palette (type 3 —
+    one-byte pixels unfiltered exactly like the others with bpp=1, then
+    a PLTE row lookup; tRNS alpha is ignored by the same strip-alpha
+    convention as type 6), non-interlaced. 16-bit / sub-8-bit palette /
     Adam7 raise NotImplementedError — same disclosure contract as the
     other codec boundaries in this module. Sub is a per-lane cumulative
     sum (vectorized); Average/Paeth are inherently left-to-right
@@ -133,6 +137,7 @@ def _decode_png(data: bytes):
 
     pos = 8
     w = h = color_type = None
+    plte = None
     idat = bytearray()
     while pos + 8 <= len(data):
         (ln,) = struct.unpack(">I", data[pos : pos + 4])
@@ -142,12 +147,16 @@ def _decode_png(data: bytes):
             w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if depth != 8 or color_type not in (2, 6):
+            if depth != 8 or color_type not in (2, 3, 6):
                 raise NotImplementedError(
                     f"PNG depth={depth} color_type={color_type} not supported"
                 )
             if interlace != 0:
                 raise NotImplementedError("Adam7-interlaced PNG not supported")
+        elif ctype == b"PLTE":
+            if ln % 3 != 0 or ln == 0:
+                raise ValueError("PNG PLTE length not a positive multiple of 3")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -155,7 +164,9 @@ def _decode_png(data: bytes):
         pos += 12 + ln  # length + type + body + crc32
     if w is None:
         raise ValueError("PNG missing IHDR")
-    ch = 3 if color_type == 2 else 4
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    ch = {2: 3, 3: 1, 6: 4}[color_type]
     stride = w * ch
     raw = zlib.decompress(bytes(idat))
     if len(raw) != h * (stride + 1):
@@ -191,6 +202,10 @@ def _decode_png(data: bytes):
             raise NotImplementedError(f"PNG filter type {ft}")
         out[r] = cur.astype(np.uint8)
         prev = cur
+    if color_type == 3:
+        if int(out.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        return np.ascontiguousarray(plte[out.reshape(h, w)])
     img = out.reshape(h, w, ch)
     return np.ascontiguousarray(img[:, :, :3])
 
@@ -260,6 +275,76 @@ def encode_png(img, filters=None) -> bytes:
     )
 
 
+def encode_png_palette(indices, palette, filters=None) -> bytes:
+    """REAL indexed-PNG writer (color type 3, depth 8): ``indices`` is
+    the (h, w) uint8 index plane, ``palette`` the (N, 3) RGB rows
+    emitted as the PLTE chunk. Scanline filtering is the same inverse
+    of _decode_png's reconstruction as encode_png's, with bpp = 1 (the
+    left/upper-left predictors step one byte, per RFC 2083 §6.2 —
+    palette pixels filter on the INDEX bytes, not the looked-up
+    colors), so writer and reader exercise the filter math on the
+    1-byte-pixel geometry the truecolor goldens cannot reach. Used by
+    the driver-gated palette query to source real deflate streams; the
+    decode goldens stay hand-assembled so shared bugs cannot cancel."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(indices, dtype=np.uint8)
+    h, w = a.shape
+    p = np.asarray(palette, dtype=np.uint8)
+    if p.ndim != 2 or p.shape[1] != 3 or not 1 <= p.shape[0] <= 256:
+        raise ValueError("palette must be (N<=256, 3) uint8")
+    if int(a.max(initial=0)) >= p.shape[0]:
+        raise ValueError("palette index out of range")
+    flat = a.astype(np.int64)
+    filters = list(filters) if filters is not None else [0] * h
+    raw = bytearray()
+    prev = np.zeros(w, dtype=np.int64)
+    for r in range(h):
+        cur = flat[r]
+        ft = filters[r]
+        if ft == 0:
+            line = cur
+        elif ft == 1:
+            left = np.concatenate([np.zeros(1, dtype=np.int64), cur[:-1]])
+            line = (cur - left) & 0xFF
+        elif ft == 2:
+            line = (cur - prev) & 0xFF
+        elif ft == 3:
+            left = np.concatenate([np.zeros(1, dtype=np.int64), cur[:-1]])
+            line = (cur - ((left + prev) >> 1)) & 0xFF
+        elif ft == 4:
+            line = np.empty(w, dtype=np.int64)
+            for x in range(w):
+                aa = int(cur[x - 1]) if x >= 1 else 0
+                bb = int(prev[x])
+                cc = int(prev[x - 1]) if x >= 1 else 0
+                pp = aa + bb - cc
+                pa, pb, pc = abs(pp - aa), abs(pp - bb), abs(pp - cc)
+                pr = aa if (pa <= pb and pa <= pc) else (bb if pb <= pc else cc)
+                line[x] = (cur[x] - pr) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ft}")
+        raw.append(ft)
+        raw += bytes(int(v) for v in line)
+        prev = cur
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", p.tobytes())
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def png_roundtrip_stats(
     df: DataFrame,
     id_col: str,
@@ -301,6 +386,77 @@ def png_roundtrip_stats(
                     bytes(data)[:need], dtype=np.uint8
                 ).reshape(h, w, 3)
                 dec = decode_image(encode_png(px, filters=flts))
+                sums = dec.astype(np.int64).sum(axis=(0, 1))
+                rows.append(
+                    (
+                        int(mid),
+                        int(dec.shape[1]),
+                        int(dec.shape[0]),
+                        int(sums.sum()),
+                        int(sums[0]),
+                        int(sums[1]),
+                        int(sums[2]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "pix_sum",
+                    "r_sum",
+                    "g_sum",
+                    "b_sum",
+                ],
+            )
+
+    return df.mapInPandas(fn, schema)
+
+
+def png_palette_roundtrip_stats(
+    df: DataFrame,
+    id_col: str,
+    bytes_col: str,
+    w: int,
+    h: int,
+    palette,
+    filters=None,
+) -> DataFrame:
+    """Palette twin of png_roundtrip_stats: each row's first w*h bytes
+    are palette INDICES, written as a genuine color-type-3 PNG (real
+    deflated IDAT + PLTE; per-scanline filters default to cycling
+    0..4, so all five reconstruction paths run on the 1-byte-pixel
+    geometry), decoded back through the PLTE lookup, and reduced to
+    exact channel sums of the LOOKED-UP RGB pixels — replayable by an
+    oracle that applies the palette arithmetic to the source bytes
+    directly. Arrow-batched, one row in -> one row out, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    flts = list(filters) if filters is not None else [r % 5 for r in range(h)]
+    pal = np.asarray(palette, dtype=np.uint8)
+    need = w * h
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("pix_sum", T.LongType()),
+            T.StructField("r_sum", T.LongType()),
+            T.StructField("g_sum", T.LongType()),
+            T.StructField("b_sum", T.LongType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                idx = np.frombuffer(
+                    bytes(data)[:need], dtype=np.uint8
+                ).reshape(h, w)
+                dec = decode_image(encode_png_palette(idx, pal, filters=flts))
                 sums = dec.astype(np.int64).sum(axis=(0, 1))
                 rows.append(
                     (

@@ -4734,6 +4734,65 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_decode_png_palette",
+    """
+    WITH img AS (
+      SELECT doc_id, substr(text, 1, 20) AS px
+      FROM documents WHERE length(text) >= 20
+        AND strlen(substr(text, 1, 20)) = 20
+    ),
+    b AS (
+      SELECT doc_id, ascii(substr(px, i, 1)) AS v
+      FROM img, (SELECT unnest(generate_series(1, 20)) AS i) u
+    )
+    SELECT doc_id AS media_id, 4 AS width, 5 AS height,
+           CAST(sum(v + (2 * v) % 256 + (7 * v) % 256) AS BIGINT) AS pix_sum,
+           CAST(sum(v) AS BIGINT) AS r_sum,
+           CAST(sum((2 * v) % 256) AS BIGINT) AS g_sum,
+           CAST(sum((7 * v) % 256) AS BIGINT) AS b_sum
+    FROM b GROUP BY doc_id
+    """,
+)
+def multimodal_decode_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The indexed-PNG (color type 3) decode path under the driver
+    gate — the round-9 slice of the codec (VERDICT r8 #4): each
+    document's first 20 bytes become the INDEX PLANE of a genuine 4x5
+    8-bit palette PNG (real deflated IDAT + PLTE, scanline filters
+    cycling None/Sub/Up/Average/Paeth so all five reconstruction paths
+    run with bpp=1 — the one-byte-pixel filter geometry truecolor
+    images never exercise), decoded back through the PLTE lookup, and
+    reduced to exact per-channel sums of the looked-up RGB pixels.
+    The palette is ARITHMETIC — entry i = (i, 2i mod 256, 7i mod 256)
+    over the 128-entry ASCII domain — so the oracle replays the sums
+    directly from the source bytes: r_sum = Σv, g_sum = Σ(2v mod 256),
+    b_sum = Σ(7v mod 256). A single wrong reconstructed index anywhere
+    in the inflate/unfilter/lookup pipeline breaks the hash
+    (test_multimodal pins the decoder against hand-assembled
+    stored-deflate goldens independently, so writer and reader bugs
+    cannot cancel). Chars == bytes enforced structurally on both sides
+    (the ASCII-guard contract of the sibling decode queries).
+
+    Plan: one documents scan -> mapInPandas (Arrow-batched, row-local
+    encode/decode, no shuffle) -> driver-hashable 7-column frame; the
+    same 100 TB decode-map shape as multimodal_decode_png."""
+    from ssp_spark.operators import multimodal as mm
+
+    palette = [(i, (2 * i) % 256, (7 * i) % 256) for i in range(128)]
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.length("text") >= 20)
+        .select(
+            "doc_id",
+            F.encode(F.substring("text", 1, 20), "utf-8").alias("px"),
+        )
+        .filter(F.octet_length("px") == 20)
+    )
+    return mm.png_palette_roundtrip_stats(
+        docs, "doc_id", "px", w=4, h=5, palette=palette
+    )
+
+
+@_q(
     "array_lateral_explode",
     """
     WITH base AS (
@@ -11777,78 +11836,74 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     together with the 46 r4-latest queries; after this round ZERO
 #     registry queries are never-driver-checked.
 _CHECK_FIRST = [
-    # ---- ROUND 8 WINDOW ----------------------------------------------
-    # After the r7 run every registry query had driver evidence; this
-    # round's contract (VERDICT r7 #3): the 29 queries whose latest row
-    # is r3 ALL rotate in, plus everything new/changed in r8, plus an
-    # r4-rotation tail filling the remaining slots. Composition:
-    # 1 new + 14 changed + 29 r3-stale + 6 r4-rotation = 50.
+    # ---- ROUND 9 WINDOW ----------------------------------------------
+    # Contract (VERDICT r8 #2): after the r8 run the oldest evidence
+    # cohort is r4 (41 queries) — ALL of them rotate in, plus
+    # everything new/changed in r9, plus an r5-rotation tail filling
+    # the remaining slots. Composition: 1 new + 6 changed + 41
+    # r4-stale + 2 r5-rotation = 50. After this window ZERO registry
+    # queries have evidence older than r5; the remaining 44-query r5
+    # cohort leads the r10 queue.
     #
-    # (a) new in round 8, never driver-checked
-    "multimodal_decode_png",       # stdlib PNG codec under the gate
-    "ann_ivf_topk_gemm",           # GEMM assignment kernel twin (the
-                                   # sf1 red's deployment fix)
-    # (b) changed in round 8 (implementation and/or oracle; each
+    # (a) new in round 9, never driver-checked
+    "multimodal_decode_png_palette",  # indexed (PLTE) PNG decode path
+    # (b) changed in round 9 (implementation and/or oracle; each
     # re-hash-matched at sf0.01 before taking a slot)
-    "bootstrap_ci_spend",          # bit-slice packed draws, 2^20-domain
-                                   # thresholds — BOTH sides rewritten
-    "roc_auc_embedding_norm",           # model-eval family: memoized
-    "calibration_bins_embeddings",      # scored checkpoint + shared
-    "lift_gain_deciles",                # rank pass (lift now derives
-    "isotonic_calibration_embeddings",  # desc ranks from the asc pass)
-    "dedup_jaccard_pairs",         # threshold filter moved pre-checkpoint
-    "containment_dedup_pairs",     # (same candidate-core change)
-    "triangle_count_users",        # single-scan prune + broadcast
-                                   # degree/wedge joins (2.3 -> 1.4 s)
-    "quality_score",               # formula re-homed in _quality_e4_raw
-                                   # (expression-identical; host changed)
-    "skyline_pareto_parts",        # integral-minimize dtype guard
-    "ema_daily_user_spend",        # recurrence folds: partition-stream
-    "cusum_user_activity",         # rewrite (state updates unchanged
-    "holt_trend_user_spend",       # op-for-op; bit-exact contract
-    "km_user_conversion",          # re-verified)
-    "embedding_covariance",        # moments kernel: primitive posexplode
-    "embedding_correlation",       # cells + model-sized (i,j) decode
-    "cluster_dedup_keeper",        # downstream dedup stages now consume
-    "leakage_safe_split",          # the materialized minhash pair
-    "pipeline_curation_v2",        # artifact (_minhash_pairs_artifact)
-    # (c) the 29 queries whose latest driver row is round 3 — the whole
-    # r8 queue promised at their former slots last round, alphabetical
-    "ann_ivf_topk",
-    "approx_distinct_users",
-    "array_lateral_explode",
-    "bloom_customer_names",
-    "cms_user_counts",
-    "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
-    "event_type_pivot_api",
-    "lineitem_unpivot",
-    "literal_source_wordcount",
-    "map_funcs_roundtrip",
-    "multimodal_resize",
-    "q11_important_parts",
-    "q12_ship_priority_class",
-    "q13_custdist",
-    "q15_top_supplier",
-    "q18_large_orders",
-    "q21_waiting_supplier",
-    "q6_forecast_revenue",
-    "regexp_funcs",
-    "right_join_order_priority_mix",
-    "rolling_30d_spend",
-    "salted_join_event_spend",
-    "sample_split_hash",
-    "source_json_scan",
-    "stats_numeric",
-    "udtf_sentence_split",
-    "window_rank_stats",
-    "word_count",
-    # (d) r4-rotation tail: changed-this-round queries outrank repeat
-    # confirmations, and round 8's perf work kept displacing this tail
-    # — it ends empty. With zero r3 rows left after this window, the
-    # oldest evidence cohort is r4 (43 queries); the WHOLE cohort leads
-    # the r9 queue.
+    "multimodal_decode_png",       # structural ASCII guard, both sides
+    "multimodal_resize_decoded",   # (same guard)
+    "image_ahash_buckets",         # (same guard)
+    "ann_ivf_topk_gemm",           # HALF_UP rounding in the gemm kernel
+    "triangle_count_users",        # broadcast hints gated on edge count
+    "bootstrap_ci_spend",          # empty-input shape aligned to oracle
+    # (c) the 41 queries whose latest driver row is round 4 — the whole
+    # r9 queue promised at their former slots last round, alphabetical
+    "approx_percentile_value",
+    "attribution_last_touch",
+    "bigram_lm_score",
+    "bloom_prefilter_join",
+    "bucketed_join_order_revenue",
+    "cluster_balanced_sample",
+    "contamination_check",
+    "contrastive_pairs_mining",
+    "daily_spine_fill",
+    "dedup_embedding_lsh",
+    "dedup_incremental_batch",
+    "dedup_ngram_corpus",
+    "dedup_simhash64_pairs",
+    "doc_chunk_overlap",
+    "domain_mixture_weights",
+    "dq_audit_orders",
+    "embedding_quantize_int8",
+    "event_cooccurrence",
+    "funnel_conversion",
+    "groupwise_regression",
+    "incremental_agg_maintenance",
+    "interval_overlap_orders",
+    "kmeans_embeddings",
+    "mixture_resample",
+    "null_safe_join_props",
+    "pagerank_customer_supplier",
+    "profile_table",
+    "quality_repetition_filter",
+    "range_shard_manifest",
+    "scd1_customer_merge",
+    "sequence_packing",
+    "session_windows",
+    "sink_partitioned_scan",
+    "skew_key_stats",
+    "snapshot_diff_customers",
+    "source_orc_scan",
+    "source_schema_evolution",
+    "tfidf_top_terms",
+    "value_histogram",
+    "vocab_coverage",
+    "zorder_cells",
+    # (d) r5-rotation tail (alphabetical head of the 46-query r5
+    # cohort; the other 44 lead the r10 queue)
+    "anti_join_inactive_customers",
+    "array_funcs_embeddings",
 ]
+
 assert len(_CHECK_FIRST) == 50 and len(set(_CHECK_FIRST)) == 50
 _ORDERED = _CHECK_FIRST + sorted(
     (n for n in QUERIES if n not in set(_CHECK_FIRST)),

@@ -245,11 +245,12 @@ def _png_chunk(ctype: bytes, body: bytes) -> bytes:
     return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
 
 
-def _hand_png(w, h, color_type, raw_scanlines: bytes) -> bytes:
+def _hand_png(w, h, color_type, raw_scanlines: bytes, palette: bytes = b"") -> bytes:
     """PNG assembled by hand around a STORED-deflate zlib stream — the
     payload bytes are written verbatim (no compressor involved), so the
     expected reconstruction is fully hand-derivable and independent of
-    mm.encode_png: a shared writer/reader bug cannot cancel here."""
+    mm.encode_png: a shared writer/reader bug cannot cancel here.
+    ``palette``: raw PLTE body (3 bytes per entry) for color type 3."""
     import struct
     import zlib
 
@@ -262,9 +263,11 @@ def _hand_png(w, h, color_type, raw_scanlines: bytes) -> bytes:
         + raw_scanlines
         + struct.pack(">I", zlib.adler32(raw_scanlines) & 0xFFFFFFFF)
     )
+    plte = _png_chunk(b"PLTE", palette) if palette else b""
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
+        + plte
         + _png_chunk(b"IDAT", stored)
         + _png_chunk(b"IEND", b"")
     )
@@ -338,6 +341,65 @@ def test_png_encode_decode_roundtrip_all_filters():
     assert (out == rng).all()
 
 
+def test_decode_png_palette_hand_assembled():
+    """2x2 indexed PNG (color type 3), hand-assembled: row 0 filter
+    None, row 1 Sub with bpp=1 (the left predictor steps ONE byte on
+    index planes — the geometry the truecolor goldens cannot reach).
+    Row 1 recon: 2, then 2+255=1 (mod 256) — the wrap is deliberate."""
+    import numpy as np
+
+    palette = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 1, 2, 3])
+    row0 = bytes([0, 0, 3])        # filter 0: indices 0, 3
+    row1 = bytes([1, 2, 255])      # filter 1 (Sub, bpp=1): 2, (2+255)&255=1
+    img = mm.decode_image(_hand_png(2, 2, 3, row0 + row1, palette=palette))
+    expect = np.array(
+        [[[10, 20, 30], [1, 2, 3]], [[70, 80, 90], [40, 50, 60]]],
+        dtype=np.uint8,
+    )
+    assert img.dtype == np.uint8 and img.shape == (2, 2, 3)
+    assert (img == expect).all()
+
+
+def test_decode_png_palette_error_modes():
+    import numpy as np
+
+    # index beyond the palette -> ValueError, not a silent wrap
+    with pytest.raises(ValueError):
+        mm.decode_image(
+            _hand_png(1, 1, 3, bytes([0, 5]), palette=bytes([1, 2, 3]))
+        )
+    # color type 3 without a PLTE chunk -> ValueError
+    with pytest.raises(ValueError):
+        mm.decode_image(_hand_png(1, 1, 3, bytes([0, 0])))
+    # encoder-side guards
+    with pytest.raises(ValueError):
+        mm.encode_png_palette(
+            np.array([[2]], dtype=np.uint8), np.zeros((2, 3), dtype=np.uint8)
+        )
+
+
+def test_png_palette_encode_decode_roundtrip_all_filters():
+    """encode_png_palette with every filter type in one image, decoded
+    back through the PLTE lookup to the exact looked-up colors — a REAL
+    deflate stream on the path (the hand goldens pin the reader
+    independently)."""
+    import numpy as np
+
+    idx = (np.arange(4 * 5, dtype=np.uint8).reshape(5, 4) * 11) % 17
+    pal = np.stack(
+        [
+            np.arange(17, dtype=np.uint8),
+            (np.arange(17) * 2 % 256).astype(np.uint8),
+            (np.arange(17) * 7 % 256).astype(np.uint8),
+        ],
+        axis=1,
+    )
+    data = mm.encode_png_palette(idx, pal, filters=[0, 1, 2, 3, 4])
+    assert data[:8] == b"\x89PNG\r\n\x1a\n" and b"PLTE" in data
+    out = mm.decode_image(data)
+    assert (out == pal[idx]).all()
+
+
 def test_png_unsupported_profiles_raise():
     import struct
 
@@ -346,8 +408,8 @@ def test_png_unsupported_profiles_raise():
         mm.decode_image(
             b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
         )
-    with pytest.raises(NotImplementedError):  # palette
-        ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    with pytest.raises(NotImplementedError):  # sub-8-bit palette
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 4, 3, 0, 0, 0)
         mm.decode_image(
             b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
         )

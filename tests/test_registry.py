@@ -11,6 +11,78 @@ import re
 
 from ssp_spark.queries import _CHECK_FIRST, ORACLE, QUERIES
 
+# Round 9 group (a): new queries with no driver row yet.
+_R9_NEW = {
+    "multimodal_decode_png_palette",  # indexed (PLTE) PNG decode path
+}
+
+# Round 9 group (b): implementation- or oracle-changed this round; each
+# re-hash-matched vs its oracle at sf0.01 before taking a slot.
+_R9_CHANGED = {
+    "multimodal_decode_png",      # structural ASCII guard, both sides
+    "multimodal_resize_decoded",  # (same guard)
+    "image_ahash_buckets",        # (same guard)
+    "ann_ivf_topk_gemm",          # HALF_UP rounding in the gemm kernel
+    "triangle_count_users",       # broadcast hints gated on edge count
+    "bootstrap_ci_spend",         # empty-input shape aligned to oracle
+}
+
+# Round 9 group (c): the 41 queries whose latest driver row is r4 —
+# the whole queue VERDICT r8 #2 demanded rotate in. After the r9 run,
+# NO registry query's evidence is older than r5.
+_R9_R4_STALE = {
+    "approx_percentile_value", "attribution_last_touch",
+    "bigram_lm_score", "bloom_prefilter_join",
+    "bucketed_join_order_revenue", "cluster_balanced_sample",
+    "contamination_check", "contrastive_pairs_mining",
+    "daily_spine_fill", "dedup_embedding_lsh",
+    "dedup_incremental_batch", "dedup_ngram_corpus",
+    "dedup_simhash64_pairs", "doc_chunk_overlap",
+    "domain_mixture_weights", "dq_audit_orders",
+    "embedding_quantize_int8", "event_cooccurrence",
+    "funnel_conversion", "groupwise_regression",
+    "incremental_agg_maintenance", "interval_overlap_orders",
+    "kmeans_embeddings", "mixture_resample", "null_safe_join_props",
+    "pagerank_customer_supplier", "profile_table",
+    "quality_repetition_filter", "range_shard_manifest",
+    "scd1_customer_merge", "sequence_packing", "session_windows",
+    "sink_partitioned_scan", "skew_key_stats",
+    "snapshot_diff_customers", "source_orc_scan",
+    "source_schema_evolution", "tfidf_top_terms", "value_histogram",
+    "vocab_coverage", "zorder_cells",
+}
+
+# Round 9 group (d): r5-rotation tail — the alphabetical head of the
+# 46-query r5 cohort; the other 44 lead the r10 queue.
+_R9_R5_ROTATION = {
+    "anti_join_inactive_customers",
+    "array_funcs_embeddings",
+}
+
+
+def test_driver_window_is_the_round9_target_set():
+    window = list(QUERIES)[:50]
+    assert window == _CHECK_FIRST
+    assert set(window) == (
+        _R9_NEW | _R9_CHANGED | _R9_R4_STALE | _R9_R5_ROTATION
+    )
+    # ordering: the new query leads (first row the driver hashes), then
+    # this round's changed queries, then the 41-strong r4 queue, then
+    # the r5-rotation tail
+    n_a = len(_R9_NEW)
+    assert set(window[:n_a]) == _R9_NEW
+    n_b = n_a + len(_R9_CHANGED)
+    assert set(window[n_a:n_b]) == _R9_CHANGED
+    n_c = n_b + len(_R9_R4_STALE)
+    assert set(window[n_b:n_c]) == _R9_R4_STALE
+    assert set(window[n_c:]) == _R9_R5_ROTATION
+
+
+# ---------------------------------------------------------------------
+# Round 8 window records (kept as the historical contract the r8 driver
+# run was hashed against; see CORRECTNESS_r08.json)
+# ---------------------------------------------------------------------
+
 # Round 8 group (a): new queries with no driver row yet.
 _R8_NEW = {
     "multimodal_decode_png",  # stdlib PNG codec (zlib + 5 filters)
@@ -62,24 +134,6 @@ _R8_R3_STALE = {
 # repeat confirmations and round 8's perf work kept displacing the
 # planned r4 head. The whole r4 cohort (43 queries) leads the r9 queue.
 _R8_R4_ROTATION: set = set()
-
-
-def test_driver_window_is_the_round8_target_set():
-    window = list(QUERIES)[:50]
-    assert window == _CHECK_FIRST
-    assert set(window) == (
-        _R8_NEW | _R8_CHANGED | _R8_R3_STALE | _R8_R4_ROTATION
-    )
-    # ordering: the new query leads (first row the driver hashes), then
-    # this round's changed queries, then the 29-strong r3 queue, then
-    # the r4-rotation tail
-    n_a = len(_R8_NEW)
-    assert set(window[:n_a]) == _R8_NEW
-    n_b = n_a + len(_R8_CHANGED)
-    assert set(window[n_a:n_b]) == _R8_CHANGED
-    n_c = n_b + len(_R8_R3_STALE)
-    assert set(window[n_b:n_c]) == _R8_R3_STALE
-    assert set(window[n_c:]) == _R8_R4_ROTATION
 
 
 # ---------------------------------------------------------------------
