@@ -535,8 +535,8 @@ def bpe_train(
     return merges
 
 
-def _bpe_word_expr(word: Column, merges: list[tuple[str, str]]) -> Column:
-    """array<string> BPE tokens of one word via chained LITERAL replaces.
+def _bpe_word_sym(word: Column, merges: list[tuple[str, str]]) -> Column:
+    """The merged symbol string of one word via chained LITERAL replaces.
 
     Encoding invariant: symbols joined by TWO spaces, single space at
     both ends. Applying merge (a, b) is then the literal replacement
@@ -550,7 +550,12 @@ def _bpe_word_expr(word: Column, merges: list[tuple[str, str]]) -> Column:
     s = F.concat(F.lit(" "), F.rtrim(F.regexp_replace(word, "(.)", "$1  ")), F.lit(" "))
     for a, b in merges:
         s = F.replace(s, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
-    return F.split(F.trim(s), "  ")
+    return s
+
+
+def _bpe_word_expr(word: Column, merges: list[tuple[str, str]]) -> Column:
+    """array<string> BPE tokens of one word (see _bpe_word_sym)."""
+    return F.split(F.trim(_bpe_word_sym(word, merges)), "  ")
 
 
 def bpe_encode(
@@ -570,6 +575,51 @@ def bpe_encode(
     words = F.expr(f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)")
     toks = F.flatten(F.transform(words, lambda w: _bpe_word_expr(w, merges)))
     return df.withColumn(out_col, toks)
+
+
+def bpe_token_stream(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "token",
+) -> DataFrame:
+    """One-column BPE token STREAM of the corpus — the aggregate-bound
+    form (token counting, vocab building), and the fast path next to
+    bpe_encode's per-row arrays.
+
+    Why a second form exists (round-9 fix for the r8 bench regression):
+    bpe_encode's flatten(transform(words, ...)) puts the 12-replace
+    chain inside a higher-order-function lambda, which Catalyst
+    evaluates INTERPRETED — and the explode that followed it in
+    bpe_token_stats got an optimizer-inferred `size(...) > 0 AND
+    isnotnull(...)` pre-filter that re-evaluated the ENTIRE chain twice
+    more per row (three interpreted corpus passes in the plan's Filter/
+    Project pair). Here the words explode FIRST, so the replace chain is
+    a plain per-word-row projection inside whole-stage codegen, and both
+    generates are explode_OUTER — semantically identical on this
+    pipeline (regexp_extract_all never emits '' and every non-null word
+    yields >= 1 token, null words are filtered by a cheap column-ref
+    predicate) — which is what keeps InferFiltersFromGenerate from
+    duplicating the expression. Measured at sf0.1: 1.73 -> 0.36 s (and the single task became 32).
+
+    The round-robin rebalance before the first explode is the same
+    guard as bigram_lm / minhash_signatures: fixture-style single-split
+    parquet would otherwise pin the whole encode to ONE task; at real
+    scale the input's own splits already provide parallelism and the
+    exchange moves only the text column."""
+    spread = df.select(F.col(text_col)).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    words = spread.select(
+        F.explode_outer(
+            F.expr(f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)")
+        ).alias("__w")
+    ).filter(F.col("__w").isNotNull())
+    return words.select(
+        F.explode_outer(
+            F.split(F.trim(_bpe_word_sym(F.col("__w"), merges)), "  ")
+        ).alias(out_col)
+    )
 
 
 def char_entropy(

@@ -1694,16 +1694,17 @@ def _bpe_oracle_sql(merges: list[tuple[str, str]]) -> str:
 def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-30 BPE tokens of the corpus under a FIXED 12-merge table (the
     deployed-tokenizer-artifact pattern: learning via text.bpe_train is
-    model-sized driver work; the encode pass here is ONE whole-stage-
-    codegen projection — per word, a chain of 12 LITERAL replaces over
-    the double-space symbol encoding, identical semantics in Spark and
-    DuckDB `replace`, zero UDFs, zero shuffles before the count. See
-    operators/text.py:_bpe_word_expr for why literal replace IS the BPE
-    greedy merge pass."""
+    model-sized driver work; the encode pass is per word a chain of 12
+    LITERAL replaces over the double-space symbol encoding, identical
+    semantics in Spark and DuckDB `replace`, zero UDFs — see
+    operators/text.py:_bpe_word_sym for why literal replace IS the BPE
+    greedy merge pass, and text.bpe_token_stream for the explode-first
+    plan shape that keeps the chain in whole-stage codegen (the r8
+    bench regression was the HOF form evaluating interpreted, three
+    times, on one task)."""
     docs = load_table(spark, "documents", sf_dir)
-    enc = text.bpe_encode(docs, _BPE_MERGES)
     return (
-        enc.select(F.explode("bpe_tokens").alias("token"))
+        text.bpe_token_stream(docs, _BPE_MERGES)
         .groupBy("token")
         .agg(F.count("*").cast("long").alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("token"))
@@ -11840,8 +11841,8 @@ _CHECK_FIRST = [
     # Contract (VERDICT r8 #2): after the r8 run the oldest evidence
     # cohort is r4 (41 queries) — ALL of them rotate in, plus
     # everything new/changed in r9, plus an r5-rotation tail filling
-    # the remaining slots. Composition: 1 new + 6 changed + 41
-    # r4-stale + 2 r5-rotation = 50. After this window ZERO registry
+    # the remaining slots. Composition: 1 new + 7 changed + 41
+    # r4-stale + 1 r5-rotation = 50. After this window ZERO registry
     # queries have evidence older than r5; the remaining 44-query r5
     # cohort leads the r10 queue.
     #
@@ -11855,6 +11856,8 @@ _CHECK_FIRST = [
     "ann_ivf_topk_gemm",           # HALF_UP rounding in the gemm kernel
     "triangle_count_users",        # broadcast hints gated on edge count
     "bootstrap_ci_spend",          # empty-input shape aligned to oracle
+    "bpe_token_stats",             # explode-first codegen encode (the
+                                   # r8 bench-regression fix)
     # (c) the 41 queries whose latest driver row is round 4 — the whole
     # r9 queue promised at their former slots last round, alphabetical
     "approx_percentile_value",
@@ -11899,9 +11902,8 @@ _CHECK_FIRST = [
     "vocab_coverage",
     "zorder_cells",
     # (d) r5-rotation tail (alphabetical head of the 46-query r5
-    # cohort; the other 44 lead the r10 queue)
+    # cohort; the other 45 lead the r10 queue)
     "anti_join_inactive_customers",
-    "array_funcs_embeddings",
 ]
 
 assert len(_CHECK_FIRST) == 50 and len(set(_CHECK_FIRST)) == 50

@@ -800,6 +800,33 @@ def test_bpe_encode_odd_run_is_greedy(spark):
     assert r.bpe_tokens == ["aa", "a"]
 
 
+def test_bpe_token_stream_matches_encode(spark):
+    """The explode-first stream form (the r8-regression fix) must emit
+    exactly the multiset bpe_encode's per-row arrays flatten to —
+    including the edge rows: empty text contributes nothing, words
+    split on punctuation, greedy odd-run merging."""
+    import pyspark.sql.functions as F
+
+    from ssp_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "aaaa b aaa"), (2, ""), (3, "a-b c!d the THE")],
+        "doc_id long, text string",
+    )
+    merges = [("a", "a"), ("aa", "aa"), ("t", "h"), ("th", "e")]
+    via_encode = sorted(
+        t
+        for r in T.bpe_encode(df, merges).collect()
+        for t in r.bpe_tokens
+    )
+    via_stream = sorted(
+        r.token for r in T.bpe_token_stream(df, merges).collect()
+    )
+    assert via_stream == via_encode and "the" in via_stream
+    # and no null/empty tokens ever reach the stream
+    assert all(t for t in via_stream)
+
+
 def test_kcore_prune_peeling_cascade(spark):
     """The case degree-filtering gets wrong and peeling gets right: a
     chain a-b-c-d-e under k=2. Round 1 drops the endpoints (deg 1);

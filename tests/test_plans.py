@@ -620,6 +620,21 @@ def test_bpe_encode_zero_shuffle_before_count(spark):
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
 
 
+def test_bpe_token_stats_codegen_encode(spark):
+    """The r9 stream form: the 12-replace chain must be a plain
+    whole-stage-codegen projection — the merge chain appears exactly
+    ONCE in the formatted plan (the HOF form carried THREE copies: the
+    inferred size/isnotnull filter re-evaluated the whole chain twice),
+    no interpreted lambdafunction wrapper, no Python eval, and exactly
+    two exchanges (the pre-explode rebalance + the token count)."""
+    df = QUERIES["bpe_token_stats"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert "lambdafunction" not in s
+    assert s.count(" e  r ") == 1  # first merge literal: one copy only
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    assert plans.exchange_count(df) <= 2
+
+
 def test_dedup_span_pairs_no_cartesian(spark):
     """Substring dedup must stay an inverted-index equi-join — any
     cartesian/nested-loop product means the boilerplate cap failed to

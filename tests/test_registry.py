@@ -25,6 +25,7 @@ _R9_CHANGED = {
     "ann_ivf_topk_gemm",          # HALF_UP rounding in the gemm kernel
     "triangle_count_users",       # broadcast hints gated on edge count
     "bootstrap_ci_spend",         # empty-input shape aligned to oracle
+    "bpe_token_stats",            # explode-first codegen encode path
 }
 
 # Round 9 group (c): the 41 queries whose latest driver row is r4 —
@@ -53,10 +54,9 @@ _R9_R4_STALE = {
 }
 
 # Round 9 group (d): r5-rotation tail — the alphabetical head of the
-# 46-query r5 cohort; the other 44 lead the r10 queue.
+# 46-query r5 cohort; the other 45 lead the r10 queue.
 _R9_R5_ROTATION = {
     "anti_join_inactive_customers",
-    "array_funcs_embeddings",
 }
 
 
