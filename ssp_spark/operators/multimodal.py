@@ -5,10 +5,13 @@ struct; decode/feature steps are Arrow-batched pandas functions over
 mapInPandas so bytes stream through executors without driver collection.
 ``decode_image`` is a REAL decoder, stdlib + numpy only, for the
 formats a pure implementation can carry: binary PPM P6; 24-bit BI_RGB
-BMP (bottom-up rows, 4-byte padding); and 8-bit RGB/RGBA PNG (zlib
-inflate + all five scanline filters, non-interlaced) — resize_media
-resizes actual pixels for those. Codecs a pure implementation cannot
-reasonably carry (jpeg/webp; palette/16-bit/Adam7 PNG) raise
+BMP (bottom-up rows, 4-byte padding); 8-bit RGB/RGBA/palette PNG (zlib
+inflate + all five scanline filters + PLTE lookup, non-interlaced);
+and baseline sequential JPEG (SOF0: Huffman entropy decode, dequant,
+float64 iDCT, level shift — grayscale and 4:4:4 YCbCr) — resize_media
+resizes actual pixels for those. Codec profiles a pure implementation
+cannot reasonably carry (webp; progressive/arithmetic/subsampled
+JPEG; 16-bit / sub-8-bit-palette / Adam7 PNG) raise
 NotImplementedError and byte-level deterministic fallbacks keep the
 plumbing testable; a deployment swaps PIL/OpenCV into decode_image
 only.
@@ -66,8 +69,10 @@ def decode_image(data: bytes):
     bottom-up or top-down, 4-byte row padding, BGR->RGB); and 8-bit
     RGB/RGBA/palette PNG (zlib inflate + the five scanline filters +
     the PLTE indexed lookup — see _decode_png; RGBA alpha is
-    stripped). jpeg/webp and the exotic PNG profiles (16-bit,
-    sub-8-bit palette, Adam7) still raise NotImplementedError — a real
+    stripped), and baseline JPEG (SOF0 Huffman + iDCT, grayscale /
+    4:4:4 YCbCr — see _decode_jpeg). webp, progressive/arithmetic/
+    subsampled JPEG, and the exotic PNG profiles (16-bit, sub-8-bit
+    palette, Adam7) still raise NotImplementedError — a real
     deployment swaps in PIL/OpenCV for those branches and every
     downstream operator (resize_media, extract_features) is unchanged
     because they only see the (h, w, 3) array."""
@@ -110,8 +115,11 @@ def decode_image(data: bytes):
         return img.copy()
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        return _decode_jpeg(data)
     raise NotImplementedError(
-        "only PPM(P6)/BMP(24-bit)/PNG(8-bit RGB/RGBA/palette) decodable here"
+        "only PPM(P6)/BMP(24-bit)/PNG(8-bit RGB/RGBA/palette)/"
+        "JPEG(baseline) decodable here"
     )
 
 
@@ -343,6 +351,413 @@ def encode_png_palette(indices, palette, filters=None) -> bytes:
         + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
     )
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81): stdlib + numpy decoder and a coefficient-level
+# writer. Scope (disclosed): baseline sequential DCT (SOF0), 8-bit, Huffman
+# entropy coding, grayscale or YCbCr without chroma subsampling (all
+# sampling factors 1). Progressive (SOF2), arithmetic coding, subsampled
+# chroma, and 12-bit precision raise NotImplementedError — the same
+# documented-boundary contract as the PNG profiles.
+# ---------------------------------------------------------------------------
+
+# zigzag scan order: _JPEG_ZIGZAG[k] = (row, col) of the k-th coefficient
+_JPEG_ZIGZAG = [
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
+    (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
+    (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
+    (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
+    (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+    (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
+]
+
+# Annex K.3 typical Huffman tables, (bits, values) form: bits[i] = number
+# of codes of length i+1. Luminance DC and AC — sufficient for grayscale
+# and reused for chroma here (legal: SOS picks tables per component).
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, str]:
+    """symbol -> canonical code string ('0'/'1'), per T.81 Annex C."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = format(code, f"0{ln}b")
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _idct_matrix():
+    import numpy as np
+
+    m = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1 / np.sqrt(2)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16)
+    return m
+
+
+class _BitReader:
+    """MSB-first bit reader over JPEG entropy-coded data with 0xFF00
+    byte-stuffing removal; stops at any non-stuffing marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos, self.bit = data, pos, 0
+
+    def read_bit(self) -> int:
+        d = self.data
+        if self.bit == 0 and d[self.pos] == 0xFF:
+            if d[self.pos + 1] == 0x00:
+                pass  # stuffed byte; consumed when pos advances past it
+            else:
+                raise ValueError("hit marker inside entropy data")
+        b = (d[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 2 if d[self.pos] == 0xFF and d[self.pos + 1] == 0x00 else 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def byte_align_pos(self) -> int:
+        """Marker-scan position after the current (partial) byte."""
+        p = self.pos
+        if self.bit > 0:
+            p += 2 if self.data[p] == 0xFF and self.data[p + 1] == 0x00 else 1
+        return p
+
+
+def _huff_decode(br: _BitReader, table: dict[str, int]) -> int:
+    code = ""
+    for _ in range(16):
+        code += str(br.read_bit())
+        if code in table:
+            return table[code]
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map t raw bits to the signed value."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _decode_jpeg(data: bytes):
+    """Pure stdlib+numpy baseline JPEG decoder (ITU-T T.81): marker
+    parse, DQT/DHT tables, Huffman-decoded DC diffs (EXTEND) + AC
+    run/size with EOB/ZRL, dequantize, de-zigzag, float64 separable
+    iDCT (exact for DC-only blocks — the driver-gate contract), +128
+    level shift, clamp; grayscale replicated to (h, w, 3), 3-component
+    YCbCr converted with the JFIF round-half-up integer formula.
+    Restart markers honored (DC predictors reset, bitstream realigned).
+    Progressive / arithmetic / subsampled / 12-bit raise
+    NotImplementedError by the module's documented-boundary contract."""
+    import numpy as np
+
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict[str, int]] = {}
+    frame = None
+    restart = 0
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seglen = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        body = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables")
+                tbl = np.zeros((8, 8), dtype=np.int64)
+                for k in range(64):
+                    tbl[_JPEG_ZIGZAG[k]] = body[i + 1 + k]
+                qt[tq] = tbl
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                huff[(tc, th)] = {
+                    c: s for s, c in _huff_codes(bits, vals).items()
+                }
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = body[0], int.from_bytes(body[1:3], "big"), int.from_bytes(body[3:5], "big"), body[5]
+            if prec != 8:
+                raise NotImplementedError("12-bit JPEG")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
+                if hv != 0x11:
+                    raise NotImplementedError("subsampled JPEG")
+                comps.append((cid, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("non-baseline JPEG (progressive/arithmetic/...)")
+        elif marker == 0xDD:  # DRI
+            restart = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF0")
+            h, w, comps = frame
+            ns = body[0]
+            ctabs = {}
+            for c in range(ns):
+                cs, tt = body[1 + 2 * c], body[2 + 2 * c]
+                ctabs[cs] = (tt >> 4, tt & 0xF)
+            br = _BitReader(data, pos + 2 + seglen)
+            m = _idct_matrix()
+            bx, by = (w + 7) // 8, (h + 7) // 8
+            planes = [
+                np.zeros((by * 8, bx * 8), dtype=np.int64) for _ in comps
+            ]
+            pred = [0] * len(comps)
+            nmcu = bx * by
+            for mcu in range(nmcu):
+                if restart and mcu and mcu % restart == 0:
+                    p = br.byte_align_pos()
+                    if not (data[p] == 0xFF and 0xD0 <= data[p + 1] <= 0xD7):
+                        raise ValueError("expected JPEG restart marker")
+                    br = _BitReader(data, p + 2)
+                    pred = [0] * len(comps)
+                myy, mxx = divmod(mcu, bx)
+                for ci, (cid, tq) in enumerate(comps):
+                    dc_t, ac_t = ctabs[cid]
+                    zz = np.zeros(64, dtype=np.int64)
+                    t = _huff_decode(br, huff[(0, dc_t)])
+                    diff = _extend(br.read_bits(t), t) if t else 0
+                    pred[ci] += diff
+                    zz[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(br, huff[(1, ac_t)])
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:
+                                k += 16  # ZRL
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC run past block end")
+                        zz[k] = _extend(br.read_bits(s), s)
+                        k += 1
+                    coeff = np.zeros((8, 8), dtype=np.float64)
+                    for kk in range(64):
+                        coeff[_JPEG_ZIGZAG[kk]] = zz[kk] * qt[tq][_JPEG_ZIGZAG[kk]]
+                    block = m.T @ coeff @ m
+                    px = np.clip(np.round(block + 128.0), 0, 255).astype(np.int64)
+                    planes[ci][myy * 8 : myy * 8 + 8, mxx * 8 : mxx * 8 + 8] = px
+            planes = [p[:h, :w] for p in planes]
+            if len(comps) == 1:
+                g = planes[0].astype(np.uint8)
+                return np.ascontiguousarray(np.stack([g, g, g], axis=2))
+            if len(comps) == 3:
+                y, cb, cr = (p.astype(np.float64) for p in planes)
+                r = y + 1.402 * (cr - 128.0)
+                g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+                b = y + 1.772 * (cb - 128.0)
+                rgb = np.stack([r, g, b], axis=2)
+                return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+            raise NotImplementedError(f"JPEG with {len(comps)} components")
+        # APPn/COM/other: skip
+        pos += 2 + seglen
+    raise ValueError("JPEG missing SOS scan")
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc, self.n = 0, 0
+
+    def write(self, code: str) -> None:
+        for ch in code:
+            self.acc = (self.acc << 1) | (ch == "1")
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc, self.n = 0, 0
+
+    def flush(self) -> None:
+        if self.n:
+            self.acc <<= 8 - self.n
+            self.acc |= (1 << (8 - self.n)) - 1  # 1-pad per spec
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc, self.n = 0, 0
+
+
+def encode_jpeg_gray_coeffs(coeff_blocks, qtable=None) -> bytes:
+    """Minimal REAL baseline-JPEG writer at the COEFFICIENT level:
+    ``coeff_blocks`` is an (by, bx, 8, 8) int array of QUANTIZED DCT
+    coefficients (natural order) for one grayscale component; the
+    writer emits SOI/DQT/SOF0/DHT/SOS with the Annex K.3 luminance
+    Huffman tables, differential DC categories + EXTEND bits, AC
+    run/size with EOB/ZRL, byte stuffing, EOI. Taking coefficients
+    (not pixels) keeps the writer integer-exact — no forward DCT, so
+    an oracle can predict the DECODED pixels analytically (DC-only
+    blocks decode to the constant round(dc*Q00/8) + 128) and the
+    decode goldens cannot share a float path with the writer."""
+    import numpy as np
+
+    a = np.asarray(coeff_blocks, dtype=np.int64)
+    by, bx = a.shape[0], a.shape[1]
+    h, w = by * 8, bx * 8
+    q = np.full((8, 8), 8, dtype=np.int64) if qtable is None else np.asarray(qtable, dtype=np.int64)
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    def cat(v: int) -> int:
+        return 0 if v == 0 else int(abs(v)).bit_length()
+
+    def rawbits(v: int, t: int) -> str:
+        if t == 0:
+            return ""
+        if v < 0:
+            v = v + (1 << t) - 1
+        return format(v, f"0{t}b")
+
+    bw = _BitWriter()
+    pred = 0
+    for myy in range(by):
+        for mxx in range(bx):
+            blk = a[myy, mxx]
+            zz = [int(blk[_JPEG_ZIGZAG[k]]) for k in range(64)]
+            diff = zz[0] - pred
+            pred = zz[0]
+            t = cat(diff)
+            bw.write(dc_codes[t] + rawbits(diff, t))
+            run = 0
+            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+            for k in range(1, last_nz + 1):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    bw.write(ac_codes[0xF0])  # ZRL
+                    run -= 16
+                s = cat(zz[k])
+                bw.write(ac_codes[(run << 4) | s] + rawbits(zz[k], s))
+                run = 0
+            if last_nz < 63:
+                bw.write(ac_codes[0x00])  # EOB
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = bytes([0]) + bytes(int(q[_JPEG_ZIGZAG[k]]) for k in range(64))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([1, 1, 0x11, 0])
+    dht = (
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + seg(0xDB, dqt)
+        + seg(0xC0, sof)
+        + seg(0xC4, dht)
+        + seg(0xDA, sos)
+        + bytes(bw.out)
+        + b"\xff\xd9"
+    )
+
+
+def jpeg_roundtrip_stats(
+    df: DataFrame,
+    id_col: str,
+    bytes_col: str,
+    bw: int,
+    bh: int,
+) -> DataFrame:
+    """DC-only JPEG decode under an exact oracle: each row's first
+    bw*bh bytes v (ASCII domain 0..127) become the quantized DC
+    coefficients (v - 64, exercising negative differential categories)
+    of a bw x bh block grid written by encode_jpeg_gray_coeffs (Q00=8,
+    so each decoded block is the constant (v - 64) + 128 = v + 64 —
+    iDCT of a DC-only block is exact at float64 for |dc| <= 64), then
+    decoded back by the REAL Huffman + iDCT path and reduced to exact
+    pixel sums: each block contributes 64*(v + 64) per channel.
+    Arrow-batched, one row in -> one row out, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    need = bw * bh
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("pix_sum", T.LongType()),
+            T.StructField("gray_sum", T.LongType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                vs = np.frombuffer(bytes(data)[:need], dtype=np.uint8)
+                coeffs = np.zeros((bh, bw, 8, 8), dtype=np.int64)
+                coeffs[:, :, 0, 0] = vs.reshape(bh, bw).astype(np.int64) - 64
+                dec = decode_image(encode_jpeg_gray_coeffs(coeffs))
+                sums = dec.astype(np.int64).sum(axis=(0, 1))
+                rows.append(
+                    (
+                        int(mid),
+                        int(dec.shape[1]),
+                        int(dec.shape[0]),
+                        int(sums.sum()),
+                        int(sums[0]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "pix_sum", "gray_sum"],
+            )
+
+    return df.mapInPandas(fn, schema)
 
 
 def png_roundtrip_stats(

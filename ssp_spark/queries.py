@@ -4794,6 +4794,61 @@ def multimodal_decode_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @_q(
+    "multimodal_decode_jpeg",
+    """
+    WITH img AS (
+      SELECT doc_id, substr(text, 1, 20) AS px
+      FROM documents WHERE length(text) >= 20
+        AND strlen(substr(text, 1, 20)) = 20
+    ),
+    b AS (
+      SELECT doc_id, ascii(substr(px, i, 1)) AS v
+      FROM img, (SELECT unnest(generate_series(1, 20)) AS i) u
+    )
+    SELECT doc_id AS media_id, 32 AS width, 40 AS height,
+           CAST(3 * sum(64 * (v + 64)) AS BIGINT) AS pix_sum,
+           CAST(sum(64 * (v + 64)) AS BIGINT) AS gray_sum
+    FROM b GROUP BY doc_id
+    """,
+)
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JPEG decode under the driver gate — the round-9 stretch
+    slice of the codec (VERDICT r8 gap #1): each document's first 20
+    bytes v become the quantized DC coefficients (v - 64, so negative
+    differential categories are exercised) of a genuine 4x5-block
+    grayscale baseline JPEG written at the COEFFICIENT level
+    (encode_jpeg_gray_coeffs: Annex K.3 Huffman tables, differential DC
+    + EXTEND bits, EOB, byte stuffing), then decoded back by the REAL
+    path — marker parse, DHT canonical code reconstruction, Huffman
+    bit-stream decode, dequantize, float64 iDCT, level shift — and
+    reduced to exact pixel sums. The oracle replay is analytic: a
+    DC-only block iDCTs to the constant dc*Q00/8 (exact at float64 for
+    |dc| <= 64 under Q00 = 8), so each byte contributes exactly
+    64*(v + 64) per channel and a single wrong Huffman bit, dequant
+    cell, or iDCT term anywhere breaks the hash. Hand-assembled
+    bitstream goldens in test_multimodal pin the decoder independently
+    of the writer (including an AC-coefficient cosine-ramp block the
+    analytic oracle cannot reach). ASCII chars == bytes enforced
+    structurally on both sides, as the sibling decode queries.
+
+    Plan: one documents scan -> mapInPandas (Arrow-batched, row-local
+    encode/decode, no shuffle) -> driver-hashable 5-column frame; the
+    same 100 TB decode-map shape as the PNG gate queries."""
+    from ssp_spark.operators import multimodal as mm
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.length("text") >= 20)
+        .select(
+            "doc_id",
+            F.encode(F.substring("text", 1, 20), "utf-8").alias("px"),
+        )
+        .filter(F.octet_length("px") == 20)
+    )
+    return mm.jpeg_roundtrip_stats(docs, "doc_id", "px", bw=4, bh=5)
+
+
+@_q(
     "array_lateral_explode",
     """
     WITH base AS (
@@ -11841,13 +11896,14 @@ _CHECK_FIRST = [
     # Contract (VERDICT r8 #2): after the r8 run the oldest evidence
     # cohort is r4 (41 queries) — ALL of them rotate in, plus
     # everything new/changed in r9, plus an r5-rotation tail filling
-    # the remaining slots. Composition: 1 new + 7 changed + 41
-    # r4-stale + 1 r5-rotation = 50. After this window ZERO registry
-    # queries have evidence older than r5; the remaining 44-query r5
-    # cohort leads the r10 queue.
+    # the remaining slots. Composition: 2 new + 7 changed + 41
+    # r4-stale = 50. After this window ZERO registry queries have
+    # evidence older than r5; the WHOLE 46-query r5 cohort leads the
+    # r10 queue.
     #
     # (a) new in round 9, never driver-checked
     "multimodal_decode_png_palette",  # indexed (PLTE) PNG decode path
+    "multimodal_decode_jpeg",         # baseline JPEG huffman+iDCT path
     # (b) changed in round 9 (implementation and/or oracle; each
     # re-hash-matched at sf0.01 before taking a slot)
     "multimodal_decode_png",       # structural ASCII guard, both sides
@@ -11901,9 +11957,6 @@ _CHECK_FIRST = [
     "value_histogram",
     "vocab_coverage",
     "zorder_cells",
-    # (d) r5-rotation tail (alphabetical head of the 46-query r5
-    # cohort; the other 45 lead the r10 queue)
-    "anti_join_inactive_customers",
 ]
 
 assert len(_CHECK_FIRST) == 50 and len(set(_CHECK_FIRST)) == 50

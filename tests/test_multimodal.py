@@ -61,8 +61,12 @@ def test_sample_frames_fan_out(spark):
 
 
 def test_decode_image_unsupported_codecs_raise():
-    with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\xff\xd8\xff\xe0jpeg-junk")  # JFIF magic
+    with pytest.raises(NotImplementedError):  # webp: no decoder at all
+        mm.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    # JPEG now has a real baseline decoder (round 9); malformed JFIF
+    # junk is a ValueError (bad stream), not a missing-codec error
+    with pytest.raises((ValueError, IndexError)):
+        mm.decode_image(b"\xff\xd8\xff\xe0jpeg-junk")
 
 
 def test_resize_media_shape_and_edges(spark):
@@ -398,6 +402,107 @@ def test_png_palette_encode_decode_roundtrip_all_filters():
     assert data[:8] == b"\x89PNG\r\n\x1a\n" and b"PLTE" in data
     out = mm.decode_image(data)
     assert (out == pal[idx]).all()
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (T.81): Huffman + iDCT decoder, coefficient-level writer
+# ---------------------------------------------------------------------------
+
+
+def _hand_jpeg_1block(entropy: bytes) -> bytes:
+    """8x8 grayscale baseline JPEG assembled BYTE BY HAND around a given
+    entropy-coded segment (Annex K.3 luminance tables, Q = all 8s) —
+    independent of mm.encode_jpeg_gray_coeffs, so a shared writer/reader
+    bug cannot cancel (the PNG _hand_png discipline)."""
+    from ssp_spark.operators.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _JPEG_ZIGZAG,
+    )
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    q = [[8] * 8 for _ in range(8)]
+    dqt = bytes([0]) + bytes(q[r][c] for r, c in _JPEG_ZIGZAG)
+    sof = bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big") + bytes(
+        [1, 1, 0x11, 0]
+    )
+    dht = (
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    return (
+        b"\xff\xd8" + seg(0xDB, dqt) + seg(0xC0, sof) + seg(0xC4, dht)
+        + seg(0xDA, sos) + entropy + b"\xff\xd9"
+    )
+
+
+def test_decode_jpeg_hand_assembled_dc_only():
+    """Hand-derived entropy stream: DC category 3 (code '100'), raw bits
+    '101' = diff +5, EOB ('1010'), 1-padded -> bytes 0x96 0xBF. The
+    dequantized DC is 5*8 = 40; a DC-only block iDCTs to the constant
+    40/8 = 5, level-shifted to 133 across all 64 pixels."""
+    import numpy as np
+
+    img = mm.decode_image(_hand_jpeg_1block(bytes([0x96, 0xBF])))
+    assert img.shape == (8, 8, 3) and img.dtype == np.uint8
+    assert (img == 133).all()
+
+
+def test_decode_jpeg_hand_assembled_one_ac():
+    """DC 0 (category-0 code '00') + AC run/size (0,2) (code '01') with
+    raw bits '10' = +2 at zigzag index 1 = coefficient (0,1), then EOB.
+    Stream 00 01 10 1010 -> 0x1A 0xBF. Pixels = round(idct) + 128 with
+    S01 = 16: row-constant cosine ramp, hand-checked corners."""
+    import numpy as np
+
+    img = mm.decode_image(_hand_jpeg_1block(bytes([0x1A, 0xBF])))
+    g = img[:, :, 0].astype(int)
+    # f(x,y) = (1/4)*(1/sqrt2)*16*cos((2y+1)pi/16); x-constant columns
+    for y in range(8):
+        expect = round(0.25 * (1 / np.sqrt(2)) * 16 * np.cos((2 * y + 1) * np.pi / 16) + 128)
+        assert (g[:, y] == expect).all(), (y, g[:, y], expect)
+    assert (img[:, :, 0] == img[:, :, 1]).all() and (img[:, :, 0] == img[:, :, 2]).all()
+
+
+def test_jpeg_coeff_roundtrip_dc_and_sparse_ac():
+    """encode_jpeg_gray_coeffs -> decode_image over a multi-block grid:
+    DC-only blocks decode to exact constants (negative diffs exercise
+    EXTEND), and sparse ACs with long zero runs exercise ZRL/EOB and
+    0xFF byte stuffing on a REAL huffman stream."""
+    import numpy as np
+
+    dc = np.array([[5, -64, 0, 63], [-1, 17, -128, 100]], dtype=np.int64)
+    coeffs = np.zeros((2, 4, 8, 8), dtype=np.int64)
+    coeffs[:, :, 0, 0] = dc
+    coeffs[1, 2, 7, 7] = 3  # forces a ZRL-heavy tail in that block
+    img = mm.decode_image(mm.encode_jpeg_gray_coeffs(coeffs))
+    assert img.shape == (16, 32, 3)
+    for by in range(2):
+        for bx in range(4):
+            if (by, bx) == (1, 2):
+                continue
+            blk = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, 0].astype(int)
+            assert (blk == np.clip(int(dc[by, bx]) + 128, 0, 255)).all()
+
+
+def test_jpeg_unsupported_profiles_raise():
+    with pytest.raises(NotImplementedError):  # progressive SOF2
+        mm.decode_image(
+            b"\xff\xd8\xff\xc2" + (3).to_bytes(2, "big") + b"\x08"
+        )
+    with pytest.raises(NotImplementedError):  # subsampled 4:2:0
+        body = (
+            bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+            + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+        )
+        mm.decode_image(
+            b"\xff\xd8\xff\xc0" + (len(body) + 2).to_bytes(2, "big") + body
+        )
 
 
 def test_png_unsupported_profiles_raise():

@@ -14,6 +14,7 @@ from ssp_spark.queries import _CHECK_FIRST, ORACLE, QUERIES
 # Round 9 group (a): new queries with no driver row yet.
 _R9_NEW = {
     "multimodal_decode_png_palette",  # indexed (PLTE) PNG decode path
+    "multimodal_decode_jpeg",         # baseline JPEG huffman+iDCT path
 }
 
 # Round 9 group (b): implementation- or oracle-changed this round; each
@@ -53,11 +54,10 @@ _R9_R4_STALE = {
     "vocab_coverage", "zorder_cells",
 }
 
-# Round 9 group (d): r5-rotation tail — the alphabetical head of the
-# 46-query r5 cohort; the other 45 lead the r10 queue.
-_R9_R5_ROTATION = {
-    "anti_join_inactive_customers",
-}
+# Round 9 group (d): r5-rotation tail — ended EMPTY: the JPEG stretch
+# slice took the last slot (new/changed outrank repeat confirmations).
+# The WHOLE 46-query r5 cohort leads the r10 queue.
+_R9_R5_ROTATION: set = set()
 
 
 def test_driver_window_is_the_round9_target_set():
