@@ -419,6 +419,19 @@ def embedding_near_dup(
     the block key would be an LSH bucket (see similarity.lsh_buckets).
     Array math is JVM-side double arithmetic in index order => bit-equal
     to the DuckDB oracle's list_dot_product.
+
+    BOUNDED-BLOCK CONTRACT (round-9 sf10 adjudication): the work is
+    inherently Σ_block b² on ANY engine, so this operator is correct at
+    scale only while individual blocks stay bounded (an LSH bucket, a
+    shard key, a label with bounded members). On a corpus whose block
+    key's cardinality is FIXED while rows grow — the replicated scale
+    fixtures do exactly this — the workload itself grows quadratically:
+    the sf10 suite run measured 727 s for ~10,000x the sf0.1 pair work
+    (i.e. the engine scales BETTER than the workload; DuckDB pays the
+    same quadratic join). That is a fixture/workload property, not a
+    plan defect; the unbounded-block deployment path is
+    embedding_near_dup_lsh below (Σ bucket × Hamming-ball, never n²),
+    exercised by the dedup_embedding_lsh driver row.
     """
     from ssp_spark.functions import dot, norm
 
