@@ -490,6 +490,46 @@ def test_jpeg_coeff_roundtrip_dc_and_sparse_ac():
             assert (blk == np.clip(int(dc[by, bx]) + 128, 0, 255)).all()
 
 
+def test_decode_jpeg_restart_markers_reset_predictor():
+    """16x8 two-block grayscale with DRI = 1: block 1 (DC diff +5 ->
+    133), 1-padded to the byte boundary, RST0, block 2 with the DC
+    PREDICTOR RESET so its diff -3 is absolute (cat 2 code '011', raw
+    bits '00', EOB) -> 125. Without the reset the second block would
+    read 5 + (-3) + 128 = 130 — the test distinguishes the two."""
+    from ssp_spark.operators.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _JPEG_ZIGZAG,
+    )
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = bytes([0]) + bytes([8] * 64)
+    sof = bytes([8]) + (8).to_bytes(2, "big") + (16).to_bytes(2, "big") + bytes(
+        [1, 1, 0x11, 0]
+    )
+    dht = (
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+    dri = (1).to_bytes(2, "big")
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    # block 1: DC cat3 '100' + '101' (+5), EOB '1010' -> 0x96 0xBF
+    # block 2: DC cat2 '011' + '00' (-3), EOB '1010' -> 0110 0101 0 -> 0x65 0x7F
+    entropy = bytes([0x96, 0xBF]) + b"\xff\xd0" + bytes([0x65, 0x7F])
+    data = (
+        b"\xff\xd8" + seg(0xDB, dqt) + seg(0xC0, sof) + seg(0xC4, dht)
+        + seg(0xDD, dri) + seg(0xDA, sos) + entropy + b"\xff\xd9"
+    )
+    img = mm.decode_image(data)
+    assert img.shape == (8, 16, 3)
+    assert (img[:, :8, 0] == 133).all()
+    assert (img[:, 8:, 0] == 125).all()
+
+
 def test_jpeg_unsupported_profiles_raise():
     with pytest.raises(NotImplementedError):  # progressive SOF2
         mm.decode_image(
