@@ -2455,26 +2455,38 @@ def stats_numeric_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n*S2 - S1^2) / (n*(n-1)) is computed from identical operands in
     both engines — unlike the built-in stddev/variance (stats_numeric,
     rows-only), whose FP accumulation order is partition-dependent.
-    Integer moments fit BIGINT up to ~1e8 rows per group at these value
-    magnitudes; beyond that promote S2 to DECIMAL(38,0)."""
+
+    Moments ride DECIMAL(38,0) (round-9 fix: the sf10 suite run CRASHED
+    here with ARITHMETIC_OVERFLOW — n*S2 at 100x events is ~2.5e23,
+    past BIGINT, exactly the promotion this docstring had promised).
+    DuckDB needed no change: its integer sums already promote to
+    HUGEINT. Cross-engine float parity is preserved because every
+    decimal stays an EXACT integer (< 10^38) and both engines convert
+    the identical integers to double (IEEE nearest) immediately before
+    the single division sequence — the same doubles the BIGINT form
+    produced at small scale, now without the 2^63 ceiling."""
     ev = load_table(spark, "events", sf_dir)
     cents = F.round(F.col("value") * 100).cast("long")
+    dec = "decimal(38,0)"
     m = (
         ev.select("event_type", cents.alias("cents"))
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum("cents").alias("s1"),
-            F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+            F.sum(F.col("cents").cast(dec)).alias("s1"),
+            F.sum((F.col("cents") * F.col("cents")).cast(dec)).alias("s2"),
         )
     )
-    var_cents = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")) / (
-        F.col("n") * (F.col("n") - 1)
-    )
+    nd = F.col("n").cast(dec)
+    num = (nd * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+    den = (nd * (nd - 1)).cast("double")
+    var_cents = num / den
     return m.select(
         "event_type",
         "n",
-        F.round(F.col("s1") / F.col("n") / 100.0, 4).alias("value_mean"),
+        F.round(F.col("s1").cast("double") / F.col("n").cast("double") / 100.0, 4).alias(
+            "value_mean"
+        ),
         F.round(var_cents / 10000.0, 4).alias("value_var"),
         F.round(F.sqrt(var_cents) / 100.0, 4).alias("value_std"),
     )
@@ -11896,10 +11908,14 @@ _CHECK_FIRST = [
     # Contract (VERDICT r8 #2): after the r8 run the oldest evidence
     # cohort is r4 (41 queries) — ALL of them rotate in, plus
     # everything new/changed in r9, plus an r5-rotation tail filling
-    # the remaining slots. Composition: 2 new + 7 changed + 41
-    # r4-stale = 50. After this window ZERO registry queries have
-    # evidence older than r5; the WHOLE 46-query r5 cohort leads the
-    # r10 queue.
+    # the remaining slots. Composition: 2 new + 8 changed + 40
+    # r4-stale = 50. The sf10-crash fix to stats_numeric_exact landed
+    # after the slots were full, so ONE r4-stale query (zorder_cells,
+    # last alphabetically) is displaced — re-verified hash-green at
+    # sf0.01 this session, it leads the r10 queue together with the
+    # whole 46-query r5 cohort. Changed queries outrank repeat
+    # confirmations: a changed implementation needs fresh driver
+    # evidence more than a spot-checked stale row.
     #
     # (a) new in round 9, never driver-checked
     "multimodal_decode_png_palette",  # indexed (PLTE) PNG decode path
@@ -11914,6 +11930,8 @@ _CHECK_FIRST = [
     "bootstrap_ci_spend",          # empty-input shape aligned to oracle
     "bpe_token_stats",             # explode-first codegen encode (the
                                    # r8 bench-regression fix)
+    "stats_numeric_exact",         # DECIMAL(38,0) moments (sf10
+                                   # overflow crash fix)
     # (c) the 41 queries whose latest driver row is round 4 — the whole
     # r9 queue promised at their former slots last round, alphabetical
     "approx_percentile_value",
@@ -11956,7 +11974,6 @@ _CHECK_FIRST = [
     "tfidf_top_terms",
     "value_histogram",
     "vocab_coverage",
-    "zorder_cells",
 ]
 
 assert len(_CHECK_FIRST) == 50 and len(set(_CHECK_FIRST)) == 50

@@ -27,11 +27,14 @@ _R9_CHANGED = {
     "triangle_count_users",       # broadcast hints gated on edge count
     "bootstrap_ci_spend",         # empty-input shape aligned to oracle
     "bpe_token_stats",            # explode-first codegen encode path
+    "stats_numeric_exact",        # DECIMAL(38,0) moments (sf10 crash)
 }
 
-# Round 9 group (c): the 41 queries whose latest driver row is r4 —
-# the whole queue VERDICT r8 #2 demanded rotate in. After the r9 run,
-# NO registry query's evidence is older than r5.
+# Round 9 group (c): 40 of the 41 queries whose latest driver row is
+# r4 — the queue VERDICT r8 #2 demanded rotate in. zorder_cells (41st,
+# last alphabetically) was displaced when the stats_numeric_exact
+# sf10-overflow fix claimed the final slot; it was re-verified at
+# sf0.01 in-session and leads the r10 queue with the r5 cohort.
 _R9_R4_STALE = {
     "approx_percentile_value", "attribution_last_touch",
     "bigram_lm_score", "bloom_prefilter_join",
@@ -51,7 +54,7 @@ _R9_R4_STALE = {
     "sink_partitioned_scan", "skew_key_stats",
     "snapshot_diff_customers", "source_orc_scan",
     "source_schema_evolution", "tfidf_top_terms", "value_histogram",
-    "vocab_coverage", "zorder_cells",
+    "vocab_coverage",
 }
 
 # Round 9 group (d): r5-rotation tail — ended EMPTY: the JPEG stretch
