@@ -23,6 +23,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame
+from pyspark.sql.window import Window
 
 from ssp_spark.functions import cosine, portable_hash64, shingles, tokens
 
@@ -34,6 +35,15 @@ from ssp_spark.functions import cosine, portable_hash64, shingles, tokens
 # dedup signal — near-dup pairs above any real threshold still share
 # plenty of sub-cap shingles.
 DEFAULT_MAX_DOC_FREQ = 100
+
+# Hot-bucket cap for the simhash band index (round-9 sf10 find): a band
+# value is only w bits wide, so bucket population grows with the corpus
+# and the band self-join's pair volume is quadratic in it. Each
+# (band, band_val) bucket keeps the cap's smallest (portable_hash64, id)
+# docs — deterministic, oracle-replayed, WindowGroupLimit-compiled.
+# Must stay below the session's windowGroupLimitThreshold (4096) for
+# the map-side top-k rewrite.
+DEFAULT_BAND_CAP = 1024
 
 
 def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -621,22 +631,39 @@ def connected_components(
     return labels.select(F.col("id"), F.col("label").alias("component_id"))
 
 
-def simhash_pairs(
+def banded_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 32,
     bands: int = 4,
+    band_cap: int = DEFAULT_BAND_CAP,
 ) -> DataFrame:
-    """Hamming-close candidate pairs from SimHash fingerprints via band
-    rotation: split the fingerprint into `bands` equal bit-slices; docs
-    agreeing exactly on any slice are candidates (a pair within Hamming
-    distance d < bands must agree on some slice — pigeonhole). Same
-    equi-self-join shape as MinHash LSH: constant per-doc state,
-    candidates = band collisions, never n². Knob: wider slices (fewer
-    bands) = stricter candidates; the production-width profile is
-    bits=60 (the portable hash's full width) with 4×15-bit slices —
-    shipped as the dedup_simhash64_pairs query."""
+    """(doc_id, band, band_val) membership of the simhash band index,
+    hot buckets capped — factored out of simhash_pairs so tests can
+    assert the rank-limit compiles to WindowGroupLimit on THIS stage's
+    plan (the query's localCheckpoint truncates the final plan; the
+    _capped_user_days precedent).
+
+    The cap is the hot-block guard this family was missing (round-9
+    sf10 find): a band value is only w bits wide (8 for the 32-bit
+    profile, 15 for the 60-bit one), so bucket population grows with
+    the corpus — at 100 TB the expected bucket is corpus/2^w and the
+    band self-join's Σ b² goes quadratic (the sf10 fixture's replicated
+    docs produced exactly this and killed the suite JVM). Each
+    (band, band_val) bucket is therefore bounded to the ``band_cap``
+    docs with the smallest (portable_hash64(id), id) — deterministic,
+    partitioning-independent, replayed verbatim in the DuckDB oracles
+    so the contract stays exact at EVERY scale. Measured bite: a no-op
+    at sf0.01 (500 docs), active at sf0.1 (the templated fixture text
+    collides heavily — max bucket 2566 for the 8-bit profile, 1582 for
+    the 15-bit one, both trimmed to 1024 on BOTH engines). The
+    rank-limit compiles to WindowGroupLimit: per-task top-k heaps, no
+    hot bucket ever materializes on one task. Docs dropped from a
+    saturated bucket lose that bucket's candidate pairs only — the
+    same bounded-recall trade as jaccard's max_doc_freq boilerplate
+    cap, and a saturated bucket at this cardinality is near-duplicate
+    spam by construction."""
     w = bits // bands
     mask = (1 << w) - 1
     sim = simhash(df, id_col, text_col, bits)
@@ -652,8 +679,40 @@ def simhash_pairs(
     banded = (
         sim.select("doc_id", F.explode(slices).alias("bb"))
         .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_val").alias("band_val"))
-        .persist()
     )
+    wcap = Window.partitionBy("band", "band_val").orderBy(
+        portable_hash64(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        banded.withColumn("__rn", F.row_number().over(wcap))
+        .filter(F.col("__rn") <= band_cap)
+        .drop("__rn")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    bands: int = 4,
+    band_cap: int = DEFAULT_BAND_CAP,
+) -> DataFrame:
+    """Hamming-close candidate pairs from SimHash fingerprints via band
+    rotation: split the fingerprint into `bands` equal bit-slices; docs
+    agreeing exactly on any slice are candidates (a pair within Hamming
+    distance d < bands must agree on some slice — pigeonhole). Same
+    equi-self-join shape as MinHash LSH: constant per-doc state,
+    candidates = band collisions, never n² — with hot band buckets
+    bounded by ``band_cap`` (see banded_fingerprints: the round-9
+    guard that keeps the self-join sub-quadratic on ANY corpus). Knob:
+    wider slices (fewer bands) = stricter candidates; the
+    production-width profile is bits=60 (the portable hash's full
+    width) with 4×15-bit slices — shipped as the dedup_simhash64_pairs
+    query."""
+    banded = banded_fingerprints(
+        df, id_col, text_col, bits, bands, band_cap
+    ).persist()
     a = banded.select(F.col("doc_id").alias("id1"), "band", "band_val")
     b = banded.select(F.col("doc_id").alias("id2"), "band", "band_val")
     out = (

@@ -3351,9 +3351,19 @@ def event_type_pivot_api(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
       FROM bits GROUP BY doc_id
     ),
-    banded AS (
+    banded0 AS (
       SELECT doc_id, b.band, (simhash >> (b.band * 8)) & 255 AS band_val
       FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
+    ),
+    banded AS (
+      SELECT doc_id, band, band_val FROM (
+        SELECT doc_id, band, band_val,
+               row_number() OVER (
+                 PARTITION BY band, band_val
+                 ORDER BY {_SQL_HASH64.format(x="CAST(doc_id AS VARCHAR)")},
+                          doc_id) AS rn
+        FROM banded0
+      ) WHERE rn <= 1024
     )
     SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
     FROM banded a JOIN banded b USING (band, band_val)
@@ -3363,7 +3373,11 @@ def event_type_pivot_api(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-candidate pairs (operators.dedup.simhash_pairs):
     4×8-bit band rotation over the 32-bit fingerprints — any pair within
-    Hamming distance 3 is guaranteed captured (pigeonhole)."""
+    Hamming distance 3 is guaranteed captured (pigeonhole), hot band
+    buckets bounded at 1024 docs by the deterministic
+    (portable_hash64, id) rank the oracle replays (round-9 guard, see
+    dedup.banded_fingerprints; bites at sf0.1 where the templated text
+    collides to 2566-doc buckets)."""
     return dedup.simhash_pairs(load_table(spark, "documents", sf_dir))
 
 
@@ -3387,9 +3401,19 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
       FROM bits GROUP BY doc_id
     ),
-    banded AS (
+    banded0 AS (
       SELECT doc_id, b.band, (simhash >> (b.band * 15)) & 32767 AS band_val
       FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
+    ),
+    banded AS (
+      SELECT doc_id, band, band_val FROM (
+        SELECT doc_id, band, band_val,
+               row_number() OVER (
+                 PARTITION BY band, band_val
+                 ORDER BY {_SQL_HASH64.format(x="CAST(doc_id AS VARCHAR)")},
+                          doc_id) AS rn
+        FROM banded0
+      ) WHERE rn <= 1024
     )
     SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
     FROM banded a JOIN banded b USING (band, band_val)
@@ -3405,7 +3429,9 @@ def dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set is far tighter at the same pigeonhole guarantee
     (Hamming distance ≤ 3 always captured). The fingerprint stage is the
     same ZERO-shuffle map-side fold — band width changes constants, not
-    the plan."""
+    the plan. Hot band buckets bounded at 1024 by the oracle-replayed
+    deterministic rank (round-9 sf10 guard, dedup.banded_fingerprints;
+    bites at sf0.1 — max bucket 1582 pre-cap)."""
     return dedup.simhash_pairs(
         load_table(spark, "documents", sf_dir), bits=60, bands=4
     )
@@ -11908,14 +11934,18 @@ _CHECK_FIRST = [
     # Contract (VERDICT r8 #2): after the r8 run the oldest evidence
     # cohort is r4 (41 queries) — ALL of them rotate in, plus
     # everything new/changed in r9, plus an r5-rotation tail filling
-    # the remaining slots. Composition: 2 new + 8 changed + 40
-    # r4-stale = 50. The sf10-crash fix to stats_numeric_exact landed
-    # after the slots were full, so ONE r4-stale query (zorder_cells,
-    # last alphabetically) is displaced — re-verified hash-green at
-    # sf0.01 this session, it leads the r10 queue together with the
-    # whole 46-query r5 cohort. Changed queries outrank repeat
+    # the remaining slots. Composition: 2 new + 10 changed + 38
+    # r4-stale = 50. The sf10 SUITE run exposed two real scale bugs
+    # after the slots were full — the stats_numeric_exact BIGINT
+    # overflow and the uncapped simhash band join — whose fixes
+    # (changed implementations, changed oracles for the simhash pair)
+    # claimed slots from the r4 tail: zorder_cells and vocab_coverage
+    # (the two last alphabetically) are displaced, each re-verified
+    # hash-green at sf0.01 this session, and lead the r10 queue with
+    # the whole 46-query r5 cohort. Changed queries outrank repeat
     # confirmations: a changed implementation needs fresh driver
-    # evidence more than a spot-checked stale row.
+    # evidence more than a spot-checked stale row. (dedup_simhash64_
+    # pairs was already in the r4 cohort; it rides in group (b) now.)
     #
     # (a) new in round 9, never driver-checked
     "multimodal_decode_png_palette",  # indexed (PLTE) PNG decode path
@@ -11932,6 +11962,8 @@ _CHECK_FIRST = [
                                    # r8 bench-regression fix)
     "stats_numeric_exact",         # DECIMAL(38,0) moments (sf10
                                    # overflow crash fix)
+    "dedup_simhash_pairs",         # 1024-doc band-bucket cap, both
+    "dedup_simhash64_pairs",       # engines (sf10 JVM-death fix)
     # (c) the 41 queries whose latest driver row is round 4 — the whole
     # r9 queue promised at their former slots last round, alphabetical
     "approx_percentile_value",
@@ -11946,7 +11978,6 @@ _CHECK_FIRST = [
     "dedup_embedding_lsh",
     "dedup_incremental_batch",
     "dedup_ngram_corpus",
-    "dedup_simhash64_pairs",
     "doc_chunk_overlap",
     "domain_mixture_weights",
     "dq_audit_orders",
@@ -11973,7 +12004,6 @@ _CHECK_FIRST = [
     "source_schema_evolution",
     "tfidf_top_terms",
     "value_histogram",
-    "vocab_coverage",
 ]
 
 assert len(_CHECK_FIRST) == 50 and len(set(_CHECK_FIRST)) == 50

@@ -130,7 +130,14 @@ def get_spark(
         .config("spark.sql.optimizer.windowGroupLimitThreshold", "4096")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Local-mode sizing: in local[n] the driver JVM IS the executor —
+        # all n task threads share this one heap. 8g was the round-1 value
+        # sized for the MB-scale fixtures; the round-9 sf10 suite run died
+        # of GC thrash (GCLocker retries, dropped localCheckpoint blocks)
+        # with 120 GB of host RAM idle. 48g is the honest local analogue
+        # of a cluster's per-executor memory and leaves headroom for the
+        # paired DuckDB process. Still env-overridable.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
     )

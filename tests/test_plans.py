@@ -620,6 +620,23 @@ def test_bpe_encode_zero_shuffle_before_count(spark):
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
 
 
+def test_simhash_band_cap_is_window_group_limit(spark):
+    """The per-bucket band cap (dedup.DEFAULT_BAND_CAP, the round-9
+    sf10-JVM-death guard) must compile to WindowGroupLimit — map-side
+    per-bucket top-k heaps — so no task ever materializes a hot band
+    bucket just to rank it. Asserted on the capped stage itself (the
+    pair query's localCheckpoint truncates it from the final plan)."""
+    from ssp_spark.catalog import load_table
+    from ssp_spark.operators import dedup
+
+    df = dedup.banded_fingerprints(
+        load_table(spark, "documents", SF_SMOKE), bits=60, bands=4
+    )
+    s = plans.plan_string(df)
+    assert "WindowGroupLimit" in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
 def test_bpe_token_stats_codegen_encode(spark):
     """The r9 stream form: the 12-replace chain must be a plain
     whole-stage-codegen projection — the merge chain appears exactly

@@ -28,13 +28,17 @@ _R9_CHANGED = {
     "bootstrap_ci_spend",         # empty-input shape aligned to oracle
     "bpe_token_stats",            # explode-first codegen encode path
     "stats_numeric_exact",        # DECIMAL(38,0) moments (sf10 crash)
+    "dedup_simhash_pairs",        # band-bucket cap (sf10 JVM death),
+    "dedup_simhash64_pairs",      # oracle replayed on both profiles
 }
 
-# Round 9 group (c): 40 of the 41 queries whose latest driver row is
-# r4 — the queue VERDICT r8 #2 demanded rotate in. zorder_cells (41st,
-# last alphabetically) was displaced when the stats_numeric_exact
-# sf10-overflow fix claimed the final slot; it was re-verified at
-# sf0.01 in-session and leads the r10 queue with the r5 cohort.
+# Round 9 group (c): 38 of the 41 queries whose latest driver row is
+# r4 — the queue VERDICT r8 #2 demanded rotate in. dedup_simhash64_
+# pairs moved up into group (b) (its implementation AND oracle changed
+# with the band cap); zorder_cells and vocab_coverage (the two last
+# alphabetically) were displaced when the two sf10-crash fixes claimed
+# the final slots — each re-verified at sf0.01 in-session, they lead
+# the r10 queue with the r5 cohort.
 _R9_R4_STALE = {
     "approx_percentile_value", "attribution_last_touch",
     "bigram_lm_score", "bloom_prefilter_join",
@@ -42,7 +46,7 @@ _R9_R4_STALE = {
     "contamination_check", "contrastive_pairs_mining",
     "daily_spine_fill", "dedup_embedding_lsh",
     "dedup_incremental_batch", "dedup_ngram_corpus",
-    "dedup_simhash64_pairs", "doc_chunk_overlap",
+    "doc_chunk_overlap",
     "domain_mixture_weights", "dq_audit_orders",
     "embedding_quantize_int8", "event_cooccurrence",
     "funnel_conversion", "groupwise_regression",
@@ -54,7 +58,6 @@ _R9_R4_STALE = {
     "sink_partitioned_scan", "skew_key_stats",
     "snapshot_diff_customers", "source_orc_scan",
     "source_schema_evolution", "tfidf_top_terms", "value_histogram",
-    "vocab_coverage",
 }
 
 # Round 9 group (d): r5-rotation tail — ended EMPTY: the JPEG stretch
