@@ -5,16 +5,16 @@ struct; decode/feature steps are Arrow-batched pandas functions over
 mapInPandas so bytes stream through executors without driver collection.
 ``decode_image`` is a REAL decoder, stdlib + numpy only, for the
 formats a pure implementation can carry: binary PPM P6; 24-bit BI_RGB
-BMP (bottom-up rows, 4-byte padding); 8-bit RGB/RGBA/palette PNG (zlib
-inflate + all five scanline filters + PLTE lookup, non-interlaced);
-and baseline sequential JPEG (SOF0: Huffman entropy decode, dequant,
-float64 iDCT, level shift — grayscale and 4:4:4 YCbCr) — resize_media
-resizes actual pixels for those. Codec profiles a pure implementation
-cannot reasonably carry (webp; progressive/arithmetic/subsampled
-JPEG; 16-bit / sub-8-bit-palette / Adam7 PNG) raise
-NotImplementedError and byte-level deterministic fallbacks keep the
-plumbing testable; a deployment swaps PIL/OpenCV into decode_image
-only.
+BMP (bottom-up rows, 4-byte padding); PNG across its FULL static
+matrix (zlib inflate + all five scanline filters; all five color
+types incl. grayscale and gray+alpha; sample depths 1/2/4/8/16;
+Adam7 interlace); and baseline sequential JPEG (SOF0: Huffman entropy
+decode, dequant, float64 iDCT, level shift — grayscale and 4:4:4
+YCbCr) — resize_media resizes actual pixels for those. Codec profiles
+a pure implementation cannot reasonably carry (webp;
+progressive/arithmetic/subsampled JPEG) raise NotImplementedError and
+byte-level deterministic fallbacks keep the plumbing testable; a
+deployment swaps PIL/OpenCV into decode_image only.
 
 At 100 TB the binary column is usually a pointer (uri, offset, length)
 into an object store rather than inlined bytes; both layouts share the
@@ -66,16 +66,15 @@ def attach_media(df: DataFrame, bytes_col: str, media_type: str, fmt: str) -> Da
 def decode_image(data: bytes):
     """(h, w, 3) uint8 numpy array — a real decoder, stdlib + numpy, no
     codec library: binary PPM (P6); 24-bit uncompressed BMP (BI_RGB,
-    bottom-up or top-down, 4-byte row padding, BGR->RGB); and 8-bit
-    RGB/RGBA/palette PNG (zlib inflate + the five scanline filters +
-    the PLTE indexed lookup — see _decode_png; RGBA alpha is
-    stripped), and baseline JPEG (SOF0 Huffman + iDCT, grayscale /
-    4:4:4 YCbCr — see _decode_jpeg). webp, progressive/arithmetic/
-    subsampled JPEG, and the exotic PNG profiles (16-bit, sub-8-bit
-    palette, Adam7) still raise NotImplementedError — a real
-    deployment swaps in PIL/OpenCV for those branches and every
-    downstream operator (resize_media, extract_features) is unchanged
-    because they only see the (h, w, 3) array."""
+    bottom-up or top-down, 4-byte row padding, BGR->RGB); the full PNG
+    static-image matrix (all five color types, depths 1-16, Adam7 —
+    see _decode_png; alpha stripped, 16-bit high-byte); and baseline
+    JPEG (SOF0 Huffman + iDCT, grayscale / 4:4:4 YCbCr — see
+    _decode_jpeg). webp and progressive/arithmetic/subsampled JPEG
+    still raise NotImplementedError — a real deployment swaps in
+    PIL/OpenCV for those branches and every downstream operator
+    (resize_media, extract_features) is unchanged because they only
+    see the (h, w, 3) array."""
     import numpy as np
 
     if data[:2] == b"P6":
@@ -118,33 +117,147 @@ def decode_image(data: bytes):
     if data[:2] == b"\xff\xd8":
         return _decode_jpeg(data)
     raise NotImplementedError(
-        "only PPM(P6)/BMP(24-bit)/PNG(8-bit RGB/RGBA/palette)/"
+        "only PPM(P6)/BMP(24-bit)/PNG(full static matrix)/"
         "JPEG(baseline) decodable here"
     )
 
 
+# Adam7 interlace passes: (x_start, y_start, x_step, y_step) per PNG
+# spec §2.6 — pass k covers pixels (y_start + i*y_step, x_start + j*x_step).
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+# Legal (color_type -> sample depths) combinations, PNG spec §11.2.2.
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
+
+
+def _png_defilter(raw: bytes, pos: int, n_rows: int, stride: int, bpp: int):
+    """Reconstruct ``n_rows`` scanlines of ``stride`` bytes from the
+    filtered stream starting at ``pos`` (PNG spec §6 reference
+    algorithms; ``bpp`` is the filter's left-neighbor byte distance —
+    max(1, ceil(depth*channels/8)) — so 1-byte-pixel palette rows and
+    6-byte-pixel 16-bit RGB rows both predict correctly). Returns
+    (rows uint8 (n_rows, stride), next stream position). Sub is a
+    per-lane cumulative sum (vectorized); Average/Paeth are inherently
+    left-to-right sequential (each byte's predictor reads the
+    just-reconstructed left neighbor), looped per scanline — fine for
+    the gate fixtures, and a deployment that needs bulk PNG throughput
+    swaps PIL into decode_image without touching any caller."""
+    import numpy as np
+
+    if len(raw) - pos < n_rows * (stride + 1):
+        raise ValueError("PNG pixel payload size mismatch")
+    out = np.zeros((n_rows, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for r in range(n_rows):
+        ft = raw[pos]
+        cur = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=pos + 1
+        ).astype(np.int64)
+        pos += stride + 1
+        if ft == 0:  # None
+            pass
+        elif ft == 1:  # Sub: recon[x] = filt[x] + recon[x-bpp]
+            for lane in range(bpp):
+                cur[lane::bpp] = np.cumsum(cur[lane::bpp]) & 0xFF
+        elif ft == 2:  # Up
+            cur = (cur + prev) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pr) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter type {ft}")
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    return out, pos
+
+
+def _png_samples(rows, width: int, depth: int, ch: int):
+    """(n_rows, width, ch) uint8 samples from reconstructed scanline
+    bytes. depth 8 is a reshape; depth 16 keeps the MOST SIGNIFICANT
+    byte (the spec's recommended 16→8 scaling round(v*255/65535) differs
+    from v>>8 by at most 1 LSB and only on 128 of the 65536 codes; the
+    truncation convention is pinned by the goldens); depths 1/2/4 unpack
+    MSB-first within each byte with rows padded to a byte boundary
+    (spec §7.2). Values are raw code units — grayscale scaling to 0-255
+    happens in _png_colorize, palette indices are never scaled."""
+    import numpy as np
+
+    n = rows.shape[0]
+    if depth == 8:
+        return rows.reshape(n, width, ch)
+    if depth == 16:
+        return np.ascontiguousarray(rows.reshape(n, width, ch, 2)[:, :, :, 0])
+    # depth in (1, 2, 4): single-channel only (gray or palette indices)
+    bits = np.unpackbits(rows, axis=1)[:, : width * depth]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (bits.reshape(n, width, depth) * weights).sum(axis=2).astype(np.uint8)
+    return vals.reshape(n, width, 1)
+
+
+def _png_colorize(samples, color_type: int, depth: int, plte):
+    """(n, w, ch)-samples -> (n, w, 3) uint8 RGB. Gray (types 0/4)
+    replicates the luma lane after exact sub-8-bit scaling (255/(2^d-1)
+    is the integer 255/85/17 for d=1/2/4); alpha lanes (types 4/6) are
+    stripped — the module-wide (h, w, 3) contract; palette (type 3)
+    looks indices up in PLTE unscaled."""
+    import numpy as np
+
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        idx = samples[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        return np.ascontiguousarray(plte[idx])
+    if color_type in (0, 4):
+        gray = samples[:, :, 0]
+        if depth in (1, 2, 4):
+            gray = (gray.astype(np.int64) * (255 // ((1 << depth) - 1))).astype(
+                np.uint8
+            )
+        return np.ascontiguousarray(np.repeat(gray[:, :, None], 3, axis=2))
+    return np.ascontiguousarray(samples[:, :, :3])
+
+
 def _decode_png(data: bytes):
     """Pure-stdlib PNG decode (zlib inflate + the five scanline filters,
-    PNG spec RFC 2083 §6): 8-bit truecolor (color type 2),
-    truecolor+alpha (type 6, alpha stripped so every downstream operator
-    keeps its (h, w, 3) contract), and 8-bit indexed palette (type 3 —
-    one-byte pixels unfiltered exactly like the others with bpp=1, then
-    a PLTE row lookup; tRNS alpha is ignored by the same strip-alpha
-    convention as type 6), non-interlaced. 16-bit / sub-8-bit palette /
-    Adam7 raise NotImplementedError — same disclosure contract as the
-    other codec boundaries in this module. Sub is a per-lane cumulative
-    sum (vectorized); Average/Paeth are inherently left-to-right
-    sequential (each byte's predictor reads the just-reconstructed left
-    neighbor), looped per scanline — fine for the gate fixtures, and a
-    deployment that needs bulk PNG throughput swaps PIL here without
-    touching any caller."""
+    PNG spec RFC 2083 §6) covering the format's FULL static-image
+    matrix: color types 0 (grayscale), 2 (truecolor), 3 (indexed
+    palette), 4 (gray+alpha), 6 (truecolor+alpha) at every legal sample
+    depth (1/2/4/8 for gray and palette, 8/16 elsewhere — spec
+    §11.2.2), interlace methods 0 (none) and 1 (Adam7, seven
+    independently-filtered sub-image passes scattered onto the output
+    grid — spec §2.6/§8.2). Alpha lanes are stripped and 16-bit samples
+    keep their high byte so every downstream operator sees the module's
+    (h, w, 3) uint8 contract; tRNS is ignored by the same strip-alpha
+    convention. Illegal depth/type combinations raise
+    NotImplementedError (disclosure contract, same as the other codec
+    boundaries in this module)."""
     import struct
     import zlib
 
     import numpy as np
 
     pos = 8
-    w = h = color_type = None
+    w = h = color_type = depth = interlace = None
     plte = None
     idat = bytearray()
     while pos + 8 <= len(data):
@@ -155,12 +268,12 @@ def _decode_png(data: bytes):
             w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if depth != 8 or color_type not in (2, 3, 6):
+            if depth not in _PNG_DEPTHS.get(color_type, ()):
                 raise NotImplementedError(
                     f"PNG depth={depth} color_type={color_type} not supported"
                 )
-            if interlace != 0:
-                raise NotImplementedError("Adam7-interlaced PNG not supported")
+            if interlace not in (0, 1):
+                raise NotImplementedError(f"PNG interlace={interlace} not supported")
         elif ctype == b"PLTE":
             if ln % 3 != 0 or ln == 0:
                 raise ValueError("PNG PLTE length not a positive multiple of 3")
@@ -172,50 +285,31 @@ def _decode_png(data: bytes):
         pos += 12 + ln  # length + type + body + crc32
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if color_type == 3 and plte is None:
-        raise ValueError("palette PNG missing PLTE chunk")
-    ch = {2: 3, 3: 1, 6: 4}[color_type]
-    stride = w * ch
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    bpp = max(1, (depth * ch) // 8)  # filter left-step, whole bytes
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
+
+    def stride_for(width: int) -> int:
+        return (width * depth * ch + 7) // 8
+
+    if interlace == 0:
+        rows, end = _png_defilter(raw, 0, h, stride_for(w), bpp)
+        if end != len(raw):
+            raise ValueError("PNG pixel payload size mismatch")
+        return _png_colorize(_png_samples(rows, w, depth, ch), color_type, depth, plte)
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    spos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue  # empty pass contributes no scanlines (spec §8.2)
+        rows, spos = _png_defilter(raw, spos, ph, stride_for(pw), bpp)
+        sub = _png_colorize(_png_samples(rows, pw, depth, ch), color_type, depth, plte)
+        img[y0::dy, x0::dx] = sub
+    if spos != len(raw):
         raise ValueError("PNG pixel payload size mismatch")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int64)
-    for r in range(h):
-        ft = raw[r * (stride + 1)]
-        cur = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
-        ).astype(np.int64)
-        if ft == 0:  # None
-            pass
-        elif ft == 1:  # Sub: recon[x] = filt[x] + recon[x-ch]
-            for lane in range(ch):
-                cur[lane::ch] = np.cumsum(cur[lane::ch]) & 0xFF
-        elif ft == 2:  # Up
-            cur = (cur + prev) & 0xFF
-        elif ft == 3:  # Average
-            for x in range(stride):
-                left = cur[x - ch] if x >= ch else 0
-                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
-        elif ft == 4:  # Paeth
-            for x in range(stride):
-                a = int(cur[x - ch]) if x >= ch else 0
-                b = int(prev[x])
-                c = int(prev[x - ch]) if x >= ch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[x] = (cur[x] + pr) & 0xFF
-        else:
-            raise NotImplementedError(f"PNG filter type {ft}")
-        out[r] = cur.astype(np.uint8)
-        prev = cur
-    if color_type == 3:
-        if int(out.max(initial=0)) >= len(plte):
-            raise ValueError("PNG palette index out of range")
-        return np.ascontiguousarray(plte[out.reshape(h, w)])
-    img = out.reshape(h, w, ch)
-    return np.ascontiguousarray(img[:, :, :3])
+    return img
 
 
 def encode_png(img, filters=None) -> bytes:

@@ -249,7 +249,15 @@ def _png_chunk(ctype: bytes, body: bytes) -> bytes:
     return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
 
 
-def _hand_png(w, h, color_type, raw_scanlines: bytes, palette: bytes = b"") -> bytes:
+def _hand_png(
+    w,
+    h,
+    color_type,
+    raw_scanlines: bytes,
+    palette: bytes = b"",
+    depth: int = 8,
+    interlace: int = 0,
+) -> bytes:
     """PNG assembled by hand around a STORED-deflate zlib stream — the
     payload bytes are written verbatim (no compressor involved), so the
     expected reconstruction is fully hand-derivable and independent of
@@ -258,7 +266,7 @@ def _hand_png(w, h, color_type, raw_scanlines: bytes, palette: bytes = b"") -> b
     import struct
     import zlib
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
     n = len(raw_scanlines)
     stored = (
         b"\x78\x01"  # zlib header
@@ -582,24 +590,153 @@ def test_jpeg_unsupported_profiles_raise():
         )
 
 
-def test_png_unsupported_profiles_raise():
+def test_png_illegal_profiles_raise():
+    """Spec-ILLEGAL depth/type combos (§11.2.2) and unknown interlace
+    methods still raise — the round-9 full-matrix decoder widened the
+    supported set, not the validator."""
     import struct
 
-    with pytest.raises(NotImplementedError):  # 16-bit depth
-        ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
-        mm.decode_image(
-            b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
-        )
-    with pytest.raises(NotImplementedError):  # sub-8-bit palette
-        ihdr = struct.pack(">IIBBBBB", 1, 1, 4, 3, 0, 0, 0)
-        mm.decode_image(
-            b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
-        )
-    with pytest.raises(NotImplementedError):  # Adam7 interlace
-        ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)
-        mm.decode_image(
-            b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
-        )
+    for depth, ctype in ((16, 3), (2, 2), (4, 6), (1, 4), (3, 0)):
+        with pytest.raises(NotImplementedError):
+            ihdr = struct.pack(">IIBBBBB", 1, 1, depth, ctype, 0, 0, 0)
+            mm.decode_image(b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr))
+    with pytest.raises(NotImplementedError):  # interlace method 2
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 2)
+        mm.decode_image(b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr))
+
+
+def test_decode_png_grayscale_replicates_luma():
+    """2x2 type-0 depth-8: row 0 None, row 1 Up — gray lane replicated
+    to all three output channels."""
+    import numpy as np
+
+    raw = bytes([0, 5, 200]) + bytes([2, 10, 56])  # row1 = (15, 0) via Up wrap
+    img = mm.decode_image(_hand_png(2, 2, 0, raw))
+    expect = np.array(
+        [[[5] * 3, [200] * 3], [[15] * 3, [0] * 3]], dtype=np.uint8
+    )
+    assert img.shape == (2, 2, 3) and (img == expect).all()
+
+
+def test_decode_png_gray_alpha_strips_alpha_bpp2():
+    """1x3 type-4 (gray+alpha): Sub filter steps TWO bytes (bpp=2), so
+    the gray lane predicts from gray and alpha from alpha — a geometry
+    no other color type reaches; alpha is then stripped."""
+    import numpy as np
+
+    # filt pairs: (50, 200), (+7, +1), (+3, +2) -> gray 50, 57, 60
+    raw = bytes([1, 50, 200, 7, 1, 3, 2])
+    img = mm.decode_image(_hand_png(3, 1, 4, raw))
+    expect = np.array([[[50] * 3, [57] * 3, [60] * 3]], dtype=np.uint8)
+    assert img.shape == (1, 3, 3) and (img == expect).all()
+
+
+def test_decode_png_16bit_keeps_high_byte():
+    """2x1 type-2 depth-16: six-byte pixels; Sub steps bpp=6 so each
+    16-bit lane predicts from its own lane; the decoder keeps the MSB
+    of each sample (documented truncation convention)."""
+    import numpy as np
+
+    # filter 1 (Sub): pixel0 raw (0x0102, 0x0304, 0x05FF); pixel1 byte
+    # deltas (1,1, 0,1, 1,1) add per-byte WITHOUT carry (spec §6:
+    # filters are unsigned byte arithmetic) -> (0x0203, 0x0305, 0x0600)
+    raw = bytes([1, 1, 2, 3, 4, 5, 255, 1, 1, 0, 1, 1, 1])
+    img = mm.decode_image(_hand_png(2, 1, 2, raw, depth=16))
+    expect = np.array([[[1, 3, 5], [2, 3, 6]]], dtype=np.uint8)
+    assert img.shape == (1, 2, 3) and (img == expect).all()
+
+
+def test_decode_png_1bit_and_2bit_grayscale():
+    """Sub-8-bit gray: depth-1 (10 wide -> 2-byte scanline, 6 pad bits
+    dropped) scales {0,1} -> {0,255}; depth-2 scales {0..3} by 85.
+    Bits unpack MSB-first (spec §7.2)."""
+    import numpy as np
+
+    # depth 1: pixels 1,0,1,1,0,0,1,0 | 1,1(,pad 0s) = bytes 0xB2, 0xC0
+    img1 = mm.decode_image(_hand_png(10, 1, 0, bytes([0, 0xB2, 0xC0]), depth=1))
+    expect_bits = [1, 0, 1, 1, 0, 0, 1, 0, 1, 1]
+    assert img1.shape == (1, 10, 3)
+    assert (img1[0, :, 0] == np.array(expect_bits) * 255).all()
+    assert (img1[:, :, 0] == img1[:, :, 1]).all()
+    # depth 2: pixels 3,0,2,1 | 1(,pad) = bytes 0xC9, 0x40
+    img2 = mm.decode_image(_hand_png(5, 1, 0, bytes([0, 0xC9, 0x40]), depth=2))
+    assert (img2[0, :, 0] == np.array([3, 0, 2, 1, 1]) * 85).all()
+
+
+def test_decode_png_4bit_palette_two_pixels_per_byte():
+    """3-wide depth-4 palette row: two indices per byte MSB-first, the
+    odd trailing nibble is padding; indices are NOT gray-scaled."""
+    import numpy as np
+
+    palette = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90])
+    # indices 2,0 | 1,pad -> bytes 0x20, 0x10
+    img = mm.decode_image(
+        _hand_png(3, 1, 3, bytes([0, 0x20, 0x10]), palette=palette, depth=4)
+    )
+    expect = np.array([[[70, 80, 90], [10, 20, 30], [40, 50, 60]]], dtype=np.uint8)
+    assert (img == expect).all()
+
+
+def test_decode_png_adam7_pass_geometry_8x8():
+    """8x8 type-0 Adam7 where every pass-k pixel carries value 10*k:
+    the decoded plane must equal 10x the canonical Adam7 pattern matrix
+    (PNG spec §2.6) — pins pass order, origins, and steps against the
+    published table rather than this repo's own scatter."""
+    import numpy as np
+
+    pattern = np.array(
+        [
+            [1, 6, 4, 6, 2, 6, 4, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+            [5, 6, 5, 6, 5, 6, 5, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+            [3, 6, 4, 6, 3, 6, 4, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+            [5, 6, 5, 6, 5, 6, 5, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+        ],
+        dtype=np.uint8,
+    )
+    # pass k (1-based) covers (pw x ph) pixels on an 8x8:
+    # 1:1x1 2:1x1 3:2x1 4:2x2 5:4x2 6:4x4 7:8x4 — filter 0 scanlines
+    dims = [(1, 1), (1, 1), (2, 1), (2, 2), (4, 2), (4, 4), (8, 4)]
+    raw = bytearray()
+    for k, (pw, ph) in enumerate(dims, start=1):
+        for _ in range(ph):
+            raw.append(0)
+            raw += bytes([10 * k] * pw)
+    img = mm.decode_image(_hand_png(8, 8, 0, bytes(raw), interlace=1))
+    assert img.shape == (8, 8, 3)
+    assert (img[:, :, 0] == pattern * 10).all()
+    assert (img[:, :, 0] == img[:, :, 2]).all()
+
+
+def test_decode_png_adam7_filters_are_per_pass():
+    """4x4 RGB Adam7 (passes 2 and 3 are EMPTY — no scanlines at all,
+    spec §8.2): pass 7's second scanline uses Up, whose 'prior row' is
+    pass 7's FIRST scanline (image row 1), not the image row above it
+    — pins that filtering runs per-pass, not per-image-row."""
+    import numpy as np
+
+    raw = bytearray()
+    raw += bytes([0, 11, 12, 13])                      # pass 1: (0,0)
+    raw += bytes([0, 41, 42, 43])                      # pass 4: (0,2)
+    raw += bytes([0, 51, 52, 53, 54, 55, 56])          # pass 5: (2,0),(2,2)
+    raw += bytes([0, 61, 62, 63, 64, 65, 66])          # pass 6 row A: (0,1),(0,3)
+    raw += bytes([0, 71, 72, 73, 74, 75, 76])          # pass 6 row B: (2,1),(2,3)
+    raw += bytes([0] + [100 + i for i in range(12)])   # pass 7 row A: image row 1
+    raw += bytes([2] + [10] * 12)                      # pass 7 row B (Up): rowA+10
+    img = mm.decode_image(_hand_png(4, 4, 2, bytes(raw), interlace=1))
+    expect = np.array(
+        [
+            [[11, 12, 13], [61, 62, 63], [41, 42, 43], [64, 65, 66]],
+            [[100, 101, 102], [103, 104, 105], [106, 107, 108], [109, 110, 111]],
+            [[51, 52, 53], [71, 72, 73], [54, 55, 56], [74, 75, 76]],
+            [[110, 111, 112], [113, 114, 115], [116, 117, 118], [119, 120, 121]],
+        ],
+        dtype=np.uint8,
+    )
+    assert (img == expect).all()
 
 
 def test_png_roundtrip_stats_operator(spark):
