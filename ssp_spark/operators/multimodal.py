@@ -447,6 +447,88 @@ def encode_png_palette(indices, palette, filters=None) -> bytes:
     )
 
 
+def _png_filter_line(cur, prev, ft: int, bpp: int):
+    """Apply PNG filter ``ft`` to one scanline for ENCODING (the exact
+    inverse of _png_defilter's reconstruction, spec §6 — unsigned byte
+    arithmetic, left-neighbor distance ``bpp``). ``cur``/``prev`` are
+    int64 arrays of the current and prior RECONSTRUCTED scanlines."""
+    import numpy as np
+
+    if ft == 0:
+        return cur & 0xFF
+    if ft in (1, 3):
+        left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+        if ft == 1:
+            return (cur - left) & 0xFF
+        return (cur - ((left + prev) >> 1)) & 0xFF
+    if ft == 2:
+        return (cur - prev) & 0xFF
+    if ft == 4:
+        n = len(cur)
+        line = np.empty(n, dtype=np.int64)
+        for x in range(n):
+            a = int(cur[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            line[x] = (cur[x] - pr) & 0xFF
+        return line
+    raise ValueError(f"PNG filter type {ft}")
+
+
+def encode_png_gray16_adam7(img, filters=None) -> bytes:
+    """REAL 16-bit grayscale Adam7-interlaced PNG writer (color type 0,
+    depth 16, interlace 1, stdlib zlib/struct only): each Adam7 pass
+    extracts its sub-image (spec §8.2 origins/steps), serializes
+    big-endian 2-byte samples, and filters its scanlines INDEPENDENTLY
+    with bpp=2 — ``filters`` indexes a GLOBAL scanline counter across
+    passes (default cycling 0..4), so all five filter types run
+    somewhere in the pass structure of any image tall enough. One
+    stream exercises the three round-9 decoder additions at once
+    (grayscale colorize, 16-bit samples, per-pass interlace
+    defiltering); used by the driver query to source real deflate
+    streams, while the decode goldens stay hand-assembled so writer
+    and reader bugs cannot cancel."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(img, dtype=np.uint16)
+    h, w = a.shape
+    raw = bytearray()
+    scan = 0
+    for x0, y0, dx, dy in _ADAM7:
+        sub = a[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue  # empty pass writes no scanlines (spec §8.2)
+        prev = np.zeros(sub.shape[1] * 2, dtype=np.int64)
+        for r in range(sub.shape[0]):
+            cur = np.frombuffer(
+                sub[r].astype(">u2").tobytes(), dtype=np.uint8
+            ).astype(np.int64)
+            ft = int(filters[scan]) if filters is not None else scan % 5
+            line = _png_filter_line(cur, prev, ft, 2)
+            raw.append(ft)
+            raw += bytes(int(v) for v in line)
+            prev = cur
+            scan += 1
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Baseline JPEG (ITU-T T.81): stdlib + numpy decoder and a coefficient-level
 # writer. Scope (disclosed): baseline sequential DCT (SOF0), 8-bit, Huffman
@@ -990,6 +1072,78 @@ def png_palette_roundtrip_stats(
                     "r_sum",
                     "g_sum",
                     "b_sum",
+                ],
+            )
+
+    return df.mapInPandas(fn, schema)
+
+
+def png_gray16_adam7_roundtrip_stats(
+    df: DataFrame,
+    id_col: str,
+    bytes_col: str,
+    w: int,
+    h: int,
+) -> DataFrame:
+    """Interlaced 16-bit grayscale twin of png_roundtrip_stats: each
+    row's first w*h bytes become the HIGH bytes of 16-bit gray samples
+    (low byte = 3*v mod 256, so the decoder's high-byte truncation must
+    select the right byte of each big-endian pair), written as a
+    genuine Adam7-interlaced depth-16 type-0 PNG (real deflated IDAT,
+    filters cycling 0..4 over the global pass-scanline sequence),
+    decoded back, and reduced to THREE exact integers per image:
+    gray_sum = Σv (one gray lane), pix_sum = 3Σv (replication across
+    RGB), and pos_sum = Σ i·v over ROW-MAJOR position i — the
+    position-weighted sum is the load-bearing one: a pass scattered to
+    the wrong origin/step preserves the pixel multiset and both plain
+    sums, but not the positions. Arrow-batched mapInPandas, one row in
+    -> one row out, no shuffle — the same 100 TB decode-map shape as
+    the sibling queries."""
+    import numpy as np
+    import pandas as pd
+
+    need = w * h
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("gray_sum", T.LongType()),
+            T.StructField("pix_sum", T.LongType()),
+            T.StructField("pos_sum", T.LongType()),
+        ]
+    )
+    pos = np.arange(1, need + 1, dtype=np.int64).reshape(h, w)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                v = np.frombuffer(bytes(data)[:need], dtype=np.uint8).astype(
+                    np.uint16
+                )
+                img16 = ((v << 8) | ((3 * v) & 0xFF)).reshape(h, w)
+                dec = decode_image(encode_png_gray16_adam7(img16))
+                gray = dec[:, :, 0].astype(np.int64)
+                rows.append(
+                    (
+                        int(mid),
+                        int(dec.shape[1]),
+                        int(dec.shape[0]),
+                        int(gray.sum()),
+                        int(dec.astype(np.int64).sum()),
+                        int((gray * pos).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "gray_sum",
+                    "pix_sum",
+                    "pos_sum",
                 ],
             )
 

@@ -4887,6 +4887,65 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_decode_png_adam7",
+    """
+    WITH img AS (
+      SELECT doc_id, substr(text, 1, 20) AS px
+      FROM documents WHERE length(text) >= 20
+        AND strlen(substr(text, 1, 20)) = 20
+    ),
+    b AS (
+      SELECT doc_id, i, ascii(substr(px, i, 1)) AS v
+      FROM img, (SELECT unnest(generate_series(1, 20)) AS i) u
+    )
+    SELECT doc_id AS media_id, 4 AS width, 5 AS height,
+           CAST(sum(v) AS BIGINT) AS gray_sum,
+           CAST(3 * sum(v) AS BIGINT) AS pix_sum,
+           CAST(sum(i * v) AS BIGINT) AS pos_sum
+    FROM b GROUP BY doc_id
+    """,
+)
+def multimodal_decode_png_adam7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-9 full-matrix PNG decoder additions — grayscale
+    colorize, 16-bit samples, Adam7 per-pass defiltering — under the
+    driver gate in ONE stream: each document's first 20 bytes become
+    the HIGH bytes of the 16-bit gray samples of a genuine 4x5
+    Adam7-INTERLACED depth-16 PNG (real deflated IDAT; low bytes
+    3v mod 256 so high-byte truncation must pick the right half of
+    each big-endian pair; on 4x5 the interlace runs six non-empty
+    passes and one empty one, 10 scanlines cycling all five filters
+    at bpp=2), decoded back and reduced to exact sums. ``pos_sum`` =
+    Σ i·v over row-major position is the load-bearing output: a pass
+    scattered to a wrong origin/step preserves the pixel multiset
+    (and so gray_sum/pix_sum) but not the positions. The oracle
+    replays all three sums from the source bytes with ascii(substr())
+    arithmetic; chars == bytes enforced structurally on both sides
+    (the ASCII-guard contract of the sibling decode queries). Decoder
+    goldens: tests/test_multimodal.py pins gray/16-bit/Adam7 against
+    hand-assembled stored-deflate bytes (incl. the canonical 8x8
+    pattern matrix), so writer and reader bugs cannot cancel here.
+
+    Plan: one documents scan -> mapInPandas (Arrow-batched, row-local
+    encode/decode, no shuffle) -> driver-hashable 6-column frame; the
+    same 100 TB decode-map shape as the sibling queries. Not in the
+    round-9 driver window (its 50 slots were committed to the r4-stale
+    rotation before this query existed); it leads the r10 queue with
+    the r5 cohort."""
+    from ssp_spark.operators import multimodal as mm
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.length("text") >= 20)
+        .select(
+            "doc_id",
+            F.encode(F.substring("text", 1, 20), "utf-8").alias("px"),
+        )
+        .filter(F.octet_length("px") == 20)
+    )
+    return mm.png_gray16_adam7_roundtrip_stats(docs, "doc_id", "px", w=4, h=5)
+
+
+@_q(
     "array_lateral_explode",
     """
     WITH base AS (

@@ -677,6 +677,24 @@ def test_decode_png_4bit_palette_two_pixels_per_byte():
     assert (img == expect).all()
 
 
+def test_png_gray16_adam7_encode_decode_roundtrip():
+    """encode_png_gray16_adam7 -> decode_image over a REAL deflate
+    stream: the decoded gray plane equals the high bytes of the
+    source 16-bit samples, at a size (4x5 and 9x9) whose pass
+    structure includes empty and non-empty passes and cycles all five
+    filters (the hand goldens pin the reader independently)."""
+    import numpy as np
+
+    for h, w in ((5, 4), (9, 9)):
+        v = (np.arange(h * w, dtype=np.uint16) * 37 % 251).reshape(h, w)
+        img16 = (v << 8) | ((v * 3) & 0xFF)
+        out = mm.decode_image(mm.encode_png_gray16_adam7(img16))
+        assert out.shape == (h, w, 3)
+        assert (out[:, :, 0] == v.astype(np.uint8)).all()
+        assert (out[:, :, 0] == out[:, :, 1]).all()
+        assert (out[:, :, 0] == out[:, :, 2]).all()
+
+
 def test_decode_png_adam7_pass_geometry_8x8():
     """8x8 type-0 Adam7 where every pass-k pixel carries value 10*k:
     the decoded plane must equal 10x the canonical Adam7 pattern matrix
