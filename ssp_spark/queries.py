@@ -11989,80 +11989,69 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     together with the 46 r4-latest queries; after this round ZERO
 #     registry queries are never-driver-checked.
 _CHECK_FIRST = [
-    # ---- ROUND 9 WINDOW ----------------------------------------------
-    # Contract (VERDICT r8 #2): after the r8 run the oldest evidence
-    # cohort is r4 (41 queries) — ALL of them rotate in, plus
-    # everything new/changed in r9, plus an r5-rotation tail filling
-    # the remaining slots. Composition: 2 new + 10 changed + 38
-    # r4-stale = 50. The sf10 SUITE run exposed two real scale bugs
-    # after the slots were full — the stats_numeric_exact BIGINT
-    # overflow and the uncapped simhash band join — whose fixes
-    # (changed implementations, changed oracles for the simhash pair)
-    # claimed slots from the r4 tail: zorder_cells and vocab_coverage
-    # (the two last alphabetically) are displaced, each re-verified
-    # hash-green at sf0.01 this session, and lead the r10 queue with
-    # the whole 46-query r5 cohort. Changed queries outrank repeat
-    # confirmations: a changed implementation needs fresh driver
-    # evidence more than a spot-checked stale row. (dedup_simhash64_
-    # pairs was already in the r4 cohort; it rides in group (b) now.)
-    #
-    # (a) new in round 9, never driver-checked
-    "multimodal_decode_png_palette",  # indexed (PLTE) PNG decode path
-    "multimodal_decode_jpeg",         # baseline JPEG huffman+iDCT path
-    # (b) changed in round 9 (implementation and/or oracle; each
-    # re-hash-matched at sf0.01 before taking a slot)
-    "multimodal_decode_png",       # structural ASCII guard, both sides
-    "multimodal_resize_decoded",   # (same guard)
-    "image_ahash_buckets",         # (same guard)
-    "ann_ivf_topk_gemm",           # HALF_UP rounding in the gemm kernel
-    "triangle_count_users",        # broadcast hints gated on edge count
-    "bootstrap_ci_spend",          # empty-input shape aligned to oracle
-    "bpe_token_stats",             # explode-first codegen encode (the
-                                   # r8 bench-regression fix)
-    "stats_numeric_exact",         # DECIMAL(38,0) moments (sf10
-                                   # overflow crash fix)
-    "dedup_simhash_pairs",         # 1024-doc band-bucket cap, both
-    "dedup_simhash64_pairs",       # engines (sf10 JVM-death fix)
-    # (c) the 41 queries whose latest driver row is round 4 — the whole
-    # r9 queue promised at their former slots last round, alphabetical
-    "approx_percentile_value",
-    "attribution_last_touch",
-    "bigram_lm_score",
-    "bloom_prefilter_join",
-    "bucketed_join_order_revenue",
-    "cluster_balanced_sample",
-    "contamination_check",
-    "contrastive_pairs_mining",
-    "daily_spine_fill",
-    "dedup_embedding_lsh",
-    "dedup_incremental_batch",
-    "dedup_ngram_corpus",
-    "doc_chunk_overlap",
-    "domain_mixture_weights",
-    "dq_audit_orders",
-    "embedding_quantize_int8",
-    "event_cooccurrence",
-    "funnel_conversion",
-    "groupwise_regression",
-    "incremental_agg_maintenance",
-    "interval_overlap_orders",
-    "kmeans_embeddings",
-    "mixture_resample",
-    "null_safe_join_props",
-    "pagerank_customer_supplier",
-    "profile_table",
-    "quality_repetition_filter",
-    "range_shard_manifest",
-    "scd1_customer_merge",
-    "sequence_packing",
-    "session_windows",
-    "sink_partitioned_scan",
-    "skew_key_stats",
-    "snapshot_diff_customers",
-    "source_orc_scan",
-    "source_schema_evolution",
-    "tfidf_top_terms",
-    "value_histogram",
+    # ---- ROUND 10 WINDOW ---------------------------------------------
+    # Contract (VERDICT r9 #1/#3): the one never-checked query leads,
+    # then everything changed in r10, then the two r4-stale rows, then
+    # the ENTIRE 45-query r5 cohort, then an r6 tail filler.
+    # Composition: 1 never-checked + 2 changed + 1 r4-stale + 45
+    # r5-stale + 1 r6-filler = 50. After the r10 run zero registry
+    # queries have evidence older than r6 (VERDICT r9 #3 done-bar).
+    # New r10 queries (if any land) displace the tail from the bottom
+    # (r6 filler first, then the alphabetically-last r5 rows), each
+    # displaced row re-verified hash-green at sf0.01 before displacement.
+    "multimodal_decode_png_adam7",  # never driver-checked (VERDICT r9 #1: the red test)
+    "dedup_span_pairs",  # changed in r10 (single-exchange rewrite, VERDICT r9 #2)
+    "vocab_coverage",  # changed in r10 (range-sharded windows, VERDICT r9 #5; also r4-stale)
+    "zorder_cells",  # r4-stale (VERDICT r9 #3)
+    # (c) the 45 queries whose latest driver row is round 5 (whole
+    # cohort, alphabetical)
+    "anti_join_inactive_customers",
+    "array_funcs_embeddings",
+    "asof_join_purchase_signup",
+    "cohort_retention",
+    "contrastive_pairs_lsh",
+    "corpus_shuffle_order",
+    "cube_order_stats",
+    "cust_above_nation_avg",
+    "date_funcs_monthly_orders",
+    "date_trunc_weekly_orders",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "distinct_event_users",
+    "doc_fingerprint",
+    "embedding_covariance_blas",
+    "embedding_standardize",
+    "event_transition_matrix",
+    "full_outer_user_activity",
+    "grouping_sets_orders",
+    "hll_distinct_users",
+    "json_extract_events",
+    "lang_id",
+    "left_join_customer_order_counts",
+    "math_funcs",
+    "multimodal_features",
+    "multimodal_frame_sampling",
+    "outlier_mad_orders",
+    "percentiles_by_flag",
+    "q10_top_customers_by_revenue",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "range_join_value_bands",
+    "rollup_order_stats",
+    "running_user_spend",
+    "scd2_user_state_history",
+    "semi_join_open_orders",
+    "set_ops_users",
+    "sliding_window_counts",
+    "source_text_scan",
+    "streaming_wordcount_replay",
+    "string_funcs",
+    "token_count",
+    "tumbling_hourly_stats",
+    "user_activity_pivot",
+    "window_funcs_showcase",
+    # (e) r6-rotation tail filler (alphabetically first of the r6 cohort)
+    "ann_lsh_topk",
 ]
 
 assert len(_CHECK_FIRST) == 50 and len(set(_CHECK_FIRST)) == 50

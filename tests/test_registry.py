@@ -11,6 +11,90 @@ import re
 
 from ssp_spark.queries import _CHECK_FIRST, ORACLE, QUERIES
 
+# Round 10 group (a): the one query with no driver row anywhere —
+# registered after the r9 window rotated (VERDICT r9 #1, the red test).
+_R10_NEVER_CHECKED = {
+    "multimodal_decode_png_adam7",
+}
+
+# Round 10 group (b): implementation-changed this round; each
+# re-hash-matched vs its oracle at sf0.01 before taking a slot.
+_R10_CHANGED = {
+    "dedup_span_pairs",  # single-exchange copurchase-pattern rewrite
+                         # (VERDICT r9 #2: 16.9x at sf0.1, 7.3x at sf10)
+    "vocab_coverage",    # range-sharded rank pass replaces the
+                         # single-partition windows (VERDICT r9 #5);
+                         # also r4-stale
+}
+
+# Round 10 group (c): the remaining r4-stale row (VERDICT r9 #3 —
+# SURVEY.md's "nothing older than r5" claim was false by these two;
+# vocab_coverage sits in (b) above).
+_R10_R4_STALE = {
+    "zorder_cells",
+}
+
+# Round 10 group (d): the ENTIRE 45-query r5-latest cohort,
+# alphabetical (VERDICT r9 #3: after the r10 run zero registry queries
+# have evidence older than r6).
+_R10_R5_STALE = {
+    "anti_join_inactive_customers", "array_funcs_embeddings",
+    "asof_join_purchase_signup", "cohort_retention",
+    "contrastive_pairs_lsh", "corpus_shuffle_order",
+    "cube_order_stats", "cust_above_nation_avg",
+    "date_funcs_monthly_orders", "date_trunc_weekly_orders",
+    "dedup_embedding_cosine", "dedup_exact", "distinct_event_users",
+    "doc_fingerprint", "embedding_covariance_blas",
+    "embedding_standardize", "event_transition_matrix",
+    "full_outer_user_activity", "grouping_sets_orders",
+    "hll_distinct_users", "json_extract_events", "lang_id",
+    "left_join_customer_order_counts", "math_funcs",
+    "multimodal_features", "multimodal_frame_sampling",
+    "outlier_mad_orders", "percentiles_by_flag",
+    "q10_top_customers_by_revenue", "q3_top_orders",
+    "q5_nation_revenue", "range_join_value_bands",
+    "rollup_order_stats", "running_user_spend",
+    "scd2_user_state_history", "semi_join_open_orders",
+    "set_ops_users", "sliding_window_counts", "source_text_scan",
+    "streaming_wordcount_replay", "string_funcs", "token_count",
+    "tumbling_hourly_stats", "user_activity_pivot",
+    "window_funcs_showcase",
+}
+
+# Round 10 group (e): r6-rotation tail filling the final slot
+# (alphabetically first of the r6 cohort). New r10 queries displace
+# this filler first, then the alphabetically-last r5 rows.
+_R10_R6_ROTATION = {
+    "ann_lsh_topk",
+}
+
+
+def test_driver_window_is_the_round10_target_set():
+    window = list(QUERIES)[:50]
+    assert window == _CHECK_FIRST
+    assert set(window) == (
+        _R10_NEVER_CHECKED | _R10_CHANGED | _R10_R4_STALE
+        | _R10_R5_STALE | _R10_R6_ROTATION
+    )
+    # ordering: the never-checked query leads (first row the driver
+    # hashes), then this round's changed queries, then the r4-stale
+    # row, then the 45-strong r5 cohort, then the r6 tail filler
+    n_a = len(_R10_NEVER_CHECKED)
+    assert set(window[:n_a]) == _R10_NEVER_CHECKED
+    n_b = n_a + len(_R10_CHANGED)
+    assert set(window[n_a:n_b]) == _R10_CHANGED
+    n_c = n_b + len(_R10_R4_STALE)
+    assert set(window[n_b:n_c]) == _R10_R4_STALE
+    n_d = n_c + len(_R10_R5_STALE)
+    assert set(window[n_c:n_d]) == _R10_R5_STALE
+    assert set(window[n_d:]) == _R10_R6_ROTATION
+
+
+# ---------------------------------------------------------------------
+# Round 9 window records (kept as the historical contract the r9 driver
+# run was hashed against; see CORRECTNESS_r09.json)
+# ---------------------------------------------------------------------
+
 # Round 9 group (a): new queries with no driver row yet.
 _R9_NEW = {
     "multimodal_decode_png_palette",  # indexed (PLTE) PNG decode path
@@ -66,22 +150,21 @@ _R9_R4_STALE = {
 _R9_R5_ROTATION: set = set()
 
 
-def test_driver_window_is_the_round9_target_set():
-    window = list(QUERIES)[:50]
-    assert window == _CHECK_FIRST
-    assert set(window) == (
+def test_round9_window_record_matches_correctness_r09():
+    """The r9 window is history now (the r10 window above supersedes
+    it); this pins the RECORD: the r9 groups still partition exactly
+    the 50 names CORRECTNESS_r09.json hashed, so the historical
+    evidence trail stays auditable."""
+    import json
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "CORRECTNESS_r09.json"
+    )
+    with open(path) as f:
+        checked = set(json.load(f))
+    assert checked == (
         _R9_NEW | _R9_CHANGED | _R9_R4_STALE | _R9_R5_ROTATION
     )
-    # ordering: the new query leads (first row the driver hashes), then
-    # this round's changed queries, then the 41-strong r4 queue, then
-    # the r5-rotation tail
-    n_a = len(_R9_NEW)
-    assert set(window[:n_a]) == _R9_NEW
-    n_b = n_a + len(_R9_CHANGED)
-    assert set(window[n_a:n_b]) == _R9_CHANGED
-    n_c = n_b + len(_R9_R4_STALE)
-    assert set(window[n_b:n_c]) == _R9_R4_STALE
-    assert set(window[n_c:]) == _R9_R5_ROTATION
 
 
 # ---------------------------------------------------------------------
