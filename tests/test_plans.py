@@ -341,18 +341,26 @@ def test_doc_chunking_zero_shuffle(spark):
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
 
 
-def test_vocab_coverage_single_scan_two_exchanges(spark):
-    """The corpus must be tokenized ONCE: the total comes from a window
-    over the aggregated vocab, not a second aggregate branch (which
-    would re-scan 100 TB for one number). Exactly two exchanges — the
-    word hash shuffle (with map-side combine) and the single partition
-    the vocab-sized windows share."""
+def test_vocab_coverage_topk_no_global_window(spark):
+    """Round-10 shape (VERDICT r9 #5): the vocabulary is data-shaped at
+    100 TB (~1e9 types), so NOTHING may move all vocab rows to one
+    partition. The rank pass must be the distributed top-k heap
+    (TakeOrderedAndProject — the output is capped at rank <= 1000), no
+    Window operator anywhere (the old form ran global rank/cumsum/total
+    windows on one single-partition exchange), and the corpus must
+    still be tokenized ONCE: the total-sum branch reuses the word
+    hash-shuffle exchange at runtime (AQE stage reuse — asserted on the
+    executed final plan)."""
     df = QUERIES["vocab_coverage"](spark, SF_SMOKE)
-    s = plans.plan_string(df)
-    assert s.count("Location:") == 1  # ONE parquet scan feeds everything
-    assert plans.exchange_count(df) == 1  # the word hash shuffle
-    assert plans.plan_string(df, "simple").count("Exchange SinglePartition") == 1
-    assert "partial_count" in s
+    df.collect()  # AQE: exchange reuse is decided at runtime
+    s = plans.plan_string(df, "simple")
+    final = s.split("== Initial Plan ==")[0]
+    assert "Window" not in final  # no global-window rank/cumsum/total
+    assert "TakeOrderedAndProject" in final  # distributed top-k heap
+    # ONE materialized word shuffle: the total branch reads the reused
+    # exchange, so exactly one subtree tokenizes the corpus
+    assert final.count("ReusedExchange") == 1
+    assert "partial_count" in final  # map-side combine on the tokens
     assert not plans.has_cartesian(df)
 
 
