@@ -108,9 +108,18 @@ def main() -> None:
         print(f"duck {name} {sec} steal={st}", flush=True)
 
     total = round(sum(duck.values()), 3)
+    # per-row provenance: DONE rows were measured by the earlier crashed
+    # in-process runs (no memory_limit); everything else ran in this
+    # script's per-subprocess protocol (memory_limit=72GB,
+    # preserve_insertion_order=false). The mixed-protocol total is
+    # disclosed in BASELINE.md; this field makes it machine-auditable.
+    provenance = {
+        n: ("prior-run" if n in DONE else "resumed-subprocess") for n in duck
+    }
     print(json.dumps({
         "engine": "duckdb", "sf_dir": SF_DIR, "value": total,
         "queries": duck, "query_steal_pct": steals,
+        "query_provenance": provenance,
         "infeasible": infeasible, "n_completed": len(duck),
     }), flush=True)
 

@@ -286,7 +286,7 @@ def _decode_png(data: bytes):
     if w is None:
         raise ValueError("PNG missing IHDR")
     ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    bpp = max(1, (depth * ch) // 8)  # filter left-step, whole bytes
+    bpp = max(1, (depth * ch + 7) // 8)  # filter left-step: ceil to whole bytes (spec: >=1)
     raw = zlib.decompress(bytes(idat))
 
     def stride_for(width: int) -> int:
@@ -498,6 +498,17 @@ def encode_png_gray16_adam7(img, filters=None) -> bytes:
 
     a = np.asarray(img, dtype=np.uint16)
     h, w = a.shape
+    if filters is not None:
+        n_scan = sum(
+            a[y0::dy, x0::dx].shape[0]
+            for x0, y0, dx, dy in _ADAM7
+            if a[y0::dy, x0::dx].size
+        )
+        if len(filters) < n_scan:
+            raise ValueError(
+                f"filters has {len(filters)} entries but the Adam7 pass "
+                f"structure of a {h}x{w} image has {n_scan} scanlines"
+            )
     raw = bytearray()
     scan = 0
     for x0, y0, dx, dy in _ADAM7:

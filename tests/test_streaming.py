@@ -280,7 +280,7 @@ def test_streaming_session_window(spark, tmpdir):
 @pytest.mark.skipif(
     not ss.has_transform_with_state(),
     reason="transformWithStateInPandas needs the protobuf runtime, which is "
-    "absent here and uninstallable (no-install environment; re-checked r8: "
+    "absent here and uninstallable (no-install environment; re-checked r10: "
     "import google.protobuf still fails, only typeshed stubs exist on this "
     "image) — the applyInPandasWithState twins cover the same semantics",
 )
