@@ -4913,6 +4913,80 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_decode_jpeg420",
+    """
+    WITH img AS (
+      SELECT doc_id, substr(text, 1, 24) AS px
+      FROM documents WHERE length(text) >= 24
+        AND strlen(substr(text, 1, 24)) = 24
+    ),
+    blk AS (
+      SELECT doc_id,
+             (j - 1) // 4 AS br, (j - 1) % 4 AS bc,
+             ascii(substr(px, j, 1)) + 64 AS y,
+             ((ascii(substr(px, 17 + ((j - 1) // 4 // 2) * 2 + (j - 1) % 4 // 2, 1)) % 9) - 4) * 5 AS dcb,
+             ((ascii(substr(px, 21 + ((j - 1) // 4 // 2) * 2 + (j - 1) % 4 // 2, 1)) % 9) - 4) * 5 AS dcr
+      FROM img, (SELECT unnest(generate_series(1, 16)) AS j) u
+    ),
+    rgb AS (
+      SELECT doc_id, br, bc,
+             greatest(0, least(255, y + CAST(round(1.402 * dcr) AS BIGINT)))
+           + greatest(0, least(255, y + CAST(round(-0.344136 * dcb - 0.714136 * dcr) AS BIGINT)))
+           + greatest(0, least(255, y + CAST(round(1.772 * dcb) AS BIGINT))) AS s
+      FROM blk
+    )
+    SELECT doc_id AS media_id, 32 AS width, 32 AS height,
+           CAST(sum(64 * s) AS BIGINT) AS pix_sum,
+           CAST(sum((16384 * br + 512 * bc + 7456) * s) AS BIGINT) AS pos_sum
+    FROM rgb GROUP BY doc_id
+    """,
+)
+def multimodal_decode_jpeg420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chroma-subsampled (4:2:0) JPEG decode under the driver gate —
+    the round-10 codec slice (VERDICT r9 #7: 4:2:0 is the dominant
+    real-corpus JPEG form). Each document's first 24 bytes become the
+    DC coefficients of a genuine 2x2-MCU (32x32) baseline 4:2:0 JPEG
+    (bytes 1-16 the 4x4 luma grid, 17-20 / 21-24 the 2x2 Cb/Cr grids
+    quantized to multiples of 5 in [-20, 20]) written at the
+    COEFFICIENT level by encode_jpeg_ycbcr420_coeffs, then decoded back
+    through the FULL subsampled path: interleaved MCU scan (four Y
+    blocks + Cb + Cr per MCU, per-component DC predictors), subsampled
+    planes, 2x2 replication upsampling, JFIF conversion with clamp.
+
+    The oracle replay is analytic and integer-exact: DC-only blocks
+    decode to y = v + 64; each 8x8 luma block sees the constant chroma
+    of its covering 16x16 MCU, so every pixel is y + round(offset)
+    clamped — and over the chroma domain every offset fraction sits
+    >= 0.0466 from .5 (checked across all 81 combos), making numpy's
+    half-even and DuckDB's half-away round() identical. ``pos_sum``
+    (sum of i*(r+g+b) over row-major positions, closed-form
+    16384*br + 512*bc + 7456 per block) is the load-bearing output: a
+    chroma block scattered to the wrong MCU, a swapped Y interleave
+    order, or wrong upsample geometry preserves the pixel multiset
+    (pix_sum) but not positions. Hand-assembled 4:2:0/4:2:2 bitstream
+    goldens pin the decoder independently of the writer
+    (test_multimodal: one-MCU quadrants, odd-size crop, multi-MCU
+    distinct-chroma roundtrip). ASCII chars == bytes enforced
+    structurally on both sides, as the sibling decode queries.
+
+    Plan: one documents scan -> mapInPandas (Arrow-batched, row-local
+    encode/decode, no shuffle) -> driver-hashable 5-column frame; the
+    same 100 TB decode-map shape as the sibling gate queries."""
+    from ssp_spark.operators import multimodal as mm
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.length("text") >= 24)
+        .select(
+            "doc_id",
+            F.encode(F.substring("text", 1, 24), "utf-8").alias("px"),
+        )
+        .filter(F.octet_length("px") == 24)
+    )
+    return mm.jpeg420_roundtrip_stats(docs, "doc_id", "px")
+
+
+@_q(
     "multimodal_decode_png_adam7",
     """
     WITH img AS (
@@ -12027,6 +12101,7 @@ _CHECK_FIRST = [
     # displaced row re-verified hash-green at sf0.01 before displacement.
     "multimodal_decode_png_adam7",  # never driver-checked (VERDICT r9 #1: the red test)
     "dedup_span_pairs",  # changed in r10 (single-exchange rewrite, VERDICT r9 #2)
+    "multimodal_decode_jpeg420",  # new in r10: 4:2:0 subsampled decode (VERDICT r9 #7)
     "vocab_coverage",  # changed in r10 (range-sharded windows, VERDICT r9 #5; also r4-stale)
     "zorder_cells",  # r4-stale (VERDICT r9 #3)
     # (c) the 45 queries whose latest driver row is round 5 (whole
@@ -12076,8 +12151,9 @@ _CHECK_FIRST = [
     "tumbling_hourly_stats",
     "user_activity_pivot",
     "window_funcs_showcase",
-    # (e) r6-rotation tail filler (alphabetically first of the r6 cohort)
-    "ann_lsh_topk",
+    # (e) r6-rotation tail filler: DISPLACED by the new r10 query
+    # multimodal_decode_jpeg420 per the window policy above (new/changed
+    # outrank repeat confirmations); ann_lsh_topk leads the r11 queue.
 ]
 
 assert len(_CHECK_FIRST) == 50 and len(set(_CHECK_FIRST)) == 50

@@ -575,15 +575,186 @@ def test_decode_jpeg_restart_markers_reset_predictor():
     assert (img[:, 8:, 0] == 125).all()
 
 
+def _hand_jpeg_420(entropy_bits: str, h: int, w: int) -> bytes:
+    """4:2:0 three-component baseline JPEG assembled BYTE BY HAND
+    around a literal bit string (Annex K.3 luminance tables on all
+    three components, Q = all 8s) — independent of
+    mm.encode_jpeg_ycbcr420_coeffs, so a shared writer/reader bug
+    cannot cancel. ``entropy_bits`` is 1-padded to a byte boundary
+    here (the only mechanical step)."""
+    from ssp_spark.operators.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+    )
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    bits = entropy_bits + "1" * (-len(entropy_bits) % 8)
+    entropy = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    assert 0xFF not in entropy  # keep the hand stream stuffing-free
+    dqt = bytes([0]) + bytes([8] * 64)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes(
+        [3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    dht = (
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    return (
+        b"\xff\xd8" + seg(0xDB, dqt) + seg(0xC0, sof) + seg(0xC4, dht)
+        + seg(0xDA, sos) + entropy + b"\xff\xd9"
+    )
+
+
+# one MCU, DC-only: four distinct Y blocks (raster order inside the
+# MCU), Cb DC +25, Cr DC -50. Differential-DC chains per component:
+#   Y:  +5 (cat3 '100'+'101'), 5->9 diff +4 (cat3 '100'+'100'),
+#       9->-3 diff -12 (cat4 '101'+'0011'), -3->0 diff +3 (cat2
+#       '011'+'11'); each block EOB '1010'
+#   Cb: +25 (cat5 '110'+'11001'), EOB
+#   Cr: -50 (cat6 '1110'+'001101'), EOB
+_JPEG_420_1MCU_BITS = (
+    "100" "101" "1010"
+    "100" "100" "1010"
+    "101" "0011" "1010"
+    "011" "11" "1010"
+    "110" "11001" "1010"
+    "1110" "001101" "1010"
+)
+# quadrant luma constants (dc+128 under Q00=8) and the JFIF offsets for
+# (cb-128, cr-128) = (+25, -50): r = y + round(1.402*-50) = y - 70,
+# g = y + round(-0.344136*25 + 0.714136*50) = y + 27,
+# b = y + round(1.772*25) = y + 44 (fractions .9/.1034/.3 — tie-free)
+_JPEG_420_QUAD_Y = [[133, 137], [125, 128]]
+
+
+def test_decode_jpeg_420_hand_assembled_dc_only():
+    """Hand-assembled one-MCU 4:2:0 stream: the four Y blocks land in
+    raster order inside the 16x16 MCU (a swapped interleave order
+    scrambles the quadrants), and the 8x8 chroma planes upsample 2x2
+    to cover all four — every output pixel exact."""
+    img = mm.decode_image(_hand_jpeg_420(_JPEG_420_1MCU_BITS, 16, 16))
+    assert img.shape == (16, 16, 3)
+    for qr in range(2):
+        for qc in range(2):
+            y = _JPEG_420_QUAD_Y[qr][qc]
+            quad = img[qr * 8 : qr * 8 + 8, qc * 8 : qc * 8 + 8, :].astype(int)
+            assert (quad[:, :, 0] == y - 70).all(), (qr, qc, quad[0, 0])
+            assert (quad[:, :, 1] == y + 27).all()
+            assert (quad[:, :, 2] == y + 44).all()
+
+
+def test_decode_jpeg_420_odd_size_crops_mcu_padding():
+    """Same one-MCU stream but SOF declares 12x10: the decoder must
+    still consume the full 16x16 MCU and crop — the 12x10 output is the
+    top-left window of the 16x16 golden."""
+    img = mm.decode_image(_hand_jpeg_420(_JPEG_420_1MCU_BITS, 12, 10))
+    full = mm.decode_image(_hand_jpeg_420(_JPEG_420_1MCU_BITS, 16, 16))
+    assert img.shape == (12, 10, 3)
+    assert (img == full[:12, :10, :]).all()
+
+
+def test_decode_jpeg_422_hand_assembled():
+    """4:2:2 (Y 2x1): one 16x8 MCU = two Y blocks side by side + one
+    Cb + one Cr block upsampled HORIZONTALLY only. Y DCs +5 then +4
+    diff (133 / 137), neutral Cb (0), Cr -50: r = y - 70, g = y + 36
+    (round(0.714136*50) = round(35.7068)), b = y exactly."""
+    from ssp_spark.operators.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+    )
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    bits = (
+        "100" "101" "1010"      # Y block 0: DC +5, EOB
+        "100" "100" "1010"      # Y block 1: diff +4 -> 9, EOB
+        "00" "1010"             # Cb: DC diff 0, EOB
+        "1110" "001101" "1010"  # Cr: DC -50, EOB
+    )
+    bits += "1" * (-len(bits) % 8)
+    entropy = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    dqt = bytes([0]) + bytes([8] * 64)
+    sof = bytes([8]) + (8).to_bytes(2, "big") + (16).to_bytes(2, "big") + bytes(
+        [3, 1, 0x21, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    dht = (
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    img = mm.decode_image(
+        b"\xff\xd8" + seg(0xDB, dqt) + seg(0xC0, sof) + seg(0xC4, dht)
+        + seg(0xDA, sos) + entropy + b"\xff\xd9"
+    )
+    assert img.shape == (8, 16, 3)
+    for half, y in ((img[:, :8, :].astype(int), 133), (img[:, 8:, :].astype(int), 137)):
+        assert (half[:, :, 0] == y - 70).all()
+        assert (half[:, :, 1] == y + 36).all()
+        assert (half[:, :, 2] == y).all()
+
+
+def test_jpeg_420_coeff_roundtrip_multi_mcu():
+    """encode_jpeg_ycbcr420_coeffs -> decode_image over a 2x2-MCU
+    (32x32) grid, DC-only, with DISTINCT chroma per MCU — a chroma
+    block scattered to the wrong MCU or upsampled with the wrong
+    geometry moves whole 16x16 color fields. Every pixel checked
+    against the analytic expectation."""
+    import numpy as np
+
+    ydc = np.arange(16, dtype=np.int64).reshape(4, 4) * 7 - 50
+    cbdc = np.array([[25, -20], [0, 10]], dtype=np.int64)
+    crdc = np.array([[-50, 5], [15, -35]], dtype=np.int64)
+    yb = np.zeros((4, 4, 8, 8), dtype=np.int64)
+    yb[:, :, 0, 0] = ydc
+    cbb = np.zeros((2, 2, 8, 8), dtype=np.int64)
+    cbb[:, :, 0, 0] = cbdc
+    crb = np.zeros((2, 2, 8, 8), dtype=np.int64)
+    crb[:, :, 0, 0] = crdc
+    img = mm.decode_image(mm.encode_jpeg_ycbcr420_coeffs(yb, cbb, crb))
+    assert img.shape == (32, 32, 3)
+    got = img.astype(int)
+    for r in range(32):
+        for c in range(32):
+            y = int(ydc[r // 8, c // 8]) + 128
+            cb = float(cbdc[r // 16, c // 16])
+            cr = float(crdc[r // 16, c // 16])
+            exp_r = min(255, max(0, round(y + 1.402 * cr)))
+            exp_g = min(255, max(0, round(y - 0.344136 * cb - 0.714136 * cr)))
+            exp_b = min(255, max(0, round(y + 1.772 * cb)))
+            assert got[r, c, 0] == exp_r, (r, c, got[r, c], (exp_r, exp_g, exp_b))
+            assert got[r, c, 1] == exp_g
+            assert got[r, c, 2] == exp_b
+
+
+def test_jpeg_420_writer_rejects_inconsistent_grids():
+    import numpy as np
+
+    with pytest.raises(ValueError):
+        mm.encode_jpeg_ycbcr420_coeffs(
+            np.zeros((3, 4, 8, 8)), np.zeros((2, 2, 8, 8)), np.zeros((2, 2, 8, 8))
+        )
+
+
 def test_jpeg_unsupported_profiles_raise():
     with pytest.raises(NotImplementedError):  # progressive SOF2
         mm.decode_image(
             b"\xff\xd8\xff\xc2" + (3).to_bytes(2, "big") + b"\x08"
         )
-    with pytest.raises(NotImplementedError):  # subsampled 4:2:0
+    with pytest.raises(NotImplementedError):  # non-dividing sampling
+        # hmax=3 with a 2x1 component would need 3/2 fractional
+        # upsampling — T.81-legal, emitted by no mainstream encoder
+        # (4:2:0 itself DECODES since round 10; see the 420 goldens)
         body = (
             bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
-            + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+            + bytes([3, 1, 0x31, 0, 2, 0x21, 1, 3, 0x11, 1])
         )
         mm.decode_image(
             b"\xff\xd8\xff\xc0" + (len(body) + 2).to_bytes(2, "big") + body

@@ -17,24 +17,32 @@ _R10_NEVER_CHECKED = {
     "multimodal_decode_png_adam7",
 }
 
-# Round 10 group (b): implementation-changed this round; each
+# Round 10 group (b): new in round 10 (no driver row anywhere —
+# unlike group (a) it postdates every earlier window by design).
+_R10_NEW = {
+    "multimodal_decode_jpeg420",  # 4:2:0 chroma-subsampled decode
+                                  # (VERDICT r9 #7); hash-matched at
+                                  # sf0.001/0.01/0.1 before its slot
+}
+
+# Round 10 group (c): implementation-changed this round; each
 # re-hash-matched vs its oracle at sf0.01 before taking a slot.
 _R10_CHANGED = {
     "dedup_span_pairs",  # single-exchange copurchase-pattern rewrite
                          # (VERDICT r9 #2: 16.9x at sf0.1, 7.3x at sf10)
-    "vocab_coverage",    # range-sharded rank pass replaces the
-                         # single-partition windows (VERDICT r9 #5);
-                         # also r4-stale
+    "vocab_coverage",    # distributed top-k + bounded-array coverage
+                         # pass replaces the single-partition windows
+                         # (VERDICT r9 #5); also r4-stale
 }
 
-# Round 10 group (c): the remaining r4-stale row (VERDICT r9 #3 —
+# Round 10 group (d): the remaining r4-stale row (VERDICT r9 #3 —
 # SURVEY.md's "nothing older than r5" claim was false by these two;
-# vocab_coverage sits in (b) above).
+# vocab_coverage sits in (c) above).
 _R10_R4_STALE = {
     "zorder_cells",
 }
 
-# Round 10 group (d): the ENTIRE 45-query r5-latest cohort,
+# Round 10 group (e): the ENTIRE 45-query r5-latest cohort,
 # alphabetical (VERDICT r9 #3: after the r10 run zero registry queries
 # have evidence older than r6).
 _R10_R5_STALE = {
@@ -61,33 +69,29 @@ _R10_R5_STALE = {
     "window_funcs_showcase",
 }
 
-# Round 10 group (e): r6-rotation tail filling the final slot
-# (alphabetically first of the r6 cohort). New r10 queries displace
-# this filler first, then the alphabetically-last r5 rows.
-_R10_R6_ROTATION = {
-    "ann_lsh_topk",
-}
+# (the r6-rotation tail filler ann_lsh_topk that held the 50th slot at
+# the start of the round was DISPLACED when multimodal_decode_jpeg420
+# landed — new/changed outrank repeat confirmations, the documented
+# window policy; ann_lsh_topk leads the r11 queue.)
 
 
 def test_driver_window_is_the_round10_target_set():
     window = list(QUERIES)[:50]
     assert window == _CHECK_FIRST
     assert set(window) == (
-        _R10_NEVER_CHECKED | _R10_CHANGED | _R10_R4_STALE
-        | _R10_R5_STALE | _R10_R6_ROTATION
+        _R10_NEVER_CHECKED | _R10_NEW | _R10_CHANGED | _R10_R4_STALE
+        | _R10_R5_STALE
     )
     # ordering: the never-checked query leads (first row the driver
-    # hashes), then this round's changed queries, then the r4-stale
-    # row, then the 45-strong r5 cohort, then the r6 tail filler
+    # hashes), then this round's new + changed queries, then the
+    # r4-stale row, then the 45-strong r5 cohort
     n_a = len(_R10_NEVER_CHECKED)
     assert set(window[:n_a]) == _R10_NEVER_CHECKED
-    n_b = n_a + len(_R10_CHANGED)
-    assert set(window[n_a:n_b]) == _R10_CHANGED
+    n_b = n_a + len(_R10_NEW) + len(_R10_CHANGED)
+    assert set(window[n_a:n_b]) == _R10_NEW | _R10_CHANGED
     n_c = n_b + len(_R10_R4_STALE)
     assert set(window[n_b:n_c]) == _R10_R4_STALE
-    n_d = n_c + len(_R10_R5_STALE)
-    assert set(window[n_c:n_d]) == _R10_R5_STALE
-    assert set(window[n_d:]) == _R10_R6_ROTATION
+    assert set(window[n_c:]) == _R10_R5_STALE
 
 
 # ---------------------------------------------------------------------
