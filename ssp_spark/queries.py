@@ -4940,6 +4940,61 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_decode_jpeg_progressive",
+    """
+    WITH img AS (
+      SELECT doc_id, substr(text, 1, 20) AS px
+      FROM documents WHERE length(text) >= 20
+        AND strlen(substr(text, 1, 20)) = 20
+    ),
+    b AS (
+      SELECT doc_id, ascii(substr(px, i, 1)) AS v
+      FROM img, (SELECT unnest(generate_series(1, 20)) AS i) u
+    )
+    SELECT doc_id AS media_id, 32 AS width, 40 AS height,
+           CAST(3 * sum(64 * (v + 64)) AS BIGINT) AS pix_sum,
+           CAST(sum(64 * (v + 64)) AS BIGINT) AS gray_sum
+    FROM b GROUP BY doc_id
+    """,
+)
+def multimodal_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive (SOF2) JPEG decode under the driver gate — the
+    round-10 closure of the codec's last major disclosed boundary.
+    Same 4x5-block DC payload as `multimodal_decode_jpeg` (bytes ->
+    dc = v - 64), but the stream is a REAL three-scan progressive file
+    (encode_jpeg_gray_coeffs_progressive: DC first at Al=1 with the
+    arithmetic-shift point transform, a DC refinement scan delivering
+    bit 0 of every block — negative and odd DCs make both scans
+    load-bearing — and an AC scan of per-block EOB runs), decoded
+    through the full multi-scan coefficient-accumulation path
+    (_decode_jpeg_progressive: G.1.2.1 DC accumulation, G.1.2.2 EOBRUN
+    spectral-selection decode). The two DC scans reconstruct every
+    coefficient exactly, so the SAME analytic oracle applies:
+    64*(v + 64) per block per channel — a wrong point transform, a
+    skipped refinement bit, or a broken EOB run shifts a sum and
+    breaks the hash. The G.1.2.3 AC correction-bit path and EOBRUN
+    spans are pinned by hand-assembled goldens in test_multimodal
+    (custom-DHT EOBn codes, newly-significant + history-correction
+    bits) — decoder paths the writer never touches.
+
+    Plan: one documents scan -> mapInPandas (Arrow-batched, row-local
+    encode/decode, no shuffle) -> driver-hashable 5-column frame; the
+    same 100 TB decode-map shape as the sibling gate queries."""
+    from ssp_spark.operators import multimodal as mm
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.length("text") >= 20)
+        .select(
+            "doc_id",
+            F.encode(F.substring("text", 1, 20), "utf-8").alias("px"),
+        )
+        .filter(F.octet_length("px") == 20)
+    )
+    return mm.jpeg_progressive_roundtrip_stats(docs, "doc_id", "px", bw=4, bh=5)
+
+
+@_q(
     "multimodal_decode_jpeg420",
     """
     WITH img AS (
@@ -12149,6 +12204,7 @@ _CHECK_FIRST = [
     "multimodal_decode_png_adam7",  # never driver-checked (VERDICT r9 #1: the red test)
     "dedup_span_pairs",  # changed in r10 (single-exchange rewrite, VERDICT r9 #2)
     "multimodal_decode_jpeg420",  # new in r10: 4:2:0 subsampled decode (VERDICT r9 #7)
+    "multimodal_decode_jpeg_progressive",  # new in r10: SOF2 multi-scan decode
     "vocab_coverage",  # changed in r10 (range-sharded windows, VERDICT r9 #5; also r4-stale)
     "zorder_cells",  # r4-stale (VERDICT r9 #3)
     # (c) the 45 queries whose latest driver row is round 5 (whole
@@ -12197,7 +12253,10 @@ _CHECK_FIRST = [
     "token_count",
     "tumbling_hourly_stats",
     "user_activity_pivot",
-    "window_funcs_showcase",
+    # (window_funcs_showcase, the alphabetically-last r5 row, was
+    # DISPLACED by multimodal_decode_jpeg_progressive per the window
+    # policy above; re-verified hash-green at sf0.01 before displacement,
+    # it leads the r11 queue with ann_lsh_topk.)
     # (e) r6-rotation tail filler: DISPLACED by the new r10 query
     # multimodal_decode_jpeg420 per the window policy above (new/changed
     # outrank repeat confirmations); ann_lsh_topk leads the r11 queue.

@@ -743,10 +743,165 @@ def test_jpeg_420_writer_rejects_inconsistent_grids():
         )
 
 
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2): multi-scan coefficient accumulation
+# ---------------------------------------------------------------------------
+
+
+def _prog_seg(marker, body):
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def _prog_headers(w, h, dht=None):
+    """SOI + DQT(all 8s) + SOF2(1 gray component) + DHT (K.3 unless a
+    custom table is given as raw DHT body bytes)."""
+    from ssp_spark.operators.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+    )
+
+    dqt = bytes([0]) + bytes([8] * 64)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([1, 1, 0x11, 0])
+    if dht is None:
+        dht = (
+            bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+            + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+        )
+    return b"\xff\xd8" + _prog_seg(0xDB, dqt) + _prog_seg(0xC2, sof) + _prog_seg(0xC4, dht)
+
+
+def _bits_to_bytes(bits: str) -> bytes:
+    bits += "1" * (-len(bits) % 8)
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        b = int(bits[i : i + 8], 2)
+        out.append(b)
+        if b == 0xFF:
+            out.append(0x00)
+    return bytes(out)
+
+
+def test_decode_jpeg_progressive_hand_dc_two_scans():
+    """Hand-assembled SOF2 stream, one block, DC = 5 delivered over TWO
+    scans: DC-first at Al=1 codes the point transform 5>>1 = 2 (cat 2
+    '011' + raw '10'), the refinement scan appends raw bit 0 of the
+    original value ('1'), and an AC scan sends one EOB. A decoder that
+    skips the refinement bit lands on 132, one that double-shifts lands
+    elsewhere — only the exact G.1.2.1 accumulation gives 5 + 128 =
+    133 everywhere."""
+    scan1 = _prog_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01])) + _bits_to_bytes("01110")
+    scan2 = _prog_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10])) + _bits_to_bytes("1")
+    scan3 = _prog_seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + _bits_to_bytes("1010")
+    img = mm.decode_image(_prog_headers(8, 8) + scan1 + scan2 + scan3 + b"\xff\xd9")
+    assert img.shape == (8, 8, 3)
+    assert (img == 133).all()
+
+
+def test_decode_jpeg_progressive_hand_eobrun_spans_blocks():
+    """EOBRUN spanning blocks, custom DHT: a 32x8 four-block stream
+    whose AC-first scan codes +2 at zigzag 1 of block 0, then EOBn with
+    r=2 + appended bits '11' — eobrun = (1<<2)-1+3 = 6 following
+    blocks... trimmed: appended '00' gives eobrun 3, exactly blocks
+    1-3. The custom AC table maps '00'->EOB(0x00), '01'->EOBn r=2
+    (0x20), '10'->(0,1)=0x01, '110'->(0,2)=0x02. DC scan puts 2,4,6,8
+    (diffs via K.3-coded first scan at Al=1 then refine bits) — the
+    final image must show per-block DC constants with block 0 alone
+    carrying the AC ripple."""
+    import numpy as np
+    from ssp_spark.operators.multimodal import (
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _JPEG_ZIGZAG,
+    )
+
+    # custom DHT: DC = K.3 (class 0, id 0); AC (class 1, id 0): three
+    # len-2 codes + one len-3 code (avoids the all-ones 2-bit code)
+    dht = (
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes([0, 3, 1] + [0] * 13) + bytes([0x00, 0x20, 0x01, 0x02])
+    )
+    # DC first scan (Al=1): values 2,4,6,8 -> point transforms 1,2,3,4,
+    # diffs 1,1,1,1 -> K.3 DC cat1 '010' + raw '1' each
+    dc1 = "0101" * 4
+    # DC refine: all even -> bits 0000
+    dc2 = "0000"
+    # AC first (Al=0): block0: (0,2)='110' + raw '10' (+2 at zz 1), then
+    # EOBn r=2 '01' + appended '00' -> eobrun = 4-1+0 = 3 -> blocks 1-3
+    ac = "110" + "10" + "01" + "00"
+    scan1 = _prog_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01])) + _bits_to_bytes(dc1)
+    scan2 = _prog_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10])) + _bits_to_bytes(dc2)
+    scan3 = _prog_seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + _bits_to_bytes(ac)
+    img = mm.decode_image(_prog_headers(32, 8, dht) + scan1 + scan2 + scan3 + b"\xff\xd9")
+    assert img.shape == (8, 32, 3)
+    g = img[:, :, 0].astype(int)
+    # blocks 1-3: pure DC constants (EOBRUN must have skipped them)
+    for b, dc in ((1, 4), (2, 6), (3, 8)):
+        assert (g[:, b * 8 : b * 8 + 8] == dc + 128).all(), b
+    # block 0: DC 2 + AC (0,1)=2 ripple — compare against the baseline
+    # engine decoding the same final coefficients
+    ref = np.zeros((1, 1, 8, 8), dtype=np.int64)
+    ref[0, 0, 0, 0] = 2
+    ref[0, 0][_JPEG_ZIGZAG[1]] = 2
+    want = mm.decode_image(mm.encode_jpeg_gray_coeffs(ref))[:, :, 0].astype(int)
+    assert (g[:, :8] == want).all()
+
+
+def test_decode_jpeg_progressive_hand_ac_refinement():
+    """The G.1.2.3 correction-bit path, fully hand-assembled: AC-first
+    at Al=1 places +1 at zigzag 1 (decoder holds 2); the AC-refinement
+    scan at Al=0 then (a) corrects that history coefficient to 3 via an
+    appended bit and (b) makes zigzag 2 newly significant with value
+    -1 — one '00' (0,1) code, sign bit 0, correction bit 1, then EOB
+    whose tail consumes the current block. Final coefficients must
+    equal {zz1: 3, zz2: -1}, checked against the baseline engine."""
+    import numpy as np
+    from ssp_spark.operators.multimodal import _JPEG_ZIGZAG
+
+    scan1 = _prog_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01])) + _bits_to_bytes("00")
+    scan2 = _prog_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10])) + _bits_to_bytes("0")
+    # AC first at Al=1: (0,1)='00' + raw '1' (+1 -> stored 2), EOB '1010'
+    scan3 = _prog_seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01])) + _bits_to_bytes("0011010")
+    # AC refine at Ah=1, Al=0: '00' (0,1) + sign '0' (-1) + correction
+    # '1' for zz1 (2 -> 3), place at zz2, then EOB '1010'
+    scan4 = _prog_seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10])) + _bits_to_bytes("0001" + "1010")
+    img = mm.decode_image(
+        _prog_headers(8, 8) + scan1 + scan2 + scan3 + scan4 + b"\xff\xd9"
+    )
+    ref = np.zeros((1, 1, 8, 8), dtype=np.int64)
+    ref[0, 0][_JPEG_ZIGZAG[1]] = 3
+    ref[0, 0][_JPEG_ZIGZAG[2]] = -1
+    want = mm.decode_image(mm.encode_jpeg_gray_coeffs(ref))
+    assert (img == want).all()
+
+
+def test_jpeg_progressive_writer_roundtrip_matches_baseline():
+    """encode_jpeg_gray_coeffs_progressive -> decode must equal the
+    BASELINE writer -> decode on identical coefficients (negative DCs
+    exercise the arithmetic-shift point transform + refinement bits;
+    sparse ACs exercise ZRL and per-block EOB runs on the progressive
+    path)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    c = np.zeros((3, 4, 8, 8), dtype=np.int64)
+    c[:, :, 0, 0] = rng.integers(-100, 100, (3, 4))
+    for _ in range(20):
+        b, x, r, cc = (
+            rng.integers(0, 3), rng.integers(0, 4),
+            rng.integers(0, 8), rng.integers(0, 8),
+        )
+        c[b, x, r, cc] = rng.integers(-40, 40)
+    img_p = mm.decode_image(mm.encode_jpeg_gray_coeffs_progressive(c))
+    img_b = mm.decode_image(mm.encode_jpeg_gray_coeffs(c))
+    assert (img_p == img_b).all()
+
+
 def test_jpeg_unsupported_profiles_raise():
-    with pytest.raises(NotImplementedError):  # progressive SOF2
+    with pytest.raises(NotImplementedError):  # arithmetic-coded (SOF10)
         mm.decode_image(
-            b"\xff\xd8\xff\xc2" + (3).to_bytes(2, "big") + b"\x08"
+            b"\xff\xd8\xff\xca" + (3).to_bytes(2, "big") + b"\x08"
         )
     with pytest.raises(NotImplementedError):  # non-dividing sampling
         # hmax=3 with a 2x1 component would need 3/2 fractional

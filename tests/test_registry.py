@@ -22,6 +22,11 @@ _R10_NEVER_CHECKED = {
 _R10_NEW = {
     "multimodal_decode_jpeg420",  # 4:2:0 chroma-subsampled decode
                                   # (VERDICT r9 #7); hash-matched at
+                                  # sf0.001/0.01/0.1 AND sf10 before
+                                  # its slot
+    "multimodal_decode_jpeg_progressive",  # SOF2 multi-scan decode
+                                  # (DC point transform + refinement,
+                                  # EOBRUN); hash-matched at
                                   # sf0.001/0.01/0.1 before its slot
 }
 
@@ -66,7 +71,11 @@ _R10_R5_STALE = {
     "set_ops_users", "sliding_window_counts", "source_text_scan",
     "streaming_wordcount_replay", "string_funcs", "token_count",
     "tumbling_hourly_stats", "user_activity_pivot",
-    "window_funcs_showcase",
+    # window_funcs_showcase (alphabetically last) was DISPLACED when
+    # multimodal_decode_jpeg_progressive landed — new/changed outrank
+    # repeat confirmations, the documented window policy; re-verified
+    # hash-green at sf0.01 before displacement, it leads the r11 queue
+    # with ann_lsh_topk. 44 of the 45 r5-latest rows rotate this round.
 }
 
 # (the r6-rotation tail filler ann_lsh_topk that held the 50th slot at
