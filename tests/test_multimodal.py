@@ -876,6 +876,65 @@ def test_decode_jpeg_progressive_hand_ac_refinement():
     assert (img == want).all()
 
 
+def test_decode_jpeg_progressive_420_interleaved_dc():
+    """Progressive + chroma subsampling combined: a 16x16 4:2:0 SOF2
+    stream whose DC scan is INTERLEAVED (four Y blocks in MCU raster
+    order + Cb + Cr, per-component predictors) at Ah=Al=0, followed by
+    three single-component AC scans that are pure EOB runs over each
+    component's OWN block grid. Same DC payload as the baseline 4:2:0
+    golden, so the decoded image must equal it pixel-for-pixel —
+    pinning the interleaved-DC-with-sampling and per-component AC-grid
+    paths of the progressive decoder."""
+    from ssp_spark.operators.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+    )
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = bytes([0]) + bytes([8] * 64)
+    sof = bytes([8]) + (16).to_bytes(2, "big") + (16).to_bytes(2, "big") + bytes(
+        [3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    dht = (
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+    # DC scan, interleaved, Ah=Al=0 — the SAME differential chains as
+    # the baseline one-MCU 4:2:0 golden (_JPEG_420_1MCU_BITS without
+    # the per-block EOB codes, which DC-only progressive scans omit)
+    dc_bits = (
+        "100" "101"      # Y: +5
+        "100" "100"      # Y: +4 -> 9
+        "101" "0011"     # Y: -12 -> -3
+        "011" "11"       # Y: +3 -> 0
+        "110" "11001"    # Cb: +25
+        "1110" "001101"  # Cr: -50
+    )
+    sos_dc = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x00])
+    # per-component AC scans: EOBn r=2 + '00' = eobrun 3 (+current = 4
+    # blocks) for Y; plain EOB for the single Cb / Cr blocks. K.3 AC
+    # has no EOBn r=2 code, so Y uses four plain EOBs instead.
+    ac_y = _bits_to_bytes("1010" * 4)
+    ac_1 = _bits_to_bytes("1010")
+    scans = (
+        seg(0xDA, sos_dc) + _bits_to_bytes(dc_bits)
+        + seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + ac_y
+        + seg(0xDA, bytes([1, 2, 0x00, 1, 63, 0x00])) + ac_1
+        + seg(0xDA, bytes([1, 3, 0x00, 1, 63, 0x00])) + ac_1
+    )
+    img = mm.decode_image(
+        b"\xff\xd8" + seg(0xDB, dqt) + seg(0xC2, sof) + seg(0xC4, dht)
+        + scans + b"\xff\xd9"
+    )
+    base = mm.decode_image(_hand_jpeg_420(_JPEG_420_1MCU_BITS, 16, 16))
+    assert img.shape == (16, 16, 3)
+    assert (img == base).all()
+
+
 def test_jpeg_progressive_writer_roundtrip_matches_baseline():
     """encode_jpeg_gray_coeffs_progressive -> decode must equal the
     BASELINE writer -> decode on identical coefficients (negative DCs
