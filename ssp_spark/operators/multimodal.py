@@ -71,8 +71,10 @@ def decode_image(data: bytes):
     static-image matrix (all five color types, depths 1-16, Adam7 —
     see _decode_png; alpha stripped, 16-bit high-byte); and baseline
     JPEG (SOF0 Huffman + iDCT, grayscale / 4:4:4 / subsampled
-    4:2:0-family YCbCr — see _decode_jpeg). webp and
-    progressive/arithmetic JPEG still raise NotImplementedError — a real deployment swaps in
+    4:2:0-family YCbCr — see _decode_jpeg; SOF2 progressive routes to
+    _decode_jpeg_progressive); and GIF87a/89a (real LZW, interlace,
+    transparency — see _decode_gif). webp and arithmetic-coded JPEG
+    still raise NotImplementedError — a real deployment swaps in
     PIL/OpenCV for those branches and every downstream operator
     (resize_media, extract_features) is unchanged because they only
     see the (h, w, 3) array."""
@@ -117,9 +119,11 @@ def decode_image(data: bytes):
         return _decode_png(data)
     if data[:2] == b"\xff\xd8":
         return _decode_jpeg(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(data)
     raise NotImplementedError(
         "only PPM(P6)/BMP(24-bit)/PNG(full static matrix)/"
-        "JPEG(baseline) decodable here"
+        "JPEG(baseline+progressive)/GIF decodable here"
     )
 
 
@@ -1978,15 +1982,438 @@ def resize_media(
     return df.mapInPandas(fn, schema)
 
 
+# ---------------------------------------------------------------------------
+# GIF (GIF87a/GIF89a) — real LZW decode, pure stdlib + numpy. The format
+# per the published GIF89a specification: logical screen descriptor,
+# global/local color tables, graphic-control extensions (transparency),
+# interlaced row ordering, and the GIF flavor of LZW (LSB-first variable
+# width codes 3..12 bits, clear/end codes, deferred-clear tolerant).
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_decode(comp: bytes, min_code: int, expected: int) -> bytes:
+    """LZW decompress a GIF image data stream (sub-blocks already
+    joined). Codes are packed LSB-first; the table resets on CLEAR
+    (= 1 << min_code), EOI ends the stream; code width grows when the
+    table fills 1 << width, capped at 12 bits (the 4096-entry table
+    then freezes until the next clear — 'deferred clear')."""
+    clear = 1 << min_code
+    end = clear + 1
+    width = min_code + 1
+    acc = nbits = 0
+    pos = 0
+    table: list[bytes] = []
+    prev = None
+    out = bytearray()
+    while len(out) < expected:
+        while nbits < width:
+            if pos >= len(comp):
+                return bytes(out)  # truncated stream: keep decoded prefix
+            acc |= comp[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("GIF LZW: first code after clear not a literal")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise ValueError(f"GIF LZW: code {code} beyond table")
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+        out += entry
+        prev = entry
+    return bytes(out[:expected])
+
+
+def _gif_lzw_encode(indices: bytes, min_code: int) -> bytes:
+    """LZW compress pixel indices the way every GIF writer does:
+    greedy longest-prefix dictionary, CLEAR emitted first, EOI last,
+    code width bumped when the next free code crosses 1 << width
+    (mirroring the decoder's growth point), table frozen at 4096."""
+    clear = 1 << min_code
+    end = clear + 1
+    width = min_code + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    outbits = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            outbits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    cur = b""
+    for b in indices:
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        cur = bytes([b])
+    if cur:
+        emit(table[cur])
+    emit(end)
+    if nbits:
+        outbits.append(acc & 0xFF)
+    return bytes(outbits)
+
+
+# Interlaced GIF row passes: (start, step) per the GIF89a spec.
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _decode_gif(data: bytes):
+    """(h, w, 3) uint8 RGB of the FIRST frame composited onto the
+    logical screen: background color fill, frame blitted at its
+    left/top offset, GCE transparency leaving the background through,
+    local color table overriding the global one, interlaced row
+    de-scattering. Animation beyond frame 1 is out of scope here by
+    design (the video tier handles frame streams); a second image
+    descriptor simply isn't read."""
+    import numpy as np
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w = int.from_bytes(data[6:8], "little")
+    h = int.from_bytes(data[8:10], "little")
+    flags, bg = data[10], data[11]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    transparent = None
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            label = data[pos + 1]
+            pos += 2
+            subs = []
+            while data[pos] != 0:
+                sz = data[pos]
+                subs.append(data[pos + 1 : pos + 1 + sz])
+                pos += 1 + sz
+            pos += 1
+            if label == 0xF9 and subs and (subs[0][0] & 1):
+                transparent = subs[0][3]
+        elif b0 == 0x2C:  # image descriptor
+            left = int.from_bytes(data[pos + 1 : pos + 3], "little")
+            top = int.from_bytes(data[pos + 3 : pos + 5], "little")
+            iw = int.from_bytes(data[pos + 5 : pos + 7], "little")
+            ih = int.from_bytes(data[pos + 7 : pos + 9], "little")
+            iflags = data[pos + 9]
+            pos += 10
+            lct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                lct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+                pos += 3 * n
+            if lct is None:
+                raise ValueError("GIF image with no color table")
+            min_code = data[pos]
+            pos += 1
+            comp = bytearray()
+            while data[pos] != 0:
+                sz = data[pos]
+                comp += data[pos + 1 : pos + 1 + sz]
+                pos += 1 + sz
+            pos += 1
+            idx = np.frombuffer(
+                _gif_lzw_decode(bytes(comp), min_code, iw * ih), dtype=np.uint8
+            )
+            if len(idx) < iw * ih:
+                idx = np.pad(idx, (0, iw * ih - len(idx)))
+            rows = idx.reshape(ih, iw)
+            if iflags & 0x40:  # interlaced: de-scatter the pass rows
+                orig = np.empty_like(rows)
+                src = 0
+                for start, step in _GIF_INTERLACE:
+                    for y in range(start, ih, step):
+                        orig[y] = rows[src]
+                        src += 1
+                rows = orig
+            if idx.max(initial=0) >= len(lct):
+                raise ValueError("GIF pixel index beyond color table")
+            screen = np.zeros((h, w, 3), dtype=np.uint8)
+            if gct is not None and bg < len(gct):
+                screen[:, :] = gct[bg]
+            frame = lct[rows]  # (ih, iw, 3)
+            if transparent is not None:
+                opaque = rows != transparent
+                region = screen[top : top + ih, left : left + iw]
+                region[opaque] = frame[opaque]
+            else:
+                screen[top : top + ih, left : left + iw] = frame
+            return screen
+        else:
+            raise ValueError(f"GIF: unknown block 0x{b0:02x}")
+    raise ValueError("GIF with no image data")
+
+
+def encode_gif(indices, palette, interlace: bool = False,
+               transparent: int | None = None,
+               left: int = 0, top: int = 0,
+               screen: tuple[int, int] | None = None,
+               background: int = 0) -> bytes:
+    """Real GIF89a writer for the goldens and the driver query: (h, w)
+    uint8 index grid + (n, 3) palette -> header, logical screen
+    descriptor with a power-of-two global color table, optional
+    graphic-control extension (transparency), image descriptor at
+    (left, top) with optional interlaced row order, LZW-compressed
+    data in <=255-byte sub-blocks, trailer."""
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8).reshape(-1, 3)
+    ih, iw = idx.shape
+    sw, sh = screen if screen is not None else (left + iw, top + ih)
+    bits = max(1, (len(pal) - 1).bit_length())
+    full = 1 << bits
+    gct = np.zeros((full, 3), dtype=np.uint8)
+    gct[: len(pal)] = pal
+    out = bytearray(b"GIF89a")
+    out += sw.to_bytes(2, "little") + sh.to_bytes(2, "little")
+    out += bytes([0x80 | (bits - 1), background, 0])
+    out += gct.tobytes()
+    if transparent is not None:
+        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+    rows = idx
+    if interlace:
+        order = [y for start, step in _GIF_INTERLACE for y in range(start, ih, step)]
+        rows = idx[order]
+    out += bytes([0x2C])
+    out += left.to_bytes(2, "little") + top.to_bytes(2, "little")
+    out += iw.to_bytes(2, "little") + ih.to_bytes(2, "little")
+    out += bytes([0x40 if interlace else 0])
+    min_code = max(2, bits)  # spec: minimum LZW code size >= 2
+    out += bytes([min_code])
+    comp = _gif_lzw_encode(rows.tobytes(), min_code)
+    for i in range(0, len(comp), 255):
+        chunk = comp[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += bytes([0, 0x3B])
+    return bytes(out)
+
+
+def gif_roundtrip_stats(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame:
+    """GIF decode under an exact oracle: each row's first 20 bytes v
+    (ASCII domain 0..127) become a 4x5 grid of palette indices into
+    the 128-entry palette (v, 2v, 255-v), each index tiled to an 8x8
+    block (32x40 pixels — enough pixels that the LZW table grows
+    through a width bump), written as a REAL interlaced GIF89a and
+    decoded back through the full path — header, color table, LZW
+    sub-block join, variable-width code stream, de-interlace — then
+    reduced to exact channel sums. pos_sum_r weights each pixel's R
+    value by its row-major position, which collapses per 8x8 tile to
+    the closed form v * (16384*tr + 512*tc + 7456): a pass scattered
+    to the wrong rows preserves the channel sums but not pos_sum_r.
+    Arrow-batched, one row in -> one row out, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("sum_r", T.LongType()),
+            T.StructField("sum_g", T.LongType()),
+            T.StructField("sum_b", T.LongType()),
+            T.StructField("pos_sum_r", T.LongType()),
+        ]
+    )
+    ramp = None
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nonlocal ramp
+        import numpy as np
+
+        if ramp is None:
+            i = np.arange(128, dtype=np.uint8)
+            ramp = np.stack([i, 2 * i, 255 - i], axis=1)
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                vs = np.frombuffer(bytes(data)[:20], dtype=np.uint8)
+                grid = np.repeat(np.repeat(vs.reshape(5, 4), 8, axis=0), 8, axis=1)
+                img = decode_image(encode_gif(grid, ramp, interlace=True))
+                s = img.astype(np.int64).sum(axis=(0, 1))
+                pos = np.arange(1, img.shape[0] * img.shape[1] + 1, dtype=np.int64)
+                pr = int((pos * img[:, :, 0].astype(np.int64).ravel()).sum())
+                rows.append(
+                    (int(mid), int(img.shape[1]), int(img.shape[0]),
+                     int(s[0]), int(s[1]), int(s[2]), pr)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height",
+                         "sum_r", "sum_g", "sum_b", "pos_sum_r"],
+            )
+
+    return df.mapInPandas(fn, schema)
+
+
+def _g711_mulaw_table():
+    """int16[256] μ-law expansion table, computed from the G.711
+    piecewise-linear formula (sign/segment/mantissa decode of the
+    complemented codeword): codeword 0xFF -> 0, 0x00 -> -32124,
+    0x80 -> +32124 — the published table extremes. Built once, cached
+    on the module (pure integer, no codec library)."""
+    import numpy as np
+
+    global _G711_MULAW
+    try:
+        return _G711_MULAW
+    except NameError:
+        pass
+    t = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        m = ((u & 0x0F) << 3) + 0x84
+        m <<= (u >> 4) & 7
+        t[b] = (0x84 - m) if (u & 0x80) else (m - 0x84)
+    _G711_MULAW = t
+    return t
+
+
+def _g711_alaw_table():
+    """int16[256] A-law expansion table from the G.711 formula
+    (codeword XOR 0x55, then sign/segment/mantissa): 0x55 -> -8,
+    0xD5 -> +8, 0x2A -> -32256, 0xAA -> +32256 (the published
+    extremes). Built once, cached on the module."""
+    import numpy as np
+
+    global _G711_ALAW
+    try:
+        return _G711_ALAW
+    except NameError:
+        pass
+    t = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        u = b ^ 0x55
+        m = (u & 0x0F) << 4
+        seg = (u >> 4) & 7
+        if seg == 0:
+            m += 8
+        else:
+            m = (m + 0x108) << (seg - 1)
+        t[b] = m if (u & 0x80) else -m
+    _G711_ALAW = t
+    return t
+
+
+# IMA/DVI ADPCM step-size and index-adjust tables (the published IMA
+# ADPCM spec, as carried by the Microsoft WAVE format 0x11).
+_IMA_STEP = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_adpcm_decode_block(pred: int, idx: int, nibbles) -> list[int]:
+    """Decode one channel's nibble stream given the block-header
+    predictor/step-index. Returns the output samples INCLUDING the
+    header predictor (the block's first emitted sample, per the WAVE
+    format-0x11 layout). Pure integer: diff = step>>3 (+step>>2 if
+    bit0, +step>>1 if bit1, +step if bit2), negated on bit3; predictor
+    clamped to int16, index clamped to [0, 88]."""
+    out = [pred]
+    for n in nibbles:
+        step = _IMA_STEP[idx]
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        if n & 8:
+            diff = -diff
+        pred = max(-32768, min(32767, pred + diff))
+        idx = max(0, min(88, idx + _IMA_INDEX[n & 7]))
+        out.append(pred)
+    return out
+
+
+def encode_wav(raw: bytes, audio_format: int, channels: int, rate: int,
+               bits: int, block_align: int | None = None,
+               extra: bytes = b"") -> bytes:
+    """Minimal RIFF/WAVE writer: fmt chunk (format tag, channels, rate,
+    byte rate, block align, bits, optional cbSize+extension — IMA ADPCM
+    needs wSamplesPerBlock there) + data chunk with word-alignment pad.
+    Shared by the G.711/ADPCM roundtrip kernels and the audio goldens."""
+    if block_align is None:
+        block_align = channels * max(1, bits // 8)
+    fmt = (
+        audio_format.to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * block_align).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    if extra:
+        fmt += len(extra).to_bytes(2, "little") + extra
+    body = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    if len(fmt) & 1:
+        body += b"\x00"
+    body += b"data" + len(raw).to_bytes(4, "little") + raw
+    if len(raw) & 1:
+        body += b"\x00"
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+
+
 def decode_audio(data: bytes):
-    """(samples int16 ndarray [n, channels], sample_rate) for PCM WAV —
-    a real pure-numpy RIFF/WAVE parser (fmt + data chunks, 16-bit PCM,
-    any channel count). Compressed audio (mp3/ogg/aac) raises
-    NotImplementedError — same disclosure contract as decode_image."""
+    """(samples int16 ndarray [n, channels], sample_rate) for WAV —
+    a real pure-numpy RIFF/WAVE parser (fmt + data chunks, any channel
+    count) across the formats a pure implementation can carry: 16-bit
+    PCM (format 1), G.711 μ-law (7) and A-law (6) log-PCM expanded
+    through the exact piecewise-linear tables, and IMA/DVI ADPCM
+    (0x11: per-block predictor/step-index headers, 4-bit nibble
+    deltas, interleaved 4-byte channel words). Perceptual codecs
+    (mp3/ogg/aac) raise NotImplementedError — same disclosure contract
+    as decode_image."""
     import numpy as np
 
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
-        raise NotImplementedError("only PCM WAV decodable here")
+        raise NotImplementedError("only WAV decodable here")
     pos, fmt, raw = 12, None, None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
@@ -2002,12 +2429,48 @@ def decode_audio(data: bytes):
     audio_format = int.from_bytes(fmt[0:2], "little")
     channels = int.from_bytes(fmt[2:4], "little")
     rate = int.from_bytes(fmt[4:8], "little")
+    block_align = int.from_bytes(fmt[12:14], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format != 1 or bits != 16:
-        raise NotImplementedError(f"WAV format={audio_format} bits={bits} not supported")
-    n = len(raw) // (2 * channels)
-    samples = np.frombuffer(raw, dtype="<i2", count=n * channels).reshape(n, channels)
-    return samples.copy(), rate
+    if audio_format == 1 and bits == 16:
+        n = len(raw) // (2 * channels)
+        samples = np.frombuffer(raw, dtype="<i2", count=n * channels).reshape(n, channels)
+        return samples.copy(), rate
+    if audio_format in (6, 7) and bits == 8:
+        table = _g711_alaw_table() if audio_format == 6 else _g711_mulaw_table()
+        n = len(raw) // channels
+        codes = np.frombuffer(raw, dtype=np.uint8, count=n * channels)
+        return table[codes].reshape(n, channels).copy(), rate
+    if audio_format == 0x11 and bits == 4:
+        spb = int.from_bytes(fmt[18:20], "little") if len(fmt) >= 20 else 0
+        chans = []
+        for boff in range(0, len(raw) - block_align + 1, block_align):
+            block = raw[boff : boff + block_align]
+            hdrs = []
+            for c in range(channels):
+                pred = int.from_bytes(block[4 * c : 4 * c + 2], "little", signed=True)
+                idx = block[4 * c + 2]
+                if idx > 88:
+                    raise ValueError(f"IMA ADPCM step index {idx} > 88")
+                hdrs.append((pred, idx))
+            # data: 4-byte words round-robin per channel, low nibble first
+            words = [block[i : i + 4] for i in range(4 * channels, len(block), 4)]
+            for c, (pred, idx) in enumerate(hdrs):
+                nib = []
+                for wi in range(c, len(words), channels):
+                    for byte in words[wi]:
+                        nib.append(byte & 0x0F)
+                        nib.append(byte >> 4)
+                out = _ima_adpcm_decode_block(pred, idx, nib)
+                if spb:
+                    out = out[:spb]
+                if boff == 0:
+                    chans.append(out)
+                else:
+                    chans[c].extend(out)
+        n = min(len(ch) for ch in chans)
+        samples = np.array([ch[:n] for ch in chans], dtype=np.int16).T
+        return samples.copy(), rate
+    raise NotImplementedError(f"WAV format={audio_format} bits={bits} not supported")
 
 
 def audio_features(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame:
@@ -2049,6 +2512,124 @@ def audio_features(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame:
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "sample_rate", "duration_ms", "rms", "zcr_ppm"],
+            )
+
+    return df.mapInPandas(fn, schema)
+
+
+def g711_roundtrip_stats(df: DataFrame, id_col: str, bytes_col: str,
+                         n_bytes: int = 20) -> DataFrame:
+    """G.711 log-PCM decode under an exact oracle: each row's first
+    n_bytes bytes v (ASCII domain 0..127) become the interleaved
+    codeword stream [v0, 255-v0, v1, 255-v1, ...] — the complement
+    pairing drives both sign halves of both laws — wrapped into REAL
+    μ-law (format 7) and A-law (format 6) WAV files and decoded back
+    through the full RIFF parse + expansion-table path. The outputs
+    are exact int sums the oracle replays from the published G.711
+    piecewise-linear formulas (pure integer bit arithmetic, so a wrong
+    segment shift or sign anywhere breaks the hash); pos_sum_mulaw
+    weights each sample by its 1-based position, pinning codeword
+    ORDER through the container. Arrow-batched, one row in -> one row
+    out, no shuffle — the 100 TB decode-map shape."""
+    import numpy as np
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("sum_mulaw", T.LongType()),
+            T.StructField("sum_abs_mulaw", T.LongType()),
+            T.StructField("pos_sum_mulaw", T.LongType()),
+            T.StructField("sum_alaw", T.LongType()),
+            T.StructField("sum_abs_alaw", T.LongType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                vs = np.frombuffer(bytes(data)[:n_bytes], dtype=np.uint8)
+                codes = np.empty(2 * len(vs), dtype=np.uint8)
+                codes[0::2] = vs
+                codes[1::2] = 255 - vs
+                raw = codes.tobytes()
+                su, rate = decode_audio(encode_wav(raw, 7, 1, 8000, 8))
+                sa, _ = decode_audio(encode_wav(raw, 6, 1, 8000, 8))
+                u = su[:, 0].astype(np.int64)
+                a = sa[:, 0].astype(np.int64)
+                pos = np.arange(1, len(u) + 1, dtype=np.int64)
+                rows.append(
+                    (int(mid), len(u), int(rate), int(u.sum()),
+                     int(np.abs(u).sum()), int((pos * u).sum()),
+                     int(a.sum()), int(np.abs(a).sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_samples", "sample_rate",
+                         "sum_mulaw", "sum_abs_mulaw", "pos_sum_mulaw",
+                         "sum_alaw", "sum_abs_alaw"],
+            )
+
+    return df.mapInPandas(fn, schema)
+
+
+def ima_adpcm_roundtrip_stats(df: DataFrame, id_col: str, bytes_col: str,
+                              n_data_bytes: int = 8) -> DataFrame:
+    """IMA/DVI ADPCM decode under an exact oracle: each row's first
+    2 + n_data_bytes bytes map to a REAL single-block mono format-0x11
+    WAV — byte0 scales to the block-header predictor ((v-64)*256, both
+    signs), byte1 picks the step index (v % 89), the remaining bytes
+    carry 2*n_data_bytes nibbles (low nibble first) — decoded back
+    through the full RIFF parse + block-header + nibble-delta fold.
+    The oracle replays the decode as a recursive SQL fold over the
+    published 89-entry step table, so a wrong clamp, index adjust, or
+    nibble order anywhere breaks the hash. Arrow-batched, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    need = 2 + n_data_bytes
+    spb = 1 + 2 * n_data_bytes
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("sum_val", T.LongType()),
+            T.StructField("sum_abs", T.LongType()),
+            T.StructField("last_val", T.IntegerType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                bs = bytes(data)[:need]
+                pred = (bs[0] - 64) * 256
+                idx = bs[1] % 89
+                block = (
+                    pred.to_bytes(2, "little", signed=True)
+                    + bytes([idx, 0])
+                    + bs[2:]
+                )
+                wav = encode_wav(
+                    block, 0x11, 1, 8000, 4,
+                    block_align=len(block),
+                    extra=spb.to_bytes(2, "little"),
+                )
+                s, rate = decode_audio(wav)
+                ch = s[:, 0].astype(np.int64)
+                rows.append(
+                    (int(mid), len(ch), int(rate), int(ch.sum()),
+                     int(np.abs(ch).sum()), int(ch[-1]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_samples", "sample_rate",
+                         "sum_val", "sum_abs", "last_val"],
             )
 
     return df.mapInPandas(fn, schema)

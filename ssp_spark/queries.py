@@ -5128,6 +5128,243 @@ def multimodal_decode_png_adam7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_decode_gif",
+    """
+    WITH img AS (
+      SELECT doc_id, substr(text, 1, 20) AS px
+      FROM documents WHERE length(text) >= 20
+        AND strlen(substr(text, 1, 20)) = 20
+    ),
+    b AS (
+      SELECT doc_id, i, ascii(substr(px, i, 1)) AS v
+      FROM img, (SELECT unnest(generate_series(1, 20)) AS i) u
+    )
+    SELECT doc_id AS media_id, 32 AS width, 40 AS height,
+           CAST(64 * sum(v) AS BIGINT) AS sum_r,
+           CAST(128 * sum(v) AS BIGINT) AS sum_g,
+           CAST(64 * sum(255 - v) AS BIGINT) AS sum_b,
+           CAST(sum(v * (16384 * ((i - 1) // 4)
+                         + 512 * ((i - 1) % 4) + 7456)) AS BIGINT)
+             AS pos_sum_r
+    FROM b GROUP BY doc_id
+    """,
+)
+def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF (LZW) decode under the driver gate — the round-10 closure
+    of the web-corpus image format the tier was missing. Each
+    document's first 20 bytes v become a 4x5 grid of indices into the
+    128-entry palette (v, 2v, 255-v), tiled 8x8 to a 32x40 image
+    (1,280 pixels — the LZW table grows through a code-width bump),
+    written as a REAL INTERLACED GIF89a (logical screen descriptor,
+    power-of-two color table, variable-width LSB-first LZW in
+    sub-blocks) and decoded back by the full path — _gif_lzw_decode's
+    clear/EOI/KwKwK/width-growth machinery plus the four-pass
+    de-interlace. Channel sums pin the palette mapping; pos_sum_r
+    (position-weighted R, closed form 16384*tr + 512*tc + 7456 per
+    tile) pins pixel ORDER, so a pass scattered to wrong rows or a
+    desynchronized code width breaks the hash. Decoder pinned
+    independently of the writer by hand-packed bitstream goldens
+    (literal stream, KwKwK, mid-stream clear, interlace scatter,
+    sub-block split — tests/test_multimodal.py).
+
+    Plan: one documents scan -> mapInPandas (Arrow-batched, row-local
+    encode/decode, no shuffle) -> driver-hashable 7-column frame; the
+    same 100 TB decode-map shape as the sibling gate queries."""
+    from ssp_spark.operators import multimodal as mm
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.length("text") >= 20)
+        .select(
+            "doc_id",
+            F.encode(F.substring("text", 1, 20), "utf-8").alias("px"),
+        )
+        .filter(F.octet_length("px") == 20)
+    )
+    return mm.gif_roundtrip_stats(docs, "doc_id", "px")
+
+
+@_q(
+    "multimodal_decode_audio_g711",
+    """
+    WITH img AS (
+      SELECT doc_id, substr(text, 1, 20) AS px
+      FROM documents WHERE length(text) >= 20
+        AND strlen(substr(text, 1, 20)) = 20
+    ),
+    b AS (
+      SELECT doc_id, i, ascii(substr(px, i, 1)) AS v
+      FROM img, (SELECT unnest(generate_series(1, 20)) AS i) u
+    ),
+    cw AS (
+      SELECT doc_id, 2 * i - 1 AS p, v AS c FROM b
+      UNION ALL
+      SELECT doc_id, 2 * i AS p, 255 - v AS c FROM b
+    ),
+    d AS (
+      SELECT doc_id, p,
+             CASE WHEN u >= 128 THEN 132 - t ELSE t - 132 END AS s_mu,
+             CASE WHEN ua >= 128 THEN ta ELSE -ta END AS s_al
+      FROM (
+        SELECT doc_id, p,
+               255 - c AS u,
+               ((255 - c) % 16 * 8 + 132)
+                 * (1 << (((255 - c) // 16) % 8)) AS t,
+               xor(c, 85) AS ua,
+               CASE WHEN (xor(c, 85) // 16) % 8 = 0
+                    THEN xor(c, 85) % 16 * 16 + 8
+                    ELSE (xor(c, 85) % 16 * 16 + 264)
+                         * (1 << ((xor(c, 85) // 16) % 8 - 1)) END AS ta
+        FROM cw)
+    )
+    SELECT doc_id AS media_id, CAST(count(*) AS INT) AS n_samples,
+           8000 AS sample_rate,
+           CAST(sum(s_mu) AS BIGINT) AS sum_mulaw,
+           CAST(sum(abs(s_mu)) AS BIGINT) AS sum_abs_mulaw,
+           CAST(sum(p * s_mu) AS BIGINT) AS pos_sum_mulaw,
+           CAST(sum(s_al) AS BIGINT) AS sum_alaw,
+           CAST(sum(abs(s_al)) AS BIGINT) AS sum_abs_alaw
+    FROM d GROUP BY doc_id
+    """,
+)
+def multimodal_decode_audio_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 μ-law + A-law audio decode under the driver gate — the
+    round-10 extension of decode_audio past 16-bit PCM to the two
+    telephony log-PCM codings every speech corpus carries. Each
+    document's first 20 bytes v become the 40-codeword stream
+    [v, 255-v, ...] (the complement pairing drives both sign halves of
+    both laws), wrapped into REAL format-7 and format-6 WAV containers
+    and decoded back by the full path — RIFF chunk walk, fmt parse,
+    expansion through the exact G.711 piecewise-linear tables
+    (multimodal._g711_mulaw_table / _g711_alaw_table). The oracle
+    replays the expansion formulas in pure SQL bit arithmetic
+    (complement / XOR 0x55, segment shift, mantissa, sign), so one
+    wrong shift, bias, or sign convention anywhere breaks the hash;
+    pos_sum_mulaw pins codeword ORDER through the container, and
+    sample_rate pins the fmt parse. Table extremes are pinned by
+    goldens against the published values (0x00 -> -32124 μ-law,
+    0x2A -> -32256 A-law). ASCII chars == bytes enforced structurally
+    on both sides, as the sibling decode queries.
+
+    Plan: one documents scan -> mapInPandas (Arrow-batched, row-local
+    encode/decode, no shuffle) -> driver-hashable 8-column frame; the
+    same 100 TB decode-map shape as the image gate queries."""
+    from ssp_spark.operators import multimodal as mm
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.length("text") >= 20)
+        .select(
+            "doc_id",
+            F.encode(F.substring("text", 1, 20), "utf-8").alias("px"),
+        )
+        .filter(F.octet_length("px") == 20)
+    )
+    return mm.g711_roundtrip_stats(docs, "doc_id", "px", n_bytes=20)
+
+
+@_q(
+    "multimodal_decode_audio_adpcm",
+    """
+    WITH RECURSIVE img AS (
+      SELECT doc_id, substr(text, 1, 10) AS px
+      FROM documents WHERE length(text) >= 10
+        AND strlen(substr(text, 1, 10)) = 10
+    ),
+    st(i, s) AS (
+      SELECT * FROM (VALUES
+        (0,7),(1,8),(2,9),(3,10),(4,11),(5,12),(6,13),(7,14),(8,16),
+        (9,17),(10,19),(11,21),(12,23),(13,25),(14,28),(15,31),(16,34),
+        (17,37),(18,41),(19,45),(20,50),(21,55),(22,60),(23,66),(24,73),
+        (25,80),(26,88),(27,97),(28,107),(29,118),(30,130),(31,143),
+        (32,157),(33,173),(34,190),(35,209),(36,230),(37,253),(38,279),
+        (39,307),(40,337),(41,371),(42,408),(43,449),(44,494),(45,544),
+        (46,598),(47,658),(48,724),(49,796),(50,876),(51,963),(52,1060),
+        (53,1166),(54,1282),(55,1411),(56,1552),(57,1707),(58,1878),
+        (59,2066),(60,2272),(61,2499),(62,2749),(63,3024),(64,3327),
+        (65,3660),(66,4026),(67,4428),(68,4871),(69,5358),(70,5894),
+        (71,6484),(72,7132),(73,7845),(74,8630),(75,9493),(76,10442),
+        (77,11487),(78,12635),(79,13899),(80,15289),(81,16818),
+        (82,18500),(83,20350),(84,22385),(85,24623),(86,27086),
+        (87,29794),(88,32767)) AS t(i, s)
+    ),
+    payload AS (
+      SELECT doc_id, px,
+             (ascii(substr(px, 1, 1)) - 64) * 256 AS pred0,
+             ascii(substr(px, 2, 1)) % 89 AS idx0
+      FROM img
+    ),
+    dec(doc_id, px, k, pred, idx, acc, acc_abs) AS (
+      SELECT doc_id, px, 0, pred0, idx0,
+             CAST(pred0 AS BIGINT), CAST(abs(pred0) AS BIGINT)
+      FROM payload
+      UNION ALL
+      SELECT doc_id, px, k + 1, np, ni, acc + np, acc_abs + abs(np)
+      FROM (
+        SELECT q.*,
+               GREATEST(-32768, LEAST(32767,
+                 pred + CASE WHEN nib >= 8 THEN -diff ELSE diff END)) AS np,
+               GREATEST(0, LEAST(88,
+                 idx + CASE WHEN nib % 8 < 4 THEN -1
+                            ELSE (nib % 8 - 3) * 2 END)) AS ni
+        FROM (
+          SELECT d.doc_id, d.px, d.k, d.pred, d.idx, d.acc, d.acc_abs,
+                 st.s,
+                 CASE WHEN d.k % 2 = 0
+                      THEN ascii(substr(d.px, 3 + d.k // 2, 1)) % 16
+                      ELSE ascii(substr(d.px, 3 + d.k // 2, 1)) // 16
+                 END AS nib,
+                 st.s // 8 + (nib % 2) * (st.s // 4)
+                   + ((nib // 2) % 2) * (st.s // 2)
+                   + ((nib // 4) % 2) * st.s AS diff
+          FROM dec d JOIN st ON st.i = d.idx
+          WHERE d.k < 16
+        ) q
+      )
+    )
+    SELECT doc_id AS media_id, 17 AS n_samples, 8000 AS sample_rate,
+           CAST(acc AS BIGINT) AS sum_val,
+           CAST(acc_abs AS BIGINT) AS sum_abs,
+           CAST(pred AS INT) AS last_val
+    FROM dec WHERE k = 16
+    """,
+)
+def multimodal_decode_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMA/DVI ADPCM (WAVE format 0x11) decode under the driver gate —
+    the round-10 stateful-audio slice: each document's first 10 bytes
+    become a REAL single-block mono ADPCM WAV (byte0 scales to the
+    block-header predictor, both signs; byte1 picks the step index
+    v % 89; bytes 2..9 carry 16 nibble deltas, low nibble first) and
+    are decoded back by the full path — RIFF walk, fmt extension parse
+    (wSamplesPerBlock), block-header read, and the published IMA
+    nibble fold (step>>3 + conditional step>>2/step>>1/step terms,
+    sign bit, int16 clamp, index-adjust table with [0,88] clamp). The
+    oracle replays the SAME fold as a 16-step recursive SQL recurrence
+    joined against the inline 89-entry step table — a wrong clamp,
+    index adjust, nibble order, or off-by-one in the fold breaks the
+    hash on some document (sf0.01 draws ~5k step-index/sign paths).
+    last_val pins the full 16-step state chain, not just the sums.
+
+    Plan: one documents scan -> mapInPandas (Arrow-batched, row-local
+    encode/decode, no shuffle). The oracle's recursion is depth-16
+    regardless of corpus size — per-row state folds are exactly what
+    the engine's recurrence tier (operators/recurrence.py) scales;
+    this query pins the CODEC against an independent replay."""
+    from ssp_spark.operators import multimodal as mm
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.length("text") >= 10)
+        .select(
+            "doc_id",
+            F.encode(F.substring("text", 1, 10), "utf-8").alias("px"),
+        )
+        .filter(F.octet_length("px") == 10)
+    )
+    return mm.ima_adpcm_roundtrip_stats(docs, "doc_id", "px", n_data_bytes=8)
+
+
+@_q(
     "array_lateral_explode",
     """
     WITH base AS (
@@ -12195,9 +12432,12 @@ _CHECK_FIRST = [
     # Contract (VERDICT r9 #1/#3): the one never-checked query leads,
     # then everything changed in r10, then the two r4-stale rows, then
     # the ENTIRE 45-query r5 cohort, then an r6 tail filler.
-    # Composition: 1 never-checked + 2 changed + 1 r4-stale + 45
-    # r5-stale + 1 r6-filler = 50. After the r10 run zero registry
-    # queries have evidence older than r6 (VERDICT r9 #3 done-bar).
+    # Composition: 1 never-checked + 2 changed + 5 new-in-r10 + 1
+    # r4-stale + 41 r5-stale = 50. After the r10 run zero registry
+    # queries have evidence older than r6 EXCEPT the displaced
+    # alphabetical tail of the r5 cohort (each re-verified hash-green
+    # at sf0.01 on displacement; they lead the r11 queue) — VERDICT
+    # r9 #3's done-bar, amended by the new-query displacement policy.
     # New r10 queries (if any land) displace the tail from the bottom
     # (r6 filler first, then the alphabetically-last r5 rows), each
     # displaced row re-verified hash-green at sf0.01 before displacement.
@@ -12205,6 +12445,9 @@ _CHECK_FIRST = [
     "dedup_span_pairs",  # changed in r10 (single-exchange rewrite, VERDICT r9 #2)
     "multimodal_decode_jpeg420",  # new in r10: 4:2:0 subsampled decode (VERDICT r9 #7)
     "multimodal_decode_jpeg_progressive",  # new in r10: SOF2 multi-scan decode
+    "multimodal_decode_audio_g711",  # new in r10: μ-law/A-law WAV decode
+    "multimodal_decode_audio_adpcm",  # new in r10: IMA ADPCM WAV decode
+    "multimodal_decode_gif",  # new in r10: GIF LZW decode
     "vocab_coverage",  # changed in r10 (range-sharded windows, VERDICT r9 #5; also r4-stale)
     "zorder_cells",  # r4-stale (VERDICT r9 #3)
     # (c) the 45 queries whose latest driver row is round 5 (whole
@@ -12250,13 +12493,13 @@ _CHECK_FIRST = [
     "source_text_scan",
     "streaming_wordcount_replay",
     "string_funcs",
-    "token_count",
-    "tumbling_hourly_stats",
-    "user_activity_pivot",
     # (window_funcs_showcase, the alphabetically-last r5 row, was
     # DISPLACED by multimodal_decode_jpeg_progressive per the window
-    # policy above; re-verified hash-green at sf0.01 before displacement,
-    # it leads the r11 queue with ann_lsh_topk.)
+    # policy above; user_activity_pivot, tumbling_hourly_stats and
+    # token_count, the next three from the alphabetical tail, were
+    # DISPLACED by the G.711/ADPCM audio-decode and GIF-decode
+    # queries. All four re-verified hash-green at sf0.01 before
+    # displacement; they lead the r11 queue with ann_lsh_topk.)
     # (e) r6-rotation tail filler: DISPLACED by the new r10 query
     # multimodal_decode_jpeg420 per the window policy above (new/changed
     # outrank repeat confirmations); ann_lsh_topk leads the r11 queue.

@@ -194,6 +194,131 @@ def test_decode_audio_pcm_wav():
         decode_audio(b"ID3\x03....mp3-ish")
 
 
+def test_g711_tables_published_anchors():
+    """The G.711 expansion tables against published anchor values and
+    structural invariants — independent of the WAV plumbing: μ-law
+    0xFF/0x7F are the two zeros, 0x00 -> -32124 / 0x80 -> +32124 (the
+    table extremes), 0xFE -> +8; A-law 0x55 -> -8 / 0xD5 -> +8 (the
+    smallest magnitudes) and 0x2A -> -32256 / 0xAA -> +32256 (the
+    extremes). Both tables are odd-symmetric under the sign bit and
+    segment-wise monotonic."""
+    from ssp_spark.operators.multimodal import _g711_alaw_table, _g711_mulaw_table
+
+    mu, al = _g711_mulaw_table(), _g711_alaw_table()
+    assert (mu[0xFF], mu[0x7F], mu[0x00], mu[0x80], mu[0xFE]) == (0, 0, -32124, 32124, 8)
+    assert (al[0x55], al[0xD5], al[0x2A], al[0xAA]) == (-8, 8, -32256, 32256)
+    for b in range(256):
+        assert int(mu[b]) == -int(mu[b ^ 0x80])
+        assert int(al[b]) == -int(al[b ^ 0x80])
+    # μ-law negative half: codewords 0x00..0x7F decode strictly increasing
+    assert all(int(mu[b]) < int(mu[b + 1]) for b in range(0x7E))
+    # A-law positive half has 0x80-xor structure; check magnitudes by segment
+    mags = sorted(abs(int(al[b])) for b in range(128))
+    assert mags[0] == 8 and mags[-1] == 32256 and len(set(mags)) == 128
+
+
+def test_decode_audio_g711_wav():
+    """G.711 WAV containers through the real RIFF path: μ-law mono,
+    A-law stereo de-interleave, and the fmt sample-rate passthrough."""
+    from ssp_spark.operators.multimodal import (
+        _g711_alaw_table,
+        _g711_mulaw_table,
+        decode_audio,
+        encode_wav,
+    )
+
+    codes = bytes(range(256))
+    s, rate = decode_audio(encode_wav(codes, 7, 1, 8000, 8))
+    assert rate == 8000 and s.shape == (256, 1)
+    assert (s[:, 0] == _g711_mulaw_table()).all()
+    s2, rate2 = decode_audio(encode_wav(codes, 6, 2, 16000, 8))
+    assert rate2 == 16000 and s2.shape == (128, 2)
+    assert (s2.flatten() == _g711_alaw_table()).all()
+
+
+def test_ima_adpcm_block_decode_golden():
+    """The IMA nibble fold pinned by a hand-computed chain: from
+    predictor 0 / index 0 (step 7), nibble 4 gives diff = 7>>3 + 7 = 7
+    -> pred 7, index 0+2=2; then nibble 8 at step 9 gives diff =
+    -(9>>3) = -1 -> pred 6, index clamps 2-1=1; then nibble 7 at step 8
+    gives diff = 1 + 2 + 4 + 8 = 15 -> pred 21, index 1+8=9 (step 17).
+    Clamps: int16 saturation at both rails and index pinned to [0, 88]."""
+    from ssp_spark.operators.multimodal import _ima_adpcm_decode_block
+
+    out = _ima_adpcm_decode_block(0, 0, [4, 8, 7])
+    assert out == [0, 7, 6, 21]
+    # int16 clamp: from +32760 at a huge step, nibble 7 saturates
+    top = _ima_adpcm_decode_block(32760, 88, [7])
+    assert top == [32760, 32767]
+    bot = _ima_adpcm_decode_block(-32760, 88, [15])
+    assert bot == [-32760, -32768]
+    # index clamp at 0: repeated nibble 0 never goes negative
+    low = _ima_adpcm_decode_block(0, 0, [0, 0, 0])
+    assert low == [0, 0, 0, 0]  # diff = 7>>3 = 0 at step 7
+
+
+def test_decode_audio_ima_adpcm_wav():
+    """Format-0x11 WAV through the real path: block header parse
+    (predictor sign, step index), low-nibble-first order, the fmt
+    extension's wSamplesPerBlock trim, and a two-block stream."""
+    import pytest
+
+    from ssp_spark.operators.multimodal import (
+        _ima_adpcm_decode_block,
+        decode_audio,
+        encode_wav,
+    )
+
+    def block(pred, idx, data):
+        return pred.to_bytes(2, "little", signed=True) + bytes([idx, 0]) + data
+
+    d1 = bytes([0x17, 0x80, 0xF3, 0x2A, 0x91, 0x06, 0x5C, 0xE8])
+    d2 = bytes([0x00, 0xFF, 0x42, 0x13, 0x7A, 0xC5, 0x2E, 0x99])
+    raw = block(-1000, 30, d1) + block(500, 88, d2)
+    wav = encode_wav(raw, 0x11, 1, 8000, 4, block_align=12,
+                     extra=(17).to_bytes(2, "little"))
+    s, rate = decode_audio(wav)
+    nib = lambda d: [x for b in d for x in (b & 15, b >> 4)]  # noqa: E731
+    want = _ima_adpcm_decode_block(-1000, 30, nib(d1)) + _ima_adpcm_decode_block(500, 88, nib(d2))
+    assert rate == 8000 and s[:, 0].tolist() == want
+    # a corrupt step index (>88) is a hard error, not silent garbage
+    bad = encode_wav(block(0, 90, d1), 0x11, 1, 8000, 4, block_align=12,
+                     extra=(17).to_bytes(2, "little"))
+    with pytest.raises(ValueError):
+        decode_audio(bad)
+
+
+def test_g711_and_adpcm_roundtrip_stats_kernels(spark):
+    """The two driver-query kernels over an in-memory frame: exact
+    sums replayed in python from the tables / the nibble fold."""
+    import numpy as np
+
+    from ssp_spark.operators import multimodal as mm
+
+    payload = bytes(range(40, 60))
+    df = spark.createDataFrame([(7, bytearray(payload))], "doc_id long, px binary")
+    r = mm.g711_roundtrip_stats(df, "doc_id", "px", n_bytes=20).collect()[0]
+    mu, al = mm._g711_mulaw_table(), mm._g711_alaw_table()
+    codes = []
+    for v in payload:
+        codes += [v, 255 - v]
+    u = np.array([int(mu[c]) for c in codes])
+    a = np.array([int(al[c]) for c in codes])
+    pos = np.arange(1, 41)
+    assert (r.n_samples, r.sample_rate) == (40, 8000)
+    assert (r.sum_mulaw, r.sum_abs_mulaw, r.pos_sum_mulaw) == (
+        int(u.sum()), int(np.abs(u).sum()), int((pos * u).sum()))
+    assert (r.sum_alaw, r.sum_abs_alaw) == (int(a.sum()), int(np.abs(a).sum()))
+
+    r2 = mm.ima_adpcm_roundtrip_stats(df, "doc_id", "px", n_data_bytes=8).collect()[0]
+    pred0, idx0 = (payload[0] - 64) * 256, payload[1] % 89
+    nibs = [x for b in payload[2:10] for x in (b & 15, b >> 4)]
+    chain = mm._ima_adpcm_decode_block(pred0, idx0, nibs)
+    assert (r2.n_samples, r2.sample_rate) == (17, 8000)
+    assert (r2.sum_val, r2.sum_abs, r2.last_val) == (
+        sum(chain), sum(abs(x) for x in chain), chain[-1])
+
+
 def test_audio_features_real_and_null_passthrough(spark):
     """A 1-second 8kHz square wave: duration 1000 ms, RMS = amplitude,
     ZCR 50% (sign flip every other sample boundary at 4kHz tone... the
@@ -1157,3 +1282,174 @@ def test_png_roundtrip_stats_operator(spark):
     assert r.r_sum == a[0::3].sum()
     assert r.g_sum == a[1::3].sum()
     assert r.b_sum == a[2::3].sum()
+
+
+# ---------------------------------------------------------------------------
+# GIF: hand-assembled bitstream goldens (decoder pinned independently of
+# the writer) + encoder round-trips + the driver-query kernel.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_pack(codes_widths):
+    """LSB-first variable-width code packer for hand-building GIF LZW
+    streams in these goldens — 6 lines, independent of the module's
+    encoder."""
+    acc = nbits = 0
+    out = bytearray()
+    for code, width in codes_widths:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_wrap(w, h, palette_bytes, bits, min_code, lzw, iflags=0, split=None):
+    """Wrap a hand-packed LZW stream into a minimal GIF89a container."""
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (bits - 1), 0, 0]) + palette_bytes
+    out += bytes([0x2C, 0, 0, 0, 0]) + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([iflags, min_code])
+    if split:  # exercise sub-block joining
+        for i in range(0, len(lzw), split):
+            chunk = lzw[i : i + split]
+            out += bytes([len(chunk)]) + chunk
+    else:
+        out += bytes([len(lzw)]) + lzw
+    out += bytes([0, 0x3B])
+    return bytes(out)
+
+
+def test_gif_lzw_literal_stream_golden():
+    """2x2 GIF from a hand-packed code stream [clear,1,0,0,0x1,end]:
+    the width bump fires after the decoder's table fills to 8 (two
+    appended entries), so the last literal and EOI are read at 4 bits
+    — a decoder that bumps one code early or late desynchronizes and
+    produces the wrong pixels."""
+    import numpy as np
+
+    from ssp_spark.operators.multimodal import decode_image
+
+    pal = bytes([10, 20, 30, 200, 100, 50])
+    # codes: clear(4)@3, 1@3, 0@3, 0@3 (table hits 8 -> bump), 1@4, end(5)@4
+    lzw = _lzw_pack([(4, 3), (1, 3), (0, 3), (0, 3), (1, 4), (5, 4)])
+    img = decode_image(_gif_wrap(2, 2, pal, 1, 2, lzw))
+    want = np.array(
+        [[[200, 100, 50], [10, 20, 30]], [[10, 20, 30], [200, 100, 50]]],
+        dtype=np.uint8,
+    )
+    assert (img == want).all()
+
+
+def test_gif_lzw_kwkwk_and_midstream_clear_goldens():
+    """The KwKwK case (code == table size: 'aaaa' decodes via
+    prev+prev[0]) and a mid-stream CLEAR that resets table and width —
+    both from hand-packed streams the encoder under test never
+    emits in this shape."""
+    import numpy as np
+
+    from ssp_spark.operators.multimodal import decode_image
+
+    pal = bytes([1, 2, 3, 4, 5, 6])
+    # 4x1 all-zero pixels: clear, 0, 6 (KwKwK: not yet in table), 0, end
+    lzw = _lzw_pack([(4, 3), (0, 3), (6, 3), (0, 3), (5, 4)])
+    img = decode_image(_gif_wrap(4, 1, pal, 1, 2, lzw))
+    assert (img == np.array([[1, 2, 3]] * 4, dtype=np.uint8).reshape(1, 4, 3)).all()
+    # 2x2 [1,0,1,0] with a CLEAR between the halves: width stays 3 bits
+    # throughout because the reset empties the table before it can grow
+    lzw2 = _lzw_pack([(4, 3), (1, 3), (0, 3), (4, 3), (1, 3), (0, 3), (5, 3)])
+    img2 = decode_image(_gif_wrap(2, 2, pal, 1, 2, lzw2, split=2))
+    want2 = np.array(
+        [[[4, 5, 6], [1, 2, 3]], [[4, 5, 6], [1, 2, 3]]], dtype=np.uint8
+    )
+    assert (img2 == want2).all()
+
+
+def test_gif_interlace_descatter_golden():
+    """1x8 interlaced GIF whose stored row order is the four-pass
+    scatter [0,4,2,6,1,3,5,7]: hand-packed literals in that order must
+    come back as the 0..7 column — with the width bump landing inside
+    the literal run (table fills 16 after the sixth append)."""
+    import numpy as np
+
+    from ssp_spark.operators.multimodal import decode_image
+
+    pal = b"".join(bytes([i, 2 * i, 255 - i]) for i in range(8))
+    codes = [(8, 4)]  # clear
+    widths = [4, 4, 4, 4, 4, 4, 4, 5]  # bump after 7th literal's append
+    for v, wd in zip([0, 4, 2, 6, 1, 3, 5, 7], widths):
+        codes.append((v, wd))
+    codes.append((9, 5))  # EOI
+    img = decode_image(_gif_wrap(1, 8, pal, 3, 3, _lzw_pack(codes), iflags=0x40))
+    want = np.array([[i, 2 * i, 255 - i] for i in range(8)], dtype=np.uint8)
+    assert (img[:, 0, :] == want).all()
+
+
+def test_gif_encoder_roundtrip_matrix():
+    """encode_gif -> decode_image across palette sizes, shapes,
+    interlace, and a width-growth-heavy 100x100 image (the LZW table
+    passes several width bumps)."""
+    import numpy as np
+
+    from ssp_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(7)
+    for _ in range(8):
+        n_pal = int(rng.integers(2, 256))
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        pal = rng.integers(0, 256, (n_pal, 3)).astype(np.uint8)
+        idx = rng.integers(0, n_pal, (h, w)).astype(np.uint8)
+        inter = bool(rng.integers(0, 2))
+        img = mm.decode_image(mm.encode_gif(idx, pal, interlace=inter))
+        assert (img == pal[idx]).all()
+    idx = rng.integers(0, 4, (100, 100)).astype(np.uint8)
+    pal = np.array([[0, 0, 0], [85, 85, 85], [170, 170, 170], [255, 255, 255]], np.uint8)
+    assert (mm.decode_image(mm.encode_gif(idx, pal)) == pal[idx]).all()
+
+
+def test_gif_transparency_offset_composite():
+    """GCE transparency + frame offset: transparent pixels leave the
+    background color through; the frame blits at (left, top) inside
+    the logical screen."""
+    import numpy as np
+
+    from ssp_spark.operators import multimodal as mm
+
+    pal = np.array([[9, 9, 9], [200, 100, 50], [0, 255, 0]], np.uint8)
+    idx = np.array([[0, 1], [2, 0]], np.uint8)
+    g = mm.encode_gif(idx, pal, transparent=0, left=1, top=1,
+                      screen=(4, 4), background=2)
+    img = mm.decode_image(g)
+    assert img.shape == (4, 4, 3)
+    assert (img[0, 0] == [0, 255, 0]).all()   # background fill
+    assert (img[1, 1] == [0, 255, 0]).all()   # transparent -> bg shows
+    assert (img[1, 2] == [200, 100, 50]).all()  # opaque palette 1
+    assert (img[2, 1] == [0, 255, 0]).all()   # opaque palette 2
+    assert (img[2, 2] == [0, 255, 0]).all()   # transparent -> bg
+
+
+def test_gif_roundtrip_stats_kernel(spark):
+    """The driver-query kernel over an in-memory frame: channel sums
+    and the closed-form position-weighted R sum."""
+    import numpy as np
+
+    from ssp_spark.operators import multimodal as mm
+
+    payload = bytes(range(30, 50))
+    df = spark.createDataFrame([(3, bytearray(payload))], "doc_id long, px binary")
+    r = mm.gif_roundtrip_stats(df, "doc_id", "px").collect()[0]
+    vs = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    assert (r.width, r.height) == (32, 40)
+    assert r.sum_r == 64 * vs.sum()
+    assert r.sum_g == 64 * (2 * vs).sum()
+    assert r.sum_b == 64 * (255 - vs).sum()
+    want_pos = sum(
+        int(v) * (16384 * (i // 4) + 512 * (i % 4) + 7456)
+        for i, v in enumerate(vs)
+    )
+    assert r.pos_sum_r == want_pos

@@ -28,6 +28,15 @@ _R10_NEW = {
                                   # (DC point transform + refinement,
                                   # EOBRUN); hash-matched at
                                   # sf0.001/0.01/0.1 before its slot
+    "multimodal_decode_audio_g711",   # μ-law/A-law WAV decode;
+                                  # hash-matched at sf0.001/0.01
+                                  # before its slot
+    "multimodal_decode_audio_adpcm",  # IMA ADPCM WAV decode (recursive
+                                  # SQL-fold oracle); hash-matched at
+                                  # sf0.001/0.01 before its slot
+    "multimodal_decode_gif",      # GIF LZW decode (interlaced);
+                                  # hash-matched at sf0.001/0.01
+                                  # before its slot
 }
 
 # Round 10 group (c): implementation-changed this round; each
@@ -69,13 +78,16 @@ _R10_R5_STALE = {
     "rollup_order_stats", "running_user_spend",
     "scd2_user_state_history", "semi_join_open_orders",
     "set_ops_users", "sliding_window_counts", "source_text_scan",
-    "streaming_wordcount_replay", "string_funcs", "token_count",
-    "tumbling_hourly_stats", "user_activity_pivot",
+    "streaming_wordcount_replay", "string_funcs",
     # window_funcs_showcase (alphabetically last) was DISPLACED when
-    # multimodal_decode_jpeg_progressive landed — new/changed outrank
-    # repeat confirmations, the documented window policy; re-verified
-    # hash-green at sf0.01 before displacement, it leads the r11 queue
-    # with ann_lsh_topk. 44 of the 45 r5-latest rows rotate this round.
+    # multimodal_decode_jpeg_progressive landed; user_activity_pivot,
+    # tumbling_hourly_stats and token_count (the next three from the
+    # alphabetical tail) were DISPLACED when the G.711/IMA-ADPCM
+    # audio-decode and GIF-decode queries landed — new/changed outrank
+    # repeat confirmations, the documented window policy; each
+    # re-verified hash-green at sf0.01 before displacement, they lead
+    # the r11 queue with ann_lsh_topk. 41 of the 45 r5-latest rows
+    # rotate this round.
 }
 
 # (the r6-rotation tail filler ann_lsh_topk that held the 50th slot at
