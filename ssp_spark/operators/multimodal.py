@@ -665,7 +665,7 @@ def _extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def _decode_jpeg(data: bytes):
+def _decode_jpeg(data: bytes, deep: bool = False):
     """Pure stdlib+numpy baseline JPEG decoder (ITU-T T.81): marker
     parse, DQT/DHT tables, Huffman-decoded DC diffs (EXTEND) + AC
     run/size with EOB/ZRL, dequantize, de-zigzag, float64 separable
@@ -684,7 +684,10 @@ def _decode_jpeg(data: bytes):
     is the integer-exact, oracle-replayable choice). Progressive /
     arithmetic / 12-bit / multi-scan-baseline / non-dividing sampling
     factors raise NotImplementedError by the module's
-    documented-boundary contract."""
+    documented-boundary contract. ``deep=True`` (the
+    decode_image_deep entry) admits 12-bit grayscale frames, decoded
+    with a 2048 level shift and 0..4095 clamp to a (h, w) uint16
+    plane."""
     import numpy as np
 
     qt: dict[int, "np.ndarray"] = {}
@@ -724,8 +727,12 @@ def _decode_jpeg(data: bytes):
                 i += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
             prec, h, w, nc = body[0], int.from_bytes(body[1:3], "big"), int.from_bytes(body[3:5], "big"), body[5]
-            if prec != 8:
-                raise NotImplementedError("12-bit JPEG")
+            if prec not in (8, 12):
+                raise ValueError(f"JPEG precision {prec}")
+            if prec == 12 and not deep:
+                # 12-bit cannot fit decode_image's (h, w, 3) uint8
+                # contract; decode_image_deep carries it losslessly
+                raise NotImplementedError("12-bit JPEG (use decode_image_deep)")
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
@@ -741,7 +748,7 @@ def _decode_jpeg(data: bytes):
                 raise NotImplementedError(
                     "JPEG with non-dividing sampling factors"
                 )
-            frame = (h, w, comps, hmax, vmax)
+            frame = (h, w, comps, hmax, vmax, prec)
         elif marker == 0xC2:  # SOF2 progressive (Huffman)
             # round-10 addition: hand the whole stream to the
             # multi-scan coefficient-accumulation decoder
@@ -753,7 +760,8 @@ def _decode_jpeg(data: bytes):
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF0")
-            h, w, comps, hmax, vmax = frame
+            h, w, comps, hmax, vmax, prec = frame
+            half, maxv = float(1 << (prec - 1)), (1 << prec) - 1
             ns = body[0]
             if ns != len(comps):
                 # baseline permits per-component scans; every camera/
@@ -814,29 +822,36 @@ def _decode_jpeg(data: bytes):
                                 )
                             block = m.T @ coeff @ m
                             px = np.clip(
-                                np.round(block + 128.0), 0, 255
+                                np.round(block + half), 0, maxv
                             ).astype(np.int64)
                             r0 = (myy * vi + byy) * 8
                             c0 = (mxx * hi + bxx) * 8
                             planes[ci][r0 : r0 + 8, c0 : c0 + 8] = px
-            return _jpeg_finish(planes, comps, hmax, vmax, h, w)
+            return _jpeg_finish(planes, comps, hmax, vmax, h, w, prec)
         # APPn/COM/other: skip
         pos += 2 + seglen
     raise ValueError("JPEG missing SOS scan")
 
 
-def _jpeg_finish(planes, comps, hmax: int, vmax: int, h: int, w: int):
+def _jpeg_finish(planes, comps, hmax: int, vmax: int, h: int, w: int,
+                 prec: int = 8):
     """Shared decoder tail: upsample each subsampled plane to full
     resolution by sample REPLICATION (nearest-neighbor — the
     integer-exact, oracle-replayable choice; T.81 does not mandate a
     filter), crop the MCU padding, then grayscale-replicate or
-    JFIF-convert."""
+    JFIF-convert. 12-bit grayscale returns the (h, w) uint16 plane
+    losslessly (the decode_image_deep contract); 12-bit color stays a
+    disclosed boundary."""
     import numpy as np
 
     planes = [
         np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)[:h, :w]
         for p, (_, hi, vi, _) in zip(planes, comps)
     ]
+    if prec == 12:
+        if len(comps) == 1:
+            return np.ascontiguousarray(planes[0].astype(np.uint16))
+        raise NotImplementedError("12-bit color JPEG")
     if len(comps) == 1:
         g = planes[0].astype(np.uint8)
         return np.ascontiguousarray(np.stack([g, g, g], axis=2))
@@ -1167,7 +1182,19 @@ class _BitWriter:
             self.acc, self.n = 0, 0
 
 
-def encode_jpeg_gray_coeffs(coeff_blocks, qtable=None) -> bytes:
+def decode_image_deep(data: bytes):
+    """High-bit-depth decode entry: (h, w) uint16 plane for formats
+    whose samples cannot fit decode_image's (h, w, 3) uint8 contract.
+    Currently: 12-bit grayscale baseline JPEG (SOF0 precision 12 —
+    the medical/scientific-imaging profile; level shift 2048, clamp
+    0..4095). Everything else raises NotImplementedError so callers
+    fall back to decode_image explicitly."""
+    if data[:2] == b"\xff\xd8":
+        return _decode_jpeg(data, deep=True)
+    raise NotImplementedError("decode_image_deep: only 12-bit JPEG here")
+
+
+def encode_jpeg_gray_coeffs(coeff_blocks, qtable=None, precision: int = 8) -> bytes:
     """Minimal REAL baseline-JPEG writer at the COEFFICIENT level:
     ``coeff_blocks`` is an (by, bx, 8, 8) int array of QUANTIZED DCT
     coefficients (natural order) for one grayscale component; the
@@ -1227,7 +1254,7 @@ def encode_jpeg_gray_coeffs(coeff_blocks, qtable=None) -> bytes:
         return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
 
     dqt = bytes([0]) + bytes(int(q[_JPEG_ZIGZAG[k]]) for k in range(64))
-    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([1, 1, 0x11, 0])
+    sof = bytes([precision]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([1, 1, 0x11, 0])
     dht = (
         bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
         + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
@@ -1634,6 +1661,58 @@ def jpeg420_roundtrip_stats(
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "width", "height", "pix_sum", "pos_sum"],
+            )
+
+    return df.mapInPandas(fn, schema)
+
+
+def jpeg12_roundtrip_stats(
+    df: DataFrame,
+    id_col: str,
+    bytes_col: str,
+    bw: int,
+    bh: int,
+) -> DataFrame:
+    """12-bit grayscale JPEG decode under an exact oracle: same
+    DC-only construction as jpeg_roundtrip_stats (dc = v - 64, Q00=8)
+    but written at SOF0 precision 12 and decoded through
+    decode_image_deep — the 2048 level shift makes each block the
+    constant v + 1984, so gray_sum = 64*(v + 1984) per block and
+    max_px = max(v) + 1984, both integer-exact (values sit deep
+    inside 0..4095, no clamping). A decoder that level-shifts by 128,
+    clamps at 255, or returns uint8 breaks the hash immediately.
+    Arrow-batched, one row in -> one row out, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    need = bw * bh
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("gray_sum", T.LongType()),
+            T.StructField("max_px", T.IntegerType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                vs = np.frombuffer(bytes(data)[:need], dtype=np.uint8)
+                coeffs = np.zeros((bh, bw, 8, 8), dtype=np.int64)
+                coeffs[:, :, 0, 0] = vs.reshape(bh, bw).astype(np.int64) - 64
+                dec = decode_image_deep(
+                    encode_jpeg_gray_coeffs(coeffs, precision=12)
+                )
+                rows.append(
+                    (int(mid), int(dec.shape[1]), int(dec.shape[0]),
+                     int(dec.astype(np.int64).sum()), int(dec.max()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "gray_sum", "max_px"],
             )
 
     return df.mapInPandas(fn, schema)

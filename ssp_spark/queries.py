@@ -5128,6 +5128,54 @@ def multimodal_decode_png_adam7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_decode_jpeg12",
+    """
+    WITH img AS (
+      SELECT doc_id, substr(text, 1, 20) AS px
+      FROM documents WHERE length(text) >= 20
+        AND strlen(substr(text, 1, 20)) = 20
+    ),
+    b AS (
+      SELECT doc_id, ascii(substr(px, i, 1)) AS v
+      FROM img, (SELECT unnest(generate_series(1, 20)) AS i) u
+    )
+    SELECT doc_id AS media_id, 32 AS width, 40 AS height,
+           CAST(sum(64 * (v + 1984)) AS BIGINT) AS gray_sum,
+           CAST(max(v) + 1984 AS INT) AS max_px
+    FROM b GROUP BY doc_id
+    """,
+)
+def multimodal_decode_jpeg12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-bit (SOF0 precision 12) grayscale JPEG decode under the
+    driver gate — the round-10 closure of a disclosed codec boundary
+    (the medical/scientific-imaging profile). Same DC-only 4x5-block
+    construction as `multimodal_decode_jpeg` (dc = v - 64 on a real
+    Huffman stream), but written at precision 12 and decoded through
+    decode_image_deep: the 2048 level shift and 0..4095 clamp make
+    each block the exact constant v + 1984 on a (h, w) uint16 plane —
+    a decoder that shifts by 128, clamps at 255, or narrows to uint8
+    breaks the hash. decode_image itself still REFUSES 12-bit (its
+    (h, w, 3) uint8 contract cannot carry it losslessly) — asserted
+    in the goldens, so the boundary is a designed fork, not a gap.
+
+    Plan: one documents scan -> mapInPandas (Arrow-batched, row-local
+    encode/decode, no shuffle) -> driver-hashable 5-column frame; the
+    same 100 TB decode-map shape as the sibling gate queries."""
+    from ssp_spark.operators import multimodal as mm
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.length("text") >= 20)
+        .select(
+            "doc_id",
+            F.encode(F.substring("text", 1, 20), "utf-8").alias("px"),
+        )
+        .filter(F.octet_length("px") == 20)
+    )
+    return mm.jpeg12_roundtrip_stats(docs, "doc_id", "px", bw=4, bh=5)
+
+
+@_q(
     "multimodal_decode_gif",
     """
     WITH img AS (
@@ -12432,8 +12480,8 @@ _CHECK_FIRST = [
     # Contract (VERDICT r9 #1/#3): the one never-checked query leads,
     # then everything changed in r10, then the two r4-stale rows, then
     # the ENTIRE 45-query r5 cohort, then an r6 tail filler.
-    # Composition: 1 never-checked + 2 changed + 5 new-in-r10 + 1
-    # r4-stale + 41 r5-stale = 50. After the r10 run zero registry
+    # Composition: 1 never-checked + 2 changed + 6 new-in-r10 + 1
+    # r4-stale + 40 r5-stale = 50. After the r10 run zero registry
     # queries have evidence older than r6 EXCEPT the displaced
     # alphabetical tail of the r5 cohort (each re-verified hash-green
     # at sf0.01 on displacement; they lead the r11 queue) — VERDICT
@@ -12448,6 +12496,7 @@ _CHECK_FIRST = [
     "multimodal_decode_audio_g711",  # new in r10: μ-law/A-law WAV decode
     "multimodal_decode_audio_adpcm",  # new in r10: IMA ADPCM WAV decode
     "multimodal_decode_gif",  # new in r10: GIF LZW decode
+    "multimodal_decode_jpeg12",  # new in r10: 12-bit JPEG (deep) decode
     "vocab_coverage",  # changed in r10 (range-sharded windows, VERDICT r9 #5; also r4-stale)
     "zorder_cells",  # r4-stale (VERDICT r9 #3)
     # (c) the 45 queries whose latest driver row is round 5 (whole
@@ -12492,14 +12541,14 @@ _CHECK_FIRST = [
     "sliding_window_counts",
     "source_text_scan",
     "streaming_wordcount_replay",
-    "string_funcs",
     # (window_funcs_showcase, the alphabetically-last r5 row, was
     # DISPLACED by multimodal_decode_jpeg_progressive per the window
-    # policy above; user_activity_pivot, tumbling_hourly_stats and
-    # token_count, the next three from the alphabetical tail, were
-    # DISPLACED by the G.711/ADPCM audio-decode and GIF-decode
-    # queries. All four re-verified hash-green at sf0.01 before
-    # displacement; they lead the r11 queue with ann_lsh_topk.)
+    # policy above; user_activity_pivot, tumbling_hourly_stats,
+    # token_count and string_funcs, the next four from the
+    # alphabetical tail, were DISPLACED by the G.711/ADPCM
+    # audio-decode, GIF-decode and 12-bit-JPEG queries. All five
+    # re-verified hash-green at sf0.01 before displacement; they lead
+    # the r11 queue with ann_lsh_topk.)
     # (e) r6-rotation tail filler: DISPLACED by the new r10 query
     # multimodal_decode_jpeg420 per the window policy above (new/changed
     # outrank repeat confirmations); ann_lsh_topk leads the r11 queue.

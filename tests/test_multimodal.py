@@ -1453,3 +1453,71 @@ def test_gif_roundtrip_stats_kernel(spark):
         for i, v in enumerate(vs)
     )
     assert r.pos_sum_r == want_pos
+
+
+# ---------------------------------------------------------------------------
+# 12-bit JPEG (SOF0 precision 12) — the decode_image_deep fork.
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg12_dc_constants_and_contract_fork():
+    """12-bit DC-only blocks decode to the exact constants v + 2048 on
+    a uint16 plane through decode_image_deep; decode_image REFUSES the
+    same bytes (its uint8 contract cannot carry them losslessly); the
+    8-bit writer/decoder path is untouched."""
+    import numpy as np
+    import pytest
+
+    from ssp_spark.operators import multimodal as mm
+
+    coeffs = np.zeros((2, 3, 8, 8), dtype=np.int64)
+    vals = np.array([[0, 64, -64], [17, -5, 33]])
+    coeffs[:, :, 0, 0] = vals
+    data = mm.encode_jpeg_gray_coeffs(coeffs, precision=12)
+    img = mm.decode_image_deep(data)
+    assert img.dtype == np.uint16 and img.shape == (16, 24)
+    for r in range(2):
+        for c in range(3):
+            assert (img[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] == vals[r, c] + 2048).all()
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(data)
+    img8 = mm.decode_image(mm.encode_jpeg_gray_coeffs(coeffs))
+    assert img8.dtype == np.uint8 and img8.shape == (16, 24, 3)
+    with pytest.raises(NotImplementedError):
+        mm.decode_image_deep(b"\x89PNG\r\n\x1a\x08-bit-not-here")
+
+
+def test_jpeg12_ac_block_range_and_idct_scale():
+    """A 12-bit block with one AC coefficient: values stay inside
+    0..4095, vary across the block, and the mean equals the 2048
+    level shift (an AC-only block has zero DC energy) — pinning that
+    the deep path runs the same iDCT at the wider clamp."""
+    import numpy as np
+
+    from ssp_spark.operators import multimodal as mm
+
+    c2 = np.zeros((1, 1, 8, 8), dtype=np.int64)
+    c2[0, 0, 0, 1] = 100
+    deep = mm.decode_image_deep(mm.encode_jpeg_gray_coeffs(c2, precision=12))
+    assert deep.dtype == np.uint16 and deep.shape == (8, 8)
+    assert 0 <= deep.min() and deep.max() <= 4095 and deep.std() > 0
+    assert abs(float(deep.astype(np.int64).mean()) - 2048.0) < 1.0
+    # columns follow the DCT cosine ramp: strictly decreasing left half
+    row = deep[0].astype(np.int64)
+    assert row[0] > row[1] > row[2] > row[3]
+
+
+def test_jpeg12_roundtrip_stats_kernel(spark):
+    """The driver-query kernel over an in-memory frame: exact
+    gray_sum/max_px replay."""
+    import numpy as np
+
+    from ssp_spark.operators import multimodal as mm
+
+    payload = bytes(range(60, 80))
+    df = spark.createDataFrame([(5, bytearray(payload))], "doc_id long, px binary")
+    r = mm.jpeg12_roundtrip_stats(df, "doc_id", "px", bw=4, bh=5).collect()[0]
+    vs = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    assert (r.width, r.height) == (32, 40)
+    assert r.gray_sum == int((64 * (vs + 1984)).sum())
+    assert r.max_px == int(vs.max()) + 1984
