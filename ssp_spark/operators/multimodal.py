@@ -2491,8 +2491,12 @@ def decode_audio(data: bytes):
     as decode_image."""
     import numpy as np
 
+    if data[:4] == b"fLaC":
+        from ssp_spark.operators.flac import decode_flac
+
+        return decode_flac(data)
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
-        raise NotImplementedError("only WAV decodable here")
+        raise NotImplementedError("only WAV/FLAC decodable here")
     pos, fmt, raw = 12, None, None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
@@ -2701,6 +2705,60 @@ def ima_adpcm_roundtrip_stats(df: DataFrame, id_col: str, bytes_col: str,
                 )
                 s, rate = decode_audio(wav)
                 ch = s[:, 0].astype(np.int64)
+                rows.append(
+                    (int(mid), len(ch), int(rate), int(ch.sum()),
+                     int(np.abs(ch).sum()), int(ch[-1]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_samples", "sample_rate",
+                         "sum_val", "sum_abs", "last_val"],
+            )
+
+    return df.mapInPandas(fn, schema)
+
+
+def flac_roundtrip_stats(df: DataFrame, id_col: str, bytes_col: str,
+                         n_bytes: int = 20) -> DataFrame:
+    """FLAC decode under an exact oracle: each row's first n_bytes
+    bytes v (ASCII domain 0..127) become a REAL mono 16-bit FLAC
+    stream — byte0 scales to the FIXED-order-1 warmup sample
+    ((v0-64)*256, both signs), bytes 1.. are the Rice-coded residuals
+    (v-64, both signs through the zigzag fold) — decoded back through
+    the full path: STREAMINFO parse, frame sync + header CRC-8, the
+    subframe's fixed predictor fold, single-partition Rice decode,
+    frame CRC-16. Samples are the prefix sums s_i = s_0 + sum(d_j),
+    which the oracle replays with a SQL window; sum_abs makes every
+    intermediate value load-bearing and last_val pins the full chain.
+    Arrow-batched, one row in -> one row out, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from ssp_spark.operators.flac import encode_flac
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("sum_val", T.LongType()),
+            T.StructField("sum_abs", T.LongType()),
+            T.StructField("last_val", T.IntegerType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                bs = bytes(data)[:n_bytes]
+                samples = [(bs[0] - 64) * 256]
+                for b in bs[1:]:
+                    samples.append(samples[-1] + (b - 64))
+                dec, rate = decode_audio(
+                    encode_flac(samples, 8000, fixed_order=1, rice_param=8)
+                )
+                ch = dec[:, 0].astype(np.int64)
                 rows.append(
                     (int(mid), len(ch), int(rate), int(ch.sum()),
                      int(np.abs(ch).sum()), int(ch[-1]))

@@ -5128,6 +5128,64 @@ def multimodal_decode_png_adam7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_decode_audio_flac",
+    """
+    WITH img AS (
+      SELECT doc_id, substr(text, 1, 20) AS px
+      FROM documents WHERE length(text) >= 20
+        AND strlen(substr(text, 1, 20)) = 20
+    ),
+    b AS (
+      SELECT doc_id, i, ascii(substr(px, i, 1)) AS v
+      FROM img, (SELECT unnest(generate_series(1, 20)) AS i) u
+    ),
+    s AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN i = 1 THEN (v - 64) * 256 ELSE v - 64 END)
+               OVER (PARTITION BY doc_id ORDER BY i) AS sv
+      FROM b
+    )
+    SELECT doc_id AS media_id, 20 AS n_samples, 8000 AS sample_rate,
+           CAST(sum(sv) AS BIGINT) AS sum_val,
+           CAST(sum(abs(sv)) AS BIGINT) AS sum_abs,
+           CAST(max(CASE WHEN i = 20 THEN sv END) AS INT) AS last_val
+    FROM s GROUP BY doc_id
+    """,
+)
+def multimodal_decode_audio_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC decode under the driver gate — the round-10 lossless-audio
+    slice (operators/flac.py: a complete frame-level decoder —
+    STREAMINFO, sync + header codes + UTF-8 frame numbers + CRC-8,
+    CONSTANT/VERBATIM/FIXED/LPC subframes, partitioned Rice with the
+    raw-bits escape, left/right/mid-side decorrelation, frame CRC-16).
+    Each document's first 20 bytes become a REAL mono 16-bit stream:
+    byte0 scales to the FIXED-order-1 warmup sample, bytes 1..19 ride
+    the Rice-coded residual fold (both signs through the zigzag), so
+    the decoded samples are prefix sums the oracle replays with a SQL
+    window — a wrong predictor, zigzag, Rice parameter, or CRC
+    anywhere breaks the hash on some document. Decoder paths the
+    writer never touches (LPC fold, mid/side, Rice escape, wasted
+    bits, CRC known-answer anchors) are pinned by hand-assembled
+    bitstream goldens in tests/test_multimodal.py.
+
+    Plan: one documents scan -> mapInPandas (Arrow-batched, row-local
+    encode/decode, no shuffle) -> driver-hashable 6-column frame; the
+    same 100 TB decode-map shape as the sibling gate queries."""
+    from ssp_spark.operators import multimodal as mm
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.length("text") >= 20)
+        .select(
+            "doc_id",
+            F.encode(F.substring("text", 1, 20), "utf-8").alias("px"),
+        )
+        .filter(F.octet_length("px") == 20)
+    )
+    return mm.flac_roundtrip_stats(docs, "doc_id", "px", n_bytes=20)
+
+
+@_q(
     "multimodal_decode_jpeg12",
     """
     WITH img AS (
@@ -12480,8 +12538,8 @@ _CHECK_FIRST = [
     # Contract (VERDICT r9 #1/#3): the one never-checked query leads,
     # then everything changed in r10, then the two r4-stale rows, then
     # the ENTIRE 45-query r5 cohort, then an r6 tail filler.
-    # Composition: 1 never-checked + 2 changed + 6 new-in-r10 + 1
-    # r4-stale + 40 r5-stale = 50. After the r10 run zero registry
+    # Composition: 1 never-checked + 2 changed + 7 new-in-r10 + 1
+    # r4-stale + 39 r5-stale = 50. After the r10 run zero registry
     # queries have evidence older than r6 EXCEPT the displaced
     # alphabetical tail of the r5 cohort (each re-verified hash-green
     # at sf0.01 on displacement; they lead the r11 queue) — VERDICT
@@ -12497,6 +12555,7 @@ _CHECK_FIRST = [
     "multimodal_decode_audio_adpcm",  # new in r10: IMA ADPCM WAV decode
     "multimodal_decode_gif",  # new in r10: GIF LZW decode
     "multimodal_decode_jpeg12",  # new in r10: 12-bit JPEG (deep) decode
+    "multimodal_decode_audio_flac",  # new in r10: FLAC decode
     "vocab_coverage",  # changed in r10 (range-sharded windows, VERDICT r9 #5; also r4-stale)
     "zorder_cells",  # r4-stale (VERDICT r9 #3)
     # (c) the 45 queries whose latest driver row is round 5 (whole
@@ -12540,15 +12599,14 @@ _CHECK_FIRST = [
     "set_ops_users",
     "sliding_window_counts",
     "source_text_scan",
-    "streaming_wordcount_replay",
     # (window_funcs_showcase, the alphabetically-last r5 row, was
     # DISPLACED by multimodal_decode_jpeg_progressive per the window
     # policy above; user_activity_pivot, tumbling_hourly_stats,
-    # token_count and string_funcs, the next four from the
-    # alphabetical tail, were DISPLACED by the G.711/ADPCM
-    # audio-decode, GIF-decode and 12-bit-JPEG queries. All five
-    # re-verified hash-green at sf0.01 before displacement; they lead
-    # the r11 queue with ann_lsh_topk.)
+    # token_count, string_funcs and streaming_wordcount_replay, the
+    # next five from the alphabetical tail, were DISPLACED by the
+    # G.711/ADPCM/FLAC audio-decode, GIF-decode and 12-bit-JPEG
+    # queries. All six re-verified hash-green at sf0.01 before
+    # displacement; they lead the r11 queue with ann_lsh_topk.)
     # (e) r6-rotation tail filler: DISPLACED by the new r10 query
     # multimodal_decode_jpeg420 per the window policy above (new/changed
     # outrank repeat confirmations); ann_lsh_topk leads the r11 queue.

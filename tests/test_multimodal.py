@@ -1521,3 +1521,233 @@ def test_jpeg12_roundtrip_stats_kernel(spark):
     assert (r.width, r.height) == (32, 40)
     assert r.gray_sum == int((64 * (vs + 1984)).sum())
     assert r.max_px == int(vs.max()) + 1984
+
+
+# ---------------------------------------------------------------------------
+# FLAC: CRC known-answer anchors, hand-assembled bitstream goldens for
+# decoder paths the writer never touches, encoder round-trips, and the
+# driver-query kernel.
+# ---------------------------------------------------------------------------
+
+
+class _MSBWriter:
+    """Test-local MSB-first bit writer for hand-building FLAC frames —
+    independent of the module's encoder."""
+
+    def __init__(self):
+        self.bits = []
+
+    def w(self, v, n):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def ws(self, v, n):  # signed two's complement
+        self.w(v & ((1 << n) - 1), n)
+
+    def bytes(self):
+        bs = bytearray()
+        bits = self.bits + [0] * (-len(self.bits) % 8)
+        for i in range(0, len(bits), 8):
+            b = 0
+            for j in range(8):
+                b = (b << 1) | bits[i + j]
+            bs.append(b)
+        return bytes(bs)
+
+
+def _flac_streaminfo(rate, nch, bps, total, blocksize):
+    si = bytearray()
+    si += blocksize.to_bytes(2, "big") * 2
+    si += (0).to_bytes(3, "big") * 2
+    si += ((rate << 44) | ((nch - 1) << 41) | ((bps - 1) << 36) | total).to_bytes(8, "big")
+    si += bytes(16)
+    return b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + bytes(si)
+
+
+def _flac_frame(body_writer, blocksize, ch_code, crc8, crc16):
+    """Assemble header (+CRC8) + subframe bits (+CRC16) from a writer
+    callback that appends the subframe bits."""
+    bw = _MSBWriter()
+    bw.w(0x3FFE, 14); bw.w(0, 1); bw.w(0, 1)
+    bw.w(7, 4)        # 16-bit blocksize at end
+    bw.w(0, 4)        # rate from streaminfo
+    bw.w(ch_code, 4)
+    bw.w(0, 3)        # bps from streaminfo
+    bw.w(0, 1)
+    bw.w(0, 8)        # utf8 frame number 0
+    bw.w(blocksize - 1, 16)
+    hdr = bw.bytes()
+    assert len(bw.bits) % 8 == 0
+    bw.w(crc8(hdr), 8)
+    body_writer(bw)
+    frame = bw.bytes()
+    return frame + crc16(frame).to_bytes(2, "big")
+
+
+def test_flac_crc_known_answers():
+    """The two CRCs against the published check values for the ASCII
+    string '123456789': CRC-8 (poly 0x07, init 0) = 0xF4 and
+    CRC-16/BUYPASS (poly 0x8005, init 0, unreflected) = 0xFEE8 —
+    pinning the polynomials independently of any FLAC stream."""
+    from ssp_spark.operators.flac import _crc8, _crc16
+
+    assert _crc8(b"123456789") == 0xF4
+    assert _crc16(b"123456789") == 0xFEE8
+
+
+def test_flac_constant_verbatim_and_lpc_goldens():
+    """Hand-assembled mono frames: a CONSTANT subframe, a VERBATIM
+    subframe, and an LPC subframe (order 1, coef 2, shift 1 ->
+    s_i = r_i + s_{i-1}) — none of which the module writer emits."""
+    import numpy as np
+
+    from ssp_spark.operators.flac import _crc8, _crc16, decode_flac
+
+    def const_body(bw):
+        bw.w(0, 1); bw.w(0, 6); bw.w(0, 1)   # CONSTANT, no wasted bits
+        bw.ws(-77, 16)
+
+    data = _flac_streaminfo(8000, 1, 16, 4, 4) + _flac_frame(const_body, 4, 0, _crc8, _crc16)
+    s, rate = decode_flac(data)
+    assert rate == 8000 and s[:, 0].tolist() == [-77] * 4
+
+    def verb_body(bw):
+        bw.w(0, 1); bw.w(1, 6); bw.w(0, 1)   # VERBATIM
+        for v in [100, -200, 32767, -32768]:
+            bw.ws(v, 16)
+
+    data = _flac_streaminfo(8000, 1, 16, 4, 4) + _flac_frame(verb_body, 4, 0, _crc8, _crc16)
+    s, _ = decode_flac(data)
+    assert s[:, 0].tolist() == [100, -200, 32767, -32768]
+
+    def lpc_body(bw):
+        bw.w(0, 1); bw.w(32, 6); bw.w(0, 1)  # LPC order 1
+        bw.ws(10, 16)                         # warmup
+        bw.w(3, 4)                            # precision 4
+        bw.ws(1, 5)                           # shift 1
+        bw.ws(2, 4)                           # coef 2 -> pred = s[-1]
+        bw.w(0, 2); bw.w(0, 4); bw.w(4, 4)    # rice, 1 partition, param 4
+        for r in [1, -2, 3]:                  # zigzag: 2, 3, 6
+            z = (abs(r) << 1) - (1 if r < 0 else 0)
+            q, rem = z >> 4, z & 15
+            bw.w(0, q); bw.w(1, 1); bw.w(rem, 4)
+
+    data = _flac_streaminfo(8000, 1, 16, 4, 4) + _flac_frame(lpc_body, 4, 0, _crc8, _crc16)
+    s, _ = decode_flac(data)
+    assert s[:, 0].tolist() == [10, 11, 9, 12]
+
+
+def test_flac_stereo_decorrelation_goldens():
+    """Hand-assembled left/side, right/side and mid/side frames from
+    CONSTANT subframes (the side channel reads bps+1 bits per spec):
+    all three must reconstruct L=7, R=4 (side=3, mid=5)."""
+    from ssp_spark.operators.flac import _crc8, _crc16, decode_flac
+
+    def two_const(a, abits, b, bbits):
+        def body(bw):
+            bw.w(0, 1); bw.w(0, 6); bw.w(0, 1); bw.ws(a, abits)
+            bw.w(0, 1); bw.w(0, 6); bw.w(0, 1); bw.ws(b, bbits)
+        return body
+
+    si = _flac_streaminfo(8000, 2, 16, 3, 3)
+    # left/side: L=7, side=3
+    s, _ = decode_flac(si + _flac_frame(two_const(7, 16, 3, 17), 3, 8, _crc8, _crc16))
+    assert s.tolist() == [[7, 4]] * 3
+    # right/side: side=3, R=4
+    s, _ = decode_flac(si + _flac_frame(two_const(3, 17, 4, 16), 3, 9, _crc8, _crc16))
+    assert s.tolist() == [[7, 4]] * 3
+    # mid/side: mid=5, side=3
+    s, _ = decode_flac(si + _flac_frame(two_const(5, 16, 3, 17), 3, 10, _crc8, _crc16))
+    assert s.tolist() == [[7, 4]] * 3
+
+
+def test_flac_rice_escape_and_wasted_bits_goldens():
+    """The raw-bits Rice escape (param 0b1111 -> 5-bit width, raw
+    signed residuals) and the wasted-bits shift (unary k, samples
+    shifted left by k) — hand-assembled FIXED-order-0 frames."""
+    from ssp_spark.operators.flac import _crc8, _crc16, decode_flac
+
+    def escape_body(bw):
+        bw.w(0, 1); bw.w(8, 6); bw.w(0, 1)    # FIXED order 0
+        bw.w(0, 2); bw.w(0, 4)                # rice4, 1 partition
+        bw.w(15, 4)                           # ESCAPE
+        bw.w(6, 5)                            # raw width 6
+        for r in [-31, 30, -1, 0]:
+            bw.ws(r, 6)
+
+    data = _flac_streaminfo(8000, 1, 16, 4, 4) + _flac_frame(escape_body, 4, 0, _crc8, _crc16)
+    s, _ = decode_flac(data)
+    assert s[:, 0].tolist() == [-31, 30, -1, 0]
+
+    def wasted_body(bw):
+        bw.w(0, 1); bw.w(8, 6)                # FIXED order 0
+        bw.w(1, 1)                            # wasted-bits flag
+        bw.w(0, 1); bw.w(1, 1)                # unary 1 -> k = 2
+        # residuals at bps - 2 = 14 bits, rice param 2
+        bw.w(0, 2); bw.w(0, 4); bw.w(2, 4)
+        for r in [5, -3]:                     # decoded then << 2
+            z = (abs(r) << 1) - (1 if r < 0 else 0)
+            q, rem = z >> 2, z & 3
+            bw.w(0, q); bw.w(1, 1); bw.w(rem, 2)
+
+    data = _flac_streaminfo(8000, 1, 16, 2, 2) + _flac_frame(wasted_body, 2, 0, _crc8, _crc16)
+    s, _ = decode_flac(data)
+    assert s[:, 0].tolist() == [20, -12]
+
+
+def test_flac_encoder_roundtrip_matrix():
+    """encode_flac -> decode_flac across fixed orders 0-4, multi-frame
+    blocksizes, and the int16 rails; header CRC-8 and frame CRC-16
+    must both validate (corrupting either is a hard error)."""
+    import numpy as np
+    import pytest
+
+    from ssp_spark.operators.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(11)
+    for order in range(5):
+        s = rng.integers(-3000, 3000, 150).tolist()
+        dec, rate = decode_flac(encode_flac(s, 16000, fixed_order=order,
+                                            rice_param=9, blocksize=64))
+        assert rate == 16000 and dec[:, 0].tolist() == s
+    s = [-32768, 32767, 0, -1, 1] * 8
+    dec, _ = decode_flac(encode_flac(s, 8000, fixed_order=2, rice_param=12))
+    assert dec[:, 0].tolist() == s
+    good = bytearray(encode_flac([1, 2, 3, 4], 8000))
+    bad = bytearray(good); bad[-1] ^= 0x01
+    with pytest.raises(ValueError):
+        decode_flac(bytes(bad))
+
+
+def test_flac_through_decode_audio_and_features(spark):
+    """decode_audio dispatches fLaC streams; audio_features carries
+    them like any WAV (real duration/RMS over FLAC samples)."""
+    from ssp_spark.operators import multimodal as mm
+    from ssp_spark.operators.flac import encode_flac
+
+    s = [1000] * 8000
+    data = encode_flac(s, 8000, fixed_order=1, rice_param=4)
+    dec, rate = mm.decode_audio(data)
+    assert rate == 8000 and dec[:, 0].tolist() == s
+    df = spark.createDataFrame([(1, bytearray(data))], "media_id long, data binary")
+    r = mm.audio_features(df, "media_id", "data").collect()[0]
+    assert (r.sample_rate, r.duration_ms, r.rms) == (8000, 1000, 1000)
+
+
+def test_flac_roundtrip_stats_kernel(spark):
+    """The driver-query kernel over an in-memory frame: prefix-sum
+    replay of sum/abs/last."""
+    import numpy as np
+
+    from ssp_spark.operators import multimodal as mm
+
+    payload = bytes(range(50, 70))
+    df = spark.createDataFrame([(9, bytearray(payload))], "doc_id long, px binary")
+    r = mm.flac_roundtrip_stats(df, "doc_id", "px", n_bytes=20).collect()[0]
+    samples = [(payload[0] - 64) * 256]
+    for b in payload[1:]:
+        samples.append(samples[-1] + (b - 64))
+    assert (r.n_samples, r.sample_rate) == (20, 8000)
+    assert r.sum_val == sum(samples)
+    assert r.sum_abs == sum(abs(x) for x in samples)
+    assert r.last_val == samples[-1]
