@@ -121,9 +121,13 @@ def decode_image(data: bytes):
         return _decode_jpeg(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(data)
+    if data[:2] in (b"II", b"MM") and len(data) >= 4 and int.from_bytes(
+        data[2:4], "little" if data[:2] == b"II" else "big"
+    ) == 42:
+        return _decode_tiff(data)
     raise NotImplementedError(
         "only PPM(P6)/BMP(24-bit)/PNG(full static matrix)/"
-        "JPEG(baseline+progressive)/GIF decodable here"
+        "JPEG(baseline+progressive)/GIF/TIFF(baseline) decodable here"
     )
 
 
@@ -2062,6 +2066,263 @@ def resize_media(
 
 
 # ---------------------------------------------------------------------------
+# TIFF (baseline, TIFF 6.0) — real IFD walk in both byte orders, strip
+# assembly, PackBits decompression, photometric interpretations 0-3.
+# ---------------------------------------------------------------------------
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """Apple PackBits (TIFF compression 32773): control byte n in
+    0..127 copies n+1 literals, n in 129..255 repeats the next byte
+    257-n times, n == 128 is a no-op."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data) and len(out) < expected:
+        n = data[pos]
+        pos += 1
+        if n < 128:
+            out += data[pos : pos + n + 1]
+            pos += n + 1
+        elif n > 128:
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+        # 128: no-op
+    return bytes(out[:expected])
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits writer: greedy run packing (runs >= 3 become repeat
+    packets, the rest literal packets of <= 128 bytes)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    lit_start = 0
+
+    def flush_literals(end):
+        nonlocal lit_start
+        while lit_start < end:
+            take = min(128, end - lit_start)
+            out.append(take - 1)
+            out.extend(data[lit_start : lit_start + take])
+            lit_start += take
+
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            flush_literals(i)
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    flush_literals(n)
+    return bytes(out)
+
+
+def _decode_tiff(data: bytes):
+    """(h, w, 3) uint8 RGB for baseline TIFF 6.0: II/MM byte orders,
+    first-IFD walk, strip assembly (multi-strip via RowsPerStrip),
+    compression 1 (none) and 32773 (PackBits), photometric 0
+    (WhiteIsZero — inverted grayscale), 1 (BlackIsZero), 2 (RGB,
+    SamplesPerPixel 3) and 3 (palette via the 16-bit ColorMap tag,
+    high byte), bits-per-sample 1 (rows byte-padded) and 8. Tiled,
+    multi-IFD, planar-separate and other compressions raise
+    NotImplementedError — the module's documented-boundary
+    contract."""
+    import numpy as np
+
+    if data[:2] == b"II":
+        en = "little"
+    elif data[:2] == b"MM":
+        en = "big"
+    else:
+        raise ValueError("not a TIFF")
+    if int.from_bytes(data[2:4], en) != 42:
+        raise ValueError("bad TIFF magic number")
+    ifd = int.from_bytes(data[4:8], en)
+    nent = int.from_bytes(data[ifd : ifd + 2], en)
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4}
+    tags: dict[int, list[int]] = {}
+    for i in range(nent):
+        e = ifd + 2 + 12 * i
+        tag = int.from_bytes(data[e : e + 2], en)
+        typ = int.from_bytes(data[e + 2 : e + 4], en)
+        cnt = int.from_bytes(data[e + 4 : e + 8], en)
+        if typ not in type_size:
+            continue  # RATIONAL etc: not needed for the baseline set
+        sz = type_size[typ]
+        total = sz * cnt
+        voff = e + 8 if total <= 4 else int.from_bytes(data[e + 8 : e + 12], en)
+        tags[tag] = [
+            int.from_bytes(data[voff + k * sz : voff + (k + 1) * sz], en)
+            for k in range(cnt)
+        ]
+    w, h = tags[256][0], tags[257][0]
+    bits = tags.get(258, [1])[0]
+    comp = tags.get(259, [1])[0]
+    photo = tags.get(262, [1])[0]
+    spp = tags.get(277, [1])[0]
+    rps = tags.get(278, [h])[0]
+    offs, cnts = tags[273], tags[279]
+    if comp not in (1, 32773):
+        raise NotImplementedError(f"TIFF compression {comp}")
+    if bits not in (1, 8) or spp not in (1, 3):
+        raise NotImplementedError(f"TIFF bits={bits} spp={spp}")
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF")
+    if tags.get(284, [1])[0] != 1:
+        raise NotImplementedError("planar-separate TIFF")
+    row_bytes = (w * bits * spp + 7) // 8
+    raw = bytearray()
+    for si, (off, cnt) in enumerate(zip(offs, cnts)):
+        nrows = min(rps, h - si * rps)
+        chunk = data[off : off + cnt]
+        if comp == 32773:
+            chunk = _packbits_decode(chunk, nrows * row_bytes)
+        raw += chunk[: nrows * row_bytes]
+    if bits == 1:
+        rows = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, row_bytes)
+        px = np.unpackbits(rows, axis=1)[:, :w] * np.uint8(255)
+    else:
+        px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w * spp)
+    if photo == 2:
+        if spp != 3:
+            raise ValueError("TIFF RGB needs SamplesPerPixel 3")
+        return px.reshape(h, w, 3).copy()
+    if spp != 1:
+        raise ValueError("TIFF grayscale/palette needs SamplesPerPixel 1")
+    g = px.reshape(h, w)
+    if photo == 0:  # WhiteIsZero: invert to display values (both bit
+        # depths are already scaled to the 0..255 range here)
+        g = (255 - g.astype(np.int64)).astype(np.uint8)
+    if photo in (0, 1):
+        return np.ascontiguousarray(np.stack([g, g, g], axis=2))
+    if photo == 3:
+        cmap = tags[320]
+        n = 1 << bits
+        if len(cmap) < 3 * n:
+            raise ValueError("TIFF ColorMap too short")
+        # ColorMap is 16-bit per channel, R plane then G then B
+        pal = np.array(
+            [[cmap[k] >> 8, cmap[n + k] >> 8, cmap[2 * n + k] >> 8]
+             for k in range(n)],
+            dtype=np.uint8,
+        )
+        idx = (g // 255 if bits == 1 else g).astype(np.int64)
+        return pal[idx]
+    raise NotImplementedError(f"TIFF photometric {photo}")
+
+
+def encode_tiff(img, byte_order: str = "little", compression: int = 1,
+                photometric: int | None = None, rows_per_strip: int | None = None,
+                palette=None) -> bytes:
+    """Real baseline-TIFF writer for the goldens and the driver
+    query: (h, w) grayscale/palette-index or (h, w, 3) RGB uint8 ->
+    header + strips (optionally PackBits) + one IFD, in either byte
+    order. ``photometric`` 0 stores the INVERTED samples so the
+    decoder's WhiteIsZero path is load-bearing; ``palette`` (n, 3)
+    uint8 writes photometric 3 with a 16-bit ColorMap."""
+    import numpy as np
+
+    a = np.asarray(img, dtype=np.uint8)
+    en = byte_order
+    if a.ndim == 3:
+        h, w, spp = a.shape
+        photo = 2 if photometric is None else photometric
+    else:
+        h, w = a.shape
+        spp = 1
+        if palette is not None:
+            photo = 3
+        else:
+            photo = 1 if photometric is None else photometric
+    if rows_per_strip is None:
+        rows_per_strip = h
+    store = a
+    if photo == 0:
+        store = (255 - a.astype(np.int64)).astype(np.uint8)
+    strips = []
+    for r0 in range(0, h, rows_per_strip):
+        chunk = store[r0 : r0 + rows_per_strip].tobytes()
+        strips.append(_packbits_encode(chunk) if compression == 32773 else chunk)
+
+    def u16(v):
+        return int(v).to_bytes(2, en)
+
+    def u32(v):
+        return int(v).to_bytes(4, en)
+
+    entries = []  # (tag, type, count, value-bytes or int)
+    extra = bytearray()
+    header_len = 8
+    # layout: header, strip data, [colormap], IFD
+    strip_offs = []
+    pos = header_len
+    for s in strips:
+        strip_offs.append(pos)
+        pos += len(s)
+    cmap_off = None
+    if photo == 3:
+        pal = np.asarray(palette, dtype=np.uint8)
+        n = 1 << 8
+        cmap = bytearray()
+        full = np.zeros((n, 3), dtype=np.uint8)
+        full[: len(pal)] = pal
+        for c in range(3):
+            for k in range(n):
+                cmap += u16(int(full[k, c]) << 8)
+        cmap_off = pos
+        pos += len(cmap)
+        extra += cmap
+    ifd_off = pos
+
+    def val_entry(tag, typ, vals):
+        cnt = len(vals)
+        sz = {3: 2, 4: 4}[typ]
+        enc = b"".join((u16(v) if typ == 3 else u32(v)) for v in vals)
+        return (tag, typ, cnt, enc)
+
+    entries.append(val_entry(256, 4, [w]))
+    entries.append(val_entry(257, 4, [h]))
+    entries.append(val_entry(258, 3, [8] * spp))
+    entries.append(val_entry(259, 3, [compression]))
+    entries.append(val_entry(262, 3, [photo]))
+    entries.append(val_entry(273, 4, strip_offs))
+    entries.append(val_entry(277, 3, [spp]))
+    entries.append(val_entry(278, 4, [rows_per_strip]))
+    entries.append(val_entry(279, 4, [len(s) for s in strips]))
+    if photo == 3:
+        entries.append((320, 3, 3 * 256, None))  # offset patched below
+    entries.sort(key=lambda t: t[0])
+    # entries whose encoded value exceeds 4 bytes go to an overflow area
+    # AFTER the IFD
+    ifd_len = 2 + 12 * len(entries) + 4
+    overflow_off = ifd_off + ifd_len
+    overflow = bytearray()
+    ifd = bytearray(u16(len(entries)))
+    for tag, typ, cnt, enc in entries:
+        ifd += u16(tag) + u16(typ) + u32(cnt)
+        if tag == 320:
+            ifd += u32(cmap_off)
+            continue
+        if len(enc) <= 4:
+            ifd += enc + b"\x00" * (4 - len(enc))
+        else:
+            ifd += u32(overflow_off + len(overflow))
+            overflow += enc
+    ifd += u32(0)  # no next IFD
+    out = bytearray(b"II" if en == "little" else b"MM")
+    out += u16(42) + u32(ifd_off)
+    for s in strips:
+        out += s
+    out += extra
+    out += ifd + overflow
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # GIF (GIF87a/GIF89a) — real LZW decode, pure stdlib + numpy. The format
 # per the published GIF89a specification: logical screen descriptor,
 # global/local color tables, graphic-control extensions (transparency),
@@ -2358,6 +2619,54 @@ def gif_roundtrip_stats(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame
                 rows,
                 columns=["media_id", "width", "height",
                          "sum_r", "sum_g", "sum_b", "pos_sum_r"],
+            )
+
+    return df.mapInPandas(fn, schema)
+
+
+def tiff_roundtrip_stats(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame:
+    """Baseline-TIFF decode under an exact oracle: each row's first 20
+    bytes v (ASCII domain 0..127) tile to the same 32x40 grayscale
+    image as the GIF gate (8x8 blocks), written as a REAL big-endian
+    (MM) PackBits-compressed TIFF with RowsPerStrip=16 (three strips,
+    the middle one splitting a tile row) and photometric 0
+    (WhiteIsZero: the writer stores inverted samples, the decoder
+    re-inverts — the invert DIRECTION is pinned by hand-assembled
+    goldens so the pair cannot silently cancel), then decoded through
+    the full IFD walk + strip assembly + PackBits path. Channel sums
+    and the closed-form position-weighted sum replay from the source
+    bytes. Arrow-batched, one row in -> one row out, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("gray_sum", T.LongType()),
+            T.StructField("pos_sum", T.LongType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                vs = np.frombuffer(bytes(data)[:20], dtype=np.uint8)
+                grid = np.repeat(np.repeat(vs.reshape(5, 4), 8, axis=0), 8, axis=1)
+                t = encode_tiff(grid, byte_order="big", compression=32773,
+                                photometric=0, rows_per_strip=16)
+                img = decode_image(t)
+                g = img[:, :, 0].astype(np.int64)
+                pos = np.arange(1, g.size + 1, dtype=np.int64)
+                rows.append(
+                    (int(mid), int(img.shape[1]), int(img.shape[0]),
+                     int(g.sum()), int((pos * g.ravel()).sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "gray_sum", "pos_sum"],
             )
 
     return df.mapInPandas(fn, schema)

@@ -5128,6 +5128,58 @@ def multimodal_decode_png_adam7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_decode_tiff",
+    """
+    WITH img AS (
+      SELECT doc_id, substr(text, 1, 20) AS px
+      FROM documents WHERE length(text) >= 20
+        AND strlen(substr(text, 1, 20)) = 20
+    ),
+    b AS (
+      SELECT doc_id, i, ascii(substr(px, i, 1)) AS v
+      FROM img, (SELECT unnest(generate_series(1, 20)) AS i) u
+    )
+    SELECT doc_id AS media_id, 32 AS width, 40 AS height,
+           CAST(64 * sum(v) AS BIGINT) AS gray_sum,
+           CAST(sum(v * (16384 * ((i - 1) // 4)
+                         + 512 * ((i - 1) % 4) + 7456)) AS BIGINT)
+             AS pos_sum
+    FROM b GROUP BY doc_id
+    """,
+)
+def multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline TIFF 6.0 decode under the driver gate — the round-10
+    scan/scientific-corpus format slice. Each document's first 20
+    bytes tile to the same 32x40 grid as the GIF gate, but the
+    container exercises TIFF's distinct machinery: big-endian (MM)
+    byte order, the IFD tag walk, THREE strips via RowsPerStrip=16
+    (the middle strip splits a tile row), PackBits decompression
+    (repeat packets from the 8-wide tile runs), and photometric 0
+    (WhiteIsZero). gray_sum pins the sample values and pos_sum the
+    strip/row order. The invert DIRECTION and the 1-bit/palette/RGB
+    paths are pinned by hand-assembled IFD goldens (the writer's
+    photo-0 pre-inversion would otherwise let a missing invert pair
+    cancel), and PackBits is pinned by the published spec example.
+    LZW/tiled/planar TIFF refuse with NotImplementedError (disclosed).
+
+    Plan: one documents scan -> mapInPandas (Arrow-batched, row-local
+    encode/decode, no shuffle) -> driver-hashable 5-column frame; the
+    same 100 TB decode-map shape as the sibling gate queries."""
+    from ssp_spark.operators import multimodal as mm
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.length("text") >= 20)
+        .select(
+            "doc_id",
+            F.encode(F.substring("text", 1, 20), "utf-8").alias("px"),
+        )
+        .filter(F.octet_length("px") == 20)
+    )
+    return mm.tiff_roundtrip_stats(docs, "doc_id", "px")
+
+
+@_q(
     "multimodal_decode_audio_flac",
     """
     WITH img AS (
@@ -12538,8 +12590,8 @@ _CHECK_FIRST = [
     # Contract (VERDICT r9 #1/#3): the one never-checked query leads,
     # then everything changed in r10, then the two r4-stale rows, then
     # the ENTIRE 45-query r5 cohort, then an r6 tail filler.
-    # Composition: 1 never-checked + 2 changed + 7 new-in-r10 + 1
-    # r4-stale + 39 r5-stale = 50. After the r10 run zero registry
+    # Composition: 1 never-checked + 2 changed + 8 new-in-r10 + 1
+    # r4-stale + 38 r5-stale = 50. After the r10 run zero registry
     # queries have evidence older than r6 EXCEPT the displaced
     # alphabetical tail of the r5 cohort (each re-verified hash-green
     # at sf0.01 on displacement; they lead the r11 queue) — VERDICT
@@ -12556,6 +12608,7 @@ _CHECK_FIRST = [
     "multimodal_decode_gif",  # new in r10: GIF LZW decode
     "multimodal_decode_jpeg12",  # new in r10: 12-bit JPEG (deep) decode
     "multimodal_decode_audio_flac",  # new in r10: FLAC decode
+    "multimodal_decode_tiff",  # new in r10: baseline TIFF decode
     "vocab_coverage",  # changed in r10 (range-sharded windows, VERDICT r9 #5; also r4-stale)
     "zorder_cells",  # r4-stale (VERDICT r9 #3)
     # (c) the 45 queries whose latest driver row is round 5 (whole
@@ -12598,15 +12651,15 @@ _CHECK_FIRST = [
     "semi_join_open_orders",
     "set_ops_users",
     "sliding_window_counts",
-    "source_text_scan",
     # (window_funcs_showcase, the alphabetically-last r5 row, was
     # DISPLACED by multimodal_decode_jpeg_progressive per the window
     # policy above; user_activity_pivot, tumbling_hourly_stats,
-    # token_count, string_funcs and streaming_wordcount_replay, the
-    # next five from the alphabetical tail, were DISPLACED by the
-    # G.711/ADPCM/FLAC audio-decode, GIF-decode and 12-bit-JPEG
-    # queries. All six re-verified hash-green at sf0.01 before
-    # displacement; they lead the r11 queue with ann_lsh_topk.)
+    # token_count, string_funcs, streaming_wordcount_replay and
+    # source_text_scan, the next six from the alphabetical tail, were
+    # DISPLACED by the G.711/ADPCM/FLAC audio-decode, GIF/TIFF-decode
+    # and 12-bit-JPEG queries. All seven re-verified hash-green at
+    # sf0.01 before displacement; they lead the r11 queue with
+    # ann_lsh_topk.)
     # (e) r6-rotation tail filler: DISPLACED by the new r10 query
     # multimodal_decode_jpeg420 per the window policy above (new/changed
     # outrank repeat confirmations); ann_lsh_topk leads the r11 queue.

@@ -1751,3 +1751,147 @@ def test_flac_roundtrip_stats_kernel(spark):
     assert r.sum_val == sum(samples)
     assert r.sum_abs == sum(abs(x) for x in samples)
     assert r.last_val == samples[-1]
+
+
+# ---------------------------------------------------------------------------
+# TIFF: hand-assembled goldens (IFD walk, WhiteIsZero direction, 1-bit
+# rows, palette ColorMap, PackBits spec example), writer round-trips,
+# and the driver-query kernel.
+# ---------------------------------------------------------------------------
+
+
+def _tiff_hand(en, entries, body_at_8):
+    """Hand-build a TIFF: header, raw body at offset 8, then one IFD.
+    ``entries`` = [(tag, type, count, value-int-list)], values inlined
+    when they fit (this helper only needs inline-size values)."""
+    import struct
+
+    e = "<" if en == "little" else ">"
+    ifd_off = 8 + len(body_at_8)
+    out = bytearray((b"II" if en == "little" else b"MM"))
+    out += struct.pack(e + "HI", 42, ifd_off)
+    out += body_at_8
+    out += struct.pack(e + "H", len(entries))
+    for tag, typ, cnt, vals in sorted(entries):
+        out += struct.pack(e + "HHI", tag, typ, cnt)
+        cell = bytearray()
+        for v in vals:
+            cell += struct.pack(e + ("H" if typ == 3 else "I"), v)
+        assert len(cell) <= 4
+        out += cell + b"\x00" * (4 - len(cell))
+    out += struct.pack(e + "I", 0)
+    return bytes(out)
+
+
+def test_tiff_hand_golden_whitesiszero_direction():
+    """A hand-assembled 2x2 WhiteIsZero grayscale TIFF: stored samples
+    [0, 100, 200, 255] MUST decode to [255, 155, 55, 0] — pinning the
+    invert direction independently of the writer (whose photo-0 path
+    stores pre-inverted samples, so a missing invert on both sides
+    would cancel in round-trips)."""
+    import numpy as np
+
+    from ssp_spark.operators.multimodal import decode_image
+
+    body = bytes([0, 100, 200, 255])
+    entries = [
+        (256, 4, 1, [2]), (257, 4, 1, [2]), (258, 3, 1, [8]),
+        (259, 3, 1, [1]), (262, 3, 1, [0]), (273, 4, 1, [8]),
+        (277, 3, 1, [1]), (278, 4, 1, [2]), (279, 4, 1, [4]),
+    ]
+    for en in ("little", "big"):
+        img = decode_image(_tiff_hand(en, entries, body))
+        assert (img[:, :, 0] == np.array([[255, 155], [55, 0]], np.uint8)).all()
+
+
+def test_tiff_hand_golden_1bit_rows_padded():
+    """1-bit bilevel with byte-padded rows: 10 columns take 2 bytes per
+    row, MSB-first; BlackIsZero maps 1 -> 255 and WhiteIsZero flips."""
+    import numpy as np
+
+    from ssp_spark.operators.multimodal import decode_image
+
+    # rows: 1010101010 ; 1100110011  -> bytes AA 80, CC C0
+    body = bytes([0xAA, 0x80, 0xCC, 0xC0])
+    base = [
+        (256, 4, 1, [10]), (257, 4, 1, [2]), (258, 3, 1, [1]),
+        (259, 3, 1, [1]), (273, 4, 1, [8]),
+        (277, 3, 1, [1]), (278, 4, 1, [2]), (279, 4, 1, [4]),
+    ]
+    img = decode_image(_tiff_hand("little", base + [(262, 3, 1, [1])], body))
+    row0 = [255, 0] * 5
+    row1 = [255, 255, 0, 0] * 2 + [255, 255]
+    assert img[0, :, 0].tolist() == row0 and img[1, :, 0].tolist() == row1
+    inv = decode_image(_tiff_hand("little", base + [(262, 3, 1, [0])], body))
+    assert inv[0, :, 0].tolist() == [255 - x for x in row0]
+
+
+def test_tiff_packbits_spec_example():
+    """The PackBits worked example from the published spec (Apple TN
+    1023, carried into TIFF 6.0): FE AA | 02 80 00 2A | FD AA |
+    03 80 00 2A 22 | F7 AA expands to the canonical 24-byte row."""
+    from ssp_spark.operators.multimodal import _packbits_decode, _packbits_encode
+
+    enc = bytes([0xFE, 0xAA, 0x02, 0x80, 0x00, 0x2A, 0xFD, 0xAA,
+                 0x03, 0x80, 0x00, 0x2A, 0x22, 0xF7, 0xAA])
+    want = bytes([0xAA] * 3 + [0x80, 0x00, 0x2A] + [0xAA] * 4
+                 + [0x80, 0x00, 0x2A, 0x22] + [0xAA] * 10)
+    assert _packbits_decode(enc, 24) == want
+    # and our writer's output re-expands to the same row
+    assert _packbits_decode(_packbits_encode(want), 24) == want
+
+
+def test_tiff_encoder_roundtrip_matrix():
+    """encode_tiff -> decode_image across byte orders, compressions,
+    multi-strip splits, RGB, palette, and the inverted-grayscale
+    writer path; LZW and tiled refuse cleanly."""
+    import numpy as np
+    import pytest
+
+    from ssp_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(13)
+    for en in ("little", "big"):
+        for comp in (1, 32773):
+            g = rng.integers(0, 256, (13, 7)).astype(np.uint8)
+            img = mm.decode_image(mm.encode_tiff(g, byte_order=en, compression=comp,
+                                                 rows_per_strip=5))
+            assert (img[:, :, 0] == g).all() and (img[:, :, 2] == g).all()
+    rgb = rng.integers(0, 256, (9, 4, 3)).astype(np.uint8)
+    img = mm.decode_image(mm.encode_tiff(rgb, byte_order="big",
+                                         compression=32773, rows_per_strip=4))
+    assert (img == rgb).all()
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, (6, 6)).astype(np.uint8)
+    assert (mm.decode_image(mm.encode_tiff(idx, palette=pal)) == pal[idx]).all()
+    g = np.arange(0, 250, 10, dtype=np.uint8).reshape(5, 5)
+    img = mm.decode_image(mm.encode_tiff(g, photometric=0, compression=32773))
+    assert (img[:, :, 0] == g).all()
+    # LZW (compression 5) refuses cleanly through a hand-built IFD
+    entries = [
+        (256, 4, 1, [2]), (257, 4, 1, [2]), (258, 3, 1, [8]),
+        (259, 3, 1, [5]), (262, 3, 1, [1]), (273, 4, 1, [8]),
+        (277, 3, 1, [1]), (278, 4, 1, [2]), (279, 4, 1, [4]),
+    ]
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(_tiff_hand("little", entries, bytes(4)))
+
+
+def test_tiff_roundtrip_stats_kernel(spark):
+    """The driver-query kernel over an in-memory frame: exact
+    gray/position sums through the MM + PackBits + WhiteIsZero +
+    multi-strip path."""
+    import numpy as np
+
+    from ssp_spark.operators import multimodal as mm
+
+    payload = bytes(range(70, 90))
+    df = spark.createDataFrame([(4, bytearray(payload))], "doc_id long, px binary")
+    r = mm.tiff_roundtrip_stats(df, "doc_id", "px").collect()[0]
+    vs = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    assert (r.width, r.height) == (32, 40)
+    assert r.gray_sum == 64 * vs.sum()
+    assert r.pos_sum == sum(
+        int(v) * (16384 * (i // 4) + 512 * (i % 4) + 7456)
+        for i, v in enumerate(vs)
+    )
