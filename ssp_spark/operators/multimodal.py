@@ -94,9 +94,15 @@ def decode_image(data: bytes):
                 pos += 1
             fields.append(int(data[start:pos]))
         w, h, maxval = fields
-        if maxval > 255:
-            raise NotImplementedError("16-bit PPM not supported")
         pos += 1  # single whitespace after maxval
+        if maxval > 255:
+            # 16-bit P6: two bytes per sample, MOST significant first
+            # (netpbm spec); high-byte truncation, the same convention
+            # as 16-bit PNG
+            px = np.frombuffer(
+                data, dtype=">u2", count=w * h * 3, offset=pos
+            )
+            return (px >> 8).astype(np.uint8).reshape(h, w, 3).copy()
         px = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
         return px.reshape(h, w, 3).copy()
     if data[:2] == b"BM":
@@ -3103,7 +3109,7 @@ def iter_ppm_frames(data: bytes):
         w, h, _maxval = fields
         hdr_pos += 1  # single whitespace after maxval
         yield pos, w, h
-        pos = hdr_pos + w * h * 3
+        pos = hdr_pos + w * h * 3 * (2 if _maxval > 255 else 1)
 
 
 def sample_ppm_stream_frames(
@@ -3153,6 +3159,134 @@ def sample_ppm_stream_frames(
             )
 
     return df.mapInPandas(fn, schema)
+
+
+def parse_y4m_header(data: bytes):
+    """Parse a YUV4MPEG2 stream header: returns (width, height,
+    fps_num, fps_den, chroma, header_len). Parameters are
+    space-separated single-letter tags (W/H/F/I/A/C/X per the
+    published mjpegtools y4m format); chroma defaults to '420jpeg'."""
+    if data[:9] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    end = data.index(b"\n")
+    w = h = None
+    fn, fd = 25, 1
+    chroma = "420jpeg"
+    for tok in data[9:end].split(b" "):
+        if not tok:
+            continue
+        k, v = tok[:1], tok[1:]
+        if k == b"W":
+            w = int(v)
+        elif k == b"H":
+            h = int(v)
+        elif k == b"F":
+            num, den = v.split(b":")
+            fn, fd = int(num), int(den)
+        elif k == b"C":
+            chroma = v.decode()
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    return w, h, fn, fd, chroma, end + 1
+
+
+def _y4m_frame_bytes(w: int, h: int, chroma: str) -> int:
+    if chroma.startswith("420"):
+        return w * h + 2 * ((w // 2) * (h // 2))
+    if chroma.startswith("422"):
+        return w * h + 2 * ((w // 2) * h)
+    if chroma.startswith("444"):
+        return 3 * w * h
+    if chroma == "mono":
+        return w * h
+    raise NotImplementedError(f"Y4M chroma {chroma}")
+
+
+def iter_y4m_frames(data: bytes):
+    """Yield (offset_of_frame_data, frame_idx) for each FRAME in a
+    YUV4MPEG2 stream — O(1) seek per frame: the planar frame length is
+    fixed by the header, so walking is pure pointer arithmetic like
+    iter_ppm_frames. Frame-level parameter overrides (rare) keep their
+    tag bytes skipped via the newline scan."""
+    w, h, fn, fd, chroma, pos = parse_y4m_header(data)
+    fsize = _y4m_frame_bytes(w, h, chroma)
+    idx = 0
+    while pos + 5 <= len(data) and data[pos : pos + 5] == b"FRAME":
+        nl = data.index(b"\n", pos)
+        yield nl + 1, idx
+        pos = nl + 1 + fsize
+        idx += 1
+
+
+def y4m_frame_stats(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame:
+    """Per-clip Y4M index + luma energy through mapInPandas: frame
+    count, geometry, fps, and the position-weighted sum of per-frame
+    Y-plane totals (weight = frame_idx + 1, so a frame walked at the
+    wrong offset or order breaks the value). Real parsing end-to-end:
+    header tags, FRAME marker walk, planar Y extraction. Non-Y4M rows
+    yield nothing (filtered, not failed) — at 100 TB a corrupt clip
+    must not kill the scan."""
+    import numpy as np
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("fps_num", T.IntegerType()),
+            T.StructField("weighted_y_sum", T.LongType()),
+            T.StructField("last_frame_offset", T.LongType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                raw = bytes(data or b"")
+                try:
+                    w, h, fnum, fden, chroma, _ = parse_y4m_header(raw)
+                    wsum = 0
+                    nf = 0
+                    last_off = -1
+                    for off, idx in iter_y4m_frames(raw):
+                        y = np.frombuffer(raw, dtype=np.uint8, count=w * h,
+                                          offset=off)
+                        wsum += (idx + 1) * int(y.astype(np.int64).sum())
+                        nf = idx + 1
+                        last_off = off
+                    rows.append((int(mid), nf, w, h, fnum, wsum, last_off))
+                except (ValueError, NotImplementedError):
+                    pass
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_frames", "width", "height",
+                         "fps_num", "weighted_y_sum", "last_frame_offset"],
+            )
+
+    return df.mapInPandas(fn, schema)
+
+
+def encode_y4m(frames_y, w: int, h: int, fps=(25, 1), chroma: str = "420jpeg",
+               uv_fill: int = 128) -> bytes:
+    """Y4M writer for the goldens and driver query: per-frame Y planes
+    (each (h, w) uint8 or a constant int), chroma planes filled with
+    ``uv_fill`` at the subsampling the header declares."""
+    import numpy as np
+
+    hdr = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C{chroma}\n"
+    out = bytearray(hdr.encode())
+    uv_len = _y4m_frame_bytes(w, h, chroma) - w * h
+    for fy in frames_y:
+        out += b"FRAME\n"
+        if isinstance(fy, int):
+            out += bytes([fy]) * (w * h)
+        else:
+            out += np.asarray(fy, dtype=np.uint8).reshape(h, w).tobytes()
+        out += bytes([uv_fill]) * uv_len
+    return bytes(out)
 
 
 AHASH_SCHEMA = "media_id long, ahash long, n_pixels int"

@@ -5128,6 +5128,76 @@ def multimodal_decode_png_adam7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_video_y4m_index",
+    """
+    WITH img AS (
+      SELECT doc_id, substr(text, 1, 5) AS px
+      FROM documents WHERE length(text) >= 5
+        AND strlen(substr(text, 1, 5)) = 5
+    ),
+    b AS (
+      SELECT doc_id, i, ascii(substr(px, i, 1)) AS v
+      FROM img, (SELECT unnest(generate_series(1, 5)) AS i) u
+    )
+    SELECT doc_id AS media_id, 5 AS n_frames, 16 AS width, 8 AS height,
+           25 AS fps_num,
+           CAST(128 * sum(i * v) AS BIGINT) AS weighted_y_sum,
+           CAST(838 AS BIGINT) AS last_frame_offset
+    FROM b GROUP BY doc_id
+    """,
+)
+def multimodal_video_y4m_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YUV4MPEG2 (y4m) stream walking under the driver gate — the
+    video tier's second real interchange format (what ffmpeg emits for
+    raw planar YUV, the sibling of the concatenated-PPM path). Each
+    document's first 5 bytes become a REAL 16x8 C420 25fps Y4M clip —
+    frame k's luma plane filled with byte v_k, chroma at 128 — and the
+    kernel walks it back through the full path: header tag parse
+    (W/H/F/C), FRAME marker walk with O(1) planar-size seeks, Y-plane
+    extraction. weighted_y_sum (weight = frame index + 1) pins frame
+    ORDER and content; last_frame_offset = 40 + 5*6 + 4*192 + ...
+    = 838 pins the header length and the C420 frame-size arithmetic
+    exactly (one byte of drift anywhere shifts it).
+
+    Plan: one documents scan -> mapInPandas (Arrow-batched, row-local
+    encode/walk, no shuffle) -> driver-hashable 7-column frame; at
+    100 TB the same walk runs on object-store ranges instead of
+    inlined bytes (MEDIA_META uri layout), identical plan shape."""
+    from ssp_spark.operators import multimodal as mm
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.length("text") >= 5)
+        .select(
+            "doc_id",
+            F.encode(F.substring("text", 1, 5), "utf-8").alias("px"),
+        )
+        .filter(F.octet_length("px") == 5)
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "px": [
+                        bytearray(
+                            mm.encode_y4m(list(bytes(p)[:5]), 16, 8, fps=(25, 1))
+                        )
+                        for p in pdf["px"]
+                    ],
+                }
+            )
+
+    # two pipelined mapInPandas stages (build clip -> walk clip), still
+    # one task, no shuffle
+    clips = docs.mapInPandas(build, "doc_id long, px binary")
+    return mm.y4m_frame_stats(clips, "doc_id", "px")
+
+
+@_q(
     "multimodal_decode_tiff",
     """
     WITH img AS (
@@ -12590,8 +12660,8 @@ _CHECK_FIRST = [
     # Contract (VERDICT r9 #1/#3): the one never-checked query leads,
     # then everything changed in r10, then the two r4-stale rows, then
     # the ENTIRE 45-query r5 cohort, then an r6 tail filler.
-    # Composition: 1 never-checked + 2 changed + 8 new-in-r10 + 1
-    # r4-stale + 38 r5-stale = 50. After the r10 run zero registry
+    # Composition: 1 never-checked + 2 changed + 9 new-in-r10 + 1
+    # r4-stale + 37 r5-stale = 50. After the r10 run zero registry
     # queries have evidence older than r6 EXCEPT the displaced
     # alphabetical tail of the r5 cohort (each re-verified hash-green
     # at sf0.01 on displacement; they lead the r11 queue) — VERDICT
@@ -12609,6 +12679,7 @@ _CHECK_FIRST = [
     "multimodal_decode_jpeg12",  # new in r10: 12-bit JPEG (deep) decode
     "multimodal_decode_audio_flac",  # new in r10: FLAC decode
     "multimodal_decode_tiff",  # new in r10: baseline TIFF decode
+    "multimodal_video_y4m_index",  # new in r10: Y4M stream walking
     "vocab_coverage",  # changed in r10 (range-sharded windows, VERDICT r9 #5; also r4-stale)
     "zorder_cells",  # r4-stale (VERDICT r9 #3)
     # (c) the 45 queries whose latest driver row is round 5 (whole
@@ -12650,16 +12721,15 @@ _CHECK_FIRST = [
     "scd2_user_state_history",
     "semi_join_open_orders",
     "set_ops_users",
-    "sliding_window_counts",
     # (window_funcs_showcase, the alphabetically-last r5 row, was
     # DISPLACED by multimodal_decode_jpeg_progressive per the window
     # policy above; user_activity_pivot, tumbling_hourly_stats,
-    # token_count, string_funcs, streaming_wordcount_replay and
-    # source_text_scan, the next six from the alphabetical tail, were
-    # DISPLACED by the G.711/ADPCM/FLAC audio-decode, GIF/TIFF-decode
-    # and 12-bit-JPEG queries. All seven re-verified hash-green at
-    # sf0.01 before displacement; they lead the r11 queue with
-    # ann_lsh_topk.)
+    # token_count, string_funcs, streaming_wordcount_replay,
+    # source_text_scan and sliding_window_counts, the next seven from
+    # the alphabetical tail, were DISPLACED by the G.711/ADPCM/FLAC
+    # audio-decode, GIF/TIFF-decode, 12-bit-JPEG and Y4M-index
+    # queries. All eight re-verified hash-green at sf0.01 before
+    # displacement; they lead the r11 queue with ann_lsh_topk.)
     # (e) r6-rotation tail filler: DISPLACED by the new r10 query
     # multimodal_decode_jpeg420 per the window policy above (new/changed
     # outrank repeat confirmations); ann_lsh_topk leads the r11 queue.

@@ -1895,3 +1895,69 @@ def test_tiff_roundtrip_stats_kernel(spark):
         int(v) * (16384 * (i // 4) + 512 * (i % 4) + 7456)
         for i, v in enumerate(vs)
     )
+
+
+# ---------------------------------------------------------------------------
+# 16-bit PPM + Y4M (YUV4MPEG2) stream walking.
+# ---------------------------------------------------------------------------
+
+
+def test_ppm_16bit_high_byte_and_stream_stride():
+    """maxval > 255 P6: two big-endian bytes per sample, high-byte
+    truncation (the 16-bit PNG convention); iter_ppm_frames strides
+    16-bit frames correctly."""
+    import numpy as np
+
+    from ssp_spark.operators import multimodal as mm
+
+    hdr = b"P6 2 2 65535\n"
+    samples = np.array(
+        [[260, 512, 65535], [0, 255, 256],
+         [1000, 2000, 3000], [40000, 50000, 60000]], dtype=">u2")
+    img = mm.decode_image(hdr + samples.tobytes())
+    assert img.shape == (2, 2, 3)
+    assert (img.reshape(4, 3) == (samples.astype(np.int64) >> 8)).all()
+    stream = (hdr + samples.tobytes()) * 3
+    frames = list(mm.iter_ppm_frames(stream))
+    assert len(frames) == 3
+    assert frames[1][0] == len(hdr) + samples.nbytes
+
+
+def test_y4m_header_walk_and_chroma_sizes():
+    """Header tag parse (W/H/F/C), O(1) FRAME walking at every chroma
+    mode's planar size, and clean refusal of unknown chroma."""
+    import pytest
+
+    from ssp_spark.operators import multimodal as mm
+
+    clip = mm.encode_y4m([10, 20, 30], 16, 8, fps=(30, 1))
+    w, h, fn, fd, chroma, hl = mm.parse_y4m_header(clip)
+    assert (w, h, fn, fd, chroma) == (16, 8, 30, 1, "420jpeg")
+    offs = list(mm.iter_y4m_frames(clip))
+    assert [i for _, i in offs] == [0, 1, 2]
+    # frame stride: header 40 bytes for F25, F30 same length; data offset
+    # steps by FRAME\n + y + u + v = 6 + 128 + 64
+    assert offs[1][0] - offs[0][0] == 6 + 128 + 64
+    assert mm._y4m_frame_bytes(16, 8, "444") == 3 * 128
+    assert mm._y4m_frame_bytes(16, 8, "422") == 128 + 2 * 64
+    assert mm._y4m_frame_bytes(16, 8, "mono") == 128
+    with pytest.raises(NotImplementedError):
+        mm._y4m_frame_bytes(16, 8, "411")
+    with pytest.raises(ValueError):
+        mm.parse_y4m_header(b"not a y4m stream")
+
+
+def test_y4m_frame_stats_kernel(spark):
+    """The driver-query kernel: weighted luma sums and the exact
+    last-frame offset; non-Y4M rows filtered, not failed."""
+    from ssp_spark.operators import multimodal as mm
+
+    clip = mm.encode_y4m([3, 5, 7], 16, 8)
+    rows = [(1, bytearray(clip)), (2, bytearray(b"garbage"))]
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+    out = mm.y4m_frame_stats(df, "media_id", "data").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_frames, r.width, r.height, r.fps_num) == (3, 16, 8, 25)
+    assert r.weighted_y_sum == 128 * (1 * 3 + 2 * 5 + 3 * 7)
+    assert r.last_frame_offset == 40 + 3 * 6 + 2 * 192
