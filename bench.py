@@ -299,6 +299,35 @@ def main() -> None:
                 twin[name], twin_steal[name] = t, st
     all_timings = {**timings, **twin}
 
+    # Codec-gate profile (round 10): absolute Spark wall-clock for the
+    # multimodal decode gates, same cold + best-of-2 interleaved
+    # protocol. DELIBERATELY reported without a DuckDB ratio and kept
+    # out of the headline sum: the oracle side of these queries is an
+    # analytic byte replay, not a codec (SCALE.md round-10 disclosure),
+    # so the honest record is decode THROUGHPUT, not an engine
+    # comparison.
+    CODEC_PROFILE = [
+        "multimodal_decode_png",
+        "multimodal_decode_jpeg",
+        "multimodal_decode_jpeg420",
+        "multimodal_decode_jpeg_progressive",
+        "multimodal_decode_jpeg12",
+        "multimodal_decode_gif",
+        "multimodal_decode_tiff",
+        "multimodal_decode_audio_g711",
+        "multimodal_decode_audio_adpcm",
+        "multimodal_decode_audio_flac",
+        "multimodal_video_y4m_index",
+    ]
+    codec: dict[str, float] = {}
+    for name in CODEC_PROFILE:  # cold pass, not eligible for the min
+        run_once(spark, name, sf_dir)
+    for _sweep in range(2):
+        for name in CODEC_PROFILE:
+            t = round(run_once(spark, name, sf_dir)[0], 3)
+            if name not in codec or t < codec[name]:
+                codec[name] = t
+
     # Production hash profile: the md5-based portable_hash64 exists ONLY so
     # DuckDB oracles can replay hashes bit-for-bit; a deployment would use
     # the xxhash64 profile (SSP_PORTABLE_HASH=off — same 60-bit domain, no
@@ -379,6 +408,7 @@ def main() -> None:
                 "expr_twin_profile": twin,
                 "expr_twin_duckdb": {n: duck[n] for n in EXPR_TWINS if n in duck}
                 or None,
+                "codec_profile": codec,
                 "host_steal_pct": steal_pct,
                 "query_steal_pct": best_steal,
                 "duckdb_total_sec": round(sum(duck[n] for n in HEADLINE if n in duck), 3)

@@ -51,6 +51,29 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _spread_for_cpu(df: DataFrame) -> DataFrame:
+    """Codec kernels are CPU-bound, not scan-bound: a small parquet
+    input can arrive in one or two file splits, which would serialize
+    the decode on 2 of 32 cores (measured at the sf1 fixture: the
+    jpeg420 gate ran 120 s on 2 scan splits vs ~8 s spread). Spread
+    (id, bytes) rows to the session's default parallelism when the
+    scan gives fewer partitions — a tiny round-robin shuffle whose
+    cost is dwarfed by the decode it parallelizes. At real corpus
+    scale the scan already has >= cores splits and this is a no-op,
+    so the 100 TB plan shape is unchanged.
+
+    Caveat: the partition probe (df.rdd) is plan-only for scan/
+    project/mapInPandas inputs, but if the input already contains an
+    Exchange, AQE materializes that stage eagerly to answer it — so
+    callers chain kernels on UN-shuffled frames and let the LAST
+    kernel spread once (the y4m gate measured 16 s vs 4 s getting
+    this wrong)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def attach_media(df: DataFrame, bytes_col: str, media_type: str, fmt: str) -> DataFrame:
     """Wrap a binary column with the typed metadata struct."""
     meta = F.struct(
@@ -1541,7 +1564,7 @@ def jpeg_roundtrip_stats(
                 columns=["media_id", "width", "height", "pix_sum", "gray_sum"],
             )
 
-    return df.mapInPandas(fn, schema)
+    return _spread_for_cpu(df).mapInPandas(fn, schema)
 
 
 def jpeg_progressive_roundtrip_stats(
@@ -1599,7 +1622,7 @@ def jpeg_progressive_roundtrip_stats(
                 columns=["media_id", "width", "height", "pix_sum", "gray_sum"],
             )
 
-    return df.mapInPandas(fn, schema)
+    return _spread_for_cpu(df).mapInPandas(fn, schema)
 
 
 def jpeg420_roundtrip_stats(
@@ -1673,7 +1696,7 @@ def jpeg420_roundtrip_stats(
                 columns=["media_id", "width", "height", "pix_sum", "pos_sum"],
             )
 
-    return df.mapInPandas(fn, schema)
+    return _spread_for_cpu(df).mapInPandas(fn, schema)
 
 
 def jpeg12_roundtrip_stats(
@@ -1725,7 +1748,7 @@ def jpeg12_roundtrip_stats(
                 columns=["media_id", "width", "height", "gray_sum", "max_px"],
             )
 
-    return df.mapInPandas(fn, schema)
+    return _spread_for_cpu(df).mapInPandas(fn, schema)
 
 
 def png_roundtrip_stats(
@@ -1794,7 +1817,7 @@ def png_roundtrip_stats(
                 ],
             )
 
-    return df.mapInPandas(fn, schema)
+    return _spread_for_cpu(df).mapInPandas(fn, schema)
 
 
 def png_palette_roundtrip_stats(
@@ -1865,7 +1888,7 @@ def png_palette_roundtrip_stats(
                 ],
             )
 
-    return df.mapInPandas(fn, schema)
+    return _spread_for_cpu(df).mapInPandas(fn, schema)
 
 
 def png_gray16_adam7_roundtrip_stats(
@@ -1937,7 +1960,7 @@ def png_gray16_adam7_roundtrip_stats(
                 ],
             )
 
-    return df.mapInPandas(fn, schema)
+    return _spread_for_cpu(df).mapInPandas(fn, schema)
 
 
 def _fake_feature(data: bytes, dim: int = 8) -> list[float]:
@@ -1978,7 +2001,7 @@ def extract_features(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(fn, FEATURE_SCHEMA)
+    return _spread_for_cpu(df).mapInPandas(fn, FEATURE_SCHEMA)
 
 
 def sample_frames(df: DataFrame, id_col: str, bytes_col: str, every_ms: int = 1000) -> DataFrame:
@@ -2007,7 +2030,7 @@ def sample_frames(df: DataFrame, id_col: str, bytes_col: str, every_ms: int = 10
                     rows.append((int(mid), i, off))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "offset_ms"])
 
-    return df.mapInPandas(fn, schema)
+    return _spread_for_cpu(df).mapInPandas(fn, schema)
 
 
 def resize_media(
@@ -2068,7 +2091,7 @@ def resize_media(
                 columns=["media_id", "out_w", "out_h", "n_pixels", "pix_checksum", "pixels"],
             )
 
-    return df.mapInPandas(fn, schema)
+    return _spread_for_cpu(df).mapInPandas(fn, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -2627,7 +2650,7 @@ def gif_roundtrip_stats(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame
                          "sum_r", "sum_g", "sum_b", "pos_sum_r"],
             )
 
-    return df.mapInPandas(fn, schema)
+    return _spread_for_cpu(df).mapInPandas(fn, schema)
 
 
 def tiff_roundtrip_stats(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame:
@@ -2675,7 +2698,7 @@ def tiff_roundtrip_stats(df: DataFrame, id_col: str, bytes_col: str) -> DataFram
                 columns=["media_id", "width", "height", "gray_sum", "pos_sum"],
             )
 
-    return df.mapInPandas(fn, schema)
+    return _spread_for_cpu(df).mapInPandas(fn, schema)
 
 
 def _g711_mulaw_table():
@@ -2912,7 +2935,7 @@ def audio_features(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame:
                 columns=["media_id", "sample_rate", "duration_ms", "rms", "zcr_ppm"],
             )
 
-    return df.mapInPandas(fn, schema)
+    return _spread_for_cpu(df).mapInPandas(fn, schema)
 
 
 def g711_roundtrip_stats(df: DataFrame, id_col: str, bytes_col: str,
@@ -2971,7 +2994,7 @@ def g711_roundtrip_stats(df: DataFrame, id_col: str, bytes_col: str,
                          "sum_alaw", "sum_abs_alaw"],
             )
 
-    return df.mapInPandas(fn, schema)
+    return _spread_for_cpu(df).mapInPandas(fn, schema)
 
 
 def ima_adpcm_roundtrip_stats(df: DataFrame, id_col: str, bytes_col: str,
@@ -3030,7 +3053,7 @@ def ima_adpcm_roundtrip_stats(df: DataFrame, id_col: str, bytes_col: str,
                          "sum_val", "sum_abs", "last_val"],
             )
 
-    return df.mapInPandas(fn, schema)
+    return _spread_for_cpu(df).mapInPandas(fn, schema)
 
 
 def flac_roundtrip_stats(df: DataFrame, id_col: str, bytes_col: str,
@@ -3084,7 +3107,7 @@ def flac_roundtrip_stats(df: DataFrame, id_col: str, bytes_col: str,
                          "sum_val", "sum_abs", "last_val"],
             )
 
-    return df.mapInPandas(fn, schema)
+    return _spread_for_cpu(df).mapInPandas(fn, schema)
 
 
 def iter_ppm_frames(data: bytes):
@@ -3158,7 +3181,7 @@ def sample_ppm_stream_frames(
                 ],
             )
 
-    return df.mapInPandas(fn, schema)
+    return _spread_for_cpu(df).mapInPandas(fn, schema)
 
 
 def parse_y4m_header(data: bytes):
@@ -3266,7 +3289,7 @@ def y4m_frame_stats(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame:
                          "fps_num", "weighted_y_sum", "last_frame_offset"],
             )
 
-    return df.mapInPandas(fn, schema)
+    return _spread_for_cpu(df).mapInPandas(fn, schema)
 
 
 def encode_y4m(frames_y, w: int, h: int, fps=(25, 1), chroma: str = "420jpeg",
@@ -3333,4 +3356,4 @@ def ahash_images(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(fn, AHASH_SCHEMA)
+    return _spread_for_cpu(df).mapInPandas(fn, AHASH_SCHEMA)

@@ -5191,8 +5191,11 @@ def multimodal_video_y4m_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    # two pipelined mapInPandas stages (build clip -> walk clip), still
-    # one task, no shuffle
+    # two pipelined mapInPandas stages (build clip -> walk clip); the
+    # walk kernel's _spread_for_cpu sees the un-shuffled 2-split plan
+    # and spreads ONCE there (pre-spreading docs instead would put an
+    # Exchange under the kernel's partition probe, which AQE
+    # materializes eagerly — measured 16 s vs 4 s at sf1)
     clips = docs.mapInPandas(build, "doc_id long, px binary")
     return mm.y4m_frame_stats(clips, "doc_id", "px")
 
@@ -12729,7 +12732,13 @@ _CHECK_FIRST = [
     # the alphabetical tail, were DISPLACED by the G.711/ADPCM/FLAC
     # audio-decode, GIF/TIFF-decode, 12-bit-JPEG and Y4M-index
     # queries. All eight re-verified hash-green at sf0.01 before
-    # displacement; they lead the r11 queue with ann_lsh_topk.)
+    # displacement; they lead the r11 queue with ann_lsh_topk.
+    # Late-r10 plan change OUTSIDE the window: _spread_for_cpu touched
+    # every multimodal kernel (partitioning only, semantics-free), so
+    # the r9-evidence decode rows (png, png_palette, jpeg,
+    # resize_decoded, ahash) changed plan too — each re-verified
+    # hash-green in the full 231-query sf0.01 sweep the same day;
+    # they join the r11 queue.)
     # (e) r6-rotation tail filler: DISPLACED by the new r10 query
     # multimodal_decode_jpeg420 per the window policy above (new/changed
     # outrank repeat confirmations); ann_lsh_topk leads the r11 queue.

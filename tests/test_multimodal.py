@@ -1961,3 +1961,19 @@ def test_y4m_frame_stats_kernel(spark):
     assert (r.n_frames, r.width, r.height, r.fps_num) == (3, 16, 8, 25)
     assert r.weighted_y_sum == 128 * (1 * 3 + 2 * 5 + 3 * 7)
     assert r.last_frame_offset == 40 + 3 * 6 + 2 * 192
+
+
+def test_spread_for_cpu_spreads_scans_and_noops_wide_frames(spark):
+    """The codec kernels' scan-split guard: a 1-partition in-memory
+    frame spreads to the session's default parallelism; a frame
+    already at/above it is returned UNCHANGED (same plan object — the
+    100 TB no-op contract)."""
+    from ssp_spark.operators import multimodal as mm
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.createDataFrame([(i, bytearray(b"x")) for i in range(64)],
+                                   "media_id long, data binary").coalesce(1)
+    spread = mm._spread_for_cpu(narrow)
+    assert spread.rdd.getNumPartitions() == target
+    wide = narrow.repartition(target)
+    assert mm._spread_for_cpu(wide) is wide
