@@ -314,6 +314,7 @@ def main() -> None:
         "multimodal_decode_jpeg12",
         "multimodal_decode_gif",
         "multimodal_decode_tiff",
+        "multimodal_decode_bmp_rle8",
         "multimodal_decode_audio_g711",
         "multimodal_decode_audio_adpcm",
         "multimodal_decode_audio_flac",

@@ -130,20 +130,43 @@ def decode_image(data: bytes):
         return px.reshape(h, w, 3).copy()
     if data[:2] == b"BM":
         off = int.from_bytes(data[10:14], "little")
+        hdrsz = int.from_bytes(data[14:18], "little")
         w = int.from_bytes(data[18:22], "little", signed=True)
         h = int.from_bytes(data[22:26], "little", signed=True)
         bpp = int.from_bytes(data[28:30], "little")
         comp = int.from_bytes(data[30:34], "little")
-        if bpp != 24 or comp != 0:
-            raise NotImplementedError(f"BMP bpp={bpp} compression={comp} not supported")
-        stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
-        rows = np.frombuffer(
-            data, dtype=np.uint8, count=stride * abs(h), offset=off
-        ).reshape(abs(h), stride)[:, : w * 3]
-        img = rows.reshape(abs(h), w, 3)[:, :, ::-1]  # BGR -> RGB
-        if h > 0:
-            img = img[::-1]  # positive height = bottom-up row order
-        return img.copy()
+        if bpp == 24 and comp == 0:
+            stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+            rows = np.frombuffer(
+                data, dtype=np.uint8, count=stride * abs(h), offset=off
+            ).reshape(abs(h), stride)[:, : w * 3]
+            img = rows.reshape(abs(h), w, 3)[:, :, ::-1]  # BGR -> RGB
+            if h > 0:
+                img = img[::-1]  # positive height = bottom-up row order
+            return img.copy()
+        if bpp == 8 and comp in (0, 1):
+            # color table follows the info header: BGRA quads
+            n_pal = int.from_bytes(data[46:50], "little") or 256
+            poff = 14 + hdrsz
+            quads = np.frombuffer(
+                data, dtype=np.uint8, count=4 * n_pal, offset=poff
+            ).reshape(n_pal, 4)
+            pal = quads[:, :3][:, ::-1]  # BGR(A) -> RGB
+            ah = abs(h)
+            if comp == 0:
+                stride = (w + 3) & ~3
+                idx = np.frombuffer(
+                    data, dtype=np.uint8, count=stride * ah, offset=off
+                ).reshape(ah, stride)[:, :w]
+            else:
+                idx = _bmp_rle8_decode(data, off, w, ah)
+            if int(idx.max(initial=0)) >= n_pal:
+                raise ValueError("BMP pixel index beyond color table")
+            img = pal[idx]
+            if h > 0:
+                img = img[::-1]  # bottom-up
+            return np.ascontiguousarray(img)
+        raise NotImplementedError(f"BMP bpp={bpp} compression={comp} not supported")
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(data)
     if data[:2] == b"\xff\xd8":
@@ -158,6 +181,96 @@ def decode_image(data: bytes):
         "only PPM(P6)/BMP(24-bit)/PNG(full static matrix)/"
         "JPEG(baseline+progressive)/GIF/TIFF(baseline) decodable here"
     )
+
+
+def _bmp_rle8_decode(data: bytes, off: int, w: int, h: int):
+    """BI_RLE8 decompression per the published Microsoft BMP spec:
+    (count, value) encoded runs; escape pairs (0, 0) end-of-line,
+    (0, 1) end-of-bitmap, (0, 2) delta (dx, dy jump), (0, n>=3)
+    absolute mode with n literal bytes padded to a WORD boundary.
+    Pixels skipped by EOL/delta stay at palette index 0 (the spec's
+    undefined-pixels convention every renderer follows). Returns the
+    (h, w) index grid in STORED (bottom-up) row order — the caller
+    flips exactly like the uncompressed path."""
+    import numpy as np
+
+    idx = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0
+    pos = off
+    while pos + 1 < len(data) and y < h:
+        n, v = data[pos], data[pos + 1]
+        pos += 2
+        if n > 0:  # encoded run
+            end = min(x + n, w)
+            idx[y, x:end] = v
+            x = end
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            break
+        elif v == 2:  # delta
+            x = min(x + data[pos], w)
+            y += data[pos + 1]
+            pos += 2
+        else:  # absolute mode: v literal bytes, word-aligned
+            end = min(x + v, w)
+            lit = np.frombuffer(data, dtype=np.uint8, count=v, offset=pos)
+            idx[y, x:end] = lit[: end - x]
+            x = end
+            pos += v + (v & 1)
+    return idx
+
+
+def encode_bmp8(indices, palette, rle: bool = False) -> bytes:
+    """Real 8-bit BMP writer for the goldens and driver query: (h, w)
+    index grid + (n, 3) RGB palette -> BITMAPFILEHEADER +
+    BITMAPINFOHEADER + BGRA color table + bottom-up pixel data,
+    uncompressed (4-byte row padding) or BI_RLE8 (greedy runs,
+    end-of-line/bitmap escapes)."""
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8).reshape(-1, 3)
+    h, w = idx.shape
+    n_pal = len(pal)
+    quads = bytearray()
+    for r, g, b in pal:
+        quads += bytes([b, g, r, 0])
+    stored = idx[::-1]  # bottom-up
+    if not rle:
+        stride = (w + 3) & ~3
+        body = bytearray()
+        for row in stored:
+            body += row.tobytes() + b"\x00" * (stride - w)
+        comp = 0
+    else:
+        body = bytearray()
+        for row in stored:
+            x = 0
+            while x < w:
+                run = 1
+                while x + run < w and run < 255 and row[x + run] == row[x]:
+                    run += 1
+                body += bytes([run, int(row[x])])
+                x += run
+            body += b"\x00\x00"  # end of line
+        body += b"\x00\x01"  # end of bitmap
+        comp = 1
+    off = 14 + 40 + len(quads)
+    info = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")  # positive: bottom-up
+        + (1).to_bytes(2, "little")
+        + (8).to_bytes(2, "little")
+        + comp.to_bytes(4, "little")
+        + len(body).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + n_pal.to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+    )
+    hdr = b"BM" + (off + len(body)).to_bytes(4, "little") + bytes(4) + off.to_bytes(4, "little")
+    return hdr + info + bytes(quads) + bytes(body)
 
 
 # Adam7 interlace passes: (x_start, y_start, x_step, y_step) per PNG
@@ -2701,6 +2814,55 @@ def tiff_roundtrip_stats(df: DataFrame, id_col: str, bytes_col: str) -> DataFram
     return _spread_for_cpu(df).mapInPandas(fn, schema)
 
 
+def bmp_rle8_roundtrip_stats(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame:
+    """RLE8 BMP decode under an exact oracle: the GIF/TIFF tile
+    construction (20 bytes -> 4x5 grid -> 8x8 tiles -> 32x40) with the
+    (v, 2v, 255-v) palette, written as a REAL BI_RLE8 bottom-up BMP
+    (the 8-wide tile runs become run packets) and decoded back through
+    the color-table + RLE + row-flip path. pos_sum_r is the
+    load-bearing output: dropping the bottom-up flip preserves the
+    channel sums but reverses the tile-row weights. Arrow-batched,
+    one row in -> one row out, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("sum_r", T.LongType()),
+            T.StructField("sum_g", T.LongType()),
+            T.StructField("sum_b", T.LongType()),
+            T.StructField("pos_sum_r", T.LongType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        i8 = np.arange(128, dtype=np.uint8)
+        ramp = np.stack([i8, 2 * i8, 255 - i8], axis=1)
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                vs = np.frombuffer(bytes(data)[:20], dtype=np.uint8)
+                grid = np.repeat(np.repeat(vs.reshape(5, 4), 8, axis=0), 8, axis=1)
+                img = decode_image(encode_bmp8(grid, ramp, rle=True))
+                s = img.astype(np.int64).sum(axis=(0, 1))
+                pos = np.arange(1, img.shape[0] * img.shape[1] + 1, dtype=np.int64)
+                pr = int((pos * img[:, :, 0].astype(np.int64).ravel()).sum())
+                rows.append(
+                    (int(mid), int(img.shape[1]), int(img.shape[0]),
+                     int(s[0]), int(s[1]), int(s[2]), pr)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height",
+                         "sum_r", "sum_g", "sum_b", "pos_sum_r"],
+            )
+
+    return _spread_for_cpu(df).mapInPandas(fn, schema)
+
+
 def _g711_mulaw_table():
     """int16[256] μ-law expansion table, computed from the G.711
     piecewise-linear formula (sign/segment/mantissa decode of the
@@ -2856,6 +3018,16 @@ def decode_audio(data: bytes):
         n = len(raw) // (2 * channels)
         samples = np.frombuffer(raw, dtype="<i2", count=n * channels).reshape(n, channels)
         return samples.copy(), rate
+    if audio_format == 1 and bits == 24:
+        n = len(raw) // (3 * channels)
+        b = np.frombuffer(raw, dtype=np.uint8, count=n * channels * 3).reshape(-1, 3)
+        vals = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+        return vals.reshape(n, channels).astype(np.int32), rate
     if audio_format in (6, 7) and bits == 8:
         table = _g711_alaw_table() if audio_format == 6 else _g711_mulaw_table()
         n = len(raw) // channels

@@ -5128,6 +5128,58 @@ def multimodal_decode_png_adam7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_decode_bmp_rle8",
+    """
+    WITH img AS (
+      SELECT doc_id, substr(text, 1, 20) AS px
+      FROM documents WHERE length(text) >= 20
+        AND strlen(substr(text, 1, 20)) = 20
+    ),
+    b AS (
+      SELECT doc_id, i, ascii(substr(px, i, 1)) AS v
+      FROM img, (SELECT unnest(generate_series(1, 20)) AS i) u
+    )
+    SELECT doc_id AS media_id, 32 AS width, 40 AS height,
+           CAST(64 * sum(v) AS BIGINT) AS sum_r,
+           CAST(128 * sum(v) AS BIGINT) AS sum_g,
+           CAST(64 * sum(255 - v) AS BIGINT) AS sum_b,
+           CAST(sum(v * (16384 * ((i - 1) // 4)
+                         + 512 * ((i - 1) % 4) + 7456)) AS BIGINT)
+             AS pos_sum_r
+    FROM b GROUP BY doc_id
+    """,
+)
+def multimodal_decode_bmp_rle8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RLE8 (BI_RLE8) palette BMP decode under the driver gate — the
+    round-10 completion of the BMP matrix past 24-bit BI_RGB: 8-bit
+    color-table BMPs, uncompressed and run-length encoded. Same tile
+    construction and palette as the GIF gate, but the container
+    exercises BMP's distinct machinery: the BGRA color table, the
+    published RLE8 encoding (run packets here; escape pairs for
+    end-of-line/bitmap; absolute mode and delta jumps pinned by a
+    hand-assembled stream golden the writer never emits), and the
+    bottom-up row order — pos_sum_r is load-bearing for the flip,
+    channel sums for the palette. Oracle replays the closed-form tile
+    sums from the source bytes (the GIF/TIFF precedent).
+
+    Plan: one documents scan -> _spread_for_cpu -> mapInPandas
+    (Arrow-batched, row-local encode/decode, no shuffle at corpus
+    scale) -> driver-hashable 7-column frame."""
+    from ssp_spark.operators import multimodal as mm
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.length("text") >= 20)
+        .select(
+            "doc_id",
+            F.encode(F.substring("text", 1, 20), "utf-8").alias("px"),
+        )
+        .filter(F.octet_length("px") == 20)
+    )
+    return mm.bmp_rle8_roundtrip_stats(docs, "doc_id", "px")
+
+
+@_q(
     "multimodal_video_y4m_index",
     """
     WITH img AS (
@@ -12663,8 +12715,8 @@ _CHECK_FIRST = [
     # Contract (VERDICT r9 #1/#3): the one never-checked query leads,
     # then everything changed in r10, then the two r4-stale rows, then
     # the ENTIRE 45-query r5 cohort, then an r6 tail filler.
-    # Composition: 1 never-checked + 2 changed + 9 new-in-r10 + 1
-    # r4-stale + 37 r5-stale = 50. After the r10 run zero registry
+    # Composition: 1 never-checked + 2 changed + 10 new-in-r10 + 1
+    # r4-stale + 36 r5-stale = 50. After the r10 run zero registry
     # queries have evidence older than r6 EXCEPT the displaced
     # alphabetical tail of the r5 cohort (each re-verified hash-green
     # at sf0.01 on displacement; they lead the r11 queue) — VERDICT
@@ -12683,6 +12735,7 @@ _CHECK_FIRST = [
     "multimodal_decode_audio_flac",  # new in r10: FLAC decode
     "multimodal_decode_tiff",  # new in r10: baseline TIFF decode
     "multimodal_video_y4m_index",  # new in r10: Y4M stream walking
+    "multimodal_decode_bmp_rle8",  # new in r10: RLE8 palette BMP decode
     "vocab_coverage",  # changed in r10 (range-sharded windows, VERDICT r9 #5; also r4-stale)
     "zorder_cells",  # r4-stale (VERDICT r9 #3)
     # (c) the 45 queries whose latest driver row is round 5 (whole
@@ -12723,16 +12776,16 @@ _CHECK_FIRST = [
     "running_user_spend",
     "scd2_user_state_history",
     "semi_join_open_orders",
-    "set_ops_users",
     # (window_funcs_showcase, the alphabetically-last r5 row, was
     # DISPLACED by multimodal_decode_jpeg_progressive per the window
     # policy above; user_activity_pivot, tumbling_hourly_stats,
     # token_count, string_funcs, streaming_wordcount_replay,
-    # source_text_scan and sliding_window_counts, the next seven from
-    # the alphabetical tail, were DISPLACED by the G.711/ADPCM/FLAC
-    # audio-decode, GIF/TIFF-decode, 12-bit-JPEG and Y4M-index
-    # queries. All eight re-verified hash-green at sf0.01 before
-    # displacement; they lead the r11 queue with ann_lsh_topk.
+    # source_text_scan, sliding_window_counts and set_ops_users, the
+    # next eight from the alphabetical tail, were DISPLACED by the
+    # G.711/ADPCM/FLAC audio-decode, GIF/TIFF/RLE8-BMP-decode,
+    # 12-bit-JPEG and Y4M-index queries. All nine re-verified
+    # hash-green at sf0.01 before displacement; they lead the r11
+    # queue with ann_lsh_topk.
     # Late-r10 plan change OUTSIDE the window: _spread_for_cpu touched
     # every multimodal kernel (partitioning only, semantics-free), so
     # the r9-evidence decode rows (png, png_palette, jpeg,

@@ -1977,3 +1977,101 @@ def test_spread_for_cpu_spreads_scans_and_noops_wide_frames(spark):
     assert spread.rdd.getNumPartitions() == target
     wide = narrow.repartition(target)
     assert mm._spread_for_cpu(wide) is wide
+
+
+# ---------------------------------------------------------------------------
+# 8-bit palette / RLE8 BMP + 24-bit PCM WAV.
+# ---------------------------------------------------------------------------
+
+
+def test_bmp8_roundtrip_uncompressed_and_rle():
+    """encode_bmp8 -> decode_image across palette sizes, odd widths
+    (row padding), and both compressions; run-heavy grids compress via
+    RLE run packets and still round-trip exactly."""
+    import numpy as np
+
+    from ssp_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(17)
+    for rle in (False, True):
+        for shape in ((5, 5), (13, 7), (3, 9)):
+            n_pal = int(rng.integers(2, 256))
+            pal = rng.integers(0, 256, (n_pal, 3)).astype(np.uint8)
+            idx = rng.integers(0, n_pal, shape).astype(np.uint8)
+            img = mm.decode_image(mm.encode_bmp8(idx, pal, rle=rle))
+            assert (img == pal[idx]).all(), (rle, shape)
+    idx = np.repeat(rng.integers(0, 4, (6, 5)), 8, axis=1).astype(np.uint8)
+    pal = np.arange(12, dtype=np.uint8).reshape(4, 3)
+    assert (mm.decode_image(mm.encode_bmp8(idx, pal, rle=True)) == pal[idx]).all()
+
+
+def test_bmp_rle8_hand_stream_absolute_delta_eob():
+    """Hand-assembled BI_RLE8 stream exercising decoder paths the
+    writer never emits: absolute mode (with its WORD pad byte), a
+    delta jump (skipped pixels stay at palette index 0), and an early
+    end-of-bitmap leaving whole rows at index 0 — against the
+    published escape semantics. Also pins bottom-up display order."""
+    import numpy as np
+
+    from ssp_spark.operators import multimodal as mm
+
+    body = bytes([
+        2, 7,              # run: two pixels of index 7
+        0, 3, 1, 2, 3, 0,  # absolute: literals 1,2,3 (+ pad), clamped at w=4
+        0, 0,              # end of line -> (0, 1)
+        0, 2, 1, 1,        # delta: dx=1, dy=1 -> (1, 2)
+        1, 9,              # run: one pixel of 9 at stored (2, 1)
+        0, 1,              # end of bitmap: row 3 stays index 0
+    ])
+    pal = np.array(
+        [[10, 10, 10], [1, 1, 1], [2, 2, 2], [3, 3, 3], [0, 0, 0],
+         [5, 5, 5], [6, 6, 6], [7, 7, 7], [8, 8, 8], [9, 9, 9]], np.uint8)
+    quads = b"".join(bytes([b, g, r, 0]) for r, g, b in pal)
+    off = 14 + 40 + len(quads)
+    info = (
+        (40).to_bytes(4, "little") + (4).to_bytes(4, "little")
+        + (4).to_bytes(4, "little") + (1).to_bytes(2, "little")
+        + (8).to_bytes(2, "little") + (1).to_bytes(4, "little")
+        + len(body).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (10).to_bytes(4, "little") + (0).to_bytes(4, "little")
+    )
+    hand = (b"BM" + (off + len(body)).to_bytes(4, "little") + bytes(4)
+            + off.to_bytes(4, "little") + info + quads + body)
+    img = mm.decode_image(hand)
+    stored = np.array([[7, 7, 1, 2], [0, 0, 0, 0], [0, 9, 0, 0], [0, 0, 0, 0]])
+    assert (img == pal[stored][::-1]).all()
+
+
+def test_decode_audio_pcm24():
+    """24-bit PCM WAV: 3-byte little-endian signed samples recovered
+    exactly at both rails, mono and stereo."""
+    from ssp_spark.operators.multimodal import decode_audio, encode_wav
+
+    s = [0, 1, -1, 8388607, -8388608, 123456, -654321, 42]
+    raw = b"".join(int(v).to_bytes(3, "little", signed=True) for v in s)
+    dec, rate = decode_audio(encode_wav(raw, 1, 1, 48000, 24))
+    assert rate == 48000 and dec[:, 0].tolist() == s
+    dec2, _ = decode_audio(encode_wav(raw, 1, 2, 48000, 24))
+    assert dec2.flatten().tolist() == s
+
+
+def test_bmp_rle8_roundtrip_stats_kernel(spark):
+    """The driver-query kernel: GIF-style closed-form sums through the
+    RLE8 + color-table + bottom-up path."""
+    import numpy as np
+
+    from ssp_spark.operators import multimodal as mm
+
+    payload = bytes(range(90, 110))
+    df = spark.createDataFrame([(6, bytearray(payload))], "doc_id long, px binary")
+    r = mm.bmp_rle8_roundtrip_stats(df, "doc_id", "px").collect()[0]
+    vs = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    assert (r.width, r.height) == (32, 40)
+    assert r.sum_r == 64 * vs.sum()
+    assert r.sum_g == 64 * (2 * vs).sum()
+    assert r.sum_b == 64 * (255 - vs).sum()
+    assert r.pos_sum_r == sum(
+        int(v) * (16384 * (i // 4) + 512 * (i % 4) + 7456)
+        for i, v in enumerate(vs)
+    )

@@ -51,6 +51,9 @@ _R10_NEW = {
     "multimodal_video_y4m_index",  # YUV4MPEG2 frame walking;
                                   # hash-matched at sf0.001/0.01
                                   # before its slot
+    "multimodal_decode_bmp_rle8",  # RLE8 palette BMP decode;
+                                  # hash-matched at sf0.001/0.01
+                                  # before its slot
 }
 
 # Round 10 group (c): implementation-changed this round; each
@@ -91,18 +94,18 @@ _R10_R5_STALE = {
     "q5_nation_revenue", "range_join_value_bands",
     "rollup_order_stats", "running_user_spend",
     "scd2_user_state_history", "semi_join_open_orders",
-    "set_ops_users",
     # window_funcs_showcase (alphabetically last) was DISPLACED when
     # multimodal_decode_jpeg_progressive landed; user_activity_pivot,
     # tumbling_hourly_stats, token_count, string_funcs,
-    # streaming_wordcount_replay, source_text_scan and
-    # sliding_window_counts (the next seven from the alphabetical
-    # tail) were DISPLACED when the G.711/IMA-ADPCM/FLAC audio-decode,
-    # GIF/TIFF-decode, 12-bit-JPEG and Y4M-index queries landed —
-    # new/changed outrank repeat confirmations, the documented window
-    # policy; each re-verified hash-green at sf0.01 before
-    # displacement, they lead the r11 queue with ann_lsh_topk. 37 of
-    # the 45 r5-latest rows rotate this round.
+    # streaming_wordcount_replay, source_text_scan,
+    # sliding_window_counts and set_ops_users (the next eight from
+    # the alphabetical tail) were DISPLACED when the
+    # G.711/IMA-ADPCM/FLAC audio-decode, GIF/TIFF/RLE8-BMP-decode,
+    # 12-bit-JPEG and Y4M-index queries landed — new/changed outrank
+    # repeat confirmations, the documented window policy; each
+    # re-verified hash-green at sf0.01 before displacement, they lead
+    # the r11 queue with ann_lsh_topk. 36 of the 45 r5-latest rows
+    # rotate this round.
 }
 
 # (the r6-rotation tail filler ann_lsh_topk that held the 50th slot at
