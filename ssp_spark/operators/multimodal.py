@@ -2263,14 +2263,113 @@ def _packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _tiff_lzw_decode(comp: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first codes starting at 9
+    bits, ClearCode 256 / EOI 257, and the spec's EARLY-CHANGE rule —
+    the code width bumps one entry sooner than GIF's LZW (at table
+    sizes 511/1023/2047), the classic interop quirk this
+    implementation pins with boundary-crossing goldens."""
+    out = bytearray()
+    width = 9
+    acc = nbits = 0
+    pos = 0
+    table: list[bytes] | None = None
+    prev = None
+    while len(out) < expected:
+        while nbits < width:
+            if pos >= len(comp):
+                return bytes(out)  # truncated: keep decoded prefix
+            acc = (acc << 8) | comp[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        acc &= (1 << nbits) - 1
+        if code == 256:  # ClearCode
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == 257:  # EOI
+            break
+        if table is None:
+            raise ValueError("TIFF LZW: data before ClearCode")
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("TIFF LZW: first code after clear not a literal")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]  # KwKwK
+            else:
+                raise ValueError(f"TIFF LZW: code {code} beyond table")
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) - 1 and width < 12:
+                    width += 1  # EARLY change (one sooner than GIF)
+        out += entry
+        prev = entry
+    return bytes(out[:expected])
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW writer mirroring _tiff_lzw_decode: ClearCode
+    first, greedy longest-prefix, early-change width bumps, table
+    reset via ClearCode when the next free code reaches 4094 (the
+    spec's mandated reset point), EOI last."""
+    width = 9
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+        acc &= (1 << nbits) - 1
+
+    emit(256)
+    cur = b""
+    for b in data:
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        table[nxt] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1  # mirror of the decoder's early change
+        if next_code == 4094:
+            emit(256)  # reset per spec
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        cur = bytes([b])
+    if cur:
+        emit(table[cur])
+    emit(257)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def _decode_tiff(data: bytes):
     """(h, w, 3) uint8 RGB for baseline TIFF 6.0: II/MM byte orders,
     first-IFD walk, strip assembly (multi-strip via RowsPerStrip),
-    compression 1 (none) and 32773 (PackBits), photometric 0
-    (WhiteIsZero — inverted grayscale), 1 (BlackIsZero), 2 (RGB,
-    SamplesPerPixel 3) and 3 (palette via the 16-bit ColorMap tag,
-    high byte), bits-per-sample 1 (rows byte-padded) and 8. Tiled,
-    multi-IFD, planar-separate and other compressions raise
+    compression 1 (none), 5 (TIFF-variant LZW with the spec's
+    early-change rule) and 32773 (PackBits), the horizontal-
+    differencing predictor (tag 317 = 2, per-sample row cumsum),
+    photometric 0 (WhiteIsZero — inverted grayscale), 1 (BlackIsZero),
+    2 (RGB, SamplesPerPixel 3) and 3 (palette via the 16-bit ColorMap
+    tag, high byte), bits-per-sample 1 (rows byte-padded) and 8.
+    Tiled, multi-IFD, planar-separate and other compressions raise
     NotImplementedError — the module's documented-boundary
     contract."""
     import numpy as np
@@ -2307,11 +2406,16 @@ def _decode_tiff(data: bytes):
     photo = tags.get(262, [1])[0]
     spp = tags.get(277, [1])[0]
     rps = tags.get(278, [h])[0]
+    predictor = tags.get(317, [1])[0]
     offs, cnts = tags[273], tags[279]
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise NotImplementedError(f"TIFF compression {comp}")
     if bits not in (1, 8) or spp not in (1, 3):
         raise NotImplementedError(f"TIFF bits={bits} spp={spp}")
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor}")
+    if predictor == 2 and bits != 8:
+        raise NotImplementedError("TIFF horizontal predictor needs 8-bit samples")
     if 322 in tags or 323 in tags:
         raise NotImplementedError("tiled TIFF")
     if tags.get(284, [1])[0] != 1:
@@ -2323,6 +2427,19 @@ def _decode_tiff(data: bytes):
         chunk = data[off : off + cnt]
         if comp == 32773:
             chunk = _packbits_decode(chunk, nrows * row_bytes)
+        elif comp == 5:
+            chunk = _tiff_lzw_decode(chunk, nrows * row_bytes)
+        if predictor == 2:
+            # horizontal differencing: per-row cumsum with a per-sample
+            # (spp) stride, mod 256 — TIFF 6.0 §14
+            rows_a = np.frombuffer(
+                bytes(chunk[: nrows * row_bytes]), dtype=np.uint8
+            ).reshape(nrows, w, spp) if spp > 1 else np.frombuffer(
+                bytes(chunk[: nrows * row_bytes]), dtype=np.uint8
+            ).reshape(nrows, w, 1)
+            chunk = (
+                np.cumsum(rows_a.astype(np.int64), axis=1) % 256
+            ).astype(np.uint8).tobytes()
         raw += chunk[: nrows * row_bytes]
     if bits == 1:
         rows = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, row_bytes)
@@ -2359,7 +2476,7 @@ def _decode_tiff(data: bytes):
 
 def encode_tiff(img, byte_order: str = "little", compression: int = 1,
                 photometric: int | None = None, rows_per_strip: int | None = None,
-                palette=None) -> bytes:
+                palette=None, predictor: int = 1) -> bytes:
     """Real baseline-TIFF writer for the goldens and the driver
     query: (h, w) grayscale/palette-index or (h, w, 3) RGB uint8 ->
     header + strips (optionally PackBits) + one IFD, in either byte
@@ -2387,8 +2504,20 @@ def encode_tiff(img, byte_order: str = "little", compression: int = 1,
         store = (255 - a.astype(np.int64)).astype(np.uint8)
     strips = []
     for r0 in range(0, h, rows_per_strip):
-        chunk = store[r0 : r0 + rows_per_strip].tobytes()
-        strips.append(_packbits_encode(chunk) if compression == 32773 else chunk)
+        block = store[r0 : r0 + rows_per_strip]
+        if predictor == 2:
+            b3 = block.reshape(block.shape[0], w, spp).astype(np.int64)
+            diff = np.empty_like(b3)
+            diff[:, 0] = b3[:, 0]
+            diff[:, 1:] = b3[:, 1:] - b3[:, :-1]
+            chunk = (diff % 256).astype(np.uint8).tobytes()
+        else:
+            chunk = block.tobytes()
+        if compression == 32773:
+            chunk = _packbits_encode(chunk)
+        elif compression == 5:
+            chunk = _tiff_lzw_encode(chunk)
+        strips.append(chunk)
 
     def u16(v):
         return int(v).to_bytes(2, en)
@@ -2435,6 +2564,8 @@ def encode_tiff(img, byte_order: str = "little", compression: int = 1,
     entries.append(val_entry(277, 3, [spp]))
     entries.append(val_entry(278, 4, [rows_per_strip]))
     entries.append(val_entry(279, 4, [len(s) for s in strips]))
+    if predictor != 1:
+        entries.append(val_entry(317, 3, [predictor]))
     if photo == 3:
         entries.append((320, 3, 3 * 256, None))  # offset patched below
     entries.sort(key=lambda t: t[0])

@@ -1867,10 +1867,11 @@ def test_tiff_encoder_roundtrip_matrix():
     g = np.arange(0, 250, 10, dtype=np.uint8).reshape(5, 5)
     img = mm.decode_image(mm.encode_tiff(g, photometric=0, compression=32773))
     assert (img[:, :, 0] == g).all()
-    # LZW (compression 5) refuses cleanly through a hand-built IFD
+    # JPEG-in-TIFF (compression 7) refuses cleanly through a hand IFD
+    # (LZW, compression 5, became a REAL path later in round 10)
     entries = [
         (256, 4, 1, [2]), (257, 4, 1, [2]), (258, 3, 1, [8]),
-        (259, 3, 1, [5]), (262, 3, 1, [1]), (273, 4, 1, [8]),
+        (259, 3, 1, [7]), (262, 3, 1, [1]), (273, 4, 1, [8]),
         (277, 3, 1, [1]), (278, 4, 1, [2]), (279, 4, 1, [4]),
     ]
     with pytest.raises(NotImplementedError):
@@ -2075,3 +2076,84 @@ def test_bmp_rle8_roundtrip_stats_kernel(spark):
         int(v) * (16384 * (i // 4) + 512 * (i % 4) + 7456)
         for i, v in enumerate(vs)
     )
+
+
+# ---------------------------------------------------------------------------
+# TIFF LZW (compression 5) + horizontal predictor.
+# ---------------------------------------------------------------------------
+
+
+def _msb_pack(codes_widths):
+    acc = nbits = 0
+    out = bytearray()
+    for code, width in codes_widths:
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+        acc &= (1 << nbits) - 1
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_tiff_lzw_early_change_hand_stream():
+    """The EARLY-CHANGE rule pinned independently of the writer: a
+    hand-packed stream of 255 literals after ClearCode. The decoder's
+    table reaches 511 entries after the 254th literal's append, so the
+    255th literal and EOI must be read at 10 bits — a decoder using
+    GIF timing (bump at 512) would desynchronize exactly there."""
+    from ssp_spark.operators.multimodal import _tiff_lzw_decode
+
+    codes = [(256, 9)] + [(v, 9) for v in range(254)] + [(254, 10), (257, 10)]
+    out = _tiff_lzw_decode(_msb_pack(codes), 255)
+    assert out == bytes(range(255))
+
+
+def test_tiff_lzw_roundtrip_and_kwkwk():
+    """Writer/decoder round-trips across width growth and the 4094
+    table reset; the KwKwK case from a hand stream (clear, 0, 258)."""
+    import numpy as np
+
+    from ssp_spark.operators.multimodal import _tiff_lzw_decode, _tiff_lzw_encode
+
+    rng = np.random.default_rng(23)
+    for n in (10, 2000, 120000):
+        raw = bytes(rng.integers(0, 256 if n > 2000 else 7, n).astype(np.uint8))
+        assert _tiff_lzw_decode(_tiff_lzw_encode(raw), n) == raw
+    # KwKwK: 'aaa' -> clear, 0, 258 (not yet in table), EOI
+    out = _tiff_lzw_decode(_msb_pack([(256, 9), (0, 9), (258, 9), (257, 9)]), 3)
+    assert out == b"\x00\x00\x00"
+
+
+def test_tiff_lzw_container_and_predictor():
+    """LZW TIFFs through the full container in both byte orders, with
+    and without the horizontal predictor; predictor arithmetic pinned
+    by a hand IFD whose stored deltas [5, 251, 10] must cumsum to
+    [5, 0, 10] mod 256."""
+    import numpy as np
+
+    from ssp_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(29)
+    for en in ("little", "big"):
+        for pred in (1, 2):
+            g = rng.integers(0, 256, (13, 7)).astype(np.uint8)
+            t = mm.encode_tiff(g, byte_order=en, compression=5,
+                               rows_per_strip=5, predictor=pred)
+            assert (mm.decode_image(t)[:, :, 0] == g).all()
+    rgb = rng.integers(0, 256, (9, 4, 3)).astype(np.uint8)
+    img = mm.decode_image(mm.encode_tiff(rgb, compression=5, predictor=2,
+                                         rows_per_strip=4))
+    assert (img == rgb).all()
+    # hand IFD: 3x1 grayscale, uncompressed, predictor 2
+    body = bytes([5, 251, 10])
+    entries = [
+        (256, 4, 1, [3]), (257, 4, 1, [1]), (258, 3, 1, [8]),
+        (259, 3, 1, [1]), (262, 3, 1, [1]), (273, 4, 1, [8]),
+        (277, 3, 1, [1]), (278, 4, 1, [1]), (279, 4, 1, [3]),
+        (317, 3, 1, [2]),
+    ]
+    img = mm.decode_image(_tiff_hand("little", entries, body))
+    assert img[0, :, 0].tolist() == [5, 0, 10]
