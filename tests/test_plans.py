@@ -943,3 +943,28 @@ def test_quantile_normalize_one_source_exchange(spark):
     assert s.count("Exchange hashpartitioning(source") == 1
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
     assert not plans.has_cartesian(df)
+
+
+def test_codec_gates_decode_map_shape(spark):
+    """The multimodal decode gates must stay pure decode maps: one
+    parquet scan, at most the ONE RoundRobin spread exchange
+    (_spread_for_cpu — no hash/range shuffle, no join, no aggregate
+    below the kernel), Arrow-batched python (MapInPandas), and no
+    cartesian products. A hash-partitioned Exchange appearing here
+    would mean a gate silently grew a shuffle that 100 TB would pay
+    per decoded row."""
+    for name in (
+        "multimodal_decode_gif",
+        "multimodal_decode_tiff",
+        "multimodal_decode_audio_flac",
+        "multimodal_decode_jpeg12",
+        "multimodal_decode_bmp_rle8",
+    ):
+        df = QUERIES[name](spark, SF_SMOKE)
+        s = plans.plan_string(df, "simple")
+        assert "hashpartitioning" not in s, name
+        assert "rangepartitioning" not in s, name
+        assert s.count("Exchange") <= 1, name  # the RoundRobin spread only
+        assert "MapInPandas" in s, name
+        assert "Join" not in s, name
+        assert not plans.has_cartesian(df), name
