@@ -3082,6 +3082,67 @@ def _ima_adpcm_decode_block(pred: int, idx: int, nibbles) -> list[int]:
     return out
 
 
+def g711_compress(samples, law: str = "mulaw"):
+    """Linear int16 -> G.711 codewords, as the exact inverse of the
+    expansion tables: each sample quantizes to the codeword whose
+    reconstruction level is nearest (ties to the smaller magnitude —
+    deterministic, and boundary ties may differ from a particular
+    reference encoder by one code, disclosed). The involution
+    identity g711_compress(table[c]) == c holds for every A-law
+    codeword and every μ-law codeword except 0xFF: the two μ-law
+    zeros (0x7F/0xFF) share level 0 and the quantizer canonically
+    returns 0x7F — pinned in the goldens."""
+    import numpy as np
+
+    table = _g711_mulaw_table() if law == "mulaw" else _g711_alaw_table()
+    levels = table.astype(np.int64)
+    order = np.argsort(levels, kind="stable")
+    sorted_levels = levels[order]
+    s = np.asarray(samples, dtype=np.int64)
+    pos = np.searchsorted(sorted_levels, s)
+    pos = np.clip(pos, 0, 255)
+    left = np.clip(pos - 1, 0, 255)
+    # choose the nearer of the two bracketing levels; ties -> the
+    # smaller magnitude (the left/lower level for positive inputs)
+    take_left = np.abs(sorted_levels[left] - s) <= np.abs(sorted_levels[pos] - s)
+    best = np.where(take_left, left, pos)
+    return order[best].astype(np.uint8)
+
+
+def ima_adpcm_compress(samples, pred: int = 0, idx: int = 0):
+    """Linear int16 -> IMA/DVI ADPCM nibbles via the published greedy
+    encoder: per sample, the sign bit plus the three magnitude bits
+    chosen by successive step/step>>1/step>>2 subtraction, then state
+    advanced through the SAME fold the decoder runs — so
+    decode(encode(x)) reproduces the encoder's internal
+    reconstruction exactly (asserted through the real WAV path in the
+    goldens). Returns (nibbles, reconstruction including the initial
+    predictor)."""
+    nib = []
+    recon = [pred]
+    for s in samples:
+        step = _IMA_STEP[idx]
+        diff = int(s) - pred
+        n = 0
+        if diff < 0:
+            n = 8
+            diff = -diff
+        if diff >= step:
+            n |= 4
+            diff -= step
+        if diff >= step >> 1:
+            n |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            n |= 1
+        out = _ima_adpcm_decode_block(pred, idx, [n])
+        pred = out[1]
+        idx = max(0, min(88, idx + _IMA_INDEX[n & 7]))
+        nib.append(n)
+        recon.append(pred)
+    return nib, recon
+
+
 def encode_wav(raw: bytes, audio_format: int, channels: int, rate: int,
                bits: int, block_align: int | None = None,
                extra: bytes = b"") -> bytes:

@@ -2157,3 +2157,51 @@ def test_tiff_lzw_container_and_predictor():
     ]
     img = mm.decode_image(_tiff_hand("little", entries, body))
     assert img[0, :, 0].tolist() == [5, 0, 10]
+
+
+def test_g711_compress_involution_and_bounds():
+    """The compress direction as the exact inverse of the expansion
+    tables: A-law is a perfect involution over all 256 codewords;
+    μ-law over 255 (its two zero codewords 0x7F/0xFF share level 0
+    and canonicalize to 0x7F). Quantization error is bounded by half
+    the local segment step plus the 32124/32256 clip."""
+    import numpy as np
+
+    from ssp_spark.operators import multimodal as mm
+
+    mu, al = mm._g711_mulaw_table(), mm._g711_alaw_table()
+    cal = mm.g711_compress(al.astype(np.int64), "alaw")
+    assert (cal == np.arange(256)).all()
+    cmu = mm.g711_compress(mu.astype(np.int64), "mulaw")
+    mismatch = [c for c in range(256) if cmu[c] != c]
+    assert mismatch == [255] and cmu[255] == 0x7F
+    rng = np.random.default_rng(3)
+    s = rng.integers(-32768, 32768, 10000)
+    for law, tab, clip in (("mulaw", mu, 32124), ("alaw", al, 32256)):
+        c = mm.g711_compress(s, law)
+        err = np.abs(tab[c].astype(np.int64) - s)
+        # interior error <= half the top-segment step (512); the only
+        # larger errors are rail clips beyond the max level
+        over = err > 512
+        assert (np.abs(s[over]) > clip).all(), law
+
+
+def test_ima_adpcm_compress_tracks_through_real_wav():
+    """The greedy IMA encoder's internal reconstruction is reproduced
+    EXACTLY by the real decoder through a format-0x11 WAV container,
+    and the reconstruction tracks a sine attack within a few steps."""
+    import numpy as np
+
+    from ssp_spark.operators import multimodal as mm
+
+    sig = (1000 * np.sin(np.arange(64) / 3)).astype(int).tolist()
+    nib, recon = mm.ima_adpcm_compress(sig, pred=0, idx=0)
+    data = bytes([nib[i] | (nib[i + 1] << 4) for i in range(0, 64, 2)])
+    block = (0).to_bytes(2, "little", signed=True) + bytes([0, 0]) + data
+    wav = mm.encode_wav(block, 0x11, 1, 8000, 4, block_align=len(block),
+                        extra=(65).to_bytes(2, "little"))
+    dec, _ = mm.decode_audio(wav)
+    assert dec[:, 0].tolist() == recon
+    err = np.abs(np.array(recon[1:]) - np.array(sig))
+    assert err.max() < 1500  # attack transient, then tight tracking
+    assert np.median(err) < 40
