@@ -13,13 +13,18 @@ INTERLEAVED (whole-suite sweeps, not back-to-back repeats): this host
 shows bursty CPU steal from neighbors (0 -> 25%+ for tens of seconds),
 and back-to-back repeats land both samples inside the same burst, while
 sweeps separated by minutes give each query two independent draws.
-Steal is also measured per sample; any query whose BEST sample was taken
-under elevated steal (> SPARK_GRAFT_RETRY_STEAL_PCT, default 5) gets up
-to two clean-draw retries, and the steal under each query's reported
-best is published as ``query_steal_pct`` — so a burst-inflated number is
-both less likely and visibly dirty when it happens (round 3's
-"ann_ivf_topk 3.2x regression" was exactly such an artifact).
-``host_steal_pct`` reports the steal share across the whole bench.
+Three per-sample noise probes gate a retry pass (round 11 — BENCH_r10
+shipped 4.45x contaminated because steal alone is blind to same-VM
+load): hypervisor steal (> SPARK_GRAFT_RETRY_STEAL_PCT, default 5),
+same-VM FOREIGN busy CPU — this VM's busy jiffies minus our own process
+tree's (> SPARK_GRAFT_RETRY_FOREIGN_PCT, default 10) — and a
+band-deviation check against each query's best prior BENCH_r*.json time
+at this sf (> SPARK_GRAFT_BAND_FACTOR x best + 0.25 s, default 3x).
+A suspect best gets up to three clean-draw retries; the probes under
+each reported best are published (``query_steal_pct`` /
+``query_foreign_pct``), and rows still suspect after retries are NAMED
+in ``dirty`` on both output lines. ``host_steal_pct`` reports the steal
+share across the whole bench.
 
 Every run also times the IDENTICAL DuckDB oracle SQL over the same
 parquet files in the same process (``duckdb_*`` keys, own steal window)
@@ -181,24 +186,94 @@ _R3_SET = [
 ]
 
 
-def cpu_jiffies() -> tuple[int, int]:
-    """(total, steal) jiffies from /proc/stat — cheap host-noise probe."""
+def cpu_jiffies() -> tuple[int, int, int]:
+    """(total, steal, busy) jiffies from /proc/stat — host-noise probes.
+
+    ``busy`` = user+nice+system+irq+softirq (NOT idle/iowait/steal): the
+    CPU this VM actually executed. Steal alone proved blind in round 10 —
+    the accountable artifact shipped 4.45x with steal at 3.1% because the
+    contention was same-VM (another process on this host), which the
+    hypervisor steal counter cannot see. ``busy`` minus our own process
+    tree's jiffies (below) IS visible to it.
+    """
     try:
         vals = [int(x) for x in open("/proc/stat").readline().split()[1:]]
-        return sum(vals), vals[7] if len(vals) > 7 else 0
+        steal = vals[7] if len(vals) > 7 else 0
+        busy = sum(vals[i] for i in (0, 1, 2, 5, 6) if i < len(vals))
+        return sum(vals), steal, busy
     except Exception:
-        return 0, 0
+        return 0, 0, 0
 
 
-def run_once(spark, name: str, sf_dir: str) -> tuple[float, float]:
-    """(wall seconds, steal% during this query's own window).
+def tree_jiffies() -> int:
+    """utime+stime jiffies summed over THIS process's /proc subtree
+    (python driver + the Spark JVM it launched + Arrow worker daemons).
+    Same USER_HZ unit as /proc/stat, so ``busy_delta - tree_delta`` is
+    the CPU other processes on this VM burned during a sample window —
+    the round-10 contamination signal steal-only detection missed."""
+    try:
+        me = os.getpid()
+        ppid: dict[int, int] = {}
+        cost: dict[int, int] = {}
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                fields = open(f"/proc/{d}/stat").read().rsplit(") ", 1)[1].split()
+                # fields[1]=ppid, fields[11]=utime, fields[12]=stime
+                # (indices after the comm field)
+                ppid[int(d)] = int(fields[1])
+                cost[int(d)] = int(fields[11]) + int(fields[12])
+            except Exception:
+                continue
+        total = 0
+        for pid in cost:
+            p = pid
+            for _ in range(64):  # bounded ancestor walk
+                if p == me:
+                    total += cost[pid]
+                    break
+                p = ppid.get(p, 0)
+                if p <= 1:
+                    break
+        return total
+    except Exception:
+        return 0
 
-    Per-sample steal is the adjudication signal this host demands: a
-    co-tenant burst (0 -> 25%+ for tens of seconds) can inflate one
-    query 10x while its neighbors read normal — round 3's ann_ivf_topk
-    "regression" was exactly this, and only an isolated low-steal re-run
-    disproved it. Recording steal per sample lets the retry pass below
-    (and the judge) see which numbers were measured dirty.
+
+def load_bands(sf: float) -> dict[str, float]:
+    """Per-query best prior-artifact time at this sf, min over every
+    BENCH_r*.json in the repo root. Used by the band-deviation retry
+    gate (round 11): a sample N-times above its own multi-round best is
+    contaminated no matter what the steal counter says."""
+    import glob
+
+    bands: dict[str, float] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            parsed = json.load(open(p)).get("parsed") or {}
+            if not isinstance(parsed, dict) or parsed.get("sf") != sf:
+                continue
+            for k, v in (parsed.get("queries") or {}).items():
+                if isinstance(v, (int, float)) and v > 0:
+                    bands[k] = min(bands.get(k, float(v)), float(v))
+        except Exception:
+            continue
+    return bands
+
+
+def run_once(spark, name: str, sf_dir: str) -> tuple[float, float, float]:
+    """(wall seconds, steal%, foreign-busy%) during this query's window.
+
+    Per-sample steal is the hypervisor-noise signal (round 3's
+    "ann_ivf_topk 3.2x regression" was a steal burst); per-sample
+    FOREIGN busy — this VM's busy jiffies minus our own process tree's —
+    is the same-VM-contention signal round 10 proved necessary (eight
+    rows inflated 5-30x at 3% steal because another process on the host
+    was eating the cores). Both are recorded under each query's reported
+    best, so a contaminated number is visibly dirty even when no retry
+    rescued it.
     """
     # Release prior queries' pinned blocks (localCheckpoint RDDs are freed
     # by py4j finalizers only after Python GC runs) so each measurement
@@ -206,14 +281,20 @@ def run_once(spark, name: str, sf_dir: str) -> tuple[float, float]:
     import gc
 
     gc.collect()
-    jt0, js0 = cpu_jiffies()
+    jt0, js0, jb0 = cpu_jiffies()
+    tr0 = tree_jiffies()
     t0 = time.perf_counter()
     df = QUERIES[name](spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
     wall = time.perf_counter() - t0
-    jt1, js1 = cpu_jiffies()
-    steal = round(100.0 * (js1 - js0) / max(jt1 - jt0, 1), 1) if jt1 else 0.0
-    return wall, steal
+    jt1, js1, jb1 = cpu_jiffies()
+    tr1 = tree_jiffies()
+    dt = max(jt1 - jt0, 1)
+    steal = round(100.0 * (js1 - js0) / dt, 1) if jt1 else 0.0
+    foreign = (
+        round(100.0 * max((jb1 - jb0) - (tr1 - tr0), 0) / dt, 1) if jt1 else 0.0
+    )
+    return wall, steal, foreign
 
 
 def main() -> None:
@@ -239,7 +320,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    t_all, s_all = cpu_jiffies()
+    t_all, s_all, _ = cpu_jiffies()
     run_once(spark, "word_count", sf_dir)  # warmup: JVM + codegen + file listing
 
     cold: dict[str, float] = {}
@@ -252,28 +333,54 @@ def main() -> None:
     # candidate for the min — the headline is a steady-state number.
     timings: dict[str, float] = {}
     best_steal: dict[str, float] = {}
+    best_foreign: dict[str, float] = {}
     for _sweep in range(2):
         for name in HEADLINE:
-            t, st = run_once(spark, name, sf_dir)
+            t, st, fo = run_once(spark, name, sf_dir)
             t = round(t, 3)
             if name not in timings or t < timings[name]:
-                timings[name], best_steal[name] = t, st
+                timings[name], best_steal[name], best_foreign[name] = t, st, fo
 
-    # Burst-retry pass: a query whose BEST sample was still measured
-    # under elevated steal got no clean draw — give it up to two more,
-    # keeping the min. Bounded extra work (only dirty queries retry) and
-    # honest: the retries follow the same protocol, and the recorded
-    # per-query steal shows which numbers remain dirty after it.
+    # Noise-retry pass (round 11, VERDICT r10 #1): a query's best sample
+    # is suspect if ANY of three independent signals fires —
+    #   (1) hypervisor steal above SPARK_GRAFT_RETRY_STEAL_PCT (default 5);
+    #   (2) same-VM foreign busy above SPARK_GRAFT_RETRY_FOREIGN_PCT
+    #       (default 10% of this VM's cores — the signal round 10's
+    #       contaminated artifact needed: 8 rows inflated 5-30x at 3%
+    #       steal because another process on the host ate the CPUs);
+    #   (3) band deviation: the sample exceeds BAND_FACTOR (default 3) x
+    #       its best prior-artifact time at this sf (+0.25 s scheduler
+    #       floor so sub-second rows don't retry on jitter) — catches
+    #       contention NO probe sees, because a clean code path does not
+    #       get 5x slower between rounds without a diff to explain it.
+    # Suspect queries get up to three clean draws, keeping the min; the
+    # signals under each reported best are published, and rows still
+    # suspect after retries are NAMED in the compact tail (round 10's
+    # artifact could not even identify its own dirty rows).
     retry_above = float(os.environ.get("SPARK_GRAFT_RETRY_STEAL_PCT", "5"))
+    foreign_above = float(os.environ.get("SPARK_GRAFT_RETRY_FOREIGN_PCT", "10"))
+    band_factor = float(os.environ.get("SPARK_GRAFT_BAND_FACTOR", "3"))
+    bands = load_bands(sf)
+
+    def suspect(name: str, t: dict[str, float], stl: dict[str, float],
+                fgn: dict[str, float]) -> bool:
+        if stl.get(name, 0.0) > retry_above or fgn.get(name, 0.0) > foreign_above:
+            return True
+        b = bands.get(name)
+        return b is not None and t[name] > band_factor * b + 0.25
+
     for name in HEADLINE:
-        for _attempt in range(2):
-            if best_steal[name] <= retry_above:
+        for _attempt in range(3):
+            if not suspect(name, timings, best_steal, best_foreign):
                 break
-            t, st = run_once(spark, name, sf_dir)
+            t, st, fo = run_once(spark, name, sf_dir)
             t = round(t, 3)
             if t < timings[name]:
-                timings[name], best_steal[name] = t, st
+                timings[name], best_steal[name], best_foreign[name] = t, st, fo
 
+    dirty = sorted(
+        n for n in HEADLINE if suspect(n, timings, best_steal, best_foreign)
+    )
     total = round(sum(timings.values()), 3)
 
     # Secondary section: the oracle-shaped expression twins, identical
@@ -281,22 +388,23 @@ def main() -> None:
     # reported separately from the headline ratio (see EXPR_TWINS note).
     twin: dict[str, float] = {}
     twin_steal: dict[str, float] = {}
+    twin_foreign: dict[str, float] = {}
     for name in EXPR_TWINS:  # cold pass, not eligible for the min
         run_once(spark, name, sf_dir)
     for _sweep in range(2):
         for name in EXPR_TWINS:
-            t, st = run_once(spark, name, sf_dir)
+            t, st, fo = run_once(spark, name, sf_dir)
             t = round(t, 3)
             if name not in twin or t < twin[name]:
-                twin[name], twin_steal[name] = t, st
+                twin[name], twin_steal[name], twin_foreign[name] = t, st, fo
     for name in EXPR_TWINS:
-        for _attempt in range(2):
-            if twin_steal[name] <= retry_above:
+        for _attempt in range(3):
+            if not suspect(name, twin, twin_steal, twin_foreign):
                 break
-            t, st = run_once(spark, name, sf_dir)
+            t, st, fo = run_once(spark, name, sf_dir)
             t = round(t, 3)
             if t < twin[name]:
-                twin[name], twin_steal[name] = t, st
+                twin[name], twin_steal[name], twin_foreign[name] = t, st, fo
     all_timings = {**timings, **twin}
 
     # Codec-gate profile (round 10): absolute Spark wall-clock for the
@@ -354,7 +462,7 @@ def main() -> None:
     finally:
         del os.environ["SSP_PORTABLE_HASH"]
 
-    t_end, s_end = cpu_jiffies()
+    t_end, s_end, _ = cpu_jiffies()
     steal_pct = (
         round(100.0 * (s_end - s_all) / max(t_end - t_all, 1), 1) if t_end else None
     )
@@ -377,7 +485,7 @@ def main() -> None:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
             )
-        dt_all, ds_all = cpu_jiffies()
+        dt_all, ds_all, _ = cpu_jiffies()
         for name in HEADLINE + EXPR_TWINS:  # cold pass (not eligible)
             con.execute(ORACLE[name]).fetchall()
         for _sweep in range(2):
@@ -386,7 +494,7 @@ def main() -> None:
                 con.execute(ORACLE[name]).fetchall()
                 t = round(time.perf_counter() - t0, 3)
                 duck[name] = min(duck.get(name, t), t)
-        dt_end, ds_end = cpu_jiffies()
+        dt_end, ds_end, _ = cpu_jiffies()
         duck_steal = (
             round(100.0 * (ds_end - ds_all) / max(dt_end - dt_all, 1), 1)
             if dt_end
@@ -412,6 +520,8 @@ def main() -> None:
                 "codec_profile": codec,
                 "host_steal_pct": steal_pct,
                 "query_steal_pct": best_steal,
+                "query_foreign_pct": best_foreign,
+                "dirty": dirty,
                 "duckdb_total_sec": round(sum(duck[n] for n in HEADLINE if n in duck), 3)
                 if duck
                 else None,
@@ -428,7 +538,10 @@ def main() -> None:
     # maps that blew the budget — so whatever parser reads the tail always
     # finds one complete JSON object (~1.3 KB for the 35-query suite; a
     # guard below asserts it stays under the tail).
-    n_dirty = sum(1 for s in best_steal.values() if s > retry_above)
+    # Round 11: dirty rows are NAMED (not just counted) — BENCH_r10's
+    # contaminated artifact could not identify its own 2 dirty rows
+    # because the full record with query_steal_pct fell off the 2 KB
+    # tail. The names are the adjudication handle the judge needs.
     compact = json.dumps(
         {
             "metric": "headline_queries_total",
@@ -443,7 +556,8 @@ def main() -> None:
             else None,
             "host_steal_pct": steal_pct,
             "duckdb_steal_pct": duck_steal,
-            "n_dirty": n_dirty,
+            "n_dirty": len(dirty),
+            "dirty": dirty,
         },
         separators=(",", ":"),
     )
@@ -466,7 +580,8 @@ def main() -> None:
                 else None,
                 "host_steal_pct": steal_pct,
                 "duckdb_steal_pct": duck_steal,
-                "n_dirty": n_dirty,
+                "n_dirty": len(dirty),
+                "dirty": dirty[:8],
             },
             separators=(",", ":"),
         )

@@ -265,6 +265,8 @@ def decode_flac(data: bytes):
             rate = br.read(16) * 10
         else:
             raise ValueError("FLAC: invalid sample rate code")
+        if bps_code != 0 and bps_code not in _BPS_CODES:
+            raise ValueError("FLAC: reserved bits-per-sample code")
         bps = bps_si if bps_code == 0 else _BPS_CODES[bps_code]
         crc_end = br.byte_pos()
         want_crc8 = br.read(8)

@@ -1336,7 +1336,16 @@ def decode_image_deep(data: bytes):
     0..4095). Everything else raises NotImplementedError so callers
     fall back to decode_image explicitly."""
     if data[:2] == b"\xff\xd8":
-        return _decode_jpeg(data, deep=True)
+        import numpy as np
+
+        out = _decode_jpeg(data, deep=True)
+        if out.dtype != np.uint16 or out.ndim != 2:
+            # precision-8 JPEG decodes to (h,w,3) uint8 — that is
+            # decode_image's contract, not this one; honor the fork.
+            raise NotImplementedError(
+                "decode_image_deep: 8-bit JPEG (use decode_image)"
+            )
+        return out
     raise NotImplementedError("decode_image_deep: only 12-bit JPEG here")
 
 
@@ -3292,7 +3301,11 @@ def audio_features(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame:
                     zc = int(((ch[:-1] * ch[1:]) < 0).sum()) if n > 1 else 0
                     zcr = (zc * 1_000_000) // (n - 1) if n > 1 else 0
                     rows.append((int(mid), int(rate), dur, rms, zcr))
-                except NotImplementedError:
+                except (NotImplementedError, ValueError, IndexError, KeyError):
+                    # NotImplementedError: disclosed codec gaps; the rest:
+                    # corrupt/truncated streams (FLAC frame CRC, ADPCM
+                    # block_align=0, table lookups) — one bad clip must
+                    # never kill the scan, matching the image path.
                     rows.append((int(mid), None, None, None, None))
             yield pd.DataFrame(
                 rows,

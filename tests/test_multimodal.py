@@ -2205,3 +2205,59 @@ def test_ima_adpcm_compress_tracks_through_real_wav():
     err = np.abs(np.array(recon[1:]) - np.array(sig))
     assert err.max() < 1500  # attack transient, then tight tracking
     assert np.median(err) < 40
+
+
+def test_audio_features_survives_corrupt_compressed_streams(spark):
+    """ADVICE r10: a corrupt FLAC blob (fLaC magic + garbage raises
+    IndexError from the frame parser) and a zero-block-align format-0x11
+    WAV (ValueError) must pass through audio_features as NULL feature
+    rows — one bad clip never kills the scan."""
+    from ssp_spark.operators import multimodal as mm
+
+    bad_flac = b"fLaC" + b"\x00" * 24
+    bad_adpcm = mm.encode_wav(b"\x00" * 8, 0x11, 1, 8000, 4, block_align=0,
+                              extra=(65).to_bytes(2, "little"))
+    rows = [(1, bytearray(bad_flac)), (2, bytearray(bad_adpcm))]
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+    out = {r.media_id: r for r in mm.audio_features(df, "media_id", "data").collect()}
+    assert out[1].sample_rate is None and out[1].rms is None
+    assert out[2].sample_rate is None and out[2].rms is None
+
+
+def test_flac_reserved_bps_code_raises_valueerror():
+    """ADVICE r10: reserved frame bits-per-sample code 3 must raise the
+    disclosed ValueError, not a raw KeyError. Build a streaminfo + a
+    frame header whose bps code field is 3 and check the error type."""
+    import pytest
+
+    from ssp_spark.operators import flac as fl
+
+    # reuse the module's own writer for the streaminfo prefix
+    si = fl.encode_flac([0] * 16, sample_rate=8000, bps=16)[: 4 + 4 + 34]
+    # hand-pack a frame header: sync 0x3FFE<<2 | reserved0 | blocking0,
+    # bs_code=1(192) rate_code=5(8000) ch=0 bps_code=3 reserved0
+    hdr = bytearray()
+    hdr += b"\xff\xf8"                       # sync + fixed blocksize
+    hdr.append((1 << 4) | 5)                 # bs=192, rate=8kHz
+    hdr.append((0 << 4) | (3 << 1))          # mono, bps code 3 (reserved)
+    hdr.append(0x00)                         # frame number 0 (utf8)
+    hdr.append(fl._crc8(bytes(hdr)))
+    with pytest.raises(ValueError, match="reserved bits-per-sample"):
+        fl.decode_flac(si + bytes(hdr))
+
+
+def test_decode_image_deep_rejects_8bit_jpeg():
+    """ADVICE r10: decode_image_deep's documented fork — 8-bit JPEG
+    belongs to decode_image; deep must raise NotImplementedError, not
+    return an (h,w,3) uint8 array."""
+    import numpy as np
+    import pytest
+
+    from ssp_spark.operators import multimodal as mm
+
+    cb = np.zeros((1, 1, 8, 8), dtype=np.int64)
+    cb[0, 0, 0, 0] = 4
+    data = mm.encode_jpeg_gray_coeffs(cb)
+    assert mm.decode_image(data).dtype == np.uint8
+    with pytest.raises(NotImplementedError, match="8-bit JPEG"):
+        mm.decode_image_deep(data)
