@@ -68,8 +68,13 @@ HEADLINE = [
     "q18_large_orders",
     "stats_numeric_exact",
     # round-4 additions: the lsh_buckets sign-matrix rewrite needs a bench
-    # row to show the win; the production-width simhash is a new operator
-    "ann_lsh_topk",
+    # row to show the win; the production-width simhash is a new operator.
+    # Round 11 (VERDICT r10 #4): the LSH headline row is the GEMM
+    # deployment kernel, per the suite's own ivf convention — the expr
+    # form moved to EXPR_TWINS (its 26x sf0.1 optics were floor + six
+    # tiny stages on a 2k-vector corpus, exponent 0.98, DuckDB
+    # infeasible at sf10; BASELINE.md round 11 records the disposition).
+    "ann_lsh_topk_gemm",
     "dedup_simhash64_pairs",
     # late round-4 additions: the two heaviest new curation operators
     # (cluster-composition dedup keeper; corpus-model LM scoring) — the
@@ -153,6 +158,9 @@ HEADLINE = [
 EXPR_TWINS = [
     "embedding_covariance",
     "ann_ivf_topk",
+    # round 11 (VERDICT r10 #4): the JVM-fold LSH form joins its shipped
+    # GEMM kernel's inverse placement, same as ivf above
+    "ann_lsh_topk",
 ]
 
 # The 22-query set rounds 1-3 benched: sum reported as r3_comparable_total
@@ -416,6 +424,7 @@ def main() -> None:
     # comparison.
     CODEC_PROFILE = [
         "multimodal_decode_png",
+        "multimodal_decode_webp",
         "multimodal_decode_jpeg",
         "multimodal_decode_jpeg420",
         "multimodal_decode_jpeg_progressive",
@@ -445,8 +454,13 @@ def main() -> None:
     # oracle-checkable config. Same best-of-2 protocol. (ann_lsh_topk left
     # this list in round 4: its hyperplane signs are now precomputed
     # driver-side, so no per-row portable hash remains in its plan.)
+    # (dedup_jaccard_pairs left this list in round 11: its plan has had
+    # ZERO portable_hash64 calls since the xxhash64 shingle compression
+    # landed — shingles stay strings until a JVM xxhash64, and the
+    # oracle groups by the strings themselves — so the md5/xxhash flip
+    # is a no-op on its plan and the old "md5-parity tax" reading was a
+    # sampling artifact; SCALE.md round-11 records the adjudication.)
     HASH_BOUND = [
-        "dedup_jaccard_pairs",
         "dedup_minhash_lsh",
         "dedup_simhash",
         "dedup_simhash64_pairs",

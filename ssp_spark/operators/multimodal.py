@@ -96,11 +96,15 @@ def decode_image(data: bytes):
     JPEG (SOF0 Huffman + iDCT, grayscale / 4:4:4 / subsampled
     4:2:0-family YCbCr — see _decode_jpeg; SOF2 progressive routes to
     _decode_jpeg_progressive); and GIF87a/89a (real LZW, interlace,
-    transparency — see _decode_gif). webp and arithmetic-coded JPEG
-    still raise NotImplementedError — a real deployment swaps in
-    PIL/OpenCV for those branches and every downstream operator
-    (resize_media, extract_features) is unchanged because they only
-    see the (h, w, 3) array."""
+    transparency — see _decode_gif); and lossless WebP (VP8L: full
+    prefix-code machinery, meta-prefix, color cache, LZ77, subtract-
+    green + color-indexing — see ssp_spark.operators.webp; lossy VP8,
+    VP8X, plane codes and predictor/color transforms are that module's
+    disclosed boundaries). Arithmetic-coded JPEG still raises
+    NotImplementedError — a real deployment swaps in PIL/OpenCV for
+    such branches and every downstream operator (resize_media,
+    extract_features) is unchanged because they only see the
+    (h, w, 3) array."""
     import numpy as np
 
     if data[:2] == b"P6":
@@ -177,9 +181,14 @@ def decode_image(data: bytes):
         data[2:4], "little" if data[:2] == b"II" else "big"
     ) == 42:
         return _decode_tiff(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from ssp_spark.operators.webp import decode_webp
+
+        return decode_webp(data)
     raise NotImplementedError(
         "only PPM(P6)/BMP(24-bit)/PNG(full static matrix)/"
-        "JPEG(baseline+progressive)/GIF/TIFF(baseline) decodable here"
+        "JPEG(baseline+progressive)/GIF/TIFF(baseline)/WebP(VP8L) "
+        "decodable here"
     )
 
 
@@ -416,9 +425,12 @@ def _decode_png(data: bytes):
         ctype = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + ln]
         if ctype == b"IHDR":
-            w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
+            try:
+                w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", body
+                )
+            except struct.error as exc:  # truncated IHDR: corrupt, not a gap
+                raise ValueError(f"PNG truncated IHDR: {exc}") from exc
             if depth not in _PNG_DEPTHS.get(color_type, ()):
                 raise NotImplementedError(
                     f"PNG depth={depth} color_type={color_type} not supported"
@@ -438,7 +450,12 @@ def _decode_png(data: bytes):
         raise ValueError("PNG missing IHDR")
     ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     bpp = max(1, (depth * ch + 7) // 8)  # filter left-step: ceil to whole bytes (spec: >=1)
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:  # corrupt/truncated deflate stream: the
+        # codec-fuzz contract is ValueError, so one bad file passes
+        # through the feature kernels as NULL instead of killing a task
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
 
     def stride_for(width: int) -> int:
         return (width * depth * ch + 7) // 8
@@ -2393,6 +2410,8 @@ def _decode_tiff(data: bytes):
         raise ValueError("bad TIFF magic number")
     ifd = int.from_bytes(data[4:8], en)
     nent = int.from_bytes(data[ifd : ifd + 2], en)
+    if ifd + 2 + 12 * nent > len(data):
+        raise ValueError("TIFF IFD beyond end of file")
     type_size = {1: 1, 2: 1, 3: 2, 4: 4}
     tags: dict[int, list[int]] = {}
     for i in range(nent):
@@ -2405,6 +2424,12 @@ def _decode_tiff(data: bytes):
         sz = type_size[typ]
         total = sz * cnt
         voff = e + 8 if total <= 4 else int.from_bytes(data[e + 8 : e + 12], en)
+        # bound BEFORE materializing: a corrupt 32-bit count would
+        # otherwise drive this list up to 2^32 entries of empty-slice
+        # zeros — a 200+-second spin the codec fuzz pass caught (one
+        # bad file must never stall a 100 TB scan task)
+        if voff + total > len(data):
+            raise ValueError("TIFF tag value beyond end of file")
         tags[tag] = [
             int.from_bytes(data[voff + k * sz : voff + (k + 1) * sz], en)
             for k in range(cnt)
@@ -2892,6 +2917,69 @@ def gif_roundtrip_stats(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame
                 img = decode_image(encode_gif(grid, ramp, interlace=True))
                 s = img.astype(np.int64).sum(axis=(0, 1))
                 pos = np.arange(1, img.shape[0] * img.shape[1] + 1, dtype=np.int64)
+                pr = int((pos * img[:, :, 0].astype(np.int64).ravel()).sum())
+                rows.append(
+                    (int(mid), int(img.shape[1]), int(img.shape[0]),
+                     int(s[0]), int(s[1]), int(s[2]), pr)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height",
+                         "sum_r", "sum_g", "sum_b", "pos_sum_r"],
+            )
+
+    return _spread_for_cpu(df).mapInPandas(fn, schema)
+
+
+def webp_roundtrip_stats(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame:
+    """Lossless-WebP (VP8L) decode under an exact oracle: each row's
+    first 20 bytes v (ASCII domain 0..127) become a 4x5 grid of colors
+    (r=v, g=255-v, b=2v), each tiled to an 8x8 block (32x40 pixels),
+    written as a REAL VP8L stream by encode_webp_lossless with a 5-bit
+    color cache — so the gate bitstream rides canonical-Huffman
+    literals, dist-1 LZ77 run references AND cache-index symbols — and
+    decoded back through the full path (RIFF walk, prefix-code
+    machinery, cache inserts on copied pixels). Channel sums pin the
+    color mapping; pos_sum_r (closed form v*(16384*tr + 512*tc + 7456)
+    per tile, same geometry as the GIF gate) pins pixel ORDER, so a
+    desynchronized cache or a backref landing on the wrong row breaks
+    the hash. Decoder pinned independently of the writer by
+    hand-packed bitstream goldens (tests/test_webp.py: cache hit,
+    backward refs incl. overlap fill, meta-prefix group switch,
+    code-length repeats, both transforms). Arrow-batched, one row in
+    -> one row out, no shuffle — the 100 TB decode-map shape."""
+    import numpy as np
+    import pandas as pd
+
+    from ssp_spark.operators.webp import encode_webp_lossless
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("sum_r", T.LongType()),
+            T.StructField("sum_g", T.LongType()),
+            T.StructField("sum_b", T.LongType()),
+            T.StructField("pos_sum_r", T.LongType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                vs = np.frombuffer(bytes(data)[:20], dtype=np.uint8)
+                grid = np.stack(
+                    [vs, 255 - vs, 2 * vs], axis=1
+                ).reshape(5, 4, 3).astype(np.uint8)
+                tiled = np.repeat(np.repeat(grid, 8, axis=0), 8, axis=1)
+                img = decode_image(encode_webp_lossless(tiled, cache_bits=5))
+                s = img.astype(np.int64).sum(axis=(0, 1))
+                pos = np.arange(1, img.shape[0] * img.shape[1] + 1,
+                                dtype=np.int64)
                 pr = int((pos * img[:, :, 0].astype(np.int64).ravel()).sum())
                 rows.append(
                     (int(mid), int(img.shape[1]), int(img.shape[0]),

@@ -5468,6 +5468,61 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_decode_webp",
+    """
+    WITH img AS (
+      SELECT doc_id, substr(text, 1, 20) AS px
+      FROM documents WHERE length(text) >= 20
+        AND strlen(substr(text, 1, 20)) = 20
+    ),
+    b AS (
+      SELECT doc_id, i, ascii(substr(px, i, 1)) AS v
+      FROM img, (SELECT unnest(generate_series(1, 20)) AS i) u
+    )
+    SELECT doc_id AS media_id, 32 AS width, 40 AS height,
+           CAST(64 * sum(v) AS BIGINT) AS sum_r,
+           CAST(64 * sum(255 - v) AS BIGINT) AS sum_g,
+           CAST(64 * sum(2 * v) AS BIGINT) AS sum_b,
+           CAST(sum(v * (16384 * ((i - 1) // 4)
+                         + 512 * ((i - 1) % 4) + 7456)) AS BIGINT)
+             AS pos_sum_r
+    FROM b GROUP BY doc_id
+    """,
+)
+def multimodal_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless-WebP (VP8L) decode under the driver gate — the round-11
+    closure of the web-corpus image format whose "no anchors" boundary
+    round 10's hand-bitstream technique dissolved (VERDICT r10 #3).
+    Each document's first 20 bytes v become a 4x5 grid of colors
+    (r=v, g=255-v, b=2v) tiled 8x8 to 32x40, written as a REAL VP8L
+    stream (canonical-Huffman prefix codes via the code-length code,
+    a 5-bit color cache with hits, dist-1 LZ77 run references) and
+    decoded back through the full RIFF + prefix-code + cache + backref
+    path. Channel sums pin the color mapping; pos_sum_r (closed form
+    16384*tr + 512*tc + 7456 per tile) pins pixel ORDER. Decoder
+    pinned independently of the writer by hand-packed bitstream
+    goldens (tests/test_webp.py); plane codes <= 120, predictor/color
+    transforms, pixel bundling and lossy VP8 are the module's
+    DISCLOSED boundaries (ssp_spark/operators/webp.py docstring).
+
+    Plan: one documents scan -> mapInPandas (Arrow-batched, row-local
+    encode/decode, no shuffle) -> driver-hashable 7-column frame; the
+    same 100 TB decode-map shape as the sibling gate queries."""
+    from ssp_spark.operators import multimodal as mm
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.length("text") >= 20)
+        .select(
+            "doc_id",
+            F.encode(F.substring("text", 1, 20), "utf-8").alias("px"),
+        )
+        .filter(F.octet_length("px") == 20)
+    )
+    return mm.webp_roundtrip_stats(docs, "doc_id", "px")
+
+
+@_q(
     "multimodal_decode_audio_g711",
     """
     WITH img AS (
@@ -12711,90 +12766,87 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     together with the 46 r4-latest queries; after this round ZERO
 #     registry queries are never-driver-checked.
 _CHECK_FIRST = [
-    # ---- ROUND 10 WINDOW ---------------------------------------------
-    # Contract (VERDICT r9 #1/#3): the one never-checked query leads,
-    # then everything changed in r10, then the two r4-stale rows, then
-    # the ENTIRE 45-query r5 cohort, then an r6 tail filler.
-    # Composition: 1 never-checked + 2 changed + 10 new-in-r10 + 1
-    # r4-stale + 36 r5-stale = 50. After the r10 run zero registry
-    # queries have evidence older than r6 EXCEPT the displaced
-    # alphabetical tail of the r5 cohort (each re-verified hash-green
-    # at sf0.01 on displacement; they lead the r11 queue) — VERDICT
-    # r9 #3's done-bar, amended by the new-query displacement policy.
-    # New r10 queries (if any land) displace the tail from the bottom
-    # (r6 filler first, then the alphabetically-last r5 rows), each
-    # displaced row re-verified hash-green at sf0.01 before displacement.
-    "multimodal_decode_png_adam7",  # never driver-checked (VERDICT r9 #1: the red test)
-    "dedup_span_pairs",  # changed in r10 (single-exchange rewrite, VERDICT r9 #2)
-    "multimodal_decode_jpeg420",  # new in r10: 4:2:0 subsampled decode (VERDICT r9 #7)
-    "multimodal_decode_jpeg_progressive",  # new in r10: SOF2 multi-scan decode
-    "multimodal_decode_audio_g711",  # new in r10: μ-law/A-law WAV decode
-    "multimodal_decode_audio_adpcm",  # new in r10: IMA ADPCM WAV decode
-    "multimodal_decode_gif",  # new in r10: GIF LZW decode
-    "multimodal_decode_jpeg12",  # new in r10: 12-bit JPEG (deep) decode
-    "multimodal_decode_audio_flac",  # new in r10: FLAC decode
-    "multimodal_decode_tiff",  # new in r10: baseline TIFF decode
-    "multimodal_video_y4m_index",  # new in r10: Y4M stream walking
-    "multimodal_decode_bmp_rle8",  # new in r10: RLE8 palette BMP decode
-    "vocab_coverage",  # changed in r10 (range-sharded windows, VERDICT r9 #5; also r4-stale)
-    "zorder_cells",  # r4-stale (VERDICT r9 #3)
-    # (c) the 45 queries whose latest driver row is round 5 (whole
-    # cohort, alphabetical)
-    "anti_join_inactive_customers",
-    "array_funcs_embeddings",
-    "asof_join_purchase_signup",
-    "cohort_retention",
-    "contrastive_pairs_lsh",
-    "corpus_shuffle_order",
-    "cube_order_stats",
-    "cust_above_nation_avg",
-    "date_funcs_monthly_orders",
-    "date_trunc_weekly_orders",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "distinct_event_users",
-    "doc_fingerprint",
-    "embedding_covariance_blas",
-    "embedding_standardize",
-    "event_transition_matrix",
-    "full_outer_user_activity",
-    "grouping_sets_orders",
-    "hll_distinct_users",
-    "json_extract_events",
-    "lang_id",
-    "left_join_customer_order_counts",
-    "math_funcs",
-    "multimodal_features",
-    "multimodal_frame_sampling",
-    "outlier_mad_orders",
-    "percentiles_by_flag",
-    "q10_top_customers_by_revenue",
-    "q3_top_orders",
-    "q5_nation_revenue",
-    "range_join_value_bands",
-    "rollup_order_stats",
-    "running_user_spend",
-    "scd2_user_state_history",
-    "semi_join_open_orders",
-    # (window_funcs_showcase, the alphabetically-last r5 row, was
-    # DISPLACED by multimodal_decode_jpeg_progressive per the window
-    # policy above; user_activity_pivot, tumbling_hourly_stats,
-    # token_count, string_funcs, streaming_wordcount_replay,
-    # source_text_scan, sliding_window_counts and set_ops_users, the
-    # next eight from the alphabetical tail, were DISPLACED by the
-    # G.711/ADPCM/FLAC audio-decode, GIF/TIFF/RLE8-BMP-decode,
-    # 12-bit-JPEG and Y4M-index queries. All nine re-verified
-    # hash-green at sf0.01 before displacement; they lead the r11
-    # queue with ann_lsh_topk.
-    # Late-r10 plan change OUTSIDE the window: _spread_for_cpu touched
-    # every multimodal kernel (partitioning only, semantics-free), so
-    # the r9-evidence decode rows (png, png_palette, jpeg,
-    # resize_decoded, ahash) changed plan too — each re-verified
-    # hash-green in the full 231-query sf0.01 sweep the same day;
-    # they join the r11 queue.)
-    # (e) r6-rotation tail filler: DISPLACED by the new r10 query
-    # multimodal_decode_jpeg420 per the window policy above (new/changed
-    # outrank repeat confirmations); ann_lsh_topk leads the r11 queue.
+    # ---- ROUND 11 WINDOW ---------------------------------------------
+    # Policy (unchanged): the never-checked query leads, then everything
+    # new/changed this round, then the queued stale cohorts, oldest
+    # evidence first; new/changed rows outrank repeat confirmations and
+    # displace from the bottom, each displaced row re-verified
+    # hash-green at sf0.01 before displacement.
+    # Composition: 1 new + 1 changed + 5 late-r10-plan-changed +
+    # 10 queued (ann_lsh_topk + the 9 r5-stale rows VERDICT r10 #2
+    # named) + 33 of the 42 r6-stale rows = 50. After the r11 run the
+    # oldest registry evidence is r6 (the 8 alphabetically-last r6 rows
+    # + ann_lsh_topk_gemm's cohort remainder lead the r12 queue).
+    # (a) new in r11, never driver-checked
+    "multimodal_decode_webp",  # VP8L decode gate (VERDICT r10 #3);
+                               # hash-matched at sf0.001/0.01/0.1
+                               # before its slot
+    # (b) changed in r11
+    "multimodal_decode_jpeg12",  # decode_image_deep now enforces its
+                                 # 12-bit-only contract fork on the
+                                 # gate's kernel path (ADVICE r10);
+                                 # re-verified at sf0.01
+    # (c) late-r10 plan change (_spread_for_cpu touched every
+    # multimodal kernel after the r10 window froze; the r10 window
+    # notes queued these five decode rows for r11 — each was
+    # re-verified hash-green in the same-day 231-query sf0.01 sweep)
+    "multimodal_decode_png",
+    "multimodal_decode_png_palette",
+    "multimodal_decode_jpeg",
+    "multimodal_resize_decoded",
+    "image_ahash_buckets",
+    # (d) the queued 10: the r6-filler displaced in r10 + the whole
+    # 9-row r5-stale cohort (VERDICT r10 #2, incl. the undisclosed
+    # window_funcs_showcase displacement — disclosed now)
+    "ann_lsh_topk",
+    "set_ops_users",
+    "sliding_window_counts",
+    "source_text_scan",
+    "streaming_wordcount_replay",
+    "string_funcs",
+    "token_count",
+    "tumbling_hourly_stats",
+    "user_activity_pivot",
+    "window_funcs_showcase",
+    # (e) 33 of the 42 r6-stale rows, alphabetical (ann_lsh_topk is in
+    # (d)); the remaining 8 — text_normalize_redact,
+    # time_decayed_user_spend, top_customers_per_nation,
+    # udaf_user_spend, weighted_sample_per_source,
+    # welch_ttest_segments, window_frame_funcs,
+    # winsorized_stats_events — lead the r12 queue
+    "ann_lsh_topk_gemm",
+    "ann_topk_bruteforce",
+    "bm25_topk_docs",
+    "char_entropy_docs",
+    "compaction_plan_docs",
+    "dedup_events_keeper",
+    "dedup_simhash",
+    "embedding_random_projection",
+    "entity_resolution_parts",
+    "event_trigram_topk",
+    "fuzzy_name_pairs",
+    "gini_spend_concentration",
+    "graph_reachability_bfs",
+    "inverted_index_postings",
+    "k_anonymity_events",
+    "kcore_user_graph",
+    "key_skew_report_events",
+    "kmv_user_overlap",
+    "label_propagation_communities",
+    "mmr_diverse_topk",
+    "mmr_diverse_topk_arrow",
+    "pit_enrich_events",
+    "q14_promo_revenue",
+    "q17_small_qty_revenue",
+    "q1_pricing_summary",
+    "q22_idle_rich_customers",
+    "q2_min_cost_supplier",
+    "q4_priority_exists",
+    "q7_nation_volume",
+    "q9_product_profit",
+    "running_distinct_users",
+    "source_csv_scan",
+    "stratified_sample_events",
 ]
 
 assert len(_CHECK_FIRST) == 50 and len(set(_CHECK_FIRST)) == 50

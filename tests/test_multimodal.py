@@ -61,7 +61,16 @@ def test_sample_frames_fan_out(spark):
 
 
 def test_decode_image_unsupported_codecs_raise():
-    with pytest.raises(NotImplementedError):  # webp: no decoder at all
+    # webp now has a real VP8L decoder (round 11) — LOSSY VP8 stays the
+    # disclosed boundary; a complete chunk header routes there
+    with pytest.raises(NotImplementedError, match="lossy"):
+        mm.decode_image(
+            b"RIFF" + (16).to_bytes(4, "little") + b"WEBP"
+            + b"VP8 " + (4).to_bytes(4, "little") + b"\x00" * 4
+        )
+    # a RIFF/WEBP wrapper truncated before any complete chunk header is
+    # corrupt, not a missing codec: ValueError
+    with pytest.raises(ValueError):
         mm.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
     # JPEG now has a real baseline decoder (round 9); malformed JFIF
     # junk is a ValueError (bad stream), not a missing-codec error

@@ -114,23 +114,106 @@ _R10_R5_STALE = {
 # window policy; ann_lsh_topk leads the r11 queue.)
 
 
-def test_driver_window_is_the_round10_target_set():
-    window = list(QUERIES)[:50]
-    assert window == _CHECK_FIRST
-    assert set(window) == (
+def test_round10_window_record_matches_correctness_r10():
+    """The r10 window is history now (the r11 window below supersedes
+    it); this pins the RECORD: the r10 groups still partition exactly
+    the 50 names CORRECTNESS_r10.json hashed."""
+    import json
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "CORRECTNESS_r10.json"
+    )
+    with open(path) as f:
+        checked = set(json.load(f))
+    assert checked == (
         _R10_NEVER_CHECKED | _R10_NEW | _R10_CHANGED | _R10_R4_STALE
         | _R10_R5_STALE
     )
+
+
+# ---------------------------------------------------------------------
+# ROUND 11 window (the CURRENT driver-gate contract)
+# ---------------------------------------------------------------------
+
+# Round 11 group (a): new this round, never driver-checked.
+_R11_NEW = {
+    "multimodal_decode_webp",  # VP8L lossless WebP decode gate
+                               # (VERDICT r10 #3); hash-matched at
+                               # sf0.001/0.01/0.1 before its slot
+}
+
+# Round 11 group (b): implementation-changed this round; re-verified
+# at sf0.01 before taking a slot.
+_R11_CHANGED = {
+    "multimodal_decode_jpeg12",  # decode_image_deep enforces the
+                                 # 12-bit-only contract fork on this
+                                 # gate's kernel path (ADVICE r10)
+}
+
+# Round 11 group (c): the five decode rows whose plan changed when
+# late-r10's _spread_for_cpu landed after the r10 window froze (the
+# r10 window notes queued them; each re-verified hash-green in the
+# same-day 231-query sf0.01 sweep).
+_R11_LATE_R10_PLAN = {
+    "multimodal_decode_png",
+    "multimodal_decode_png_palette",
+    "multimodal_decode_jpeg",
+    "multimodal_resize_decoded",
+    "image_ahash_buckets",
+}
+
+# Round 11 group (d): the queued 10 — the r6 filler displaced in r10
+# plus the whole 9-row r5-stale cohort (VERDICT r10 #2; includes
+# window_funcs_showcase, whose r10 displacement went undisclosed —
+# disclosed now).
+_R11_QUEUED = {
+    "ann_lsh_topk",
+    "set_ops_users", "sliding_window_counts", "source_text_scan",
+    "streaming_wordcount_replay", "string_funcs", "token_count",
+    "tumbling_hourly_stats", "user_activity_pivot",
+    "window_funcs_showcase",
+}
+
+# Round 11 group (e): 33 of the 42 r6-stale rows, alphabetical. The
+# remaining 8 (text_normalize_redact, time_decayed_user_spend,
+# top_customers_per_nation, udaf_user_spend, weighted_sample_per_source,
+# welch_ttest_segments, window_frame_funcs, winsorized_stats_events)
+# lead the r12 queue.
+_R11_R6_STALE = {
+    "ann_lsh_topk_gemm", "ann_topk_bruteforce", "bm25_topk_docs",
+    "char_entropy_docs", "compaction_plan_docs", "dedup_events_keeper",
+    "dedup_simhash", "embedding_random_projection",
+    "entity_resolution_parts", "event_trigram_topk", "fuzzy_name_pairs",
+    "gini_spend_concentration", "graph_reachability_bfs",
+    "inverted_index_postings", "k_anonymity_events", "kcore_user_graph",
+    "key_skew_report_events", "kmv_user_overlap",
+    "label_propagation_communities", "mmr_diverse_topk",
+    "mmr_diverse_topk_arrow", "pit_enrich_events", "q14_promo_revenue",
+    "q17_small_qty_revenue", "q1_pricing_summary",
+    "q22_idle_rich_customers", "q2_min_cost_supplier",
+    "q4_priority_exists", "q7_nation_volume", "q9_product_profit",
+    "running_distinct_users", "source_csv_scan",
+    "stratified_sample_events",
+}
+
+
+def test_driver_window_is_the_round11_target_set():
+    window = list(QUERIES)[:50]
+    assert window == _CHECK_FIRST
+    assert set(window) == (
+        _R11_NEW | _R11_CHANGED | _R11_LATE_R10_PLAN | _R11_QUEUED
+        | _R11_R6_STALE
+    )
     # ordering: the never-checked query leads (first row the driver
-    # hashes), then this round's new + changed queries, then the
-    # r4-stale row, then the 45-strong r5 cohort
-    n_a = len(_R10_NEVER_CHECKED)
-    assert set(window[:n_a]) == _R10_NEVER_CHECKED
-    n_b = n_a + len(_R10_NEW) + len(_R10_CHANGED)
-    assert set(window[n_a:n_b]) == _R10_NEW | _R10_CHANGED
-    n_c = n_b + len(_R10_R4_STALE)
-    assert set(window[n_b:n_c]) == _R10_R4_STALE
-    assert set(window[n_c:]) == _R10_R5_STALE
+    # hashes), then changed + plan-changed, then the queued 10, then
+    # the r6 cohort slice
+    n_a = len(_R11_NEW)
+    assert set(window[:n_a]) == _R11_NEW
+    n_b = n_a + len(_R11_CHANGED) + len(_R11_LATE_R10_PLAN)
+    assert set(window[n_a:n_b]) == _R11_CHANGED | _R11_LATE_R10_PLAN
+    n_c = n_b + len(_R11_QUEUED)
+    assert set(window[n_b:n_c]) == _R11_QUEUED
+    assert set(window[n_c:]) == _R11_R6_STALE
 
 
 # ---------------------------------------------------------------------
