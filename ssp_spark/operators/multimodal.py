@@ -89,7 +89,9 @@ def attach_media(df: DataFrame, bytes_col: str, media_type: str, fmt: str) -> Da
 
 def decode_image(data: bytes):
     """(h, w, 3) uint8 numpy array — a real decoder, stdlib + numpy, no
-    codec library: binary PPM (P6); 24-bit uncompressed BMP (BI_RGB,
+    codec library: binary netpbm (P6 PPM 8/16-bit, P5 PGM 8/16-bit
+    gray-replicated, P4 PBM 1-bit with the spec's 1-means-black
+    inversion); 24-bit uncompressed BMP (BI_RGB,
     bottom-up or top-down, 4-byte row padding, BGR->RGB); the full PNG
     static-image matrix (all five color types, depths 1-16, Adam7 —
     see _decode_png; alpha stripped, 16-bit high-byte); and baseline
@@ -107,10 +109,12 @@ def decode_image(data: bytes):
     (h, w, 3) array."""
     import numpy as np
 
-    if data[:2] == b"P6":
-        pos, fields = 2, []
-        while len(fields) < 3:
-            # skip whitespace and '#' comments between header tokens
+    def _pnm_fields(pos: int, n_fields: int) -> tuple[list[int], int]:
+        # netpbm header walk: integers separated by whitespace, with
+        # '#' comment lines allowed between tokens; returns the fields
+        # and the position AFTER the single post-header whitespace
+        fields: list[int] = []
+        while len(fields) < n_fields:
             while pos < len(data) and data[pos : pos + 1].isspace():
                 pos += 1
             if data[pos : pos + 1] == b"#":
@@ -120,8 +124,33 @@ def decode_image(data: bytes):
             while pos < len(data) and not data[pos : pos + 1].isspace():
                 pos += 1
             fields.append(int(data[start:pos]))
-        w, h, maxval = fields
-        pos += 1  # single whitespace after maxval
+        return fields, pos + 1
+
+    if data[:2] == b"P5":
+        # binary PGM: like P6 with one sample per pixel; gray
+        # replicated to the (h, w, 3) contract, 16-bit high-byte
+        (w, h, maxval), pos = _pnm_fields(2, 3)
+        if maxval > 255:
+            px = np.frombuffer(data, dtype=">u2", count=w * h, offset=pos)
+            g = (px >> 8).astype(np.uint8).reshape(h, w)
+        else:
+            g = np.frombuffer(
+                data, dtype=np.uint8, count=w * h, offset=pos
+            ).reshape(h, w)
+        return np.ascontiguousarray(np.stack([g, g, g], axis=2))
+    if data[:2] == b"P4":
+        # binary PBM: rows packed 8 pixels/byte MSB-first, byte-padded;
+        # per the netpbm spec bit 1 = BLACK, so invert to display values
+        (w, h), pos = _pnm_fields(2, 2)
+        row_bytes = (w + 7) // 8
+        rows = np.frombuffer(
+            data, dtype=np.uint8, count=h * row_bytes, offset=pos
+        ).reshape(h, row_bytes)
+        bits_ = np.unpackbits(rows, axis=1)[:, :w]
+        g = ((1 - bits_) * 255).astype(np.uint8)
+        return np.ascontiguousarray(np.stack([g, g, g], axis=2))
+    if data[:2] == b"P6":
+        (w, h, maxval), pos = _pnm_fields(2, 3)
         if maxval > 255:
             # 16-bit P6: two bytes per sample, MOST significant first
             # (netpbm spec); high-byte truncation, the same convention
@@ -3271,11 +3300,13 @@ def encode_wav(raw: bytes, audio_format: int, channels: int, rate: int,
 def decode_audio(data: bytes):
     """(samples int16 ndarray [n, channels], sample_rate) for WAV —
     a real pure-numpy RIFF/WAVE parser (fmt + data chunks, any channel
-    count) across the formats a pure implementation can carry: 16-bit
-    PCM (format 1), G.711 μ-law (7) and A-law (6) log-PCM expanded
-    through the exact piecewise-linear tables, and IMA/DVI ADPCM
-    (0x11: per-block predictor/step-index headers, 4-bit nibble
-    deltas, interleaved 4-byte channel words). Perceptual codecs
+    count) across the formats a pure implementation can carry: 8-bit
+    unsigned and 16/24-bit PCM (format 1), IEEE float32 (format 3,
+    scaled to int16), G.711 μ-law (7) and A-law (6) log-PCM expanded
+    through the exact piecewise-linear tables, IMA/DVI ADPCM (0x11:
+    per-block predictor/step-index headers, 4-bit nibble deltas,
+    interleaved 4-byte channel words), and WAVE_FORMAT_EXTENSIBLE
+    (0xFFFE) unwrapped to its SubFormat code. Perceptual codecs
     (mp3/ogg/aac) raise NotImplementedError — same disclosure contract
     as decode_image."""
     import numpy as np
@@ -3303,6 +3334,31 @@ def decode_audio(data: bytes):
     rate = int.from_bytes(fmt[4:8], "little")
     block_align = int.from_bytes(fmt[12:14], "little")
     bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE: the real format code is the first two
+        # bytes of the 16-byte SubFormat GUID at fmt[24:26] (the
+        # remaining 14 GUID bytes are the fixed ksmedia.h suffix); the
+        # container every >2-channel or >16-bit writer emits
+        if len(fmt) < 26:
+            raise ValueError("WAV extensible fmt chunk too short")
+        audio_format = int.from_bytes(fmt[24:26], "little")
+    if audio_format == 1 and bits == 8:
+        # legacy 8-bit PCM is UNSIGNED, midpoint 128 (RIFF spec);
+        # widen to int16 by (x - 128) << 8 so downstream stats see the
+        # same scale as native 16-bit clips
+        n = len(raw) // channels
+        b = np.frombuffer(raw, dtype=np.uint8, count=n * channels)
+        samples = ((b.astype(np.int16) - 128) << 8).reshape(n, channels)
+        return samples.copy(), rate
+    if audio_format == 3 and bits == 32:
+        # IEEE float32 (format 3), nominal domain [-1.0, 1.0]:
+        # scale by 32767 and round half-to-even (np.rint); out-of-range
+        # samples clamp at the int16 rails like every fixed-point
+        # renderer does
+        n = len(raw) // (4 * channels)
+        f = np.frombuffer(raw, dtype="<f4", count=n * channels).astype(np.float64)
+        vals = np.clip(np.rint(f * 32767.0), -32768, 32767).astype(np.int16)
+        return vals.reshape(n, channels).copy(), rate
     if audio_format == 1 and bits == 16:
         n = len(raw) // (2 * channels)
         samples = np.frombuffer(raw, dtype="<i2", count=n * channels).reshape(n, channels)

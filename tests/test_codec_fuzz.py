@@ -47,6 +47,12 @@ def _corpus() -> dict[str, tuple[bytes, bool]]:
     cb[:, :, 0, 0] = 7
     return {
         "ppm": (b"P6\n40 32\n255\n" + img.tobytes(), False),
+        "pgm": (b"P5\n40 32\n255\n" + gray.tobytes(), False),
+        "pbm": (b"P4\n40 32\n" + np.packbits(
+            (gray > 127).astype(np.uint8), axis=1).tobytes(), False),
+        "wav_float": (mm.encode_wav(
+            (np.arange(100, dtype="<f4") / 100).tobytes(), 3, 1, 8000, 32),
+            True),
         "png": (mm.encode_png(img), False),
         "gif": (mm.encode_gif((gray % 128).astype(np.uint8), pal,
                               interlace=True), False),

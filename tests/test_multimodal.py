@@ -2270,3 +2270,65 @@ def test_decode_image_deep_rejects_8bit_jpeg():
     assert mm.decode_image(data).dtype == np.uint8
     with pytest.raises(NotImplementedError, match="8-bit JPEG"):
         mm.decode_image_deep(data)
+
+
+def test_decode_image_p5_p4_netpbm():
+    """P5 PGM (8- and 16-bit) replicates gray to (h,w,3); P4 PBM packs
+    8 pixels/byte MSB-first with 1 = BLACK (spec inversion)."""
+    import numpy as np
+
+    from ssp_spark.operators import multimodal as mm
+
+    g = np.arange(12, dtype=np.uint8).reshape(3, 4) * 20
+    img = mm.decode_image(b"P5\n# comment\n4 3\n255\n" + g.tobytes())
+    assert img.shape == (3, 4, 3)
+    assert (img[:, :, 0] == g).all() and (img[:, :, 1] == g).all()
+    # 16-bit: big-endian sample pairs, high byte kept (build the pairs
+    # in NATIVE ints first — numpy ufuncs silently drop byte order)
+    g16 = ((g.astype(np.uint16) << 8) | 0x7F).astype(">u2")
+    img = mm.decode_image(b"P5 4 3 65535\n" + g16.tobytes())
+    assert (img[:, :, 2] == g).all()
+    # P4: width 10 -> 2 bytes/row, MSB-first
+    rows = bytes([0b10110000, 0b01000000,   # row 0: black at 0,2,3,9
+                  0b00000000, 0b00000000])  # row 1: all white
+    img = mm.decode_image(b"P4\n10 2\n" + rows)
+    assert img.shape == (2, 10, 3)
+    # 1 = black -> 0; 0 = white -> 255
+    exp0 = [0, 255, 0, 0, 255, 255, 255, 255, 255, 0]
+    assert img[0, :, 0].tolist() == exp0
+    assert (img[1] == 255).all()
+
+
+def test_decode_audio_float32_pcm8_and_extensible():
+    """Format 3 float32 scales to int16 (rint, clamped rails); 8-bit
+    PCM is unsigned-128-centered; 0xFFFE extensible unwraps its
+    SubFormat code."""
+    import numpy as np
+
+    from ssp_spark.operators import multimodal as mm
+
+    # float32: exact quarters -> exact int16 values; +/-2.0 clamps
+    f = np.array([0.0, 0.25, -0.5, 1.0, -1.0, 2.0, -2.0], dtype="<f4")
+    wav = mm.encode_wav(f.tobytes(), 3, 1, 48000, 32)
+    s, rate = mm.decode_audio(wav)
+    assert rate == 48000
+    assert s[:, 0].tolist() == [0, 8192, -16384, 32767, -32767, 32767, -32768]
+    # 8-bit PCM: 0 -> -32768, 128 -> 0, 255 -> 32512
+    wav = mm.encode_wav(bytes([0, 128, 255]), 1, 1, 8000, 8)
+    s, _ = mm.decode_audio(wav)
+    assert s[:, 0].tolist() == [-32768, 0, 32512]
+    # extensible wrapper: format 0xFFFE whose SubFormat says PCM-16
+    # (encode_wav writes cbSize itself, so extra = validBits + channel
+    # mask + the 16-byte SubFormat GUID)
+    pcm = np.array([7, -9], dtype="<i2").tobytes()
+    sub = (1).to_bytes(2, "little") + b"\x00" * 14  # KSDATAFORMAT PCM GUID head
+    extra = (16).to_bytes(2, "little") + (1).to_bytes(4, "little") + sub
+    wav = mm.encode_wav(pcm, 0xFFFE, 1, 8000, 16, extra=extra)
+    s, _ = mm.decode_audio(wav)
+    assert s[:, 0].tolist() == [7, -9]
+    # truncated extensible fmt -> ValueError (never a task-killer type)
+    import pytest
+
+    bad = mm.encode_wav(pcm, 0xFFFE, 1, 8000, 16)
+    with pytest.raises(ValueError, match="extensible"):
+        mm.decode_audio(bad)
