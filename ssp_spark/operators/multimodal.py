@@ -2902,6 +2902,189 @@ def encode_gif(indices, palette, interlace: bool = False,
     return bytes(out)
 
 
+def encode_gif_anim(frames, palette, delays_cs, loop: int = 0) -> bytes:
+    """Real ANIMATED GIF89a writer: NETSCAPE2.0 looping application
+    extension, then per frame a graphic-control extension carrying its
+    delay (centiseconds) + an image descriptor + LZW data. Odd frames
+    are written INTERLACED so a reader that skips de-interlacing on
+    later frames breaks position-weighted goldens. ``frames`` is a list
+    of (h, w) uint8 index grids sharing one global color table."""
+    import numpy as np
+
+    pal = np.asarray(palette, dtype=np.uint8).reshape(-1, 3)
+    bits = max(1, (len(pal) - 1).bit_length())
+    full = 1 << bits
+    gct = np.zeros((full, 3), dtype=np.uint8)
+    gct[: len(pal)] = pal
+    sh = max(np.asarray(f).shape[0] for f in frames)
+    sw = max(np.asarray(f).shape[1] for f in frames)
+    out = bytearray(b"GIF89a")
+    out += sw.to_bytes(2, "little") + sh.to_bytes(2, "little")
+    out += bytes([0x80 | (bits - 1), 0, 0])
+    out += gct.tobytes()
+    # NETSCAPE looping extension (application ext 0xFF, sub-block 3)
+    out += bytes([0x21, 0xFF, 11]) + b"NETSCAPE2.0"
+    out += bytes([3, 1]) + loop.to_bytes(2, "little") + bytes([0])
+    for f, (idx, delay) in enumerate(zip(frames, delays_cs)):
+        idx = np.asarray(idx, dtype=np.uint8)
+        ih, iw = idx.shape
+        out += bytes([0x21, 0xF9, 4, 0x00]) + int(delay).to_bytes(2, "little")
+        out += bytes([0, 0])  # no transparency
+        interlace = bool(f & 1)
+        rows = idx
+        if interlace:
+            order = [y for start, step in _GIF_INTERLACE
+                     for y in range(start, ih, step)]
+            rows = idx[order]
+        out += bytes([0x2C])
+        out += (0).to_bytes(2, "little") + (0).to_bytes(2, "little")
+        out += iw.to_bytes(2, "little") + ih.to_bytes(2, "little")
+        out += bytes([0x40 if interlace else 0])
+        min_code = max(2, bits)
+        out += bytes([min_code])
+        comp = _gif_lzw_encode(rows.tobytes(), min_code)
+        for i in range(0, len(comp), 255):
+            chunk = comp[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += bytes([0])
+    out += bytes([0x3B])
+    return bytes(out)
+
+
+def iter_gif_frames(data: bytes):
+    """Yield every frame of a (possibly animated) GIF as a dict:
+    left/top/width/height, interlaced flag, delay_cs + transparent
+    index from the preceding graphic-control extension, and the
+    DECODED (h, w) uint8 index grid (LZW + de-interlace — indices, not
+    composited pixels: animation frame sampling wants the per-frame
+    payload, and disposal-method compositing is the renderer's job,
+    same boundary as the Y4M walker returning planes). The walk is the
+    video tier's GIF twin of iter_y4m_frames."""
+    import numpy as np
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    flags = data[10]
+    pos = 13
+    if flags & 0x80:
+        pos += 3 * (2 << (flags & 7))
+    delay_cs = 0
+    transparent = None
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x3B:
+            break
+        if b0 == 0x21:
+            label = data[pos + 1]
+            pos += 2
+            subs = []
+            while data[pos] != 0:
+                sz = data[pos]
+                subs.append(data[pos + 1 : pos + 1 + sz])
+                pos += 1 + sz
+            pos += 1
+            if label == 0xF9 and subs:
+                delay_cs = int.from_bytes(subs[0][1:3], "little")
+                transparent = subs[0][3] if subs[0][0] & 1 else None
+        elif b0 == 0x2C:
+            left = int.from_bytes(data[pos + 1 : pos + 3], "little")
+            top = int.from_bytes(data[pos + 3 : pos + 5], "little")
+            iw = int.from_bytes(data[pos + 5 : pos + 7], "little")
+            ih = int.from_bytes(data[pos + 7 : pos + 9], "little")
+            iflags = data[pos + 9]
+            pos += 10
+            if iflags & 0x80:
+                pos += 3 * (2 << (iflags & 7))
+            min_code = data[pos]
+            pos += 1
+            comp = bytearray()
+            while data[pos] != 0:
+                sz = data[pos]
+                comp += data[pos + 1 : pos + 1 + sz]
+                pos += 1 + sz
+            pos += 1
+            idx = np.frombuffer(
+                _gif_lzw_decode(bytes(comp), min_code, iw * ih), dtype=np.uint8
+            )
+            if len(idx) < iw * ih:
+                idx = np.pad(idx, (0, iw * ih - len(idx)))
+            rows = idx.reshape(ih, iw)
+            if iflags & 0x40:
+                orig = np.empty_like(rows)
+                src = 0
+                for start, step in _GIF_INTERLACE:
+                    for y in range(start, ih, step):
+                        orig[y] = rows[src]
+                        src += 1
+                rows = orig
+            yield {
+                "left": left, "top": top, "width": iw, "height": ih,
+                "interlaced": bool(iflags & 0x40), "delay_cs": delay_cs,
+                "transparent": transparent, "indices": rows,
+            }
+            delay_cs, transparent = 0, None
+        else:
+            raise ValueError(f"GIF: unknown block 0x{b0:02x}")
+
+
+def gif_anim_stats(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame:
+    """Animated-GIF frame walk under an exact oracle: each row's first
+    20 bytes v become a 4-FRAME animation (frame f = bytes v[5f..5f+5]
+    as a 1x5 index grid tiled 8x8 to 8x40; delay v[5f]+1 cs; odd
+    frames written interlaced), emitted by the real encode_gif_anim
+    writer and walked back by iter_gif_frames (NETSCAPE ext skip,
+    per-frame GCE delays, per-frame LZW decode + de-interlace).
+    n_frames and the delay sum pin the walk; wsum (frame-order-weighted
+    index sum) pins frame ORDER; psum (position-weighted, closed form
+    (f+1) * v * (512*tc + 9248) per tile) pins the de-interlace of odd
+    frames — a reader that skips de-scattering later frames preserves
+    wsum but not psum. Arrow-batched, one row in -> one row out, no
+    shuffle — the decode-map shape."""
+    import numpy as np
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("sum_delay_cs", T.LongType()),
+            T.StructField("wsum", T.LongType()),
+            T.StructField("psum", T.LongType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        pal = np.stack([np.arange(128, dtype=np.uint8)] * 3, 1)
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                vs = np.frombuffer(bytes(data)[:20], dtype=np.uint8)
+                frames = [
+                    np.repeat(np.repeat(vs[5 * f : 5 * f + 5][None, :],
+                                        8, axis=0), 8, axis=1)
+                    for f in range(4)
+                ]
+                delays = [int(vs[5 * f]) + 1 for f in range(4)]
+                gif = encode_gif_anim(frames, pal, delays)
+                n = wsum = psum = sdel = 0
+                posw = (np.arange(8 * 40, dtype=np.int64) + 1).reshape(8, 40)
+                for fr in iter_gif_frames(gif):
+                    n += 1
+                    sdel += fr["delay_cs"]
+                    ind = fr["indices"].astype(np.int64)
+                    wsum += n * int(ind.sum())
+                    psum += n * int((ind * posw).sum())
+                rows.append((int(mid), n, sdel, wsum, psum))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_frames", "sum_delay_cs",
+                               "wsum", "psum"],
+            )
+
+    return _spread_for_cpu(df).mapInPandas(fn, schema)
+
+
 def gif_roundtrip_stats(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame:
     """GIF decode under an exact oracle: each row's first 20 bytes v
     (ASCII domain 0..127) become a 4x5 grid of palette indices into

@@ -2332,3 +2332,62 @@ def test_decode_audio_float32_pcm8_and_extensible():
     bad = mm.encode_wav(pcm, 0xFFFE, 1, 8000, 16)
     with pytest.raises(ValueError, match="extensible"):
         mm.decode_audio(bad)
+
+
+def test_gif_anim_writer_and_frame_walk():
+    """encode_gif_anim/iter_gif_frames: NETSCAPE loop ext skipped, GCE
+    delay pairs with the NEXT image only (and resets), odd frames
+    round-trip through interlace, per-frame indices exact."""
+    import numpy as np
+
+    from ssp_spark.operators import multimodal as mm
+
+    pal = np.stack([np.arange(128, dtype=np.uint8)] * 3, 1)
+    f0 = np.arange(40, dtype=np.uint8).reshape(5, 8)
+    f1 = (f0.T % 128).astype(np.uint8).copy()  # different shape (8, 5)
+    f2 = np.full((5, 8), 99, np.uint8)
+    gif = mm.encode_gif_anim([f0, f1, f2], pal, [3, 10, 250])
+    frames = list(mm.iter_gif_frames(gif))
+    assert len(frames) == 3
+    assert [fr["delay_cs"] for fr in frames] == [3, 10, 250]
+    assert [fr["interlaced"] for fr in frames] == [False, True, False]
+    assert (frames[0]["indices"] == f0).all()
+    assert (frames[1]["indices"] == f1).all()  # de-interlaced back
+    assert (frames[2]["indices"] == f2).all()
+    assert frames[1]["height"] == 8 and frames[1]["width"] == 5
+
+    # hand-spliced stream: frame without a GCE reads delay 0 — the GCE
+    # pairs with the NEXT image only and resets after
+    one = mm.encode_gif(f0, pal)            # single frame, no GCE
+    two = mm.encode_gif(f2, pal, transparent=5)  # GCE'd frame
+    gce_at = 13 + 3 * 128                   # header + 128-entry GCT
+    assert two[gce_at] == 0x21 and two[gce_at + 1] == 0xF9
+    spliced = one[:-1] + two[gce_at:]       # strip trailer, keep the GCE
+    frames = list(mm.iter_gif_frames(spliced))
+    assert len(frames) == 2
+    assert frames[0]["delay_cs"] == 0 and frames[0]["transparent"] is None
+    assert frames[1]["transparent"] == 5
+    # decode_image still composites only frame 1 (documented contract)
+    assert (mm.decode_image(spliced)[:, :, 0] == pal[f0][:, :, 0]).all()
+
+
+def test_gif_anim_stats_kernel(spark):
+    """The driver-gate kernel replays its closed-form oracle: 4 frames,
+    delays v[5f]+1, wsum = sum (f+1)*64*v, psum tile form 512*tc+9248."""
+    import numpy as np
+
+    from ssp_spark.operators import multimodal as mm
+
+    rows = [(1, bytearray(bytes(range(20, 40))))]
+    df = spark.createDataFrame(rows, "doc_id long, px binary")
+    r = mm.gif_anim_stats(df, "doc_id", "px").collect()[0]
+    vs = list(range(20, 40))
+    assert r.n_frames == 4
+    assert r.sum_delay_cs == sum(vs[5 * f] + 1 for f in range(4))
+    assert r.wsum == sum(
+        (f + 1) * 64 * sum(vs[5 * f : 5 * f + 5]) for f in range(4)
+    )
+    assert r.psum == sum(
+        (f + 1) * vs[5 * f + tc] * (512 * tc + 9248)
+        for f in range(4) for tc in range(5)
+    )

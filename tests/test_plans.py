@@ -960,6 +960,7 @@ def test_codec_gates_decode_map_shape(spark):
         "multimodal_decode_jpeg12",
         "multimodal_decode_bmp_rle8",
         "multimodal_decode_webp",
+        "multimodal_gif_anim_index",
     ):
         df = QUERIES[name](spark, SF_SMOKE)
         s = plans.plan_string(df, "simple")

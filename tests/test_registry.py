@@ -140,6 +140,9 @@ _R11_NEW = {
     "multimodal_decode_webp",  # VP8L lossless WebP decode gate
                                # (VERDICT r10 #3); hash-matched at
                                # sf0.001/0.01/0.1 before its slot
+    "multimodal_gif_anim_index",  # animated-GIF frame walk gate;
+                               # hash-matched at sf0.001/0.01 before
+                               # its slot
 }
 
 # Round 11 group (b): implementation-changed this round; re-verified
@@ -174,11 +177,14 @@ _R11_QUEUED = {
     "window_funcs_showcase",
 }
 
-# Round 11 group (e): 33 of the 42 r6-stale rows, alphabetical. The
-# remaining 8 (text_normalize_redact, time_decayed_user_spend,
-# top_customers_per_nation, udaf_user_spend, weighted_sample_per_source,
-# welch_ttest_segments, window_frame_funcs, winsorized_stats_events)
-# lead the r12 queue.
+# Round 11 group (e): 32 of the 42 r6-stale rows, alphabetical. The
+# remaining 9 lead the r12 queue: text_normalize_redact,
+# time_decayed_user_spend, top_customers_per_nation, udaf_user_spend,
+# weighted_sample_per_source, welch_ttest_segments, window_frame_funcs,
+# winsorized_stats_events, and stratified_sample_events — the last
+# DISPLACED when multimodal_gif_anim_index landed (new/changed outrank
+# repeat confirmations, the documented window policy; re-verified
+# hash-green at sf0.01 on displacement).
 _R11_R6_STALE = {
     "ann_lsh_topk_gemm", "ann_topk_bruteforce", "bm25_topk_docs",
     "char_entropy_docs", "compaction_plan_docs", "dedup_events_keeper",
@@ -193,7 +199,6 @@ _R11_R6_STALE = {
     "q22_idle_rich_customers", "q2_min_cost_supplier",
     "q4_priority_exists", "q7_nation_volume", "q9_product_profit",
     "running_distinct_users", "source_csv_scan",
-    "stratified_sample_events",
 }
 
 
