@@ -2423,10 +2423,13 @@ def _decode_tiff(data: bytes):
     differencing predictor (tag 317 = 2, per-sample row cumsum),
     photometric 0 (WhiteIsZero — inverted grayscale), 1 (BlackIsZero),
     2 (RGB, SamplesPerPixel 3) and 3 (palette via the 16-bit ColorMap
-    tag, high byte), bits-per-sample 1 (rows byte-padded) and 8.
-    Tiled, multi-IFD, planar-separate and other compressions raise
-    NotImplementedError — the module's documented-boundary
-    contract."""
+    tag, high byte), bits-per-sample 1 (rows byte-padded) and 8,
+    TILED layout (tags 322-325: row-major padded full tiles, cropped
+    at the right/bottom edges — TIFF 6.0 §15) and PLANAR-SEPARATE
+    configuration (tag 284 = 2: per-plane strip runs, §13), both also
+    under PackBits/LZW/predictor. Multi-IFD, 1-bit tiles/planes and
+    other compressions raise NotImplementedError — the module's
+    documented-boundary contract."""
     import numpy as np
 
     if data[:2] == b"II":
@@ -2470,7 +2473,10 @@ def _decode_tiff(data: bytes):
     spp = tags.get(277, [1])[0]
     rps = tags.get(278, [h])[0]
     predictor = tags.get(317, [1])[0]
-    offs, cnts = tags[273], tags[279]
+    if 322 in tags or 323 in tags:
+        offs, cnts = [], []  # tiled layout: tags 324/325 read below
+    else:
+        offs, cnts = tags[273], tags[279]
     if comp not in (1, 5, 32773):
         raise NotImplementedError(f"TIFF compression {comp}")
     if bits not in (1, 8) or spp not in (1, 3):
@@ -2479,36 +2485,104 @@ def _decode_tiff(data: bytes):
         raise NotImplementedError(f"TIFF predictor {predictor}")
     if predictor == 2 and bits != 8:
         raise NotImplementedError("TIFF horizontal predictor needs 8-bit samples")
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiled TIFF")
-    if tags.get(284, [1])[0] != 1:
-        raise NotImplementedError("planar-separate TIFF")
-    row_bytes = (w * bits * spp + 7) // 8
-    raw = bytearray()
-    for si, (off, cnt) in enumerate(zip(offs, cnts)):
-        nrows = min(rps, h - si * rps)
-        chunk = data[off : off + cnt]
+    planar = tags.get(284, [1])[0]
+    if planar not in (1, 2):
+        raise NotImplementedError(f"TIFF planar configuration {planar}")
+    tiled = 322 in tags or 323 in tags
+
+    def dechunk(chunk: bytes, nbytes: int, nrows: int, wpx: int,
+                spp_eff: int) -> bytes:
         if comp == 32773:
-            chunk = _packbits_decode(chunk, nrows * row_bytes)
+            chunk = _packbits_decode(chunk, nbytes)
         elif comp == 5:
-            chunk = _tiff_lzw_decode(chunk, nrows * row_bytes)
+            chunk = _tiff_lzw_decode(chunk, nbytes)
         if predictor == 2:
             # horizontal differencing: per-row cumsum with a per-sample
-            # (spp) stride, mod 256 — TIFF 6.0 §14
+            # stride, mod 256 — TIFF 6.0 §14 (stride 1 per plane when
+            # PlanarConfiguration is 2: each chunk holds one sample)
             rows_a = np.frombuffer(
-                bytes(chunk[: nrows * row_bytes]), dtype=np.uint8
-            ).reshape(nrows, w, spp) if spp > 1 else np.frombuffer(
-                bytes(chunk[: nrows * row_bytes]), dtype=np.uint8
-            ).reshape(nrows, w, 1)
+                bytes(chunk[:nbytes]), dtype=np.uint8
+            ).reshape(nrows, wpx, spp_eff)
             chunk = (
                 np.cumsum(rows_a.astype(np.int64), axis=1) % 256
             ).astype(np.uint8).tobytes()
-        raw += chunk[: nrows * row_bytes]
-    if bits == 1:
-        rows = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, row_bytes)
-        px = np.unpackbits(rows, axis=1)[:, :w] * np.uint8(255)
+        return bytes(chunk[:nbytes])
+
+    if tiled:
+        # TIFF 6.0 §15: full tiles of TileWidth x TileLength in
+        # row-major tile order (plane-major under planar 2); edge
+        # tiles are padded in the FILE and cropped here
+        if bits != 8:
+            raise NotImplementedError("tiled TIFF needs 8-bit samples")
+        tw_, tl_ = tags[322][0], tags[323][0]
+        t_offs, t_cnts = tags[324], tags[325]
+        ta = (w + tw_ - 1) // tw_
+        td = (h + tl_ - 1) // tl_
+        planes = spp if planar == 2 else 1
+        spp_eff = 1 if planar == 2 else spp
+        if len(t_offs) < ta * td * planes:
+            raise ValueError("TIFF tile offsets shorter than the grid")
+        samples = np.zeros((h, w, spp), dtype=np.uint8)
+        i = 0
+        for p in range(planes):
+            for ty in range(td):
+                for tx in range(ta):
+                    off, cnt = t_offs[i], t_cnts[i]
+                    i += 1
+                    nbytes = tl_ * tw_ * spp_eff
+                    tile = dechunk(data[off : off + cnt], nbytes, tl_,
+                                   tw_, spp_eff)
+                    arr = np.frombuffer(tile, dtype=np.uint8).reshape(
+                        tl_, tw_, spp_eff)
+                    ys, xs = ty * tl_, tx * tw_
+                    sub = arr[: min(tl_, h - ys), : min(tw_, w - xs)]
+                    if planar == 2:
+                        samples[ys : ys + sub.shape[0],
+                                xs : xs + sub.shape[1], p] = sub[:, :, 0]
+                    else:
+                        samples[ys : ys + sub.shape[0],
+                                xs : xs + sub.shape[1], :] = sub
+        px = samples.reshape(h, w * spp)
+    elif planar == 2 and spp > 1:
+        # PlanarConfiguration 2: all of plane 0's strips, then plane 1's
+        # ... (TIFF 6.0 §13); each strip carries ONE sample per pixel
+        if bits != 8:
+            raise NotImplementedError("planar TIFF needs 8-bit samples")
+        spplane = (h + rps - 1) // rps
+        if len(offs) < spplane * spp:
+            raise ValueError("TIFF planar strip offsets shorter than grid")
+        rowb = (w * bits + 7) // 8
+        samples = np.zeros((h, w, spp), dtype=np.uint8)
+        for p in range(spp):
+            raws = bytearray()
+            for si in range(spplane):
+                off, cnt = offs[p * spplane + si], cnts[p * spplane + si]
+                nrows = min(rps, h - si * rps)
+                raws += dechunk(data[off : off + cnt], nrows * rowb,
+                                nrows, w, 1)
+            samples[:, :, p] = np.frombuffer(
+                bytes(raws), dtype=np.uint8).reshape(h, w)
+        px = samples.reshape(h, w * spp)
     else:
-        px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w * spp)
+        row_bytes = (w * bits * spp + 7) // 8
+        raw = bytearray()
+        for si, (off, cnt) in enumerate(zip(offs, cnts)):
+            nrows = min(rps, h - si * rps)
+            if bits == 1 and predictor == 1:
+                chunk = data[off : off + cnt]
+                if comp == 32773:
+                    chunk = _packbits_decode(chunk, nrows * row_bytes)
+                elif comp == 5:
+                    chunk = _tiff_lzw_decode(chunk, nrows * row_bytes)
+                raw += chunk[: nrows * row_bytes]
+            else:
+                raw += dechunk(data[off : off + cnt], nrows * row_bytes,
+                               nrows, w, spp)
+        if bits == 1:
+            rows = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, row_bytes)
+            px = np.unpackbits(rows, axis=1)[:, :w] * np.uint8(255)
+        else:
+            px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w * spp)
     if photo == 2:
         if spp != 3:
             raise ValueError("TIFF RGB needs SamplesPerPixel 3")
@@ -2539,13 +2613,18 @@ def _decode_tiff(data: bytes):
 
 def encode_tiff(img, byte_order: str = "little", compression: int = 1,
                 photometric: int | None = None, rows_per_strip: int | None = None,
-                palette=None, predictor: int = 1) -> bytes:
+                palette=None, predictor: int = 1,
+                tiles: tuple[int, int] | None = None,
+                planar: int = 1) -> bytes:
     """Real baseline-TIFF writer for the goldens and the driver
     query: (h, w) grayscale/palette-index or (h, w, 3) RGB uint8 ->
     header + strips (optionally PackBits) + one IFD, in either byte
     order. ``photometric`` 0 stores the INVERTED samples so the
     decoder's WhiteIsZero path is load-bearing; ``palette`` (n, 3)
-    uint8 writes photometric 3 with a 16-bit ColorMap."""
+    uint8 writes photometric 3 with a 16-bit ColorMap. ``tiles``
+    (tile_w, tile_h) writes the TILED layout (tags 322-325, edge
+    tiles zero-padded to full size per §15); ``planar`` 2 writes
+    PlanarConfiguration 2 (plane-major chunk runs, §13)."""
     import numpy as np
 
     a = np.asarray(img, dtype=np.uint8)
@@ -2565,22 +2644,45 @@ def encode_tiff(img, byte_order: str = "little", compression: int = 1,
     store = a
     if photo == 0:
         store = (255 - a.astype(np.int64)).astype(np.uint8)
-    strips = []
-    for r0 in range(0, h, rows_per_strip):
-        block = store[r0 : r0 + rows_per_strip]
+    store3 = store.reshape(h, w, spp)
+
+    def finish(block3) -> bytes:
+        # block3: (rows, cols, s) samples -> predictor + compression
         if predictor == 2:
-            b3 = block.reshape(block.shape[0], w, spp).astype(np.int64)
+            b3 = block3.astype(np.int64)
             diff = np.empty_like(b3)
             diff[:, 0] = b3[:, 0]
             diff[:, 1:] = b3[:, 1:] - b3[:, :-1]
             chunk = (diff % 256).astype(np.uint8).tobytes()
         else:
-            chunk = block.tobytes()
+            chunk = np.ascontiguousarray(block3, dtype=np.uint8).tobytes()
         if compression == 32773:
             chunk = _packbits_encode(chunk)
         elif compression == 5:
             chunk = _tiff_lzw_encode(chunk)
-        strips.append(chunk)
+        return chunk
+
+    strips = []
+    if tiles is not None:
+        tw_, tl_ = tiles
+        planes = spp if planar == 2 else 1
+        for p in range(planes):
+            src = store3[:, :, p : p + 1] if planar == 2 else store3
+            for ty in range(0, h, tl_):
+                for tx in range(0, w, tw_):
+                    sub = src[ty : ty + tl_, tx : tx + tw_]
+                    pad = np.zeros((tl_, tw_, sub.shape[2]), dtype=np.uint8)
+                    pad[: sub.shape[0], : sub.shape[1]] = sub
+                    strips.append(finish(pad))
+    elif planar == 2 and spp > 1:
+        for p in range(spp):
+            for r0 in range(0, h, rows_per_strip):
+                strips.append(
+                    finish(store3[r0 : r0 + rows_per_strip, :, p : p + 1])
+                )
+    else:
+        for r0 in range(0, h, rows_per_strip):
+            strips.append(finish(store3[r0 : r0 + rows_per_strip]))
 
     def u16(v):
         return int(v).to_bytes(2, en)
@@ -2623,10 +2725,18 @@ def encode_tiff(img, byte_order: str = "little", compression: int = 1,
     entries.append(val_entry(258, 3, [8] * spp))
     entries.append(val_entry(259, 3, [compression]))
     entries.append(val_entry(262, 3, [photo]))
-    entries.append(val_entry(273, 4, strip_offs))
     entries.append(val_entry(277, 3, [spp]))
-    entries.append(val_entry(278, 4, [rows_per_strip]))
-    entries.append(val_entry(279, 4, [len(s) for s in strips]))
+    if tiles is not None:
+        entries.append(val_entry(322, 4, [tiles[0]]))
+        entries.append(val_entry(323, 4, [tiles[1]]))
+        entries.append(val_entry(324, 4, strip_offs))
+        entries.append(val_entry(325, 4, [len(s) for s in strips]))
+    else:
+        entries.append(val_entry(273, 4, strip_offs))
+        entries.append(val_entry(278, 4, [rows_per_strip]))
+        entries.append(val_entry(279, 4, [len(s) for s in strips]))
+    if planar != 1:
+        entries.append(val_entry(284, 3, [planar]))
     if predictor != 1:
         entries.append(val_entry(317, 3, [predictor]))
     if photo == 3:

@@ -2391,3 +2391,132 @@ def test_gif_anim_stats_kernel(spark):
         (f + 1) * vs[5 * f + tc] * (512 * tc + 9248)
         for f in range(4) for tc in range(5)
     )
+
+
+def _tiff_hand2(en, entries, body_at_8):
+    """Hand-build a TIFF like _tiff_hand but with an overflow area
+    after the IFD for entries whose values exceed 4 bytes (needed for
+    multi-tile offset lists)."""
+    import struct
+
+    e = "<" if en == "little" else ">"
+    ifd_off = 8 + len(body_at_8)
+    out = bytearray((b"II" if en == "little" else b"MM"))
+    out += struct.pack(e + "HI", 42, ifd_off)
+    out += body_at_8
+    ents = sorted(entries)
+    ifd_len = 2 + 12 * len(ents) + 4
+    over_off = ifd_off + ifd_len
+    over = bytearray()
+    out += struct.pack(e + "H", len(ents))
+    for tag, typ, cnt, vals in ents:
+        out += struct.pack(e + "HHI", tag, typ, cnt)
+        cell = bytearray()
+        for v in vals:
+            cell += struct.pack(e + ("H" if typ == 3 else "I"), v)
+        if len(cell) <= 4:
+            out += cell + b"\x00" * (4 - len(cell))
+        else:
+            out += struct.pack(e + "I", over_off + len(over))
+            over += cell
+    out += struct.pack(e + "I", 0)
+    out += over
+    return bytes(out)
+
+
+def test_tiff_hand_golden_tiled_padding_cropped():
+    """A hand-assembled TILED grayscale TIFF: one 4x4 tile carrying a
+    3x3 image — the pad column/row (0xEE sentinels) MUST be cropped,
+    pinning §15's padded-full-tile rule independently of the writer.
+    A second 2-tile file pins row-major tile ORDER."""
+    import numpy as np
+
+    from ssp_spark.operators.multimodal import decode_image
+
+    tile = bytearray(16)
+    vals = np.arange(1, 10, dtype=np.uint8).reshape(3, 3)
+    for y in range(4):
+        for x in range(4):
+            tile[y * 4 + x] = vals[y, x] if (y < 3 and x < 3) else 0xEE
+    entries = [
+        (256, 4, 1, [3]), (257, 4, 1, [3]), (258, 3, 1, [8]),
+        (259, 3, 1, [1]), (262, 3, 1, [1]), (277, 3, 1, [1]),
+        (322, 4, 1, [4]), (323, 4, 1, [4]), (324, 4, 1, [8]),
+        (325, 4, 1, [16]),
+    ]
+    for en in ("little", "big"):
+        img = decode_image(_tiff_hand2(en, entries, bytes(tile)))
+        assert img.shape == (3, 3, 3)
+        assert (img[:, :, 0] == vals).all()
+        assert 0xEE not in img  # pad never leaks
+
+    # two 4x4 tiles side by side for a 6x4 image: tile 0 all 10s,
+    # tile 1 all 20s -> left half 10, right (cropped) half 20
+    body = bytes([10] * 16) + bytes([20] * 16)
+    entries = [
+        (256, 4, 1, [6]), (257, 4, 1, [4]), (258, 3, 1, [8]),
+        (259, 3, 1, [1]), (262, 3, 1, [1]), (277, 3, 1, [1]),
+        (322, 4, 1, [4]), (323, 4, 1, [4]), (324, 4, 2, [8, 24]),
+        (325, 4, 2, [16, 16]),
+    ]
+    for en in ("little", "big"):
+        img = decode_image(_tiff_hand2(en, entries, body))
+        assert (img[:, :4, 0] == 10).all() and (img[:, 4:, 0] == 20).all()
+
+
+def test_tiff_hand_golden_planar_plane_order():
+    """A hand-assembled PlanarConfiguration-2 RGB TIFF (2x2): three
+    single-plane strips in R, G, B order — a decoder that interleaves
+    chunky-style or swaps plane order breaks the channel assertion."""
+    import numpy as np
+
+    from ssp_spark.operators.multimodal import decode_image
+
+    body = bytes([1, 2, 3, 4]) + bytes([50, 60, 70, 80]) + \
+        bytes([200, 210, 220, 230])
+    entries = [
+        (256, 4, 1, [2]), (257, 4, 1, [2]), (258, 3, 3, [8, 8, 8]),
+        (259, 3, 1, [1]), (262, 3, 1, [2]), (273, 4, 3, [8, 12, 16]),
+        (277, 3, 1, [3]), (278, 4, 1, [2]), (279, 4, 3, [4, 4, 4]),
+        (284, 3, 1, [2]),
+    ]
+    for en in ("little", "big"):
+        img = decode_image(_tiff_hand2(en, entries, body))
+        assert (img[:, :, 0] == np.array([[1, 2], [3, 4]])).all()
+        assert (img[:, :, 1] == np.array([[50, 60], [70, 80]])).all()
+        assert (img[:, :, 2] == np.array([[200, 210], [220, 230]])).all()
+
+
+def test_tiff_tiled_planar_writer_matrix(spark=None):
+    """encode_tiff x decode across the tiled/planar matrix (both byte
+    orders, PackBits/LZW/predictor) plus the disclosed 1-bit-tile
+    boundary."""
+    import numpy as np
+    import pytest
+
+    from ssp_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(9)
+    rgb = rng.randint(0, 256, (13, 21, 3)).astype(np.uint8)
+    for kw in (
+        dict(tiles=(8, 8)),
+        dict(tiles=(16, 8), compression=32773),
+        dict(tiles=(8, 16), compression=5, predictor=2),
+        dict(tiles=(8, 8), planar=2),
+        dict(tiles=(8, 8), planar=2, compression=5, predictor=2),
+        dict(planar=2, rows_per_strip=5),
+        dict(planar=2, rows_per_strip=4, compression=32773),
+        dict(planar=2, rows_per_strip=6, compression=5, predictor=2),
+    ):
+        for en in ("little", "big"):
+            out = mm.decode_image(mm.encode_tiff(rgb, byte_order=en, **kw))
+            assert (out == rgb).all(), (kw, en)
+    # disclosed boundary: 1-bit tiled raises
+    entries = [
+        (256, 4, 1, [3]), (257, 4, 1, [3]), (258, 3, 1, [1]),
+        (259, 3, 1, [1]), (262, 3, 1, [1]), (277, 3, 1, [1]),
+        (322, 4, 1, [4]), (323, 4, 1, [4]), (324, 4, 1, [8]),
+        (325, 4, 1, [2]),
+    ]
+    with pytest.raises(NotImplementedError, match="tiled TIFF"):
+        mm.decode_image(_tiff_hand2("little", entries, b"\x00\x00"))
