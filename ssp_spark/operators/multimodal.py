@@ -126,6 +126,39 @@ def decode_image(data: bytes):
             fields.append(int(data[start:pos]))
         return fields, pos + 1
 
+    if data[:2] in (b"P1", b"P2", b"P3"):
+        # plain (ASCII) netpbm: whitespace-separated decimal tokens,
+        # '#' comments stripped anywhere; P1 additionally allows pixel
+        # digits with NO separating whitespace ("0110"), and 1 means
+        # BLACK (the same inversion as P4)
+        import re
+
+        clean = re.sub(rb"#[^\n]*", b"", data[2:])
+        toks = clean.split()
+        kind = data[1:2]
+        if kind == b"1":
+            w, h = int(toks[0]), int(toks[1])
+            digits = b"".join(toks[2:]).decode("ascii")
+            if len(digits) < w * h or any(c not in "01" for c in digits[: w * h]):
+                raise ValueError("PBM plain raster truncated or non-binary")
+            codes = np.frombuffer(
+                digits[: w * h].encode(), dtype=np.uint8
+            ).astype(np.int16)
+            g = ((1 - (codes - ord("0"))) * 255).astype(np.uint8).reshape(h, w)
+            return np.ascontiguousarray(np.stack([g, g, g], axis=2))
+        w, h, maxval = int(toks[0]), int(toks[1]), int(toks[2])
+        n = w * h * (3 if kind == b"3" else 1)
+        if len(toks) < 3 + n:
+            raise ValueError("plain netpbm raster truncated")
+        vals = np.array([int(t) for t in toks[3 : 3 + n]], dtype=np.int64)
+        if (vals < 0).any() or (vals > maxval).any():
+            raise ValueError("plain netpbm sample out of range")
+        if maxval > 255:  # high-byte convention, same as P5/P6
+            vals >>= 8
+        if kind == b"3":
+            return vals.astype(np.uint8).reshape(h, w, 3).copy()
+        g = vals.astype(np.uint8).reshape(h, w)
+        return np.ascontiguousarray(np.stack([g, g, g], axis=2))
     if data[:2] == b"P5":
         # binary PGM: like P6 with one sample per pixel; gray
         # replicated to the (h, w, 3) contract, 16-bit high-byte

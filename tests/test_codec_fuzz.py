@@ -48,6 +48,8 @@ def _corpus() -> dict[str, tuple[bytes, bool]]:
     return {
         "ppm": (b"P6\n40 32\n255\n" + img.tobytes(), False),
         "pgm": (b"P5\n40 32\n255\n" + gray.tobytes(), False),
+        "pgm_ascii": (b"P2\n40 32\n255\n" + " ".join(
+            str(int(v)) for v in gray.ravel()).encode(), False),
         "pbm": (b"P4\n40 32\n" + np.packbits(
             (gray > 127).astype(np.uint8), axis=1).tobytes(), False),
         "wav_float": (mm.encode_wav(

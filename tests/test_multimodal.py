@@ -2520,3 +2520,27 @@ def test_tiff_tiled_planar_writer_matrix(spark=None):
     ]
     with pytest.raises(NotImplementedError, match="tiled TIFF"):
         mm.decode_image(_tiff_hand2("little", entries, b"\x00\x00"))
+
+
+def test_decode_image_plain_ascii_netpbm():
+    """Plain (ASCII) netpbm P1/P2/P3: '#' comments anywhere, P1's
+    fused pixel digits and 1-means-black, 16-bit high-byte convention,
+    range/truncation ValueErrors."""
+    import pytest
+
+    from ssp_spark.operators import multimodal as mm
+
+    img = mm.decode_image(b"P1\n# comment\n4 2\n0110\n1001")
+    assert img.shape == (2, 4, 3)
+    assert img[0, :, 0].tolist() == [255, 0, 0, 255]
+    assert img[1, :, 2].tolist() == [0, 255, 255, 0]
+    img = mm.decode_image(b"P2 2 2 65535\n0 256 51200 65535")
+    assert img[:, :, 1].ravel().tolist() == [0, 1, 200, 255]
+    img = mm.decode_image(b"P3\n2 1 255\n1 2 3  250 251 252")
+    assert img[0, 0].tolist() == [1, 2, 3]
+    assert img[0, 1].tolist() == [250, 251, 252]
+    for bad in (b"P2 2 2 255\n0 1 2 300",   # sample > maxval
+                b"P3 2 2 255\n0 1 2",       # truncated raster
+                b"P1 3 3\n0101"):           # truncated bitmap
+        with pytest.raises(ValueError):
+            mm.decode_image(bad)
