@@ -98,7 +98,9 @@ def decode_image(data: bytes):
     JPEG (SOF0 Huffman + iDCT, grayscale / 4:4:4 / subsampled
     4:2:0-family YCbCr — see _decode_jpeg; SOF2 progressive routes to
     _decode_jpeg_progressive); and GIF87a/89a (real LZW, interlace,
-    transparency — see _decode_gif); and lossless WebP (VP8L: full
+    transparency — see _decode_gif); QOI (all six spec ops, 64-slot
+    index, run/diff/luma — see ssp_spark.operators.qoi); and lossless
+    WebP (VP8L: full
     prefix-code machinery, meta-prefix, color cache, LZ77, subtract-
     green + color-indexing — see ssp_spark.operators.webp; lossy VP8,
     VP8X, plane codes and predictor/color transforms are that module's
@@ -247,6 +249,10 @@ def decode_image(data: bytes):
         from ssp_spark.operators.webp import decode_webp
 
         return decode_webp(data)
+    if data[:4] == b"qoif":
+        from ssp_spark.operators.qoi import decode_qoi
+
+        return decode_qoi(data)
     raise NotImplementedError(
         "only PPM(P6)/BMP(24-bit)/PNG(full static matrix)/"
         "JPEG(baseline+progressive)/GIF/TIFF(baseline)/WebP(VP8L) "

@@ -59,6 +59,9 @@ def _corpus() -> dict[str, tuple[bytes, bool]]:
         "gif": (mm.encode_gif((gray % 128).astype(np.uint8), pal,
                               interlace=True), False),
         "webp": (encode_webp_lossless(img, cache_bits=5), False),
+        "qoi": (__import__(
+            "ssp_spark.operators.qoi", fromlist=["encode_qoi"]
+        ).encode_qoi(img), False),
         "tiff": (mm.encode_tiff(gray), False),
         "jpeg": (mm.encode_jpeg_gray_coeffs(cb), False),
         "wav_pcm": (mm.encode_wav(
