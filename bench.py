@@ -228,10 +228,16 @@ def tree_jiffies() -> int:
                 continue
             try:
                 fields = open(f"/proc/{d}/stat").read().rsplit(") ", 1)[1].split()
-                # fields[1]=ppid, fields[11]=utime, fields[12]=stime
-                # (indices after the comm field)
+                # fields[1]=ppid, fields[11]=utime, fields[12]=stime,
+                # fields[13]=cutime, fields[14]=cstime (indices after
+                # the comm field). cutime/cstime hold jiffies of REAPED
+                # children (e.g. recycled PySpark workers) — without
+                # them a worker that exits mid-sample vanishes from the
+                # t1 tree sum while staying in the VM-wide busy counter
+                # and gets misattributed to foreign CPU.
                 ppid[int(d)] = int(fields[1])
-                cost[int(d)] = int(fields[11]) + int(fields[12])
+                cost[int(d)] = (int(fields[11]) + int(fields[12])
+                                + int(fields[13]) + int(fields[14]))
             except Exception:
                 continue
         total = 0

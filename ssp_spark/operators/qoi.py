@@ -84,7 +84,11 @@ def decode_qoi(data: bytes):
                 if out + run > n:
                     raise ValueError("QOI: run past end of image")
                 px[out : out + run] = (r, g, b, a)
-                # the repeated pixel is already in the index slot
+                # qoi.h updates the index after EVERY chunk including
+                # OP_RUN; for a stream-leading run this is the only
+                # write that seeds slot 53 with the implicit
+                # (0, 0, 0, 255) start pixel (idempotent otherwise).
+                index[_hash(r, g, b, a)] = (r, g, b, a)
                 out += run
                 continue
         px[out] = (r, g, b, a)

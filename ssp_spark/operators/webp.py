@@ -525,6 +525,13 @@ def _write_prefix_code(bw: _BitWriterLSB, lengths: list[int]
         clc_codes = _canonical_codes(clc_lengths)
     for ln in lengths:
         bw.write_code(clc_codes[ln], clc_lengths[ln])
+    if len(used) == 1:
+        # Degenerate normal code (single used symbol >= 256, so the
+        # simple-code form above cannot carry it): the decoder's
+        # single-nonzero-length _PrefixCode consumes ZERO bits per
+        # symbol, so the writer must emit zero bits too — returning
+        # the builder's length-1 here would desync every later bit.
+        return {used[0]: (0, 0)}
     codes = _canonical_codes(lengths)
     return {s: (codes[s], lengths[s]) for s in used}
 

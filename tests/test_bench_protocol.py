@@ -73,6 +73,32 @@ def test_tree_jiffies_counts_self_and_is_fast():
     assert b > a
 
 
+def test_tree_jiffies_keeps_reaped_children():
+    """A child that burns CPU and EXITS mid-window must not vanish from
+    the tree sum (ADVICE r11): its jiffies roll into our cutime/cstime
+    on reap, so the t1-t0 delta still attributes them to our tree
+    instead of misreporting them as foreign busy CPU."""
+    import subprocess
+    import time
+
+    a = bench.tree_jiffies()
+    subprocess.run(
+        ["python", "-c",
+         "import time\n"
+         "t = time.process_time() + 0.5\n"
+         "x = 0\n"
+         "while time.process_time() < t:\n"
+         "    x += 1\n"],
+        check=True,
+    )
+    # subprocess.run has reaped the child: its ~0.5 s of CPU now lives
+    # ONLY in our cutime/cstime (USER_HZ=100 -> ~50 jiffies; allow wide
+    # margin for scheduler noise but demand clearly more than our own
+    # bookkeeping cost)
+    b = bench.tree_jiffies()
+    assert b - a >= 20, f"reaped child CPU lost from tree sum: {b - a}"
+
+
 def test_cpu_jiffies_shape_and_monotonicity():
     t1, s1, b1 = bench.cpu_jiffies()
     assert t1 >= b1 >= 0 and t1 >= s1 >= 0

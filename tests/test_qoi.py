@@ -82,6 +82,24 @@ def test_hand_golden_initial_previous_pixel():
     assert img[0, 0].tolist() == [1, 1, 1]
 
 
+def test_hand_golden_stream_leading_run_seeds_index():
+    """qoi.h updates the index after EVERY chunk including OP_RUN, so a
+    stream-leading RUN seeds slot _hash(0,0,0,255)=53 with the implicit
+    start pixel. [RUN(1), INDEX(53), DIFF(+1,+1,+1), INDEX(4)]: the
+    INDEX(53) recall must carry alpha=255 (a stale zero entry's alpha=0
+    would silently shift every later hash slot — INDEX(4) would then
+    miss (1,1,1) and read black)."""
+    assert _hash(0, 0, 0, 255) == 53
+    assert _hash(1, 1, 1, 255) == 4
+    data = _hdr(4, 1)
+    data += bytes([0xC0 | 0])                # RUN of 1 -> (0,0,0)
+    data += bytes([53])                      # INDEX slot 53
+    data += bytes([0b01_11_11_11])           # DIFF (+1,+1,+1) -> (1,1,1)
+    data += bytes([4])                       # INDEX slot 4 -> (1,1,1)
+    img = decode_qoi(data + END)
+    assert img[0].tolist() == [[0, 0, 0], [0, 0, 0], [1, 1, 1], [1, 1, 1]]
+
+
 def test_error_paths():
     with pytest.raises(ValueError, match="not a QOI"):
         decode_qoi(b"qoix" + b"\x00" * 20)

@@ -463,6 +463,35 @@ def test_writer_roundtrip_matrix():
                 img.shape, cb)
 
 
+def test_write_prefix_code_single_symbol_ge_256_zero_bits():
+    """A code with exactly one used symbol >= 256 cannot take the
+    simple-code form (8-bit symbol field), so the writer falls to the
+    normal-code path — where the decoder's degenerate single-nonzero
+    _PrefixCode consumes ZERO bits per symbol. The writer must return
+    length 0 for that symbol (ADVICE r11): a length-1 return would
+    desync every bit after the first such op. Roundtrip: write the
+    description, write one op + a sentinel, decode both."""
+    from ssp_spark.operators.webp import (
+        _BitReaderLSB,
+        _BitWriterLSB,
+        _read_prefix_code,
+        _write_prefix_code,
+    )
+
+    lengths = [0] * 300
+    lengths[280] = 1  # what _build_huffman_lengths gives one symbol
+    bw = _BitWriterLSB()
+    codes = _write_prefix_code(bw, lengths)
+    assert codes == {280: (0, 0)}
+    code, ln = codes[280]
+    bw.write_code(code, ln)        # the op itself: zero bits
+    bw.write(0b1011001, 7)         # sentinel after the op
+    br = _BitReaderLSB(bw.flush())
+    pc = _read_prefix_code(br, 300)
+    assert pc.read(br) == 280      # consumes zero bits
+    assert br.read(7) == 0b1011001  # stream still aligned
+
+
 def test_signature_and_version_checks():
     b = B().lsb(0x2E, 8).lsb(0, 14).lsb(0, 14).lsb(0, 1).lsb(0, 3)
     with pytest.raises(ValueError, match="signature"):
