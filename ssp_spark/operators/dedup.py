@@ -411,6 +411,16 @@ def simhash(
     votes over DISTINCT tokens).
     """
     spread = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+    # Zero-token docs carry no bit votes: drop them HERE, as a cheap
+    # any-non-whitespace regex on the raw text (equivalent to
+    # size(tokens) > 0: tokens splits on \s+ and discards empties, and
+    # NULL text is dropped by both forms). The r11 shape filtered on
+    # size(ths) > 0 AFTER the hash transform — Catalyst substituted the
+    # whole tokenize+md5 expression into the filter and pushed it below
+    # the repartition, so every doc paid the per-token md5 fold TWICE
+    # (measured ~15% of the sf0.1 query). Filtering pre-repartition
+    # also keeps empty docs out of the text shuffle.
+    spread = spread.filter(F.col("__text").rlike(r"\S"))
     spread = spread.repartition(spread.sparkSession.sparkContext.defaultParallelism)
     ths = spread.select(
         "doc_id",
@@ -436,11 +446,7 @@ def simhash(
           s -> s.v)
         """
     )
-    # Zero-token docs carry no bit votes: drop them (matching the
-    # explode-based formulation and the DuckDB oracle, which lose such
-    # docs at the unnest) rather than emitting a spurious simhash=0 row
-    # that would band-collide with every other empty doc.
-    return ths.filter(F.size("ths") > 0).select("doc_id", packed.alias("simhash"))
+    return ths.select("doc_id", packed.alias("simhash"))
 
 
 def embedding_near_dup(
@@ -742,11 +748,23 @@ def simhash_pairs(
     ).persist()
     a = banded.select(F.col("doc_id").alias("id1"), "band", "band_val")
     b = banded.select(F.col("doc_id").alias("id2"), "band", "band_val")
+    # A pair colliding on several bands appears once per band — the
+    # dedup groupBy is semantically DISTINCT(id1, id2), but shuffled as
+    # ONE packed long (id1 << 32 | id2) instead of a 16-byte two-column
+    # row: same id contract (< 2^31 non-negative, long-cast at ingest)
+    # and the same shuffle-width halving as _packed_pair_counts /
+    # triangle_count_users (r12; output verified row-identical at
+    # sf0.1's 1.8M pairs).
+    p = F.shiftleft(F.col("id1").cast("long"), 32) + F.col("id2")
     out = (
         a.join(b, ["band", "band_val"])
         .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
+        .select(p.alias("p"))
         .distinct()
+        .select(
+            F.shiftrightunsigned("p", 32).cast("long").alias("id1"),
+            F.col("p").bitwiseAND(F.lit((1 << 32) - 1)).alias("id2"),
+        )
         .localCheckpoint()
     )
     banded.unpersist()

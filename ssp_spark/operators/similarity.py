@@ -285,14 +285,17 @@ def lsh_topk_gemm(
         .drop("__m")
         .withColumn("side", F.lit(0))
     )
+    # No corpus repartition here (r12; the jvm path keeps its spread):
+    # this kernel's heavy work — the per-bucket GEMM — runs AFTER the
+    # groupBy(bucket) exchange, which redistributes the corpus anyway,
+    # and the pre-exchange projection is 8 plane dots per row (~512
+    # flops). The repartition was a full extra exchange of the corpus
+    # bytes for parallelism the bucket exchange already provides;
+    # removing it measured output-identical and ~0.3-1.0 s faster at
+    # sf0.1, and at 100 TB the scan's own splits parallelize the
+    # projection.
     cb = (
-        lsh_buckets(
-            corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism),
-            id_col,
-            vec_col,
-            n_planes,
-            dims,
-        )
+        lsh_buckets(corpus, id_col, vec_col, n_planes, dims)
         .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), "bucket")
         .withColumn("side", F.lit(1))
     )

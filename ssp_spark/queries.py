@@ -8179,21 +8179,26 @@ def _capped_user_days(
     pair shuffle quadratically (sf0.1: 40k user-days -> 15k, 26.7M pair
     rows -> ~3.6M, measured). The pruned users can also never affect
     which users the cap keeps — the filter runs first on BOTH engines.
-    The prune is a user-keyed count window on the distinct frame, NOT a
-    separate aggregate branch joined back: a second branch re-reads the
-    events scan and re-runs the distinct exchange (both branches sit
-    under the same lazy plan — measured ~0.6 s of duplicated scan at
-    sf0.1), while the window rides one user-keyed exchange of the
-    already-distinct 40k-row frame with bounded per-user state."""
+    Distinct-ing AND counting fold into ONE user-keyed collect_set
+    aggregate (r12, the bench-creep fix VERDICT r11 #1 asked for): the
+    r11 shape was distinct-on-(user,day) then a user-keyed count
+    window — two exchanges where one carries both answers.
+    partial_collect_set dedups map-side exactly as distinct's partial
+    aggregate did (shuffle traffic is one bounded day-set per user per
+    map task), size(days) IS the distinct-day count, and explode
+    restores the (user_id, day) frame — measured plan 3 -> 2 exchanges,
+    output verified row-identical at sf0.1. Per-user state is bounded
+    by the corpus's day span (years x 365 longs), so the aggregate is
+    safe at any row scale."""
     day = F.expr("unix_timestamp(ts) div 86400")
-    ud = ev.select("user_id", day.alias("day")).distinct()
+    per_user = (
+        ev.select("user_id", day.alias("day"))
+        .groupBy("user_id")
+        .agg(F.collect_set("day").alias("days"))
+    )
     if min_days > 0:
-        wnd = Window.partitionBy("user_id")
-        ud = (
-            ud.withColumn("__nd", F.count("*").over(wnd))
-            .filter(F.col("__nd") >= min_days)
-            .drop("__nd")
-        )
+        per_user = per_user.filter(F.size("days") >= min_days)
+    ud = per_user.select("user_id", F.explode("days").alias("day"))
     wcap = Window.partitionBy("day").orderBy(
         portable_hash64(F.col("user_id").cast("string")), "user_id"
     )
@@ -12817,93 +12822,116 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     sf0.001 on every pytest run. All twenty-nine lead the r8 queue
 #     together with the 46 r4-latest queries; after this round ZERO
 #     registry queries are never-driver-checked.
+# ROUND-11 window (50), now historical (CORRECTNESS_r11.json: 50/50
+# green; the full set is pinned in tests/test_registry.py's _R11_*
+# groups): 2 new (multimodal_decode_webp, multimodal_gif_anim_index) +
+# 1 changed (multimodal_decode_jpeg12) + 5 late-r10-plan-changed +
+# 10 queued (ann_lsh_topk + the 9-row r5-stale cohort) + 32 of the 42
+# r6-stale rows = 50. The 9-row r12 queue was the 8 alphabetically-last
+# r6 rows PLUS stratified_sample_events, which multimodal_gif_anim_index
+# displaced (re-verified hash-green at sf0.01 on displacement). This
+# paragraph was corrected in r12 per ADVICE r11: the r11 hand
+# arithmetic had said 1 new / 33 stale / 8 queued; test_registry.py had
+# the right sets all along, and the staleness claim is now COMPUTED,
+# not hand-written (test_registry.py::test_survey_staleness_claim_
+# matches_artifacts derives it from CORRECTNESS_r*.json + this list).
 _CHECK_FIRST = [
-    # ---- ROUND 11 WINDOW ---------------------------------------------
-    # Policy (unchanged): the never-checked query leads, then everything
-    # new/changed this round, then the queued stale cohorts, oldest
-    # evidence first; new/changed rows outrank repeat confirmations and
-    # displace from the bottom, each displaced row re-verified
-    # hash-green at sf0.01 before displacement.
-    # Composition: 1 new + 1 changed + 5 late-r10-plan-changed +
-    # 10 queued (ann_lsh_topk + the 9 r5-stale rows VERDICT r10 #2
-    # named) + 33 of the 42 r6-stale rows = 50. After the r11 run the
-    # oldest registry evidence is r6 (the 8 alphabetically-last r6 rows
-    # + ann_lsh_topk_gemm's cohort remainder lead the r12 queue).
-    # (a) new in r11, never driver-checked
-    "multimodal_decode_webp",  # VP8L decode gate (VERDICT r10 #3);
-                               # hash-matched at sf0.001/0.01/0.1
-                               # before its slot
-    "multimodal_gif_anim_index",  # animated-GIF frame walk gate;
-                               # hash-matched at sf0.001/0.01 before
-                               # its slot (displaces the bottom r6
-                               # row stratified_sample_events per the
-                               # window policy — re-verified at sf0.01
-                               # on displacement, leads the r12 queue)
-    # (b) changed in r11
-    "multimodal_decode_jpeg12",  # decode_image_deep now enforces its
-                                 # 12-bit-only contract fork on the
-                                 # gate's kernel path (ADVICE r10);
-                                 # re-verified at sf0.01
-    # (c) late-r10 plan change (_spread_for_cpu touched every
-    # multimodal kernel after the r10 window froze; the r10 window
-    # notes queued these five decode rows for r11 — each was
-    # re-verified hash-green in the same-day 231-query sf0.01 sweep)
-    "multimodal_decode_png",
-    "multimodal_decode_png_palette",
-    "multimodal_decode_jpeg",
-    "multimodal_resize_decoded",
-    "image_ahash_buckets",
-    # (d) the queued 10: the r6-filler displaced in r10 + the whole
-    # 9-row r5-stale cohort (VERDICT r10 #2, incl. the undisclosed
-    # window_funcs_showcase displacement — disclosed now)
-    "ann_lsh_topk",
-    "set_ops_users",
-    "sliding_window_counts",
-    "source_text_scan",
-    "streaming_wordcount_replay",
-    "string_funcs",
-    "token_count",
-    "tumbling_hourly_stats",
-    "user_activity_pivot",
-    "window_funcs_showcase",
-    # (e) 33 of the 42 r6-stale rows, alphabetical (ann_lsh_topk is in
-    # (d)); the remaining 8 — text_normalize_redact,
-    # time_decayed_user_spend, top_customers_per_nation,
-    # udaf_user_spend, weighted_sample_per_source,
-    # welch_ttest_segments, window_frame_funcs,
-    # winsorized_stats_events — lead the r12 queue
-    "ann_lsh_topk_gemm",
-    "ann_topk_bruteforce",
-    "bm25_topk_docs",
-    "char_entropy_docs",
-    "compaction_plan_docs",
-    "dedup_events_keeper",
-    "dedup_simhash",
-    "embedding_random_projection",
-    "entity_resolution_parts",
-    "event_trigram_topk",
-    "fuzzy_name_pairs",
-    "gini_spend_concentration",
-    "graph_reachability_bfs",
-    "inverted_index_postings",
-    "k_anonymity_events",
-    "kcore_user_graph",
-    "key_skew_report_events",
-    "kmv_user_overlap",
-    "label_propagation_communities",
-    "mmr_diverse_topk",
-    "mmr_diverse_topk_arrow",
-    "pit_enrich_events",
-    "q14_promo_revenue",
-    "q17_small_qty_revenue",
-    "q1_pricing_summary",
-    "q22_idle_rich_customers",
-    "q2_min_cost_supplier",
-    "q4_priority_exists",
-    "q7_nation_volume",
-    "q9_product_profit",
-    "running_distinct_users",
-    "source_csv_scan",
+    # ---- ROUND 12 WINDOW ---------------------------------------------
+    # Policy: oldest evidence first this round (VERDICT r11 #3 pins the
+    # 9 r6-stale rows to the FIRST slots), then everything changed this
+    # round, then the next stale cohort alphabetically. New/changed
+    # rows outrank repeat confirmations and displace from the bottom —
+    # but per the r12 age-bound (VERDICT r11 #6) the LAST TWO slots are
+    # reserved for the two oldest-evidence rows unconditionally: no
+    # displacement may touch them, so no row can age past ~5 rounds.
+    # Composition: 9 r6-stale + 7 changed-in-r12 + 34 of the 36
+    # r7-stale = 50. The two alphabetically-last r7 rows
+    # (token_freq_spectrum_docs, user_event_entropy) were DISPLACED
+    # when the two codec-gate kernel changes claimed slots — each
+    # re-verified hash-green at sf0.01 in this round's full-registry
+    # verify sweep before displacement; they lead the r13 queue as its
+    # oldest evidence, where the age-bound reserve guarantees them
+    # slots. (After the r12 run the oldest registry evidence is r7 —
+    # those 2 rows; see test_registry.py's computed-staleness test.)
+    # (a) the 9 r6-stale rows (VERDICT r11 #3: first slots; includes
+    # stratified_sample_events, displaced in r10 AND r11 — under the
+    # new age-bound it can never be displaced again)
+    "stratified_sample_events",
+    "text_normalize_redact",
+    "time_decayed_user_spend",
+    "top_customers_per_nation",
+    "udaf_user_spend",
+    "weighted_sample_per_source",
+    "welch_ttest_segments",
+    "window_frame_funcs",
+    "winsorized_stats_events",
+    # (b) plan-changed in r12 (the VERDICT r11 #1 bench work; every
+    # change verified OUTPUT-IDENTICAL on the live fixtures before
+    # landing, and each row re-verified hash-green vs its oracle at
+    # sf0.01 in this round's full-registry /verify sweep):
+    "triangle_count_users",     # min-days prune + distinct folded into
+                                # one collect_set aggregate (3 -> 2
+                                # exchanges on the capped stage)
+    "dedup_simhash",            # simhash()'s zero-token filter is now a
+                                # cheap rlike on raw text instead of a
+                                # size() over the substituted md5 fold
+                                # (the old filter re-hashed every doc)
+    "dedup_simhash_pairs",      # (same simhash() change via
+                                # simhash_pairs, + the packed-long
+                                # pair-dedup below)
+    "dedup_simhash64_pairs",    # simhash() change + pair dedup now
+                                # shuffles one packed long per pair
+                                # instead of a 16-byte two-column row
+    "ann_lsh_topk_gemm",        # corpus-side repartition removed: the
+                                # groupBy(bucket) exchange already
+                                # redistributes, so it was a pure extra
+                                # corpus exchange (jvm path untouched)
+    "multimodal_decode_tiff",   # decode kernel gained the 1-bit tiled
+                                # branch (VERDICT r11 #4) — unreachable
+                                # on the gate's 8-bit fixtures but on
+                                # its dispatch path, so it takes a slot
+                                # per the r11 jpeg12 precedent
+    "multimodal_decode_bmp_rle8",  # BMP path gained the dimension +
+                                # RLE8 stream-capacity guards (r12
+                                # fuzz finds) — never-true on gate
+                                # fixtures, same disclosure rule
+    # (c) 34 of the 36-row r7-stale cohort, alphabetical (the r12 queue
+    # VERDICT r11 #3 named); token_freq_spectrum_docs and
+    # user_event_entropy displaced per the composition note above.
+    "acf_daily_orders",
+    "anomaly_dow_events",
+    "asof_join_forward_tolerance",
+    "assoc_rules_events",
+    "attribution_position_based",
+    "benford_order_totals",
+    "chisq_type_dow_events",
+    "copurchase_similar_customers",
+    "cuped_adjusted_spend",
+    "dedup_minhash_clusters",
+    "exact_percentiles_events",
+    "interarrival_stats_users",
+    "ks_test_segments",
+    "lexical_richness",
+    "mann_kendall_trend_orders",
+    "pipeline_train_manifest",
+    "pmi_collocations_docs",
+    "psi_drift_orders",
+    "q16_supplier_cnt",
+    "q19_disjunctive_revenue",
+    "q20_qty_suppliers",
+    "q8_market_share",
+    "quality_zscore_by_source",
+    "quantile_normalize_quality",
+    "rfm_customer_segments",
+    "rolling_corr_view_purchase",
+    "seasonal_decompose_daily",
+    "spearman_customer_value",
+    "stratified_kfold_embeddings",
+    "streaks_user_activity",
+    "theil_sen_trend_orders",
+    "time_rollup_multigrain",
+    "time_split_embargo_events",
+    "token_budget_selection",
 ]
 
 assert len(_CHECK_FIRST) == 50 and len(set(_CHECK_FIRST)) == 50
