@@ -203,6 +203,15 @@ def decode_image(data: bytes):
         h = int.from_bytes(data[22:26], "little", signed=True)
         bpp = int.from_bytes(data[28:30], "little")
         comp = int.from_bytes(data[30:34], "little")
+        # bound BEFORE allocating: only the HEIGHT may be negative
+        # (top-down row order), and a corrupt 31-bit dimension would
+        # otherwise drive the index grid / palette gather into
+        # hundred-GiB allocations that thrash for minutes before
+        # failing (the r12 fuzz pass caught 149-233 s decodes on
+        # 2-byte-flipped RLE8 streams) — the same pre-allocation guard
+        # as the QOI and TIFF tag paths
+        if w <= 0 or h == 0 or abs(h) * w > (1 << 26):
+            raise ValueError("BMP: unreasonable dimensions")
         if bpp == 24 and comp == 0:
             stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
             rows = np.frombuffer(
@@ -227,6 +236,20 @@ def decode_image(data: bytes):
                     data, dtype=np.uint8, count=stride * ah, offset=off
                 ).reshape(ah, stride)[:, :w]
             else:
+                # RLE escape codes (EOL / delta / early EOB) let a
+                # tiny stream declare an arbitrarily huge image of
+                # "undefined" (index-0) pixels, so the global pixel
+                # guard above still admits multi-hundred-MB gathers
+                # from sub-KB corrupt files (the r12 fuzz pass measured
+                # 8.7 s on a 952-byte flip). Bound the declared area by
+                # the input's paint capacity: one run pair covers at
+                # most 255 pixels, so 2048 px/byte is ~16x anything a
+                # real encoder emits; a blank-giant image saved as an
+                # immediate EOB is rejected as a documented boundary.
+                if w * ah > max(0, len(data) - off + 64) * 2048:
+                    raise ValueError(
+                        "BMP: RLE8 dimensions exceed stream capacity"
+                    )
                 idx = _bmp_rle8_decode(data, off, w, ah)
             if int(idx.max(initial=0)) >= n_pal:
                 raise ValueError("BMP pixel index beyond color table")
@@ -2464,11 +2487,12 @@ def _decode_tiff(data: bytes):
     2 (RGB, SamplesPerPixel 3) and 3 (palette via the 16-bit ColorMap
     tag, high byte), bits-per-sample 1 (rows byte-padded) and 8,
     TILED layout (tags 322-325: row-major padded full tiles, cropped
-    at the right/bottom edges — TIFF 6.0 §15) and PLANAR-SEPARATE
+    at the right/bottom edges — TIFF 6.0 §15; 8-bit, or 1-bit single
+    gray plane with byte-padded tile rows, r12) and PLANAR-SEPARATE
     configuration (tag 284 = 2: per-plane strip runs, §13), both also
-    under PackBits/LZW/predictor. Multi-IFD, 1-bit tiles/planes and
-    other compressions raise NotImplementedError — the module's
-    documented-boundary contract."""
+    under PackBits/LZW/predictor. Multi-IFD, 1-bit planar/multi-sample
+    tiles and other compressions raise NotImplementedError — the
+    module's documented-boundary contract."""
     import numpy as np
 
     if data[:2] == b"II":
@@ -2551,8 +2575,13 @@ def _decode_tiff(data: bytes):
         # TIFF 6.0 §15: full tiles of TileWidth x TileLength in
         # row-major tile order (plane-major under planar 2); edge
         # tiles are padded in the FILE and cropped here
-        if bits != 8:
-            raise NotImplementedError("tiled TIFF needs 8-bit samples")
+        if bits not in (1, 8):
+            raise NotImplementedError("tiled TIFF needs 1- or 8-bit samples")
+        if bits == 1 and (spp != 1 or planar == 2):
+            # 1-bit data is a single gray/palette plane in practice;
+            # multi-sample or separate-plane bilevel stays a disclosed
+            # boundary rather than a guessed layout
+            raise NotImplementedError("1-bit tiled TIFF needs one gray plane")
         tw_, tl_ = tags[322][0], tags[323][0]
         t_offs, t_cnts = tags[324], tags[325]
         ta = (w + tw_ - 1) // tw_
@@ -2568,11 +2597,33 @@ def _decode_tiff(data: bytes):
                 for tx in range(ta):
                     off, cnt = t_offs[i], t_cnts[i]
                     i += 1
-                    nbytes = tl_ * tw_ * spp_eff
-                    tile = dechunk(data[off : off + cnt], nbytes, tl_,
-                                   tw_, spp_eff)
-                    arr = np.frombuffer(tile, dtype=np.uint8).reshape(
-                        tl_, tw_, spp_eff)
+                    if bits == 1:
+                        # each TILE row is byte-padded independently —
+                        # the same (w*bits+7)//8 arithmetic as 1-bit
+                        # strip rows (and the P4 PBM goldens that pin
+                        # the MSB-first bit order), but with the TILE
+                        # width; §15's width-multiple-of-16 rule makes
+                        # the pad bits land only in right-edge crop
+                        # columns, and a lenient reader still applies
+                        # the row arithmetic rather than assuming it
+                        rowb = (tw_ + 7) // 8
+                        nbytes = tl_ * rowb
+                        tile = dechunk(data[off : off + cnt], nbytes,
+                                       tl_, tw_, 1)
+                        arr = (
+                            np.unpackbits(
+                                np.frombuffer(tile, dtype=np.uint8)
+                                .reshape(tl_, rowb),
+                                axis=1,
+                            )[:, :tw_]
+                            * np.uint8(255)
+                        ).reshape(tl_, tw_, 1)
+                    else:
+                        nbytes = tl_ * tw_ * spp_eff
+                        tile = dechunk(data[off : off + cnt], nbytes, tl_,
+                                       tw_, spp_eff)
+                        arr = np.frombuffer(tile, dtype=np.uint8).reshape(
+                            tl_, tw_, spp_eff)
                     ys, xs = ty * tl_, tx * tw_
                     sub = arr[: min(tl_, h - ys), : min(tw_, w - xs)]
                     if planar == 2:

@@ -2511,15 +2511,67 @@ def test_tiff_tiled_planar_writer_matrix(spark=None):
         for en in ("little", "big"):
             out = mm.decode_image(mm.encode_tiff(rgb, byte_order=en, **kw))
             assert (out == rgb).all(), (kw, en)
-    # disclosed boundary: 1-bit tiled raises
+    # still-disclosed boundary: 1-bit tiles with spp=3 or planar=2
+    # (the single-gray-plane case decodes since r12 — goldens below)
     entries = [
-        (256, 4, 1, [3]), (257, 4, 1, [3]), (258, 3, 1, [1]),
-        (259, 3, 1, [1]), (262, 3, 1, [1]), (277, 3, 1, [1]),
+        (256, 4, 1, [3]), (257, 4, 1, [3]), (258, 3, 3, [1, 1, 1]),
+        (259, 3, 1, [1]), (262, 3, 1, [2]), (277, 3, 1, [3]),
         (322, 4, 1, [4]), (323, 4, 1, [4]), (324, 4, 1, [8]),
-        (325, 4, 1, [2]),
+        (325, 4, 1, [6]),
     ]
-    with pytest.raises(NotImplementedError, match="tiled TIFF"):
-        mm.decode_image(_tiff_hand2("little", entries, b"\x00\x00"))
+    with pytest.raises(NotImplementedError, match="1-bit tiled"):
+        mm.decode_image(_tiff_hand2("little", entries, b"\x00" * 6))
+
+
+def test_tiff_hand_golden_tiled_1bit():
+    """Hand-assembled 1-BIT TILED grayscale TIFFs (the r12 boundary
+    close, VERDICT r11 #4). Golden 1 pins the byte-padded-row-WITHIN-
+    tile arithmetic: a 10-wide tile needs 2 bytes per tile row, so the
+    3 pad bits of byte 0 AND all of byte 1 (set to 1-sentinels) must be
+    cropped; bit order is MSB-first exactly as the P4/PBM goldens pin
+    it. Golden 2 pins row-major tile ORDER and photometric-0 inversion
+    for the 1-bit path."""
+    import numpy as np
+
+    from ssp_spark.operators.multimodal import decode_image
+
+    # 5x3 image in one 10x4 tile: rows 10101 / 01010 / 11001, every
+    # pad bit a 1-sentinel (would decode 255 if it leaked), pad row
+    # all 1s
+    tile = bytes([0b10101_111, 0xFF,
+                  0b01010_111, 0xFF,
+                  0b11001_111, 0xFF,
+                  0xFF, 0xFF])
+    want = np.array([[1, 0, 1, 0, 1],
+                     [0, 1, 0, 1, 0],
+                     [1, 1, 0, 0, 1]], dtype=np.uint8) * 255
+    entries = [
+        (256, 4, 1, [5]), (257, 4, 1, [3]), (258, 3, 1, [1]),
+        (259, 3, 1, [1]), (262, 3, 1, [1]), (277, 3, 1, [1]),
+        (322, 4, 1, [10]), (323, 4, 1, [4]), (324, 4, 1, [8]),
+        (325, 4, 1, [8]),
+    ]
+    for en in ("little", "big"):
+        img = decode_image(_tiff_hand2(en, entries, tile))
+        assert img.shape == (3, 5, 3)
+        assert (img[:, :, 0] == want).all(), en
+        assert (img[:, :, 1] == want).all() and (img[:, :, 2] == want).all()
+
+    # two 8x4 tiles for a 12x3 image: tile 0 all ones, tile 1 all
+    # zeros -> left 8 columns set, right (cropped) 4 columns clear;
+    # photometric 0 INVERTS: set bit -> 0, clear -> 255
+    body = b"\xff" * 4 + b"\x00" * 4
+    entries = [
+        (256, 4, 1, [12]), (257, 4, 1, [3]), (258, 3, 1, [1]),
+        (259, 3, 1, [1]), (262, 3, 1, [0]), (277, 3, 1, [1]),
+        (322, 4, 1, [8]), (323, 4, 1, [4]), (324, 4, 2, [8, 12]),
+        (325, 4, 2, [4, 4]),
+    ]
+    for en in ("little", "big"):
+        img = decode_image(_tiff_hand2(en, entries, body))
+        assert img.shape == (3, 12, 3)
+        assert (img[:, :8, 0] == 0).all(), en      # set bits, inverted
+        assert (img[:, 8:, 0] == 255).all(), en    # clear bits, inverted
 
 
 def test_decode_image_plain_ascii_netpbm():
