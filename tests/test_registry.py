@@ -202,23 +202,190 @@ _R11_R6_STALE = {
 }
 
 
-def test_driver_window_is_the_round11_target_set():
-    window = list(QUERIES)[:50]
-    assert window == _CHECK_FIRST
-    assert set(window) == (
+def test_round11_window_record_matches_correctness_r11():
+    """The r11 window is history now (the r12 window below supersedes
+    it); this pins the RECORD: the r11 groups still partition exactly
+    the 50 names CORRECTNESS_r11.json hashed."""
+    import json
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "CORRECTNESS_r11.json"
+    )
+    with open(path) as f:
+        checked = set(json.load(f))
+    assert checked == (
         _R11_NEW | _R11_CHANGED | _R11_LATE_R10_PLAN | _R11_QUEUED
         | _R11_R6_STALE
     )
-    # ordering: the never-checked query leads (first row the driver
-    # hashes), then changed + plan-changed, then the queued 10, then
-    # the r6 cohort slice
-    n_a = len(_R11_NEW)
-    assert set(window[:n_a]) == _R11_NEW
-    n_b = n_a + len(_R11_CHANGED) + len(_R11_LATE_R10_PLAN)
-    assert set(window[n_a:n_b]) == _R11_CHANGED | _R11_LATE_R10_PLAN
-    n_c = n_b + len(_R11_QUEUED)
-    assert set(window[n_b:n_c]) == _R11_QUEUED
-    assert set(window[n_c:]) == _R11_R6_STALE
+
+
+# ---------------------------------------------------------------------
+# ROUND 12 window (the CURRENT driver-gate contract)
+# ---------------------------------------------------------------------
+
+# Round 12 group (a): the 9 r6-stale rows — the oldest evidence in the
+# registry, pinned to the FIRST slots (VERDICT r11 #3). Includes
+# stratified_sample_events, displaced in r10 and again in r11; under
+# the age-bound policy below it can never be displaced again.
+_R12_R6_STALE = {
+    "stratified_sample_events", "text_normalize_redact",
+    "time_decayed_user_spend", "top_customers_per_nation",
+    "udaf_user_spend", "weighted_sample_per_source",
+    "welch_ttest_segments", "window_frame_funcs",
+    "winsorized_stats_events",
+}
+
+# Round 12 group (b): plan-changed this round (the VERDICT r11 #1 bench
+# work; every change verified output-identical on the live fixtures
+# before landing, and re-verified hash-green vs its oracle at sf0.01 in
+# this round's full-registry verify sweep).
+_R12_CHANGED = {
+    "triangle_count_users",   # min-days prune + distinct folded into
+                              # one collect_set aggregate
+    "dedup_simhash",          # zero-token filter now a cheap rlike on
+                              # raw text (old form re-ran the md5 fold
+                              # inside the pushed-down filter)
+    "dedup_simhash_pairs",    # same simhash() change + packed-long
+                              # pair dedup
+    "dedup_simhash64_pairs",  # same
+    "ann_lsh_topk_gemm",      # corpus-side repartition removed (the
+                              # groupBy(bucket) exchange already
+                              # redistributes; jvm path untouched)
+    "multimodal_decode_tiff",  # decode kernel gained the 1-bit tiled
+                              # branch (VERDICT r11 #4; unreachable on
+                              # the gate's 8-bit fixtures, slot per the
+                              # r11 jpeg12 precedent)
+    "multimodal_decode_bmp_rle8",  # dimension + RLE8 stream-capacity
+                              # guards (r12 fuzz finds; never-true on
+                              # gate fixtures, same disclosure rule)
+}
+
+# Round 12 group (c): 34 of the 36-row r7-stale cohort, alphabetical —
+# the r12 queue VERDICT r11 #3 named. The two alphabetically-last rows
+# (token_freq_spectrum_docs, user_event_entropy) were DISPLACED when
+# the two codec-gate kernel changes claimed slots (new/changed outrank
+# repeat confirmations, and the age-bound reserve below protects only
+# the two OLDEST rows — the r6 cohort, all seated): each re-verified
+# hash-green at sf0.01 in this round's full-registry verify sweep
+# before displacement. They lead the r13 queue as its oldest evidence,
+# where the age-bound reserve guarantees them slots.
+_R12_R7_STALE = {
+    "acf_daily_orders", "anomaly_dow_events",
+    "asof_join_forward_tolerance", "assoc_rules_events",
+    "attribution_position_based", "benford_order_totals",
+    "chisq_type_dow_events", "copurchase_similar_customers",
+    "cuped_adjusted_spend", "dedup_minhash_clusters",
+    "exact_percentiles_events", "interarrival_stats_users",
+    "ks_test_segments", "lexical_richness", "mann_kendall_trend_orders",
+    "pipeline_train_manifest", "pmi_collocations_docs",
+    "psi_drift_orders", "q16_supplier_cnt", "q19_disjunctive_revenue",
+    "q20_qty_suppliers", "q8_market_share", "quality_zscore_by_source",
+    "quantile_normalize_quality", "rfm_customer_segments",
+    "rolling_corr_view_purchase", "seasonal_decompose_daily",
+    "spearman_customer_value", "stratified_kfold_embeddings",
+    "streaks_user_activity", "theil_sen_trend_orders",
+    "time_rollup_multigrain", "time_split_embargo_events",
+    "token_budget_selection",
+}
+
+# AGE-BOUND DISPLACEMENT POLICY (round 12, VERDICT r11 #6): the last
+# two window slots are reserved each round for the two oldest-evidence
+# rows UNCONDITIONALLY — new or changed queries may displace from the
+# bottom of the window but may never displace those two reserved rows,
+# so no registry row can age past ~5 rounds however busy a round is.
+# (stratified_sample_events motivated this: displaced in r10 for
+# multimodal_decode_jpeg420 and in r11 for multimodal_gif_anim_index,
+# it sat oldest at r6 evidence for two extra rounds.)
+# test_driver_window_age_bound below enforces the reserve against the
+# artifact-computed evidence ages.
+
+
+def test_driver_window_is_the_round12_target_set():
+    window = list(QUERIES)[:50]
+    assert window == _CHECK_FIRST
+    assert set(window) == _R12_R6_STALE | _R12_CHANGED | _R12_R7_STALE
+    # ordering: the 9 oldest-evidence rows lead (VERDICT r11 #3 pins
+    # them to the first slots the driver hashes), then the 5 changed
+    # rows, then the r7 cohort
+    n_a = len(_R12_R6_STALE)
+    assert set(window[:n_a]) == _R12_R6_STALE
+    n_b = n_a + len(_R12_CHANGED)
+    assert set(window[n_a:n_b]) == _R12_CHANGED
+    assert set(window[n_b:]) == _R12_R7_STALE
+
+
+def _evidence_rounds() -> dict[str, int]:
+    """query -> latest round with a driver row, from the
+    CORRECTNESS_r*.json artifacts (0 = never checked)."""
+    import glob
+    import json
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    latest: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        with open(f) as fh:
+            for q in json.load(fh):
+                latest[q] = max(latest.get(q, 0), rnd)
+    return {q: latest.get(q, 0) for q in QUERIES}
+
+
+def test_driver_window_age_bound():
+    """The age-bound reserve: the N oldest-evidence rows in the registry
+    (computed from the artifacts, not hand-listed) must all hold window
+    slots, for N = the full oldest cohort while it fits — and at
+    MINIMUM the two oldest rows must always be in the window, which is
+    the unconditional reserve new/changed queries may not displace."""
+    ages = _evidence_rounds()
+    window = set(_CHECK_FIRST)
+    by_age = sorted(ages, key=lambda q: (ages[q], q))
+    # the two unconditionally-reserved oldest rows
+    for q in by_age[:2]:
+        assert q in window, (
+            f"age-bound violated: {q} (evidence r{ages[q]}) is one of "
+            f"the two oldest rows but holds no window slot"
+        )
+    # this round drains the whole r6+r7 backlog — every row at the
+    # minimum age must be in the window
+    min_age = ages[by_age[0]]
+    oldest_cohort = {q for q, a in ages.items() if a == min_age}
+    assert oldest_cohort <= window
+
+
+def test_survey_staleness_claim_matches_artifacts():
+    """SURVEY.md's evidence-freshness sentence is GENERATED, not
+    hand-written (VERDICT r11 #2 — the third consecutive round a prose
+    staleness count was wrong): this test recomputes the claim from
+    CORRECTNESS_r*.json + _CHECK_FIRST and requires SURVEY.md to carry
+    the exact generated line between the freshness markers."""
+    ages = _evidence_rounds()
+    window = set(_CHECK_FIRST)
+    # evidence ages as they will stand AFTER this round's driver run:
+    # window rows get the next round number, everything else keeps its
+    # latest artifact round
+    next_round = max(ages.values()) + 1
+    after = {q: (next_round if q in window else a) for q, a in ages.items()}
+    oldest = min(after.values())
+    cohort = sorted(q for q, a in after.items() if a == oldest)
+    claim = (
+        f"After the r{next_round} driver run the oldest registry "
+        f"evidence is r{oldest} ({len(cohort)} rows), which leads the "
+        f"r{next_round + 1} queue."
+    )
+    survey = os.path.join(os.path.dirname(__file__), "..", "SURVEY.md")
+    with open(survey) as f:
+        text = f.read()
+    m = re.search(
+        r"<!-- staleness:computed -->(.*?)<!-- /staleness:computed -->",
+        text,
+        re.S,
+    )
+    assert m, "SURVEY.md is missing the staleness:computed markers"
+    got = " ".join(t for t in m.group(1).split() if t != ">")
+    assert got == claim, (
+        f"SURVEY.md staleness claim is stale:\n  survey: {got}\n"
+        f"  computed: {claim}"
+    )
 
 
 # ---------------------------------------------------------------------
