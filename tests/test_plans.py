@@ -554,6 +554,51 @@ def test_triangle_day_cap_is_window_group_limit(spark):
     assert "WindowGroupLimit" in s
 
 
+def test_triangle_capped_stage_two_exchanges(spark):
+    """The r12 fold (VERDICT r11 #1): distinct-(user, day) + the
+    min-days prune ride ONE user-keyed collect_set aggregate, then the
+    day-keyed cap window — exactly TWO hash exchanges on the capped
+    stage. The r11 shape (distinct + count window + cap window) had
+    three; this pins the creep fix against regression."""
+    from ssp_spark.catalog import load_table
+    from ssp_spark.queries import _capped_user_days
+
+    df = _capped_user_days(load_table(spark, "events", SF_SMOKE), min_days=28)
+    assert plans.exchange_count(df) == 2
+    s = plans.plan_string(df)
+    assert "WindowGroupLimit" in s       # the cap still compiles map-side
+    assert "collect_set" in s            # the fold is the aggregate
+
+
+def test_simhash_filter_carries_no_hash_fold(spark):
+    """The r12 simhash fix: the zero-token prune is a cheap RLIKE on the
+    raw text, pushed to the scan. The r11 form filtered on size() of the
+    hash-transformed array, and Catalyst substituted the ENTIRE
+    tokenize+md5 fold into the pushed-down filter — every doc paid the
+    fingerprint twice. Pinned: no Filter node may contain the md5/conv
+    fingerprint expression."""
+    from ssp_spark.catalog import load_table
+    from ssp_spark.operators import dedup
+
+    df = dedup.simhash(load_table(spark, "documents", SF_SMOKE), bits=60)
+    for line in plans.plan_string(df).splitlines():
+        if "Filter" in line and "PushedFilters" not in line:
+            assert "md5" not in line, f"hash fold leaked into a filter: {line[:120]}"
+    # the rlike prune must still exist (zero-token docs are dropped)
+    assert "RLIKE" in plans.plan_string(df)
+
+
+def test_lsh_gemm_no_corpus_repartition(spark):
+    """The r12 gemm change: no RoundRobin repartition anywhere in the
+    plan — the groupBy(bucket) exchange is the only redistribution the
+    corpus needs before the per-bucket GEMM (the jvm path keeps its
+    spread and is not asserted here)."""
+    df = QUERIES["ann_lsh_topk_gemm"](spark, SF_SMOKE)
+    s = plans.plan_string(df)
+    assert "RoundRobinPartitioning" not in s
+    assert "REPARTITION_BY_NUM" not in s
+
+
 def test_token_budget_selection_no_global_sort(spark):
     """Budget selection must be keyed windows only — no single-partition
     exchange (global sort) anywhere, no Python — asserted on the
