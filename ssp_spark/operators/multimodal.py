@@ -2530,6 +2530,14 @@ def _decode_tiff(data: bytes):
             for k in range(cnt)
         ]
     w, h = tags[256][0], tags[257][0]
+    # bound BEFORE the (h, w, spp) allocations below: the strip path is
+    # self-limited (frombuffer fails on short data) but the tiled and
+    # planar paths pre-allocate the full sample grid, and a corrupt
+    # 32-bit width tag drove a 329 GiB np.zeros in the r12 fuzz pass —
+    # MemoryError is not in the kernels' documented catch set, so it
+    # would kill a scan task. Same guard class as QOI / BMP.
+    if w == 0 or h == 0 or w * h > (1 << 26):
+        raise ValueError("TIFF: unreasonable dimensions")
     bits = tags.get(258, [1])[0]
     comp = tags.get(259, [1])[0]
     photo = tags.get(262, [1])[0]
@@ -3740,6 +3748,11 @@ def decode_audio(data: bytes):
         # renderer does
         n = len(raw) // (4 * channels)
         f = np.frombuffer(raw, dtype="<f4", count=n * channels).astype(np.float64)
+        # NaN bits are spec-legal in a float stream but NaN.astype(int16)
+        # is platform-UNDEFINED (and warns) — map NaN to 0 so a corrupt
+        # or degenerate clip decodes deterministically on every host;
+        # +-inf already clamp at the rails via the clip (r12 fuzz find)
+        f = np.nan_to_num(f, nan=0.0, posinf=np.inf, neginf=-np.inf)
         vals = np.clip(np.rint(f * 32767.0), -32768, 32767).astype(np.int16)
         return vals.reshape(n, channels).copy(), rate
     if audio_format == 1 and bits == 16:

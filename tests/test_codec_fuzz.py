@@ -189,7 +189,43 @@ def test_tiff_huge_tag_count_rejected_fast():
     assert time.monotonic() - t0 < 1.0
 
 
-def test_png_corrupt_streams_raise_valueerror_not_zlib_struct():
+def test_tiff_huge_dimensions_rejected_before_allocation():
+    """The round-12 fuzz find, pinned directly: a corrupt width/height
+    tag must raise ValueError BEFORE the tiled/planar paths allocate
+    the (h, w, spp) sample grid (the unguarded planar path attempted a
+    329 GiB np.zeros — MemoryError is not in the kernels' documented
+    catch set, so it would kill a scan task)."""
+    gray = np.arange(40 * 32, dtype=np.uint8).reshape(32, 40)
+    rgb = np.stack([gray] * 3, axis=2)
+    data = bytearray(mm.encode_tiff(rgb, planar=2, rows_per_strip=8))
+    ifd = int.from_bytes(data[4:8], "little")
+    nent = int.from_bytes(data[ifd:ifd + 2], "little")
+    for i in range(nent):
+        e = ifd + 2 + 12 * i
+        if int.from_bytes(data[e:e + 2], "little") == 256:  # ImageWidth
+            data[e + 8:e + 12] = (0xD6000000).to_bytes(4, "little")
+            break
+    t0 = time.monotonic()
+    with pytest.raises(ValueError, match="unreasonable dimensions"):
+        mm.decode_image(bytes(data))
+    assert time.monotonic() - t0 < 1.0
+
+
+def test_wav_float_nan_inf_decode_deterministic():
+    """Float32 WAV with NaN/+inf/-inf samples: NaN.astype(int16) is
+    platform-undefined, so the decoder must map NaN to 0 and let the
+    infinities clamp at the int16 rails (r12 fuzz find — corrupt float
+    streams decoded to platform-dependent values and warned)."""
+    import warnings
+
+    f = np.array([0.5, float("nan"), float("inf"), float("-inf"), -0.5],
+                 dtype="<f4")
+    data = mm.encode_wav(f.tobytes(), 3, 1, 8000, 32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # the old path warned on cast
+        samples, rate = mm.decode_audio(data)
+    assert rate == 8000
+    assert samples[:, 0].tolist() == [16384, 0, 32767, -32768, -16384]
     """The other round-11 finding: truncated IHDR (struct.error) and
     corrupt IDAT (zlib.error) must surface as ValueError — the type the
     image kernels' catch tuple covers."""
