@@ -3725,6 +3725,12 @@ def decode_audio(data: bytes):
     rate = int.from_bytes(fmt[4:8], "little")
     block_align = int.from_bytes(fmt[12:14], "little")
     bits = int.from_bytes(fmt[14:16], "little")
+    # a corrupt fmt chunk declaring 0 channels drove every per-format
+    # `len(raw) // channels` into ZeroDivisionError — outside the
+    # kernels' documented catch set (r12 fuzz find); a 0 sample rate is
+    # equally meaningless and breaks downstream duration math
+    if channels == 0 or rate == 0:
+        raise ValueError("WAV: zero channels or sample rate")
     if audio_format == 0xFFFE:
         # WAVE_FORMAT_EXTENSIBLE: the real format code is the first two
         # bytes of the 16-byte SubFormat GUID at fmt[24:26] (the
@@ -4127,6 +4133,11 @@ def parse_y4m_header(data: bytes):
             chroma = v.decode()
     if w is None or h is None:
         raise ValueError("Y4M header missing W/H")
+    if w <= 0 or h <= 0:
+        # a negative width makes the per-frame byte count negative,
+        # which would walk iter_y4m_frames BACKWARD (pos = nl+1+fsize)
+        # — a constructible infinite loop on a corrupt header (r12)
+        raise ValueError("Y4M: non-positive dimensions")
     return w, h, fn, fd, chroma, end + 1
 
 

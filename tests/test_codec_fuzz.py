@@ -126,6 +126,11 @@ def _corpus() -> dict[str, tuple[bytes, bool]]:
             np.arange(200, dtype="<i2").tobytes(), 1, 1, 8000, 16), True),
         "flac": (encode_flac(list(range(50)), sample_rate=8000, bps=16),
                  True),
+        # every byte is a valid G.711 code, so the payload is arbitrary
+        "wav_g711_mu": (mm.encode_wav(bytes(range(256)), 7, 1, 8000, 8),
+                        True),
+        "wav_g711_a": (mm.encode_wav(bytes(range(256)), 6, 1, 8000, 8),
+                       True),
     }
 
 
@@ -187,6 +192,86 @@ def test_tiff_huge_tag_count_rejected_fast():
     with pytest.raises(ValueError, match="beyond end of file"):
         mm.decode_image(bytes(data))
     assert time.monotonic() - t0 < 1.0
+
+
+def _walker_corpus():
+    """Valid seed streams for the FRAME-WALKER surfaces (iter_y4m_frames
+    / iter_ppm_frames / iter_gif_frames) — generators, not decode_image,
+    so the main corpus harness can't cover them (r12)."""
+    rng = np.random.RandomState(3)
+    gray = np.repeat(
+        np.repeat(rng.randint(0, 256, (4, 5)).astype(np.uint8), 8, 0), 8, 1
+    )
+    pal = np.stack([np.arange(128, dtype=np.uint8)] * 3, 1)
+    w, h = 16, 8
+    frame = bytes(w * h) + bytes((w // 2) * (h // 2)) * 2
+    y4m = b"YUV4MPEG2 W16 H8 F25:1 C420jpeg\n" + (b"FRAME\n" + frame) * 3
+    ppm = (b"P6\n16 8\n255\n" + bytes(16 * 8 * 3)) * 3
+    anim = mm.encode_gif_anim(
+        [(gray % 128).astype(np.uint8), ((gray + 7) % 128).astype(np.uint8)],
+        pal, [5, 7],
+    )
+    return {
+        "y4m": (y4m, mm.iter_y4m_frames),
+        "ppm_stream": (ppm, mm.iter_ppm_frames),
+        "gif_anim": (anim, mm.iter_gif_frames),
+    }
+
+
+@pytest.mark.parametrize("name", sorted(_walker_corpus()))
+def test_fuzzed_frame_walkers_bounded(name):
+    """Frame walkers under the same mutation matrix as the decode
+    corpus: each walk must terminate, yield a bounded frame count, and
+    raise only the documented error types — a corrupt header must never
+    walk backward or spin (the Y4M negative-width loop was constructible
+    before the r12 guard)."""
+    data, walker = _walker_corpus()[name]
+    rnd = random.Random(zlib.crc32(name.encode()) & 0xFFFF)
+    for trial in range(120):
+        b = bytearray(data)
+        mode = rnd.randrange(3)
+        if mode == 0:
+            for _ in range(rnd.randrange(1, 5)):
+                b[rnd.randrange(len(b))] = rnd.randrange(256)
+        elif mode == 1:
+            b = b[: rnd.randrange(1, len(b))]
+        else:
+            for _ in range(rnd.randrange(1, 3)):
+                b[rnd.randrange(len(b))] = rnd.randrange(256)
+            b = b[: rnd.randrange(8, len(b) + 1)]
+        t0 = time.monotonic()
+        try:
+            n = 0
+            for _item in walker(bytes(b)):
+                n += 1
+                assert n < 10000, f"{name}: unbounded frame walk"
+        except ALLOWED:
+            pass
+        assert time.monotonic() - t0 < TIME_BUDGET_S
+
+
+def test_wav_zero_channels_raises_valueerror():
+    """The r12 G.711 fuzz find, pinned directly: a fmt chunk declaring
+    0 channels (or a 0 sample rate) must raise ValueError, not the
+    ZeroDivisionError every per-format `len(raw) // channels` used to
+    throw (outside the kernels' catch set)."""
+    data = bytearray(mm.encode_wav(bytes(range(64)), 7, 1, 8000, 8))
+    fmt_at = data.index(b"fmt ") + 8
+    for field_off, label in ((2, "channels"), (4, "rate")):
+        b = bytearray(data)
+        width = 2 if field_off == 2 else 4
+        b[fmt_at + field_off : fmt_at + field_off + width] = bytes(width)
+        with pytest.raises(ValueError, match="zero channels or sample"):
+            mm.decode_audio(bytes(b))
+
+
+def test_y4m_negative_width_raises():
+    """Negative W makes the fixed frame size negative, which would step
+    iter_y4m_frames BACKWARD — the constructible infinite loop the r12
+    guard closes."""
+    bad = b"YUV4MPEG2 W-16 H8 F25:1 C420jpeg\n" + b"FRAME\n" + bytes(64)
+    with pytest.raises(ValueError, match="non-positive dimensions"):
+        list(mm.iter_y4m_frames(bad))
 
 
 def test_tiff_huge_dimensions_rejected_before_allocation():

@@ -260,6 +260,21 @@ _R12_CHANGED = {
                               # gate fixtures, same disclosure rule)
 }
 
+# Slot-rule refinement, stated once and applied from late r12 onward:
+# kernel changes that ONLY add corrupt-input rejection guards
+# (never-true on any valid stream — dimension bounds, zero-channel
+# checks, NaN normalization) are DISCLOSED here with fresh hash-green
+# evidence but do not claim window slots; contract forks and plan
+# changes still do. Under this rule the late-r12 WAV zero-channel/rate
+# guard and float-NaN normalization (multimodal.py decode_audio), the
+# Y4M non-positive-dimension guard, and the TIFF dimension bound touch
+# the kernel paths of multimodal_decode_audio_{g711,adpcm,flac},
+# multimodal_video_y4m_index and multimodal_decode_tiff: all five were
+# re-verified hash-green vs their oracles at sf0.01 after the guards
+# landed (same session, driver-sim recipe), and the full 234-query
+# registry swept clean. The two codec gates already holding r12
+# changed-slots (tiff, bmp_rle8) keep them.
+
 # Round 12 group (c): 34 of the 36-row r7-stale cohort, alphabetical —
 # the r12 queue VERDICT r11 #3 named. The two alphabetically-last rows
 # (token_freq_spectrum_docs, user_event_entropy) were DISPLACED when
