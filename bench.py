@@ -397,6 +397,20 @@ def main() -> None:
     )
     total = round(sum(timings.values()), 3)
 
+    # Section-boundary block release (round 13, VERDICT r12 #4):
+    # SCALE.md round 12 measured 100-300 MB of pinned localCheckpoint
+    # blocks per pair artifact at sf1, accumulated across suite
+    # sections, degrading LATE samples up to 7x under GC pressure.
+    # release_session_artifacts drops the memoized artifacts and every
+    # pinned RDD block. Boundary-only on purpose: WITHIN the headline
+    # section the artifact memo stays warm, so consumer rows keep
+    # timing consumption (the disclosed semantics), and no later
+    # section consumes a memoized artifact, so the release is
+    # timing-neutral there — it only removes the measurement hazard.
+    from ssp_spark.queries import release_session_artifacts
+
+    release_session_artifacts(spark)
+
     # Secondary section: the oracle-shaped expression twins, identical
     # protocol (cold + two interleaved sweeps + steal-gated retries) but
     # reported separately from the headline ratio (see EXPR_TWINS note).
@@ -420,6 +434,7 @@ def main() -> None:
             if t < twin[name]:
                 twin[name], twin_steal[name], twin_foreign[name] = t, st, fo
     all_timings = {**timings, **twin}
+    release_session_artifacts(spark)  # section boundary (see above)
 
     # Codec-gate profile (round 10): absolute Spark wall-clock for the
     # multimodal decode gates, same cold + best-of-2 interleaved
@@ -472,6 +487,7 @@ def main() -> None:
         "dedup_simhash64_pairs",
         "doc_fingerprint",
     ]
+    release_session_artifacts(spark)  # section boundary (see above)
     os.environ["SSP_PORTABLE_HASH"] = "off"
     prod: dict[str, float] = {}
     try:
@@ -486,6 +502,9 @@ def main() -> None:
     steal_pct = (
         round(100.0 * (s_end - s_all) / max(t_end - t_all, 1), 1) if t_end else None
     )
+    # final boundary: the DuckDB pass below shares this host — it should
+    # not compete with the JVM's retained blocks for memory/page cache
+    release_session_artifacts(spark)
 
     # Same-day same-machine baseline: the identical oracle SQL in DuckDB
     # over the same parquet files, same best-of-2 interleaved protocol,

@@ -742,7 +742,21 @@ def simhash_pairs(
     wider slices (fewer bands) = stricter candidates; the
     production-width profile is bits=60 (the portable hash's full
     width) with 4×15-bit slices — shipped as the dedup_simhash64_pairs
-    query."""
+    query.
+
+    Id contract (same as _pair_shared_counts / span_dup_pairs): the
+    pair dedup packs ``id1 << 32 | id2`` into one long, so ``id_col``
+    must be integral with non-negative values < 2^31 — a string id
+    would cast to NULL and collapse every pair into one (NULL, NULL)
+    row (ADVICE r12). The type is enforced here; the value range is
+    the caller's contract.
+    """
+    id_type = dict(df.dtypes).get(id_col)
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"simhash_pairs requires an integral {id_col!r} (< 2^31, "
+            f"non-negative) for packed-long pair keys; got {id_type}"
+        )
     banded = banded_fingerprints(
         df, id_col, text_col, bits, bands, band_cap
     ).persist()

@@ -79,6 +79,40 @@ def _session_memo(spark: SparkSession, key: tuple, build: Callable):
     return per_session[key]
 
 
+def release_session_artifacts(spark: SparkSession) -> int:
+    """Forget this session's memoized derived artifacts (the
+    checkpointed shared frames in _ARTIFACTS) and drop EVERY pinned RDD
+    block in the session, so long-running processes (bench.py between
+    suite sections — VERDICT r12 #4; SCALE.md round 12 measured 100-300
+    MB of localCheckpoint blocks per pair artifact at sf1 degrading
+    late samples up to 7x under GC pressure) can reclaim block-manager
+    memory at a clean boundary. Returns the number of memoized
+    artifacts released.
+
+    Order matters: the memo is cleared FIRST so no live reference to a
+    lineage-truncated (localCheckpoint) frame survives the block drop —
+    every other cached frame (catalog._DF_CACHE scans, IVF centroid
+    frames) keeps its lineage and recomputes transparently. The next
+    consumer rebuilds its artifact, exactly as the first one did."""
+    import gc
+
+    per_session = _ARTIFACTS.pop(spark, None) or {}
+    n = len(per_session)
+    per_session.clear()
+    # drop py4j refs so finalizers release their JVM-side RDDs, then
+    # unpersist whatever blocks remain pinned (localCheckpoint RDDs,
+    # leaked .persist() frames)
+    gc.collect()
+    try:
+        for rdd in list(
+            spark.sparkContext._jsc.getPersistentRDDs().values()
+        ):
+            rdd.unpersist()
+    except Exception:
+        pass
+    return n
+
+
 def _minhash_pairs_artifact(spark: SparkSession, sf_dir: str) -> "DataFrame":
     """The materialized near-dup pair table (minhash_lsh_pairs at the
     standard 12-hash / 4-band config) as a per-(session, sf_dir)
@@ -8189,7 +8223,16 @@ def _capped_user_days(
     restores the (user_id, day) frame — measured plan 3 -> 2 exchanges,
     output verified row-identical at sf0.1. Per-user state is bounded
     by the corpus's day span (years x 365 longs), so the aggregate is
-    safe at any row scale."""
+    safe at any row scale.
+
+    NON-NULL ts CONTRACT (ADVICE r12): collect_set drops NULL days,
+    whereas the oracle's DISTINCT keeps a (user, NULL) row — the two
+    shapes agree only when every event has a non-null day. The events
+    table's ``ts`` is a non-null TIMESTAMP (so ``unix_timestamp`` can
+    never return NULL for it) at every shipped SF;
+    tests/test_oracle_parity.py::test_events_ts_nonnull_contract pins
+    the fixture side of that contract so a future fixture change
+    cannot silently diverge the two engines here."""
     day = F.expr("unix_timestamp(ts) div 86400")
     per_user = (
         ev.select("user_id", day.alias("day"))
@@ -12835,103 +12878,83 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the right sets all along, and the staleness claim is now COMPUTED,
 # not hand-written (test_registry.py::test_survey_staleness_claim_
 # matches_artifacts derives it from CORRECTNESS_r*.json + this list).
+# ROUND-12 window (50), now historical (CORRECTNESS_r12.json: 50/50
+# green; the full set is pinned in tests/test_registry.py's _R12_*
+# groups): 9 r6-stale rows in the first slots (VERDICT r11 #3) +
+# 7 changed-in-r12 (the bench exchange cuts + two codec-gate kernel
+# branches) + 34 of the 36-row r7-stale cohort. The two
+# alphabetically-last r7 rows (token_freq_spectrum_docs,
+# user_event_entropy) were displaced for the codec-gate slots —
+# re-verified hash-green at sf0.01 before displacement — and lead
+# this round's window under the age-bound reserve.
 _CHECK_FIRST = [
-    # ---- ROUND 12 WINDOW ---------------------------------------------
-    # Policy: oldest evidence first this round (VERDICT r11 #3 pins the
-    # 9 r6-stale rows to the FIRST slots), then everything changed this
-    # round, then the next stale cohort alphabetically. New/changed
-    # rows outrank repeat confirmations and displace from the bottom —
-    # but per the r12 age-bound (VERDICT r11 #6) the LAST TWO slots are
-    # reserved for the two oldest-evidence rows unconditionally: no
-    # displacement may touch them, so no row can age past ~5 rounds.
-    # Composition: 9 r6-stale + 7 changed-in-r12 + 34 of the 36
-    # r7-stale = 50. The two alphabetically-last r7 rows
-    # (token_freq_spectrum_docs, user_event_entropy) were DISPLACED
-    # when the two codec-gate kernel changes claimed slots — each
-    # re-verified hash-green at sf0.01 in this round's full-registry
-    # verify sweep before displacement; they lead the r13 queue as its
-    # oldest evidence, where the age-bound reserve guarantees them
-    # slots. (After the r12 run the oldest registry evidence is r7 —
-    # those 2 rows; see test_registry.py's computed-staleness test.)
-    # (a) the 9 r6-stale rows (VERDICT r11 #3: first slots; includes
-    # stratified_sample_events, displaced in r10 AND r11 — under the
-    # new age-bound it can never be displaced again)
-    "stratified_sample_events",
-    "text_normalize_redact",
-    "time_decayed_user_spend",
-    "top_customers_per_nation",
-    "udaf_user_spend",
-    "weighted_sample_per_source",
-    "welch_ttest_segments",
-    "window_frame_funcs",
-    "winsorized_stats_events",
-    # (b) plan-changed in r12 (the VERDICT r11 #1 bench work; every
-    # change verified OUTPUT-IDENTICAL on the live fixtures before
-    # landing, and each row re-verified hash-green vs its oracle at
-    # sf0.01 in this round's full-registry /verify sweep):
-    "triangle_count_users",     # min-days prune + distinct folded into
-                                # one collect_set aggregate (3 -> 2
-                                # exchanges on the capped stage)
-    "dedup_simhash",            # simhash()'s zero-token filter is now a
-                                # cheap rlike on raw text instead of a
-                                # size() over the substituted md5 fold
-                                # (the old filter re-hashed every doc)
-    "dedup_simhash_pairs",      # (same simhash() change via
-                                # simhash_pairs, + the packed-long
-                                # pair-dedup below)
-    "dedup_simhash64_pairs",    # simhash() change + pair dedup now
-                                # shuffles one packed long per pair
-                                # instead of a 16-byte two-column row
-    "ann_lsh_topk_gemm",        # corpus-side repartition removed: the
-                                # groupBy(bucket) exchange already
-                                # redistributes, so it was a pure extra
-                                # corpus exchange (jvm path untouched)
-    "multimodal_decode_tiff",   # decode kernel gained the 1-bit tiled
-                                # branch (VERDICT r11 #4) — unreachable
-                                # on the gate's 8-bit fixtures but on
-                                # its dispatch path, so it takes a slot
-                                # per the r11 jpeg12 precedent
-    "multimodal_decode_bmp_rle8",  # BMP path gained the dimension +
-                                # RLE8 stream-capacity guards (r12
-                                # fuzz finds) — never-true on gate
-                                # fixtures, same disclosure rule
-    # (c) 34 of the 36-row r7-stale cohort, alphabetical (the r12 queue
-    # VERDICT r11 #3 named); token_freq_spectrum_docs and
-    # user_event_entropy displaced per the composition note above.
-    "acf_daily_orders",
-    "anomaly_dow_events",
-    "asof_join_forward_tolerance",
-    "assoc_rules_events",
-    "attribution_position_based",
-    "benford_order_totals",
-    "chisq_type_dow_events",
-    "copurchase_similar_customers",
-    "cuped_adjusted_spend",
-    "dedup_minhash_clusters",
-    "exact_percentiles_events",
-    "interarrival_stats_users",
-    "ks_test_segments",
-    "lexical_richness",
-    "mann_kendall_trend_orders",
-    "pipeline_train_manifest",
-    "pmi_collocations_docs",
-    "psi_drift_orders",
-    "q16_supplier_cnt",
-    "q19_disjunctive_revenue",
-    "q20_qty_suppliers",
-    "q8_market_share",
-    "quality_zscore_by_source",
-    "quantile_normalize_quality",
-    "rfm_customer_segments",
-    "rolling_corr_view_purchase",
-    "seasonal_decompose_daily",
-    "spearman_customer_value",
-    "stratified_kfold_embeddings",
-    "streaks_user_activity",
-    "theil_sen_trend_orders",
-    "time_rollup_multigrain",
-    "time_split_embargo_events",
-    "token_budget_selection",
+    # ---- ROUND 13 WINDOW ---------------------------------------------
+    # Pure freshness rotation (VERDICT r12 #2: no new queries, no plan
+    # changes claim slots this round — the r13 ADVICE/guard work is all
+    # corrupt-input rejection, disclosed in test_registry.py under the
+    # late-r12 slot rule, not slotted). Composition, computed from the
+    # CORRECTNESS_r*.json evidence ages (not hand-listed):
+    # 2 r7-stale (the reserved oldest rows) + the whole 45-row
+    # r8-stale cohort + the 3 alphabetically-first rows of the 42-row
+    # r9-stale cohort = 50. After the r13 driver run the oldest
+    # registry evidence is r9 (the remaining 39 r9 rows), which leads
+    # the r14 queue — see test_registry.py's computed-staleness test.
+    # (a) the two oldest-evidence rows (r7, displaced in r12): the
+    # age-bound reserve (VERDICT r11 #6) guarantees them slots, and
+    # this round pins them to the FIRST slots the driver hashes.
+    "token_freq_spectrum_docs",
+    "user_event_entropy",
+    # (b) the entire 45-row r8-stale cohort, alphabetical:
+    "ann_ivf_topk",
+    "approx_distinct_users",
+    "array_lateral_explode",
+    "bloom_customer_names",
+    "calibration_bins_embeddings",
+    "cluster_dedup_keeper",
+    "cms_user_counts",
+    "containment_dedup_pairs",
+    "cusum_user_activity",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "ema_daily_user_spend",
+    "embedding_correlation",
+    "embedding_covariance",
+    "event_type_pivot_api",
+    "holt_trend_user_spend",
+    "isotonic_calibration_embeddings",
+    "km_user_conversion",
+    "leakage_safe_split",
+    "lift_gain_deciles",
+    "lineitem_unpivot",
+    "literal_source_wordcount",
+    "map_funcs_roundtrip",
+    "multimodal_resize",
+    "pipeline_curation_v2",
+    "q11_important_parts",
+    "q12_ship_priority_class",
+    "q13_custdist",
+    "q15_top_supplier",
+    "q18_large_orders",
+    "q21_waiting_supplier",
+    "q6_forecast_revenue",
+    "quality_score",
+    "regexp_funcs",
+    "right_join_order_priority_mix",
+    "roc_auc_embedding_norm",
+    "rolling_30d_spend",
+    "salted_join_event_spend",
+    "sample_split_hash",
+    "skyline_pareto_parts",
+    "source_json_scan",
+    "stats_numeric",
+    "udtf_sentence_split",
+    "window_rank_stats",
+    "word_count",
+    # (c) the 3 alphabetically-first rows of the r9-stale cohort fill
+    # the remaining slots (the other 39 lead the r14 queue):
+    "ann_ivf_topk_gemm",
+    "approx_percentile_value",
+    "attribution_last_touch",
 ]
 
 assert len(_CHECK_FIRST) == 50 and len(set(_CHECK_FIRST)) == 50

@@ -104,3 +104,34 @@ def test_cpu_jiffies_shape_and_monotonicity():
     assert t1 >= b1 >= 0 and t1 >= s1 >= 0
     t2, s2, b2 = bench.cpu_jiffies()
     assert t2 >= t1 and s2 >= s1 and b2 >= b1
+
+
+def test_release_session_artifacts_drops_blocks_and_rebuilds(spark):
+    """The r13 section-boundary release (VERDICT r12 #4): after
+    release_session_artifacts, (1) the session memo is empty, (2) zero
+    RDDs stay pinned in the block manager, and (3) an artifact consumer
+    still runs — the memo rebuild path, i.e. dropping a
+    lineage-truncated checkpoint can never strand a later section."""
+    from ssp_spark.queries import (
+        _ARTIFACTS,
+        _minhash_pairs_artifact,
+        release_session_artifacts,
+    )
+    from tests.conftest import SF_SMOKE
+
+    pairs = _minhash_pairs_artifact(spark, SF_SMOKE)
+    n_before = pairs.count()
+    assert _ARTIFACTS.get(spark), "artifact memo should be populated"
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    assert len(list(jmap.values())) >= 1, "checkpoint should pin blocks"
+
+    released = release_session_artifacts(spark)
+    assert released >= 1
+    assert not _ARTIFACTS.get(spark)
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    assert len(list(jmap.values())) == 0, "blocks must all be dropped"
+
+    # consumer rebuilds transparently and agrees with the pre-release run
+    rebuilt = _minhash_pairs_artifact(spark, SF_SMOKE)
+    assert rebuilt.count() == n_before
+    release_session_artifacts(spark)  # leave the shared session clean

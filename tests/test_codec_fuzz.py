@@ -124,6 +124,15 @@ def _corpus() -> dict[str, tuple[bytes, bool]]:
         "jpeg": (mm.encode_jpeg_gray_coeffs(cb), False),
         "wav_pcm": (mm.encode_wav(
             np.arange(200, dtype="<i2").tobytes(), 1, 1, 8000, 16), True),
+        # round-13 corpus growth (VERDICT r12 #5): the three decode
+        # paths the matrix had no mutation entry for — raw (non-RLE)
+        # 8-bit BMP, indexed PNG, and 24-bit PCM WAV
+        "bmp8_raw": (mm.encode_bmp8((gray % 128).astype(np.uint8), pal,
+                                    rle=False), False),
+        "png_palette": (mm.encode_png_palette(
+            (gray % 128).astype(np.uint8), pal), False),
+        "wav_pcm24": (mm.encode_wav(
+            bytes(x & 0xFF for x in range(300)), 1, 1, 8000, 24), True),
         "flac": (encode_flac(list(range(50)), sample_rate=8000, bps=16),
                  True),
         # every byte is a valid G.711 code, so the payload is arbitrary
@@ -311,9 +320,15 @@ def test_wav_float_nan_inf_decode_deterministic():
         samples, rate = mm.decode_audio(data)
     assert rate == 8000
     assert samples[:, 0].tolist() == [16384, 0, 32767, -32768, -16384]
+
+
+def test_png_struct_and_zlib_errors_surface_as_valueerror():
     """The other round-11 finding: truncated IHDR (struct.error) and
     corrupt IDAT (zlib.error) must surface as ValueError — the type the
-    image kernels' catch tuple covers."""
+    image kernels' catch tuple covers. (r13: un-merged from the NaN
+    test above, where an editing slip had left this body appended
+    after a stray docstring — both halves always ran, but under one
+    name.)"""
     rng = np.random.RandomState(5)
     img = rng.randint(0, 256, (8, 8, 3)).astype(np.uint8)
     data = mm.encode_png(img)
@@ -328,3 +343,213 @@ def test_wav_float_nan_inf_decode_deterministic():
         b[idat_at + k] ^= 0xFF
     with pytest.raises(ValueError):
         mm.decode_image(bytes(b))
+
+
+def test_fuzzed_deep_jpeg12_stream_bounded():
+    """decode_image_deep's 12-bit fork under the same mutation matrix
+    as the main corpus (round 13, VERDICT r12 #5: the fork had no fuzz
+    entry — decode_image never reaches it). Contract: a mutated 12-bit
+    JPEG either decodes to the fork's (h, w) uint16 plane, or raises a
+    documented error type, within the time budget."""
+    cb = np.zeros((2, 2, 8, 8), dtype=np.int64)
+    cb[:, :, 0, 0] = 7
+    data = mm.encode_jpeg_gray_coeffs(cb, precision=12)
+    assert mm.decode_image_deep(data).dtype == np.uint16  # seed sanity
+    rnd = random.Random(zlib.crc32(b"jpeg12_deep") & 0xFFFF)
+    for trial in range(120):
+        b = bytearray(data)
+        mode = rnd.randrange(3)
+        if mode == 0:
+            for _ in range(rnd.randrange(1, 5)):
+                b[rnd.randrange(len(b))] = rnd.randrange(256)
+        elif mode == 1:
+            b = b[: rnd.randrange(1, len(b))]
+        else:
+            for _ in range(rnd.randrange(1, 3)):
+                b[rnd.randrange(len(b))] = rnd.randrange(256)
+            b = b[: rnd.randrange(8, len(b) + 1)]
+        t0 = time.monotonic()
+        try:
+            out = mm.decode_image_deep(bytes(b))
+            assert out.ndim == 2 and out.dtype == np.uint16
+        except ALLOWED:
+            pass
+        assert time.monotonic() - t0 < TIME_BUDGET_S, (
+            f"jpeg12 trial {trial}: deep decode exceeded "
+            f"{TIME_BUDGET_S}s on a {len(b)}-byte corrupt stream"
+        )
+
+
+# ---------------------------------------------------------------------------
+# Writer ROUND-TRIP fuzz (round 13, VERDICT r12 #5): the mutation corpus
+# above exercises the DECODERS on corrupt bytes; this exercises the
+# WRITERS on degenerate-but-valid inputs — random shapes including 1x1 /
+# 1xN / Nx1 and constant-color content (single-symbol entropy codes: the
+# class of the r12 VP8L degenerate-normal-code writer bug, which a
+# sentinel roundtrip found, not fuzz). Every writer here is lossless, so
+# the contract is EXACT equality after its own decoder.
+# ---------------------------------------------------------------------------
+
+_RT_DIMS = [1, 2, 3, 5, 7, 8, 9, 16, 17]
+
+
+def _rt_img(rnd, h, w):
+    if rnd.randint(3) == 0:  # constant color: degenerate entropy codes
+        return np.full((h, w, 3), rnd.randint(256), dtype=np.uint8)
+    return rnd.randint(0, 256, (h, w, 3)).astype(np.uint8)
+
+
+def _rt_indices(rnd, h, w, n):
+    if rnd.randint(3) == 0:
+        return np.full((h, w), rnd.randint(n), dtype=np.uint8)
+    return rnd.randint(0, n, (h, w)).astype(np.uint8)
+
+
+def _rt_png(rnd):
+    h, w = rnd.choice(_RT_DIMS), rnd.choice(_RT_DIMS)
+    img = _rt_img(rnd, h, w)
+    filters = None if rnd.randint(2) else [int(f) for f in rnd.randint(0, 5, h)]
+    assert (mm.decode_image(mm.encode_png(img, filters=filters)) == img).all()
+
+
+def _rt_png_palette(rnd):
+    h, w = rnd.choice(_RT_DIMS), rnd.choice(_RT_DIMS)
+    n = int(rnd.choice([1, 2, 5, 128, 256]))
+    pal = rnd.randint(0, 256, (n, 3)).astype(np.uint8)
+    idx = _rt_indices(rnd, h, w, n)
+    filters = None if rnd.randint(2) else [int(f) for f in rnd.randint(0, 5, h)]
+    out = mm.decode_image(mm.encode_png_palette(idx, pal, filters=filters))
+    assert (out == pal[idx]).all()
+
+
+def _rt_bmp8(rnd):
+    h, w = rnd.choice(_RT_DIMS), rnd.choice(_RT_DIMS)
+    n = int(rnd.choice([1, 2, 5, 128, 256]))
+    pal = rnd.randint(0, 256, (n, 3)).astype(np.uint8)
+    idx = _rt_indices(rnd, h, w, n)
+    rle = bool(rnd.randint(2))
+    assert (mm.decode_image(mm.encode_bmp8(idx, pal, rle=rle)) == pal[idx]).all()
+
+
+def _rt_tiff(rnd):
+    h, w = rnd.choice(_RT_DIMS), rnd.choice(_RT_DIMS)
+    gray = bool(rnd.randint(2))
+    img = _rt_img(rnd, h, w)
+    src = img[:, :, 0].copy() if gray else img
+    comp, pred = [(1, 1), (32773, 1), (5, 1), (5, 2)][rnd.randint(4)]
+    kw = dict(byte_order=["little", "big"][rnd.randint(2)],
+              compression=comp, predictor=pred)
+    layout = rnd.randint(3)
+    if layout == 1:
+        kw["tiles"] = [(8, 8), (16, 8), (8, 16)][rnd.randint(3)]
+    elif layout == 2:
+        kw["rows_per_strip"] = int(rnd.choice([1, 2, 3, 8]))
+    if not gray and rnd.randint(2):
+        kw["planar"] = 2
+    out = mm.decode_image(mm.encode_tiff(src, **kw))
+    want = np.stack([src] * 3, axis=2) if gray else src
+    assert (out == want).all(), kw
+
+
+def _rt_gif(rnd):
+    h, w = rnd.choice(_RT_DIMS), rnd.choice(_RT_DIMS)
+    n = int(rnd.choice([1, 2, 5, 128, 256]))
+    pal = rnd.randint(0, 256, (n, 3)).astype(np.uint8)
+    idx = _rt_indices(rnd, h, w, n)
+    inter = bool(rnd.randint(2))
+    out = mm.decode_image(mm.encode_gif(idx, pal, interlace=inter))
+    assert (out == pal[idx]).all()
+
+
+def _rt_gif_anim(rnd):
+    h, w = rnd.choice(_RT_DIMS), rnd.choice(_RT_DIMS)
+    n = int(rnd.choice([2, 5, 128]))
+    pal = rnd.randint(0, 256, (n, 3)).astype(np.uint8)
+    k = rnd.randint(1, 4)
+    frames = [_rt_indices(rnd, h, w, n) for _ in range(k)]
+    delays = [int(d) for d in rnd.randint(1, 100, k)]
+    got = list(mm.iter_gif_frames(mm.encode_gif_anim(frames, pal, delays)))
+    assert len(got) == k
+    for f, d, fr in zip(frames, delays, got):
+        assert fr["delay_cs"] == d
+        assert (fr["indices"] == f).all()
+
+
+def _rt_webp(rnd):
+    h, w = rnd.choice(_RT_DIMS), rnd.choice(_RT_DIMS)
+    img = _rt_img(rnd, h, w)
+    cb = int(rnd.randint(0, 9))
+    from ssp_spark.operators.webp import decode_webp
+
+    assert (decode_webp(encode_webp_lossless(img, cache_bits=cb)) == img).all()
+
+
+def _rt_qoi(rnd):
+    from ssp_spark.operators.qoi import encode_qoi
+
+    h, w = rnd.choice(_RT_DIMS), rnd.choice(_RT_DIMS)
+    img = _rt_img(rnd, h, w)
+    assert (mm.decode_image(encode_qoi(img)) == img).all()
+
+
+def _rt_wav_pcm16(rnd):
+    ch = rnd.randint(1, 3)
+    nf = rnd.randint(1, 120)
+    arr = rnd.randint(-32768, 32768, (nf, ch)).astype("<i2")
+    samples, rate = mm.decode_audio(
+        mm.encode_wav(arr.tobytes(), 1, ch, 8000, 16)
+    )
+    assert rate == 8000 and (samples == arr).all()
+
+
+def _rt_flac(rnd):
+    from ssp_spark.operators.flac import decode_flac
+
+    n = rnd.randint(1, 100)
+    s = [int(v) for v in rnd.randint(-32768, 32768, n)]
+    if rnd.randint(3) == 0:
+        s = [s[0]] * n  # constant signal: zero residuals
+    order = rnd.randint(0, 3)
+    kw = dict(fixed_order=order, rice_param=int(rnd.randint(2, 15)))
+    if rnd.randint(2):
+        kw["blocksize"] = rnd.randint(1, n + 1)
+    dec, rate = decode_flac(encode_flac(s, 8000, **kw))
+    assert rate == 8000 and dec[:, 0].tolist() == s
+
+
+def _rt_y4m(rnd):
+    w, h = int(rnd.choice([2, 4, 8, 16])), int(rnd.choice([2, 4, 8, 16]))
+    k = rnd.randint(1, 4)
+    frames = [rnd.randint(0, 256, (h, w)).astype(np.uint8) for _ in range(k)]
+    clip = mm.encode_y4m(frames, w, h)
+    offs = list(mm.iter_y4m_frames(clip))
+    assert [i for _, i in offs] == list(range(k))
+    for (off, _i), f in zip(offs, frames):
+        y = np.frombuffer(clip, dtype=np.uint8, count=w * h, offset=off)
+        assert (y.reshape(h, w) == f).all()
+
+
+_RT_WRITERS = {
+    "png": _rt_png,
+    "png_palette": _rt_png_palette,
+    "bmp8": _rt_bmp8,
+    "tiff": _rt_tiff,
+    "gif": _rt_gif,
+    "gif_anim": _rt_gif_anim,
+    "webp": _rt_webp,
+    "qoi": _rt_qoi,
+    "wav_pcm16": _rt_wav_pcm16,
+    "flac": _rt_flac,
+    "y4m": _rt_y4m,
+}
+
+
+@pytest.mark.parametrize("name", sorted(_RT_WRITERS))
+def test_writer_roundtrip_fuzz(name):
+    rnd = np.random.RandomState(zlib.crc32(b"rt-" + name.encode()) & 0x7FFFFFFF)
+    for trial in range(40):
+        t0 = time.monotonic()
+        _RT_WRITERS[name](rnd)
+        assert time.monotonic() - t0 < TIME_BUDGET_S, (
+            f"{name} roundtrip trial {trial} exceeded {TIME_BUDGET_S}s"
+        )

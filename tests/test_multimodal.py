@@ -2523,6 +2523,37 @@ def test_tiff_tiled_planar_writer_matrix(spark=None):
         mm.decode_image(_tiff_hand2("little", entries, b"\x00" * 6))
 
 
+def test_tiff_1bit_with_predictor_is_a_stated_boundary():
+    """ADVICE r12 predicted a 1-bit TILED TIFF with predictor=2 would
+    die in dechunk's cumsum reshape with an opaque numpy ValueError.
+    It cannot: the up-front `predictor == 2 and bits != 8` guard
+    rejects ANY sub-8-bit data with horizontal differencing (tiled or
+    stripped) before a chunk is read — the TIFF predictor is defined
+    over per-sample bytes, which 1-bit packing doesn't have. This pins
+    that the stated NotImplementedError fires, not the reshape."""
+    import pytest
+
+    from ssp_spark.operators import multimodal as mm
+
+    tiled = [
+        (256, 4, 1, [10]), (257, 4, 1, [8]), (258, 3, 1, [1]),
+        (259, 3, 1, [5]), (262, 3, 1, [1]), (277, 3, 1, [1]),
+        (317, 3, 1, [2]),
+        (322, 4, 1, [16]), (323, 4, 1, [16]), (324, 4, 1, [8]),
+        (325, 4, 1, [32]),
+    ]
+    stripped = [
+        (256, 4, 1, [10]), (257, 4, 1, [8]), (258, 3, 1, [1]),
+        (259, 3, 1, [5]), (262, 3, 1, [1]), (273, 4, 1, [8]),
+        (277, 3, 1, [1]), (279, 4, 1, [16]), (317, 3, 1, [2]),
+    ]
+    for entries in (tiled, stripped):
+        with pytest.raises(
+            NotImplementedError, match="predictor needs 8-bit"
+        ):
+            mm.decode_image(_tiff_hand2("little", entries, b"\x00" * 32))
+
+
 def test_tiff_hand_golden_tiled_1bit():
     """Hand-assembled 1-BIT TILED grayscale TIFFs (the r12 boundary
     close, VERDICT r11 #4). Golden 1 pins the byte-padded-row-WITHIN-

@@ -5,6 +5,8 @@ oracle — row count, column names, and order-insensitive values.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from ssp_spark.queries import ORACLE, QUERIES
@@ -19,6 +21,26 @@ def test_oracle_parity(spark, duck, name):
     df = QUERIES[name](spark, SF_SMOKE)
     res = compare(df, duck.sql(ORACLE[name]))
     assert res["hash_match"], f"{name}: {res}\n{first_diff(df, duck.sql(ORACLE[name]))}"
+
+
+def test_events_ts_nonnull_contract():
+    """_capped_user_days (triangle_count_users) folds distinct+count
+    into a user-keyed collect_set, which silently DROPS a NULL day that
+    the oracle's DISTINCT would keep (ADVICE r12) — the two engines
+    agree by a documented non-null ts contract on the events table.
+    This pins the fixture side of that contract at every shipped SF:
+    ts must stay a non-null TIMESTAMP column."""
+    import duckdb
+
+    for sf in ("0.001", "0.01", "0.1"):
+        path = f"/root/testdata/sf{sf}/events.parquet"
+        if not os.path.exists(path):
+            continue
+        typ, nulls = duckdb.sql(
+            f"SELECT typeof(ts), count(*) FILTER (WHERE ts IS NULL) "
+            f"FROM '{path}' GROUP BY 1"
+        ).fetchall()[0]
+        assert typ == "TIMESTAMP" and nulls == 0, (sf, typ, nulls)
 
 
 def test_oracle_result_types_are_driver_hashable(duck):

@@ -182,6 +182,28 @@ def test_containment_rejects_non_integral_ids(spark):
         dedup.containment_pairs(df)
 
 
+def test_simhash_pairs_rejects_non_integral_ids(spark):
+    # ADVICE r12: the packed-long pair dedup would cast a string id to
+    # NULL, collapsing every candidate pair into one (NULL, NULL) row —
+    # enforce the same ingest contract as _pair_shared_counts before
+    # any work happens
+    df = spark.createDataFrame(
+        [("a", "x y z"), ("b", "x y z")], "doc_id string, text string"
+    )
+    with pytest.raises(ValueError, match="simhash_pairs requires"):
+        dedup.simhash_pairs(df)
+
+
+def test_simhash_pairs_still_accepts_integral_ids(spark):
+    # the guard must be never-true on the gate's shape (BIGINT ids)
+    df = spark.createDataFrame(
+        [(1, "aa bb cc dd ee ff"), (2, "aa bb cc dd ee ff")],
+        "doc_id long, text string",
+    )
+    got = dedup.simhash_pairs(df).collect()
+    assert [(r.id1, r.id2) for r in got] == [(1, 2)]
+
+
 # ---------------------------------------------------------------------------
 # batch-4 closed forms (oracle parity is the gate; these pin the math)
 # ---------------------------------------------------------------------------
