@@ -227,6 +227,12 @@ def decode_flac(data: bytes):
     rate_si = raw >> 44
     nch_si = ((raw >> 41) & 0x7) + 1
     bps_si = ((raw >> 36) & 0x1F) + 1
+    if rate_si == 0:
+        # the spec reserves 0 (non-audio streams); every consumer of
+        # (samples, rate) divides by rate, so returning 0 hands callers
+        # a deferred ZeroDivisionError — the WAV zero-rate class (r13
+        # fuzz find, insertion mode desyncing the STREAMINFO read)
+        raise ValueError("FLAC: zero sample rate in STREAMINFO")
 
     chans_all: list[list[int]] = [[] for _ in range(nch_si)]
     while pos < len(data):

@@ -1226,7 +1226,15 @@ def _decode_jpeg_progressive(data: bytes):
             scomps = []  # (component index, dc table, ac table)
             for c in range(ns):
                 cs, tt = body[1 + 2 * c], body[2 + 2 * c]
-                ci = next(i for i, cc in enumerate(comps) if cc[0] == cs)
+                ci = next(
+                    (i for i, cc in enumerate(comps) if cc[0] == cs), None
+                )
+                if ci is None:
+                    # a bare next() here raised StopIteration on corrupt
+                    # scans (r13 fuzz find, splice mode) — outside the
+                    # kernels' catch set, and silently iteration-ending
+                    # if a decode is ever driven from a generator
+                    raise ValueError("JPEG scan references unknown component")
                 scomps.append((ci, tt >> 4, tt & 0xF))
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ahal = body[3 + 2 * ns]

@@ -133,6 +133,26 @@ def _corpus() -> dict[str, tuple[bytes, bool]]:
             (gray % 128).astype(np.uint8), pal), False),
         "wav_pcm24": (mm.encode_wav(
             bytes(x & 0xFF for x in range(300)), 1, 1, 8000, 24), True),
+        # second round-13 wave: the remaining dispatch paths with no
+        # mutation entry — 4:2:0 chroma JPEG, progressive JPEG, IMA
+        # ADPCM WAV, 8-bit PCM WAV, and 16-bit Adam7 PNG
+        "jpeg420": (mm.encode_jpeg_ycbcr420_coeffs(
+            np.zeros((4, 4, 8, 8), dtype=np.int64) + np.eye(8, dtype=np.int64) * 5,
+            cb, cb), False),
+        "jpeg_progressive": (mm.encode_jpeg_gray_coeffs_progressive(cb),
+                             False),
+        "wav_adpcm": (mm.encode_wav(
+            (-1000).to_bytes(2, "little", signed=True) + bytes([30, 0])
+            + bytes([0x17, 0x80, 0xF3, 0x2A, 0x91, 0x06, 0x5C, 0xE8])
+            + (500).to_bytes(2, "little", signed=True) + bytes([62, 0])
+            + bytes([0x00, 0xFF, 0x42, 0x13, 0x7A, 0xC5, 0x2E, 0x99]),
+            0x11, 1, 8000, 4, block_align=12,
+            extra=(17).to_bytes(2, "little")), True),
+        "wav_pcm8": (mm.encode_wav(bytes(range(200)), 1, 1, 8000, 8),
+                     True),
+        "png16_adam7": (mm.encode_png_gray16_adam7(
+            (np.arange(40 * 32, dtype=np.uint16) * 97 % 65536)
+            .reshape(32, 40)), False),
         "flac": (encode_flac(list(range(50)), sample_rate=8000, bps=16),
                  True),
         # every byte is a valid G.711 code, so the payload is arbitrary
@@ -141,6 +161,37 @@ def _corpus() -> dict[str, tuple[bytes, bool]]:
         "wav_g711_a": (mm.encode_wav(bytes(range(256)), 6, 1, 8000, 8),
                        True),
     }
+
+
+def _mutate(data: bytes, rnd: random.Random) -> bytes:
+    """One seeded corruption of a valid stream. Modes 0-2 are the
+    original r11 matrix (flip / truncate / flip+truncate); modes 3-4
+    are the r13 additions targeting LENGTH-FIELD DESYNC — insertion
+    shifts every downstream offset, splice duplicates a chunk's bytes
+    over another region — the corruption class byte flips can't
+    produce (a flipped length field still points at real bytes; an
+    insertion makes every subsequent length/offset lie)."""
+    b = bytearray(data)
+    mode = rnd.randrange(5)
+    if mode == 0:  # flip 1-4 bytes
+        for _ in range(rnd.randrange(1, 5)):
+            b[rnd.randrange(len(b))] = rnd.randrange(256)
+    elif mode == 1:  # truncate anywhere
+        b = b[: rnd.randrange(1, len(b))]
+    elif mode == 2:  # flip then truncate
+        for _ in range(rnd.randrange(1, 3)):
+            b[rnd.randrange(len(b))] = rnd.randrange(256)
+        b = b[: rnd.randrange(8, len(b) + 1)]
+    elif mode == 3:  # insert 1-8 random bytes at a random position
+        at = rnd.randrange(len(b) + 1)
+        ins = bytes(rnd.randrange(256) for _ in range(rnd.randrange(1, 9)))
+        b[at:at] = ins
+    else:  # splice: copy a random slice over another position
+        n = rnd.randrange(1, min(len(b), 32) + 1)
+        src = rnd.randrange(len(b) - n + 1)
+        dst = rnd.randrange(len(b) - n + 1)
+        b[dst : dst + n] = b[src : src + n]
+    return bytes(b)
 
 
 @pytest.mark.parametrize("name", sorted(_corpus()))
@@ -152,18 +203,8 @@ def test_fuzzed_streams_raise_only_documented_errors(name):
     # new bmp_rle8 entry failed in-suite but passed in isolation —
     # the "fully reproducible" claim below was false until this)
     rnd = random.Random(zlib.crc32(name.encode()) & 0xFFFF)
-    for trial in range(120):
-        b = bytearray(data)
-        mode = rnd.randrange(3)
-        if mode == 0:  # flip 1-4 bytes
-            for _ in range(rnd.randrange(1, 5)):
-                b[rnd.randrange(len(b))] = rnd.randrange(256)
-        elif mode == 1:  # truncate anywhere
-            b = b[: rnd.randrange(1, len(b))]
-        else:  # flip then truncate
-            for _ in range(rnd.randrange(1, 3)):
-                b[rnd.randrange(len(b))] = rnd.randrange(256)
-            b = b[: rnd.randrange(8, len(b) + 1)]
+    for trial in range(150):
+        b = _mutate(data, rnd)
         t0 = time.monotonic()
         try:
             out = decode(bytes(b))
@@ -236,22 +277,12 @@ def test_fuzzed_frame_walkers_bounded(name):
     before the r12 guard)."""
     data, walker = _walker_corpus()[name]
     rnd = random.Random(zlib.crc32(name.encode()) & 0xFFFF)
-    for trial in range(120):
-        b = bytearray(data)
-        mode = rnd.randrange(3)
-        if mode == 0:
-            for _ in range(rnd.randrange(1, 5)):
-                b[rnd.randrange(len(b))] = rnd.randrange(256)
-        elif mode == 1:
-            b = b[: rnd.randrange(1, len(b))]
-        else:
-            for _ in range(rnd.randrange(1, 3)):
-                b[rnd.randrange(len(b))] = rnd.randrange(256)
-            b = b[: rnd.randrange(8, len(b) + 1)]
+    for trial in range(150):
+        b = _mutate(data, rnd)
         t0 = time.monotonic()
         try:
             n = 0
-            for _item in walker(bytes(b)):
+            for _item in walker(b):
                 n += 1
                 assert n < 10000, f"{name}: unbounded frame walk"
         except ALLOWED:
@@ -356,21 +387,11 @@ def test_fuzzed_deep_jpeg12_stream_bounded():
     data = mm.encode_jpeg_gray_coeffs(cb, precision=12)
     assert mm.decode_image_deep(data).dtype == np.uint16  # seed sanity
     rnd = random.Random(zlib.crc32(b"jpeg12_deep") & 0xFFFF)
-    for trial in range(120):
-        b = bytearray(data)
-        mode = rnd.randrange(3)
-        if mode == 0:
-            for _ in range(rnd.randrange(1, 5)):
-                b[rnd.randrange(len(b))] = rnd.randrange(256)
-        elif mode == 1:
-            b = b[: rnd.randrange(1, len(b))]
-        else:
-            for _ in range(rnd.randrange(1, 3)):
-                b[rnd.randrange(len(b))] = rnd.randrange(256)
-            b = b[: rnd.randrange(8, len(b) + 1)]
+    for trial in range(150):
+        b = _mutate(data, rnd)
         t0 = time.monotonic()
         try:
-            out = mm.decode_image_deep(bytes(b))
+            out = mm.decode_image_deep(b)
             assert out.ndim == 2 and out.dtype == np.uint16
         except ALLOWED:
             pass
@@ -553,3 +574,35 @@ def test_writer_roundtrip_fuzz(name):
         assert time.monotonic() - t0 < TIME_BUDGET_S, (
             f"{name} roundtrip trial {trial} exceeded {TIME_BUDGET_S}s"
         )
+
+
+def test_flac_zero_sample_rate_raises():
+    """The r13 insertion-mode fuzz find, pinned directly: a STREAMINFO
+    declaring sample rate 0 (spec-reserved for non-audio) must raise
+    ValueError instead of returning (samples, 0) — every consumer of
+    the pair divides by rate, so rate=0 is a deferred
+    ZeroDivisionError in a feature kernel (the WAV zero-rate class)."""
+    from ssp_spark.operators.flac import decode_flac
+
+    data = encode_flac([1, 2, 3, 4], sample_rate=0)
+    with pytest.raises(ValueError, match="zero sample rate"):
+        decode_flac(data)
+    # and through the dispatch feature kernels' entry point
+    with pytest.raises(ValueError):
+        mm.decode_audio(data)
+
+
+def test_progressive_jpeg_unknown_scan_component_raises():
+    """The r13 splice-mode fuzz find, pinned directly: an SOS whose
+    component selector matches no SOF2 component used to raise bare
+    StopIteration from next() — outside the kernels' documented catch
+    set (and silently iteration-ending under PEP 479 if a decode ever
+    runs inside a generator). Must be ValueError."""
+    cb = np.zeros((2, 2, 8, 8), dtype=np.int64)
+    cb[:, :, 0, 0] = 7
+    data = bytearray(mm.encode_jpeg_gray_coeffs_progressive(cb))
+    sos = data.index(b"\xff\xda")
+    # SOS body: len(2) ns(1) then (component id, tables) pairs
+    data[sos + 5] = 0x77  # component id that no SOF2 declares
+    with pytest.raises(ValueError, match="unknown component"):
+        mm.decode_image(bytes(data))

@@ -400,6 +400,18 @@ _R13_R9_HEAD = {
 #   run, tiled or stripped; no kernel change needed, now pinned by
 #   test_multimodal.py::test_tiff_1bit_with_predictor_is_a_stated_
 #   boundary.
+# - r13 fuzz-wave guards (the new insertion/splice mutation modes):
+#   decode_flac rejects a STREAMINFO sample rate of 0 with ValueError
+#   (was: returned (samples, 0), a deferred ZeroDivisionError in any
+#   consumer), and the progressive-JPEG SOS component lookup raises
+#   ValueError on an unknown component id (was: bare StopIteration
+#   from next() — outside the kernels' catch set). Both never-true on
+#   valid streams; multimodal_decode_audio_flac and
+#   multimodal_decode_jpeg_progressive re-verified hash-green vs their
+#   oracles at sf0.01 after the guards landed (r13 session,
+#   driver-sim recipe); pinned by test_codec_fuzz.py::
+#   test_flac_zero_sample_rate_raises and
+#   test_progressive_jpeg_unknown_scan_component_raises.
 
 
 def test_driver_window_is_the_round13_target_set():
