@@ -1052,6 +1052,15 @@ def _decode_jpeg(data: bytes, deep: bool = False):
                         for bxx in range(hi):
                             zz = np.zeros(64, dtype=np.int64)
                             t = _huff_decode(br, huff[(0, dc_t)])
+                            if t > 16:
+                                # T.81 F.1: DC categories stop at 11
+                                # (8-bit) / 15 (12-bit). A corrupt DHT
+                                # can define symbols up to 255, and
+                                # read_bits(255) makes the python-int
+                                # predictor overflow the int64 store
+                                # (r13 fuzz find: OverflowError is
+                                # outside the kernels' catch set)
+                                raise ValueError("JPEG DC category out of range")
                             diff = _extend(br.read_bits(t), t) if t else 0
                             pred[ci] += diff
                             zz[0] = pred[ci]
@@ -1296,6 +1305,8 @@ def _jpeg_progressive_scan(
 
     def decode_dc_first(arr, r, c, si, dc_t):
         t = _huff_decode(br, huff[(0, dc_t)])
+        if t > 16:  # same bound as the baseline path (corrupt DHT)
+            raise ValueError("JPEG DC category out of range")
         diff = _extend(br.read_bits(t), t) if t else 0
         pred[si] += diff
         arr[r, c, 0] = pred[si] << al
@@ -2996,6 +3007,12 @@ def _decode_gif(data: bytes):
         raise ValueError("not a GIF")
     w = int.from_bytes(data[6:8], "little")
     h = int.from_bytes(data[8:10], "little")
+    if w == 0 or h == 0 or w * h > (1 << 26):
+        # same pre-allocation bound as BMP/TIFF: two corrupt 16-bit
+        # dims otherwise drive the LZW loop toward a 4.3-GB expansion
+        # and a 12.9-GB screen composite (r13 fuzz find: a 736-byte
+        # stream decoded for 296 s)
+        raise ValueError("GIF: unreasonable dimensions")
     flags, bg = data[10], data[11]
     pos = 13
     gct = None
@@ -3024,6 +3041,8 @@ def _decode_gif(data: bytes):
             top = int.from_bytes(data[pos + 3 : pos + 5], "little")
             iw = int.from_bytes(data[pos + 5 : pos + 7], "little")
             ih = int.from_bytes(data[pos + 7 : pos + 9], "little")
+            if iw == 0 or ih == 0 or iw * ih > (1 << 26):
+                raise ValueError("GIF: unreasonable dimensions")
             iflags = data[pos + 9]
             pos += 10
             lct = gct
@@ -3207,6 +3226,10 @@ def iter_gif_frames(data: bytes):
             top = int.from_bytes(data[pos + 3 : pos + 5], "little")
             iw = int.from_bytes(data[pos + 5 : pos + 7], "little")
             ih = int.from_bytes(data[pos + 7 : pos + 9], "little")
+            if iw == 0 or ih == 0 or iw * ih > (1 << 26):
+                # same bound as _decode_gif: the per-frame LZW decode
+                # below expands toward iw*ih bytes (r13 fuzz find)
+                raise ValueError("GIF: unreasonable dimensions")
             iflags = data[pos + 9]
             pos += 10
             if iflags & 0x80:
@@ -3761,13 +3784,19 @@ def decode_audio(data: bytes):
         # samples clamp at the int16 rails like every fixed-point
         # renderer does
         n = len(raw) // (4 * channels)
-        f = np.frombuffer(raw, dtype="<f4", count=n * channels).astype(np.float64)
         # NaN bits are spec-legal in a float stream but NaN.astype(int16)
         # is platform-UNDEFINED (and warns) — map NaN to 0 so a corrupt
         # or degenerate clip decodes deterministically on every host;
-        # +-inf already clamp at the rails via the clip (r12 fuzz find)
-        f = np.nan_to_num(f, nan=0.0, posinf=np.inf, neginf=-np.inf)
-        vals = np.clip(np.rint(f * 32767.0), -32768, 32767).astype(np.int16)
+        # +-inf already clamp at the rails via the clip (r12 fuzz find).
+        # errstate: a SIGNALING-NaN bit pattern additionally raises the
+        # FPU invalid flag on the f32->f64 cast itself (r13 fuzz find —
+        # a RuntimeWarning that becomes a task-killing error under
+        # warnings-as-errors); the value still arrives as NaN -> 0, so
+        # the flag carries no information here
+        with np.errstate(invalid="ignore"):
+            f = np.frombuffer(raw, dtype="<f4", count=n * channels).astype(np.float64)
+            f = np.nan_to_num(f, nan=0.0, posinf=np.inf, neginf=-np.inf)
+            vals = np.clip(np.rint(f * 32767.0), -32768, 32767).astype(np.int16)
         return vals.reshape(n, channels).copy(), rate
     if audio_format == 1 and bits == 16:
         n = len(raw) // (2 * channels)

@@ -606,3 +606,64 @@ def test_progressive_jpeg_unknown_scan_component_raises():
     data[sos + 5] = 0x77  # component id that no SOF2 declares
     with pytest.raises(ValueError, match="unknown component"):
         mm.decode_image(bytes(data))
+
+
+def test_gif_huge_dimensions_rejected_fast():
+    """The r13 deep-sweep find, pinned directly: corrupt 16-bit GIF
+    dimensions (screen or frame descriptor) must raise ValueError
+    before the LZW expansion / np.pad / screen composite allocate
+    gigabytes — a 736-byte corrupt stream decoded for 296 s (memory
+    thrash in numpy C ops, uninterruptible) before the guard."""
+    gray = np.arange(40 * 32, dtype=np.uint8).reshape(32, 40) % 128
+    pal = np.stack([np.arange(128, dtype=np.uint8)] * 3, 1)
+    data = bytearray(mm.encode_gif(gray, pal))
+    # screen dimensions
+    b = bytearray(data)
+    b[6:8] = b[8:10] = (0xFFFF).to_bytes(2, "little")
+    t0 = time.monotonic()
+    with pytest.raises(ValueError, match="unreasonable dimensions"):
+        mm.decode_image(bytes(b))
+    assert time.monotonic() - t0 < 1.0
+    # frame-descriptor dimensions (screen left valid); descriptor sits
+    # right after header(13) + 128-entry global color table
+    desc = 13 + 3 * 128
+    assert data[desc] == 0x2C
+    b = bytearray(data)
+    b[desc + 5 : desc + 7] = b[desc + 7 : desc + 9] = (0xFFFF).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="unreasonable dimensions"):
+        mm.decode_image(bytes(b))
+    # and through the animation walker, which shares the per-frame LZW
+    with pytest.raises(ValueError, match="unreasonable dimensions"):
+        list(mm.iter_gif_frames(bytes(b)))
+
+
+def test_jpeg_dc_category_bounded():
+    """The r13 deep-sweep find, pinned by replaying its exact seeded
+    trial: a corrupt DHT can define DC symbols up to 255, and
+    read_bits(255) grows the python-int DC predictor past int64 —
+    OverflowError (outside the kernels' catch set) at the zz[0] store.
+    Must raise a documented error type instead."""
+    data = _corpus()["jpeg420"][0]
+    rnd = random.Random(zlib.crc32(b"deep13-jpeg420"))
+    for _ in range(268):
+        b = _mutate(data, rnd)
+    try:
+        mm.decode_image(b)
+    except ALLOWED:
+        pass  # ValueError("JPEG DC category out of range") expected
+
+
+def test_wav_float_signaling_nan_decodes_quietly():
+    """The r13 deep-sweep find: a SIGNALING-NaN float32 bit pattern
+    (0x7F800001) raises the FPU invalid flag on the f32->f64 cast
+    itself — a RuntimeWarning the r12 quiet-NaN test could not see.
+    The decode must be warning-free and map sNaN to 0 like qNaN."""
+    import struct
+    import warnings
+
+    raw = struct.pack("<I", 0x7F800001) + struct.pack("<f", 0.5)
+    data = mm.encode_wav(raw, 3, 1, 8000, 32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        samples, rate = mm.decode_audio(data)
+    assert rate == 8000 and samples[:, 0].tolist() == [0, 16384]

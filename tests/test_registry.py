@@ -412,6 +412,22 @@ _R13_R9_HEAD = {
 #   driver-sim recipe); pinned by test_codec_fuzz.py::
 #   test_flac_zero_sample_rate_raises and
 #   test_progressive_jpeg_unknown_scan_component_raises.
+# - r13 deep-sweep guards (1200-trial one-off sweep over the 27-entry
+#   corpus): GIF screen/frame dimension bound (two corrupt 16-bit dims
+#   drove a 296 s memory-thrash decode of a 736-byte stream — the
+#   BMP/TIFF 1<<26 bound, applied in _decode_gif AND iter_gif_frames),
+#   JPEG DC category bound t<=16 in both baseline and progressive DC
+#   decodes (a corrupt DHT defines symbols up to 255; read_bits(255)
+#   overflows the int64 store with OverflowError, outside the catch
+#   set), and np.errstate around the float-WAV cast (a SIGNALING-NaN
+#   f32 pattern raises the FPU invalid flag on the f32->f64 cast —
+#   warning-level today, task-killing under warnings-as-errors). All
+#   never-true on valid streams. Kernel-path gates re-verified after
+#   the guards landed via a FULL 234-query driver-sim sweep at sf0.01
+#   (zero mismatches, r13 session); pinned by test_codec_fuzz.py::
+#   test_gif_huge_dimensions_rejected_fast /
+#   test_jpeg_dc_category_bounded /
+#   test_wav_float_signaling_nan_decodes_quietly.
 
 
 def test_driver_window_is_the_round13_target_set():
