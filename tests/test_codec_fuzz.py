@@ -550,7 +550,21 @@ def _rt_y4m(rnd):
         assert (y.reshape(h, w) == f).all()
 
 
+def _rt_png16_adam7(rnd):
+    # decode_image's contract for 16-bit gray is the HIGH byte,
+    # replicated across RGB (test_multimodal pins the mapping on
+    # goldens); the fuzz here exercises the Adam7 pass structure on
+    # arbitrary shapes incl. ones with empty passes (1x1, 1xN, Nx1)
+    h, w = rnd.choice(_RT_DIMS), rnd.choice(_RT_DIMS)
+    img16 = rnd.randint(0, 65536, (h, w)).astype(np.uint16)
+    out = mm.decode_image(mm.encode_png_gray16_adam7(img16))
+    hi = (img16 >> 8).astype(np.uint8)
+    assert out.shape == (h, w, 3)
+    assert (out == np.stack([hi] * 3, axis=2)).all()
+
+
 _RT_WRITERS = {
+    "png16_adam7": _rt_png16_adam7,
     "png": _rt_png,
     "png_palette": _rt_png_palette,
     "bmp8": _rt_bmp8,
