@@ -2610,6 +2610,11 @@ def _decode_tiff(data: bytes):
             # boundary rather than a guessed layout
             raise NotImplementedError("1-bit tiled TIFF needs one gray plane")
         tw_, tl_ = tags[322][0], tags[323][0]
+        if tw_ <= 0 or tl_ <= 0 or tw_ * tl_ > (1 << 26):
+            # a corrupt zero TileWidth divided the grid math by zero
+            # (r13 fuzz find), and an oversized tile would defeat the
+            # image-level bound at the per-tile allocation
+            raise ValueError("TIFF: unreasonable tile dimensions")
         t_offs, t_cnts = tags[324], tags[325]
         ta = (w + tw_ - 1) // tw_
         td = (h + tl_ - 1) // tl_

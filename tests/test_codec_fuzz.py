@@ -681,3 +681,24 @@ def test_wav_float_signaling_nan_decodes_quietly():
         warnings.simplefilter("error")
         samples, rate = mm.decode_audio(data)
     assert rate == 8000 and samples[:, 0].tolist() == [0, 16384]
+
+
+def test_tiff_zero_tile_dimensions_rejected():
+    """The final r13 sweep find, pinned directly: a corrupt TileWidth/
+    TileLength of 0 divided the tile-grid arithmetic by zero
+    (ZeroDivisionError — outside the kernels' catch set); oversized
+    tiles would likewise defeat the image-level dimension bound at the
+    per-tile allocation. Both must raise the stated ValueError."""
+    gray = np.arange(40 * 32, dtype=np.uint8).reshape(32, 40)
+    data = bytearray(mm.encode_tiff(gray, tiles=(16, 16)))
+    ifd = int.from_bytes(data[4:8], "little")
+    nent = int.from_bytes(data[ifd : ifd + 2], "little")
+    for want, repl in ((322, 0), (323, 0x04000000)):
+        b = bytearray(data)
+        for i in range(nent):
+            e = ifd + 2 + 12 * i
+            if int.from_bytes(b[e : e + 2], "little") == want:
+                b[e + 8 : e + 12] = repl.to_bytes(4, "little")
+                break
+        with pytest.raises(ValueError, match="tile dimensions"):
+            mm.decode_image(bytes(b))

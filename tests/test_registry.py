@@ -428,6 +428,12 @@ _R13_R9_HEAD = {
 #   test_gif_huge_dimensions_rejected_fast /
 #   test_jpeg_dc_category_bounded /
 #   test_wav_float_signaling_nan_decodes_quietly.
+# - r13 final-sweep guard: TIFF tile dimensions bounded (zero
+#   TileWidth divided the tile-grid math by zero; oversized tiles
+#   would defeat the image-level bound at the per-tile allocation).
+#   Never-true on valid streams; multimodal_decode_tiff re-verified
+#   hash-green at sf0.01 after the guard (r13 session); pinned by
+#   test_codec_fuzz.py::test_tiff_zero_tile_dimensions_rejected.
 
 
 def test_driver_window_is_the_round13_target_set():
