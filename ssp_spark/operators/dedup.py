@@ -604,6 +604,11 @@ def connected_components(
     edges = pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     sym = sym.localCheckpoint()
+    # (Round-13 negative result, kept as a note: folding this gate into
+    # one limit(threshold+1).collect() is NOT a job reduction — global
+    # limits collect via incremental take(), which runs log-many jobs
+    # when the frame is smaller than the limit, i.e. exactly the fast
+    # path. count() + collect() over the checkpointed blocks stays.)
     if driver_edge_threshold and sym.count() <= driver_edge_threshold:
         rows = sym.collect()
         parent: dict = {}

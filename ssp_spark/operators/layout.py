@@ -42,26 +42,43 @@ def exact_range_boundaries(df: DataFrame, value_col: str, n_shards: int) -> list
     collect (the model artifact). The single-partition window runs over
     DISTINCT values with counts — the exact path; swap for
     percentile_approx at near-unique-key scale (see module docstring).
+
+    Round 13 (optimization): the total row count used for the rank
+    targets r_k = max(1, floor(n·k/S)) is derived INSIDE the histogram
+    pass (an unbounded-frame sum over the same single-partition window
+    the cumulative counts already run on) instead of a separate
+    ``df.count()`` action — one job instead of two, and for DERIVED
+    inputs (several consumers pass filtered/joined frames) the count
+    was a full recomputation of the upstream subtree. Ranks, boundary
+    semantics, and ties are bit-identical (exact integer arithmetic on
+    both paths; the property tests cover n < n_shards).
     """
-    n = df.count()
     hist = df.groupBy(F.col(value_col).alias("v")).agg(F.count("*").alias("cnt"))
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = hist.withColumn("cumn", F.sum("cnt").over(w))
-    ranks = [max(1, (n * k) // n_shards) for k in range(1, n_shards)]
+    wn = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.withColumn("cumn", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(wn)
+    )
     # key the probe rows by the shard INDEX k, not the rank value: with
     # n < n_shards several split points share a rank, and grouping by
     # the rank value would collapse them into one boundary (returning
     # S-2 or fewer split points — caught by the property test)
-    probes = F.array(
-        *[
-            F.struct(F.lit(k).alias("k"), F.lit(r).alias("rk"))
-            for k, r in enumerate(ranks)
-        ]
-    )
     bounds = (
-        cum.select("v", "cumn", F.explode(probes).alias("p"))
-        .filter(F.col("cumn") >= F.col("p.rk"))
-        .groupBy("p.k")
+        cum.select(
+            "v",
+            "cumn",
+            "n",
+            F.explode(F.sequence(F.lit(1), F.lit(n_shards - 1))).alias("k"),
+        )
+        .filter(
+            F.col("cumn")
+            >= F.expr(
+                f"greatest(CAST(1 AS BIGINT), (n * CAST(k AS BIGINT)) div {n_shards})"
+            )
+        )
+        .groupBy("k")
         .agg(F.min("v").alias("b"))
         .collect()
     )

@@ -8349,9 +8349,8 @@ def triangle_count_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.shiftrightunsigned("p", 32).cast("long").alias("u1"),
             F.col("p").bitwiseAND(F.lit((1 << 32) - 1)).alias("u2"),
         )
-        .localCheckpoint()  # reused three times by the triangle joins
+        .persist()  # reused by deg + ek; materialized by the count below
     )
-    ud.unpersist()
     # Degree-ordered orientation (the standard scalable triangle
     # algorithm): orient every edge from its lower-(degree, id) endpoint
     # to the higher one, then wedges are pairs of OUT-neighbors — the
@@ -8370,24 +8369,27 @@ def triangle_count_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # total order key: degree-major, id tiebreak (ids < 2^31 by fixture)
     k = lambda d, u: F.shiftleft(F.col(d).cast("long"), 32) + F.col(u)
     # deg is one 12-byte row per user with a SURVIVING >= 28-shared-days
-    # edge — bounded by 2·|edges|, and edges just materialized through
-    # the localCheckpoint, so this is model-sized next to the pair
-    # stream that produced it (sf0.1: 526 rows; unhinted, Spark has no
-    # stats for the post-checkpoint aggregate and planned both lookups
-    # as full sort-merge joins, ~0.6 s of the query).
+    # edge — bounded by 2·|edges|, and edges is materialized once by the
+    # count below, so this is model-sized next to the pair stream that
+    # produced it (sf0.1: 526 rows; unhinted, Spark has no stats for the
+    # post-materialization aggregate and planned both lookups as full
+    # sort-merge joins, ~0.6 s of the query).
     #
     # Broadcast GATE (r8 ADVICE: the hints were unconditional, so a
     # corpus whose surviving edge set outgrew a broadcast would OOM
-    # rather than degrade): the edge list is already materialized by
-    # the checkpoint, so counting it is a free metadata-ish job, and
-    # the count drives the hint — under the cap (~16-byte packed rows,
-    # cap chosen to keep every broadcast table well under a few hundred
-    # MB per executor) the plan is the pipelined broadcast one; over it
-    # every hint drops AUTOMATICALLY and the joins fall back to the
-    # keyed shuffles they were before the round-8 optimization. The
-    # count is reused as the n_edges output literal, so the gate costs
-    # nothing the query didn't already pay.
+    # rather than degrade): the count drives the hint — under the cap
+    # (~16-byte packed rows, cap chosen to keep every broadcast table
+    # well under a few hundred MB per executor) the plan is the
+    # pipelined broadcast one; over it every hint drops AUTOMATICALLY
+    # and the joins fall back to the keyed shuffles they were before
+    # the round-8 optimization. The count is reused as the n_edges
+    # output literal, so the gate costs nothing the query didn't
+    # already pay. Round 13: the count IS the materializing action of
+    # the persisted edge list (the old eager localCheckpoint + count
+    # pair ran the same pipeline and then a second job over its
+    # blocks) — one job instead of two, identical plan downstream.
     edge_cnt = edges.count()
+    ud.unpersist()
     hint = F.broadcast if edge_cnt <= _TRIANGLE_BROADCAST_EDGES else (lambda df: df)
     ek = (
         edges.join(hint(deg.select(F.col("u").alias("u1"), F.col("d").alias("d1"))), "u1")
@@ -8399,6 +8401,7 @@ def triangle_count_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
+    edges.unpersist()  # ek materialized: the raw edge blocks are done
     # The oriented edge list is checkpointed and 16-bytes-a-row small
     # (bounded by the day-capped pair stage that built it), so both the
     # wedge mate and the closing probe broadcast: the wedge stream then

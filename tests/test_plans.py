@@ -315,6 +315,41 @@ def test_lsh_buckets_no_per_row_constant_hashing(spark):
     assert not plans.has_cartesian(df)
 
 
+def test_lsh_buckets_expr_form_is_canonically_identical(spark):
+    """Round-13 optimization: lsh_buckets assembles its bucket column as
+    ONE parsed SQL expression instead of ~512 py4j Column calls (plan
+    CONSTRUCTION dropped ~0.7 s -> ~0.08 s per call). The rewrite must
+    be a pure build-time change: the optimized plan must canonicalize
+    EQUAL to the reference Column-API form it replaced."""
+    import pyspark.sql.functions as F
+
+    from ssp_spark.catalog import load_table
+    from ssp_spark.operators.similarity import lsh_buckets, plane_signs
+
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+
+    # the pre-r13 Column-API reference form, verbatim
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    terms = []
+    for p, row in enumerate(plane_signs(8, 64)):
+        lit_arr = F.array(*[F.lit(s) for s in row])
+        d = F.aggregate(
+            F.zip_with(v, lit_arr, lambda x, s: F.coalesce(x * s, F.lit(0.0))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        terms.append(F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    bucket = terms[0]
+    for t in terms[1:]:
+        bucket = bucket + t
+    ref = emb.withColumn("bucket", bucket)
+
+    new = lsh_buckets(emb, id_col="vec_id", vec_col="embedding")
+    ref_c = ref._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+    new_c = new._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+    assert new_c == ref_c
+
+
 def test_simhash64_fingerprint_stays_map_side(spark):
     """The production-width simhash: the fingerprint fold must stay a
     map-side projection (no per-doc aggregation exchange — the only
