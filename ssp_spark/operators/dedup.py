@@ -638,7 +638,16 @@ def connected_components(
         schema = T.StructType(
             [T.StructField("id", id_type), T.StructField("component_id", id_type)]
         )
-        return pairs.sparkSession.createDataFrame(out, schema)
+        # Round 13 (guide §3): the driver-path label frame is a
+        # createDataFrame over a local list, so Spark has NO size stats
+        # and consumers (cluster_dedup_keeper, entity_resolution_parts,
+        # curation retain) planned their docs-side lookups as full
+        # sort-merge joins — two exchanges + sorts of the BIG side to
+        # join a frame this gate just proved is <= driver_edge_threshold
+        # nodes (~16 B/row: a few MB). Hint it broadcastable; the
+        # distributed fallback below returns UNHINTED, so an over-gate
+        # pair graph at 100 TB never broadcasts.
+        return F.broadcast(pairs.sparkSession.createDataFrame(out, schema))
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint()

@@ -7821,14 +7821,24 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # null/bounds checks — the single-walk HOF replaces it, measured
     # 2.4 -> ~1.1 s at sf0.1.)
     d_model = max(model) + 1
-    ms = F.array(
-        *[
-            F.struct(
-                F.lit(model[i][0] if i in model else 0.0).alias("m"),
-                F.lit(model[i][1] if i in model else 0.0).alias("sd"),
+    # Round 13 (guide §4): the model literal is assembled as ONE parsed
+    # SQL string instead of d_model x (2 lit + 2 alias + struct) py4j
+    # Column calls — the listcomp was ~2/3 of this query's measured
+    # plan-construction time (cProfile: 6.5 of 9.6 s in a contended
+    # session; ~0.4 s clean). repr() round-trips doubles exactly and
+    # named_struct('m', <v>D, ...) canonicalizes EQUAL to the old
+    # F.struct(F.lit...) tree (pinned by
+    # test_standardize_model_literal_expr_form_identical), so plan,
+    # codegen and results are bit-identical.
+    ms = F.expr(
+        "array("
+        + ",".join(
+            "named_struct('m',{m!r}D,'sd',{sd!r}D)".format(
+                m=model.get(i, (0.0, 0.0))[0], sd=model.get(i, (0.0, 0.0))[1]
             )
             for i in range(d_model)
-        ]
+        )
+        + ")"
     )
     zc = F.zip_with(
         F.col("__q"),

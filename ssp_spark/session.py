@@ -140,5 +140,23 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
+        # Round 13 (guide §4, the Python boundary): PySpark 4 wraps EVERY
+        # DataFrame/Column API call with call-site capture for error
+        # enrichment (pyspark/errors/utils.py _with_origin) — per call
+        # that is a getActiveSession lookup, a conf read, a Python stack
+        # walk and a JVM PySparkCurrentOrigin set/clear: 3-4 extra py4j
+        # round trips. Plan CONSTRUCTION runs inside the bench's timed
+        # region, and measured builds halve with it off (e.g.
+        # embedding_standardize 1.22 -> 0.55 s, bootstrap_ci_spend
+        # 0.55 -> 0.27 s). Purely driver-side Python overhead — plans,
+        # results and execution are bit-identical; only error messages
+        # lose the "was called from queries.py:123" context line, and
+        # SPARK_GRAFT_DF_DEBUG=1 restores that for debugging sessions.
+        # (PySpark caches the flag at first API call, so it must be set
+        # at session build — which this factory guarantees.)
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_DF_DEBUG") == "1" else "false",
+        )
     )
     return builder.getOrCreate()

@@ -350,6 +350,46 @@ def test_lsh_buckets_expr_form_is_canonically_identical(spark):
     assert new_c == ref_c
 
 
+def test_standardize_model_literal_expr_form_identical(spark):
+    """Round-13 optimization: embedding_standardize assembles its
+    (mean, sd) model literal as ONE parsed SQL string instead of
+    d_model x ~5 py4j Column calls. The string form (repr-formatted
+    D-suffixed doubles inside named_struct) must canonicalize EQUAL to
+    the Column-API tree it replaced — checked here on a synthetic model
+    including a negative, a subnormal-ish sci-notation value and the
+    0.0 padding the query emits for excluded dims."""
+    import pyspark.sql.functions as F
+
+    model = {0: (1.5, 0.25), 2: (-3.75e-05, 123456.78125)}
+    d_model = 3
+    df = spark.range(3).select(F.array(F.lit(1.0), F.lit(2.0)).alias("__q"))
+
+    ms_old = F.array(
+        *[
+            F.struct(
+                F.lit(model[i][0] if i in model else 0.0).alias("m"),
+                F.lit(model[i][1] if i in model else 0.0).alias("sd"),
+            )
+            for i in range(d_model)
+        ]
+    )
+    ms_new = F.expr(
+        "array("
+        + ",".join(
+            "named_struct('m',{m!r}D,'sd',{sd!r}D)".format(
+                m=model.get(i, (0.0, 0.0))[0], sd=model.get(i, (0.0, 0.0))[1]
+            )
+            for i in range(d_model)
+        )
+        + ")"
+    )
+    a = df.select(ms_old.alias("ms"))
+    b = df.select(ms_new.alias("ms"))
+    ca = a._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+    cb = b._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+    assert ca == cb
+
+
 def test_simhash64_fingerprint_stays_map_side(spark):
     """The production-width simhash: the fingerprint fold must stay a
     map-side projection (no per-doc aggregation exchange — the only
@@ -456,6 +496,24 @@ def test_cluster_keeper_no_cartesian_cluster_sized_window(spark):
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
     assert "row_number" in s
     assert "Exchange SinglePartition" not in plans.plan_string(df, "simple")
+
+
+def test_cc_driver_path_labels_broadcast(spark):
+    """Round-13 optimization: under the driver-union-find gate the CC
+    label frame's size is KNOWN (<= driver_edge_threshold nodes), so
+    connected_components hints it broadcastable — consumers must plan
+    the docs-side label lookup as a broadcast join, not the sort-merge
+    join (2 exchanges + big-side sorts) Spark picked without stats.
+    The distributed fallback stays unhinted (scale safety)."""
+    for name in ("cluster_dedup_keeper", "entity_resolution_parts"):
+        df = QUERIES[name](spark, SF_SMOKE)
+        s = plans.plan_string(df)
+        assert "SortMergeJoin" not in s, name
+    # keeper's label join must actually BE a broadcast (ER's label frame
+    # is EMPTY at smoke scale, so PropagateEmptyRelation deletes its
+    # join outright — no join node of any kind to assert on)
+    df = QUERIES["cluster_dedup_keeper"](spark, SF_SMOKE)
+    assert plans.broadcast_join_count(df) >= 1
 
 
 def test_bigram_lm_two_corpus_scans_broadcast_model(spark):
