@@ -61,9 +61,17 @@ def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     The input is repartitioned BEFORE the explode: document tables often
     arrive in few/large parquet row groups, and shingling fans out ~100x —
     rebalancing the small pre-explode rows costs almost nothing and lets
-    every core shingle in parallel (at any scale)."""
+    every core shingle in parallel (at any scale). Hash on the unique
+    doc id, NOT round-robin: a keyless repartition first pays a local
+    sort of its input rows (spark.sql.execution.sortBeforeRepartition,
+    on so retried tasks re-emit identical placement — guide §2.5) and
+    that sort compares whole text rows; hashing a unique key spreads
+    identically, is retry-deterministic by construction, and skips the
+    sort (measured ~18% off the shingle stage at sf0.1)."""
     spread = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
-    spread = spread.repartition(spread.sparkSession.sparkContext.defaultParallelism)
+    spread = spread.repartition(
+        spread.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
     return spread.select("doc_id", F.explode(shingles(F.col("__text"), n)).alias("sh")).distinct()
 
 
@@ -155,7 +163,11 @@ def _pair_shared_counts(
             f"for packed-long pair keys; got {id_type}"
         )
     spread = df.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("__text"))
-    spread = spread.repartition(spread.sparkSession.sparkContext.defaultParallelism)
+    # hash-on-id spread, not round-robin: skips the keyless repartition's
+    # retry-determinism local sort of the text rows (see _doc_shingles)
+    spread = spread.repartition(
+        spread.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
     # Shingles are only ever a GROUPING key from here on — compress each to
     # an 8-byte xxhash64 before the shuffle so the inverted-index exchange
     # moves fixed-width longs instead of ~25-byte strings (same pairs and
@@ -278,7 +290,10 @@ def minhash_signatures(
     from ssp_spark.functions import seeded_hash32
 
     spread = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
-    spread = spread.repartition(spread.sparkSession.sparkContext.defaultParallelism)
+    # hash-on-id spread, not round-robin (see _doc_shingles)
+    spread = spread.repartition(
+        spread.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
     # min over the distinct set == min over the multiset, so dedup the
     # ~2x-repetitive shingle stream map-side and halve the md5 volume.
     sh = spread.select(
@@ -421,7 +436,10 @@ def simhash(
     # (measured ~15% of the sf0.1 query). Filtering pre-repartition
     # also keeps empty docs out of the text shuffle.
     spread = spread.filter(F.col("__text").rlike(r"\S"))
-    spread = spread.repartition(spread.sparkSession.sparkContext.defaultParallelism)
+    # hash-on-id spread, not round-robin (see _doc_shingles)
+    spread = spread.repartition(
+        spread.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
     ths = spread.select(
         "doc_id",
         F.transform(F.array_distinct(tokens(F.col("__text"))), portable_hash64).alias("ths"),
@@ -483,7 +501,10 @@ def embedding_near_dup(
     base = df.select(
         F.col(block_col).alias("blk"), F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
     )
-    base = base.repartition(base.sparkSession.sparkContext.defaultParallelism).withColumn(
+    # hash-on-id spread, not round-robin (see _doc_shingles)
+    base = base.repartition(
+        base.sparkSession.sparkContext.defaultParallelism, "vid"
+    ).withColumn(
         "nrm", norm("v")
     ).persist()
     a = base.select("blk", F.col("vid").alias("id1"), F.col("v").alias("v1"), F.col("nrm").alias("n1"))
@@ -531,8 +552,9 @@ def embedding_near_dup_lsh(
         vec_col="v",
         n_planes=n_planes,
     )
+    # hash-on-id spread, not round-robin (see _doc_shingles)
     base = base.repartition(
-        base.sparkSession.sparkContext.defaultParallelism
+        base.sparkSession.sparkContext.defaultParallelism, "vid"
     ).withColumn("nrm", norm("v")).persist()
     masks = similarity.probe_masks(n_planes, probe_radius)
     a = (
@@ -852,7 +874,10 @@ def span_dup_pairs(
     spread = df.select(
         F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("__t")
     ).filter(F.length("__t") >= win)
-    spread = spread.repartition(spread.sparkSession.sparkContext.defaultParallelism)
+    # hash-on-id spread, not round-robin (see _doc_shingles)
+    spread = spread.repartition(
+        spread.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
     span_arr = F.expr(
         f"transform(sequence(1, length(__t) - {win} + 1, {stride}),"
         f" p -> xxhash64(substring(__t, p, {win})))"

@@ -95,12 +95,24 @@ def fuzzy_pairs(
         raise ValueError(f"unknown short_strings mode {short_strings!r}")
     keep = max_dist * q + 1
     short_len = q * (max_dist + 1)
+    # One exchange, not two (round 13, guide §2.4): the old shape was
+    # distinct() (hash exchange on (fid, fstr) at the session's shuffle
+    # partition count) followed by a keyless repartition (a SECOND full
+    # exchange, plus the round-robin retry-determinism local sort) to
+    # spread the gram explode across cores. Hash-repartitioning on the
+    # distinct keys FIRST at the core count lets the dedup aggregate
+    # reuse that exchange (EnsureRequirements: hash(fid, fstr) satisfies
+    # the aggregate's clustered distribution), so the same rows arrive
+    # in the same spread with one exchange and no sort.
     base = (
         df.select(F.col(id_col).alias("fid"), F.col(str_col).alias("fstr"))
         .filter(F.col("fstr").isNotNull())
-        .distinct()
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism, "fid", "fstr"
+        )
+        .dropDuplicates()
+        .persist()
     )
-    base = base.repartition(base.sparkSession.sparkContext.defaultParallelism).persist()
 
     grams = base.select("fid", F.explode(F.array_distinct(qgrams(F.col("fstr"), q))).alias("g"))
     # Gram vocabulary is alphabet-bounded (|Σ|^q) — broadcast by contract.

@@ -45,7 +45,10 @@ def brute_force_topk(
         "qn", norm("qv")
     )
     c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
-    c = c.repartition(c.sparkSession.sparkContext.defaultParallelism).withColumn("nn", norm("nv"))
+    # hash-on-id spread, not round-robin (dedup._doc_shingles rationale)
+    c = c.repartition(
+        c.sparkSession.sparkContext.defaultParallelism, "nid"
+    ).withColumn("nn", norm("nv"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("qid") != F.col("nid"))
@@ -216,7 +219,10 @@ def lsh_topk(
         .drop("__m")
     )
     cb = lsh_buckets(
-        corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism),
+        # hash-on-id spread, not round-robin (dedup._doc_shingles rationale)
+        corpus.repartition(
+            corpus.sparkSession.sparkContext.defaultParallelism, id_col
+        ),
         id_col,
         vec_col,
         n_planes,
@@ -744,7 +750,10 @@ def contrastive_pairs(
             .drop("__m")
         )
         c = lsh_buckets(
-            corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism),
+            # hash-on-id spread, not round-robin (dedup._doc_shingles)
+            corpus.repartition(
+                corpus.sparkSession.sparkContext.defaultParallelism, id_col
+            ),
             id_col,
             vec_col,
             n_planes,
@@ -767,9 +776,10 @@ def contrastive_pairs(
             F.col(vec_col).alias("nv"),
             F.col(label_col).alias("nlabel"),
         )
-        c = c.repartition(c.sparkSession.sparkContext.defaultParallelism).withColumn(
-            "nn", norm("nv")
-        )
+        # hash-on-id spread, not round-robin (dedup._doc_shingles)
+        c = c.repartition(
+            c.sparkSession.sparkContext.defaultParallelism, "nid"
+        ).withColumn("nn", norm("nv"))
         scored = c.crossJoin(F.broadcast(q))
     scored = (
         scored.filter(F.col("qid") != F.col("nid"))

@@ -303,8 +303,10 @@ def lm_score(
     # dedup.minhash_signatures — measured 7.2 s -> ~1.5 s at sf0.1; at
     # real scale the input's own splits already provide parallelism and
     # this round-robin exchange is the cheap insurance, not the plan)
+    # hash-on-id spread, not round-robin: skips the keyless repartition's
+    # retry-determinism local sort of the text rows (dedup._doc_shingles)
     spread = corpus.select(F.col(id_col), F.col(text_col)).repartition(
-        corpus.sparkSession.sparkContext.defaultParallelism
+        corpus.sparkSession.sparkContext.defaultParallelism, id_col
     )
     bi = spread.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), 2)).alias("bg")

@@ -11254,7 +11254,11 @@ def theil_sen_trend_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank pass below into a single task (measured 10 s at 100x);
     # spreading the 2405-row streamed side first keeps the wide pair
     # frame parallel for the cost of a trivial shuffle
-    pairs = daily.repartition(32).join(
+    # hash on the unique day value, not round-robin: 2405 distinct days
+    # over 32 partitions spreads ~75x finer than the partition count
+    # (guide §2.5's 20-100x rule) and skips the keyless repartition's
+    # retry-determinism local sort
+    pairs = daily.repartition(32, "d").join(
         F.broadcast(right), F.col("d2") > F.col("d")
     ).select(
         ((F.col("c2") - F.col("c")).cast("double")

@@ -390,6 +390,48 @@ def test_standardize_model_literal_expr_form_identical(spark):
     assert ca == cb
 
 
+def test_text_spreads_are_hash_partitioned_not_roundrobin(spark):
+    """Round-13 optimization (guide §2.5): the pre-explode rebalance in
+    the text/dedup operators hashes on the unique doc id instead of a
+    keyless round-robin repartition — a keyless repartition pays a
+    retry-determinism local sort of the full text rows before every
+    shuffle write (spark.sql.execution.sortBeforeRepartition), while
+    hashing a unique key spreads identically without the sort. Pinned
+    on the two suite queries whose final plan is not checkpoint-
+    truncated; the codec gates' _spread_for_cpu stays round-robin by
+    design (no id column; asserted in test_codec_gates_decode_map_shape)."""
+    for name in ("dedup_simhash", "bigram_lm_score"):
+        df = QUERIES[name](spark, SF_SMOKE)
+        s = plans.plan_string(df, "simple")
+        assert "RoundRobinPartitioning" not in s, name
+        assert "Exchange hashpartitioning(doc_id" in s, name
+
+
+def test_fuzzy_ingest_single_exchange(spark):
+    """Round-13 optimization (guide §2.4): fuzzy_pairs' ingest dedups
+    the (id, string) rows on ONE hash exchange — repartition by the
+    distinct keys at the core count, then dropDuplicates reuses that
+    exchange — instead of the old distinct-exchange + keyless
+    repartition pair. The plan must show exactly one ingest exchange
+    on (fid, fstr) and no RoundRobin anywhere."""
+    from ssp_spark.operators import fuzzy
+
+    part = spark.read.parquet(f"{SF_SMOKE}/part.parquet")
+    df = fuzzy.fuzzy_pairs(
+        part, "p_name", "p_name", max_dist=2, checkpoint=False,
+        short_strings="ignore",
+    )
+    s = plans.plan_string(df, "simple")
+    assert "RoundRobinPartitioning" not in s
+    import re
+
+    ingest = {
+        m.group(0)
+        for m in re.finditer(r"Exchange hashpartitioning\(fid[^\]]*?REPARTITION_BY_NUM", s)
+    }
+    assert len(ingest) == 1, s
+
+
 def test_simhash64_fingerprint_stays_map_side(spark):
     """The production-width simhash: the fingerprint fold must stay a
     map-side projection (no per-doc aggregation exchange — the only
