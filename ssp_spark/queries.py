@@ -351,6 +351,13 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
     supp = load_table(spark, "supplier", sf_dir)
+    # Round 13, examined and left alone (guide §3.1): at bench scale the
+    # planner broadcasts the column-pruned lineitem scan (BuildLeft —
+    # its 4-column estimate is below the joined cust⋈orders subtree's
+    # inflated join estimate) whichever side the join chain is written
+    # from; an li-first rewrite was measured plan-identical and
+    # reverted. At cluster scale every estimate exceeds the threshold
+    # and each fact shuffles exactly once on its join key, as designed.
     return (
         cust.join(nr, cust.c_nationkey == nr.n_nationkey)
         .join(orders, orders.o_custkey == cust.c_custkey)
@@ -7035,6 +7042,11 @@ def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's recursive CTE verifies the fixpoint transitively.
     Singleton names (no fuzzy partner) are their own component."""
     part = load_table(spark, "part", sf_dir)
+    # Round 13, examined and left alone: a persist-free variant (rely on
+    # ReuseExchange to dedup the four uses of this rollup) was profiled
+    # at sf0.1 — build dropped 0.99 -> 0.64 s but the un-checkpointed
+    # final plan recomputed the rollup in the action phase (0.035 ->
+    # 0.57 s): net WORSE. The persist + eager checkpoint pair stays.
     names = (
         part.filter(F.col("p_name").isNotNull())
         .groupBy("p_name")
@@ -8204,6 +8216,21 @@ _TRIANGLE_DAY_CAP = 2048
 # to the pre-round-8 keyed-shuffle plan instead of OOMing the hint.
 _TRIANGLE_BROADCAST_EDGES = 4_000_000
 
+# Driver-closing gate (round 13, guide §2.4 — remove shuffles outright;
+# the connected_components driver-union-find precedent): a surviving
+# edge set at or under this count is collected (16 bytes/row -> ≤ ~1 MB)
+# and the wedge/closing stages run as one exact in-memory pass instead
+# of a localCheckpoint + two broadcast joins — 5 driver-scheduled jobs
+# (checkpoint, 4 broadcast builds) and the whole closing stage collapse
+# into one O(m^1.5) set-intersection fold (degree-ordered, the same
+# orientation the distributed plan uses). Larger edge sets fall back to
+# the distributed wedge plan AUTOMATICALLY — at 100 TB nothing ever
+# collects an unbounded frame. The count that drives the gate is the
+# same one the broadcast gate already pays. 64k edges keeps the fold
+# well under the pair stage's own cost (measured: sf0.1's 526 edges
+# close in < 1 ms; a 64k-edge graph bounds at ~16M set probes).
+_TRIANGLE_DRIVER_EDGES = int(_os.environ.get("SSP_TRIANGLE_DRIVER_EDGES", "65536"))
+
 
 def _capped_user_days(
     ev: DataFrame, cap: int = _TRIANGLE_DAY_CAP, min_days: int = 0
@@ -8400,6 +8427,33 @@ def triangle_count_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # blocks) — one job instead of two, identical plan downstream.
     edge_cnt = edges.count()
     ud.unpersist()
+    if edge_cnt <= _TRIANGLE_DRIVER_EDGES:
+        # Driver closing (see _TRIANGLE_DRIVER_EDGES): the surviving
+        # edge list is tiny next to the pair stage that built it — close
+        # the wedges in one exact in-memory pass with the SAME
+        # degree-ordered orientation the distributed plan uses (each
+        # triangle {a≺b≺c} counted once as |out(a≺b)∩out(a≺c)| at its
+        # base edge). Replaces the ek localCheckpoint + 4 broadcast
+        # builds + 2 joins with a single collect of ≤ gate rows.
+        rows = edges.collect()
+        edges.unpersist()
+        deg: dict = {}
+        for r in rows:
+            deg[r[0]] = deg.get(r[0], 0) + 1
+            deg[r[1]] = deg.get(r[1], 0) + 1
+        out: dict = {}
+        for a, b in rows:
+            s, d = (a, b) if (deg[a], a) < (deg[b], b) else (b, a)
+            out.setdefault(s, set()).add(d)
+        empty: set = set()
+        tri_n = 0
+        for a, b in rows:
+            s, d = (a, b) if (deg[a], a) < (deg[b], b) else (b, a)
+            tri_n += len(out.get(s, empty) & out.get(d, empty))
+        return spark.range(1).select(
+            F.lit(edge_cnt).cast("long").alias("n_edges"),
+            F.lit(tri_n).cast("long").alias("n_triangles"),
+        )
     hint = F.broadcast if edge_cnt <= _TRIANGLE_BROADCAST_EDGES else (lambda df: df)
     ek = (
         edges.join(hint(deg.select(F.col("u").alias("u1"), F.col("d").alias("d1"))), "u1")

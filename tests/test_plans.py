@@ -705,6 +705,30 @@ def test_triangle_capped_stage_two_exchanges(spark):
     assert "collect_set" in s            # the fold is the aggregate
 
 
+def test_triangle_driver_closing_matches_distributed(spark, monkeypatch):
+    """Round-13 optimization: a surviving edge set at or under
+    _TRIANGLE_DRIVER_EDGES closes its wedges in one exact in-memory
+    driver pass (the connected_components driver-union-find precedent)
+    instead of the localCheckpoint + broadcast-join stage. Both paths
+    must produce the IDENTICAL (n_edges, n_triangles) row, and the
+    distributed fallback must still exist: forcing the gate to 0 takes
+    the old plan (asserted via its broadcast joins)."""
+    import ssp_spark.queries as q
+    from tests.conftest import SF_CORRECT
+
+    # sf0.01: 281 surviving edges, 188 triangles — a real closing stage
+    # on both paths (the smoke fixture's edge set is empty, which would
+    # vacuously pass)
+    drv = QUERIES["triangle_count_users"](spark, SF_CORRECT).collect()
+    assert drv[0]["n_edges"] > 0
+    monkeypatch.setattr(q, "_TRIANGLE_DRIVER_EDGES", -1)
+    dist_df = QUERIES["triangle_count_users"](spark, SF_CORRECT)
+    dist = dist_df.collect()
+    assert [tuple(r) for r in drv] == [tuple(r) for r in dist]
+    # the fallback is the broadcast-wedge plan, not a driver literal
+    assert plans.broadcast_join_count(dist_df) >= 1
+
+
 def test_simhash_filter_carries_no_hash_fold(spark):
     """The r12 simhash fix: the zero-token prune is a cheap RLIKE on the
     raw text, pushed to the scan. The r11 form filtered on size() of the
