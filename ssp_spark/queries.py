@@ -8226,9 +8226,12 @@ _TRIANGLE_BROADCAST_EDGES = 4_000_000
 # orientation the distributed plan uses). Larger edge sets fall back to
 # the distributed wedge plan AUTOMATICALLY — at 100 TB nothing ever
 # collects an unbounded frame. The count that drives the gate is the
-# same one the broadcast gate already pays. 64k edges keeps the fold
-# well under the pair stage's own cost (measured: sf0.1's 526 edges
-# close in < 1 ms; a 64k-edge graph bounds at ~16M set probes).
+# same one the broadcast gate already pays. Measured at sf0.1: the
+# 44,771-edge graph (2.49M triangles) folds in 0.28 s vs ~0.9 s for
+# the distributed closing stage it replaces; the 10x fixture's 687k
+# edges exceed the gate and take the unchanged distributed plan
+# (O(m^1.5) set probes make a pure-Python fold the wrong tool past
+# ~100k edges — the gate is sized below that knee).
 _TRIANGLE_DRIVER_EDGES = int(_os.environ.get("SSP_TRIANGLE_DRIVER_EDGES", "65536"))
 
 
