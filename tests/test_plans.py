@@ -558,18 +558,49 @@ def test_cc_driver_path_labels_broadcast(spark):
     assert plans.broadcast_join_count(df) >= 1
 
 
-def test_bigram_lm_two_corpus_scans_broadcast_model(spark):
-    """The LM scorer reads the corpus exactly twice (model build +
-    scoring); the prefix counts are a model-sized rollup of the bigram
-    counts, not a third corpus pass; the model joins back as a broadcast
-    with no Python and no cartesian."""
+def test_bigram_lm_single_scan_cached_stream_broadcast_model(spark):
+    """Round 13 (guide §5): under the input-size gate the exploded
+    bigram stream is CACHED between its two consumers (model build +
+    scoring), so the corpus scans once and the tokenize+shingle+explode
+    runs once instead of twice (measured 6.38 -> 3.29 s at the 10x
+    fixture). The prefix counts stay a model-sized rollup (never a
+    third pass); the model still joins back as a broadcast with no
+    Python and no cartesian."""
     df = QUERIES["bigram_lm_score"](spark, SF_SMOKE)
     s = plans.plan_string(df, "simple")
-    assert s.count("documents.parquet") == 2
+    # BOTH consumers (model aggregate, scoring join) read the cache —
+    # one runtime materialization of the explode. (The plan STRING
+    # prints the relation's child under each InMemoryTableScan, so the
+    # FileScan line appears twice; the relation itself is one cache.)
+    assert s.count("InMemoryTableScan") == 2
+    assert "InMemoryRelation" in s
     assert plans.broadcast_join_count(df) >= 1  # model into the stream
     full = plans.plan_string(df)
     assert "BatchEvalPython" not in full and "ArrowEvalPython" not in full
     assert not plans.has_cartesian(df)
+
+
+def test_bigram_lm_over_gate_recomputes_two_scans(spark, monkeypatch):
+    """Over the gate (the 100 TB posture) lm_score must NOT cache the
+    data-sized stream: the plan falls back to the prior two-scan shape
+    — and both shapes return identical rows."""
+    from ssp_spark.operators import text as text_ops
+
+    # drop any live stream cache first: the CacheManager substitutes a
+    # registered fragment into EVERY later matching plan, gated or not
+    spark.catalog.clearCache()
+    text_ops._LM_STREAM_CACHE.pop(spark, None)
+    orig_gate = text_ops._LM_PERSIST_INPUT_BYTES
+    monkeypatch.setattr(text_ops, "_LM_PERSIST_INPUT_BYTES", 0)
+    df = QUERIES["bigram_lm_score"](spark, SF_SMOKE)
+    s = plans.plan_string(df, "simple")
+    assert s.count("documents.parquet") == 2
+    assert "InMemoryRelation" not in s
+    b = sorted(map(tuple, df.collect()))
+    monkeypatch.setattr(text_ops, "_LM_PERSIST_INPUT_BYTES", orig_gate)
+    cached = QUERIES["bigram_lm_score"](spark, SF_SMOKE)
+    a = sorted(map(tuple, cached.collect()))
+    assert a == b
 
 
 def test_histogram_partial_aggregates(spark):
