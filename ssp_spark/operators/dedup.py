@@ -625,14 +625,22 @@ def connected_components(
     """
     edges = pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    sym = sym.localCheckpoint()
+    # persist, not localCheckpoint (round 13, guide §5): the gate's
+    # count() is itself the materializing action that fills the cache,
+    # so the fast path is TWO driver jobs (count + collect-from-cache)
+    # instead of three (checkpoint write + count + collect); the
+    # distributed path reads the same cached blocks every round —
+    # lineage cutting is only needed on the ITERATING frame (labels,
+    # checkpointed per round below), sym's own plan is fixed.
     # (Round-13 negative result, kept as a note: folding this gate into
     # one limit(threshold+1).collect() is NOT a job reduction — global
     # limits collect via incremental take(), which runs log-many jobs
     # when the frame is smaller than the limit, i.e. exactly the fast
-    # path. count() + collect() over the checkpointed blocks stays.)
+    # path. count() + collect() over the persisted blocks stays.)
+    sym = sym.persist()
     if driver_edge_threshold and sym.count() <= driver_edge_threshold:
         rows = sym.collect()
+        sym.unpersist()
         parent: dict = {}
 
         def find(x):
@@ -688,6 +696,7 @@ def connected_components(
             converged = True
             break
         prev_sum = new_sum
+    sym.unpersist()
     if not converged:
         # Silently returning partial labels would be a hard-to-diagnose
         # parity failure vs the exact-fixpoint oracle on long-chain graphs

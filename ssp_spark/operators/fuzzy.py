@@ -154,21 +154,40 @@ def fuzzy_pairs(
 
     # Verify: length prefilter (free: |len1-len2| <= d is implied by
     # edit distance <= d) then exact levenshtein. The name table is tiny
-    # next to the pair stream — broadcast both lookups.
-    names = base.select(F.col("fid"), F.col("fstr"), F.length("fstr").alias("flen"))
+    # next to the pair stream — broadcast both lookups. Both lookups
+    # broadcast the IDENTICAL subtree (same projection, aliased at the
+    # join, not re-projected per side) so ReuseExchange collapses the
+    # two broadcast builds into one driver job + one in-memory relation
+    # (round 13, guide §2.4 — same rows, same joins, one exchange).
+    # The explicit isnotnull conjuncts make constraint inference a no-op:
+    # without them each join side receives the SAME inferred not-null
+    # set in a DIFFERENT conjunct order (join-1 infers from its keys
+    # first, join-2 from the length prefilter first), the canonicalized
+    # subtrees stop being equal, and ReuseExchange cannot fire. The
+    # predicates themselves are already implied (inner equi-join on fid
+    # + the length prefilter), so the filter changes no rows.
+    names = (
+        base.select(F.col("fid"), F.col("fstr"), F.length("fstr").alias("flen"))
+        .filter(
+            F.col("fid").isNotNull()
+            & F.col("fstr").isNotNull()
+            & F.col("flen").isNotNull()
+        )
+    )
+    bnames = F.broadcast(names)
     out = (
-        cand.join(
-            F.broadcast(names.select(F.col("fid").alias("id1"), F.col("fstr").alias("s1"), F.col("flen").alias("l1"))),
-            "id1",
-        )
-        .join(
-            F.broadcast(names.select(F.col("fid").alias("id2"), F.col("fstr").alias("s2"), F.col("flen").alias("l2"))),
-            "id2",
-        )
-        .filter(F.abs(F.col("l1") - F.col("l2")) <= max_dist)
-        .withColumn("dist", F.levenshtein("s1", "s2"))
+        cand.join(bnames.alias("n1"), F.col("id1") == F.col("n1.fid"))
+        .join(bnames.alias("n2"), F.col("id2") == F.col("n2.fid"))
+        .filter(F.abs(F.col("n1.flen") - F.col("n2.flen")) <= max_dist)
+        .withColumn("dist", F.levenshtein(F.col("n1.fstr"), F.col("n2.fstr")))
         .filter(F.col("dist") <= max_dist)
-        .select("id1", "id2", "s1", "s2", "dist")
+        .select(
+            "id1",
+            "id2",
+            F.col("n1.fstr").alias("s1"),
+            F.col("n2.fstr").alias("s2"),
+            "dist",
+        )
     )
     if short_strings == "error":
         if base.filter(F.length("fstr") < short_len).limit(1).count() > 0:
@@ -188,14 +207,26 @@ def fuzzy_pairs(
         # corpus has NO short strings the blocked path is already
         # lossless by the documented precondition, and the side path's
         # broadcasts PLUS the union's full-output distinct are pure
-        # overhead — one limit(1) probe on the persisted base (early-
-        # terminating at any scale) skips them. Results are identical
-        # either way: with no short strings `extra` is empty and
-        # distinct(out) == out (candidate pairs are distinct-ed before
-        # verify).
-        shorts = base.filter(F.length("fstr") < short_len)
-        if shorts.limit(1).count() == 0:
-            shorts = None
+        # overhead. Results are identical either way: with no short
+        # strings `extra` is empty and distinct(out) == out (candidate
+        # pairs are distinct-ed before verify).
+        #
+        # Probe shape (round 13, guide §5): the old probe was
+        # filter(len < short_len).limit(1).count() — a global limit,
+        # which executes as an incremental take (1 partition, then 4x
+        # more, ...), i.e. LOG-MANY driver jobs in exactly the common
+        # case where no short string exists and every partition must be
+        # scanned to conclude zero (the connected_components gate hit
+        # the same trap). min(length) over the persisted base is ONE
+        # job, costs one pass over the distinct names the persist
+        # retains anyway, and doubles as the materializing action the
+        # downstream broadcast builds (gram_df, names x2) reuse.
+        min_len = base.agg(F.min(F.length("fstr"))).collect()[0][0]
+        shorts = (
+            base.filter(F.length("fstr") < short_len)
+            if min_len is not None and min_len < short_len
+            else None
+        )
     if short_strings == "exact" and shorts is not None:
         near = base.filter(F.length("fstr") < short_len + max_dist)
         sa_strs = shorts.select(F.col("fstr").alias("sa")).distinct()

@@ -53,7 +53,18 @@ def exact_range_boundaries(df: DataFrame, value_col: str, n_shards: int) -> list
     semantics, and ties are bit-identical (exact integer arithmetic on
     both paths; the property tests cover n < n_shards).
     """
-    hist = df.groupBy(F.col(value_col).alias("v")).agg(F.count("*").alias("cnt"))
+    return _boundaries_from_hist(
+        df.groupBy(F.col(value_col).alias("v")).agg(F.count("*").alias("cnt")),
+        n_shards,
+    )
+
+
+def _boundaries_from_hist(hist: DataFrame, n_shards: int) -> list:
+    """exact_range_boundaries' rank computation over an already-built
+    (v, cnt) histogram — factored out (round 13) so consumers that also
+    AGGREGATE per value (range_shard_manifest) can persist the histogram
+    once and reuse it for both the boundary collect and the manifest,
+    instead of scanning the base twice."""
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wn = Window.orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -93,22 +104,46 @@ def shard_expr(value_col: str, boundaries: list) -> F.Column:
 
 
 def range_shard_manifest(
-    df: DataFrame, value_col: str, n_shards: int = 8
+    df: DataFrame, value_col: str, n_shards: int = 8, checkpoint: bool = True
 ) -> DataFrame:
     """(shard, n_rows, min_v, max_v) for the exact range sharding —
     the manifest a writer would use to emit globally-ordered shards
-    (shard s holds exactly the rows between split points s-1 and s)."""
-    bounds = exact_range_boundaries(df, value_col, n_shards)
-    return (
+    (shard s holds exactly the rows between split points s-1 and s).
+
+    Round 13 (guide §2.4): the manifest aggregates (count/min/max per
+    shard) are all computable from the (v, cnt) HISTOGRAM the boundary
+    pass already built — grouping by distinct value first loses nothing
+    for count/min/max — so the histogram is persisted once and reused
+    for both the boundary collect and the manifest, instead of scanning
+    and re-aggregating the base table a second time. The 8-row manifest
+    is localCheckpoint-ed so the histogram blocks release before
+    return; output is bit-identical (same boundaries, same shard
+    function, exact integer counts). ``checkpoint=False`` is the
+    plan-inspection path (tests assert on the real manifest plan; the
+    eager checkpoint would truncate it to an ExistingRDD scan) — those
+    callers accept the histogram staying persisted for the plan's
+    lifetime."""
+    hist = (
         df.select(F.col(value_col).alias("v"))
-        .withColumn("shard", shard_expr("v", bounds))
+        .groupBy("v")
+        .agg(F.count("*").alias("cnt"))
+        .persist()
+    )
+    bounds = _boundaries_from_hist(hist, n_shards)
+    out = (
+        hist.withColumn("shard", shard_expr("v", bounds))
         .groupBy("shard")
         .agg(
-            F.count("*").alias("n_rows"),
+            F.sum("cnt").alias("n_rows"),
             F.min("v").alias("min_v"),
             F.max("v").alias("max_v"),
         )
     )
+    if not checkpoint:
+        return out
+    out = out.localCheckpoint()
+    hist.unpersist()
+    return out
 
 
 def global_order_positions(

@@ -6336,15 +6336,31 @@ def cluster_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _minhash_pairs_artifact — dedup_minhash_lsh measures building it)
     pairs = _minhash_pairs_artifact(spark, sf_dir)
     comp = dedup.connected_components(pairs).withColumnRenamed("id", "doc_id")
-    q = text.quality_score(docs).select("doc_id", "quality")
-    grouped = docs.join(comp, "doc_id", "left").select(
-        "doc_id", F.coalesce("component_id", F.col("doc_id")).alias("group_id")
+    # Fused quality (round 13, guide §2.4): quality_score is a pure
+    # per-row projection, so the previous grouped.join(q, "doc_id") was
+    # a full corpus self-join — two exchanges + a join whose only
+    # purpose was to glue two projections of the SAME documents row
+    # back together. Scoring inline on the one scan removes that join
+    # outright. Equivalent because doc_id is the documents table's
+    # non-null unique key (the inner join was exactly 1:1; the explicit
+    # isNotNull keeps the old join's null-key-drop semantics) —
+    # verified hash-identical vs the unchanged oracle at
+    # sf0.001/0.01/0.1.
+    grouped = (
+        text.quality_score(docs)
+        .filter(F.col("doc_id").isNotNull())
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", F.col("doc_id")).alias("group_id"),
+            "quality",
+        )
     )
     w = Window.partitionBy("group_id").orderBy(
         F.col("quality").desc(), F.col("doc_id")
     )
     return (
-        grouped.join(q, "doc_id")
+        grouped
         .select(
             "doc_id",
             "group_id",

@@ -432,6 +432,45 @@ def test_fuzzy_ingest_single_exchange(spark):
     assert len(ingest) == 1, s
 
 
+def test_fuzzy_verify_broadcast_reused(spark):
+    """Round-13 optimization (guide §2.4): the verify step's two name
+    lookups broadcast the IDENTICAL subtree (one shared projection with
+    its not-null conjuncts written explicitly so constraint inference
+    cannot reorder them per side), so ReuseExchange collapses the second
+    broadcast build into a ReusedExchange — one broadcast job + one
+    in-memory relation instead of two."""
+    from ssp_spark.operators import fuzzy
+
+    part = spark.read.parquet(f"{SF_SMOKE}/part.parquet")
+    # assert on the STATIC (non-AQE) plan — the benched sf0.1 config
+    # (AQE is input-gated off below 1 GiB): there ReuseExchangeAndSubquery
+    # rewrites the second broadcast statically. Under AQE each cache use
+    # becomes its own TableCacheQueryStage and the equivalent stage-level
+    # reuse is a runtime concern, not this pin's.
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = fuzzy.fuzzy_pairs(
+            part, "p_name", "p_name", max_dist=2, checkpoint=False,
+            short_strings="ignore",
+        )
+        s = plans.plan_string(df, "simple")
+        assert "ReusedExchange" in s, s
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+def test_keeper_single_documents_scan(spark):
+    """Round-13 optimization (guide §2.4): cluster_dedup_keeper computes
+    quality INLINE on the grouped frame (quality_score is a pure per-row
+    projection), so the old corpus self-join on doc_id — whose only
+    purpose was to glue two projections of the same documents row back
+    together — is gone: the plan reads documents exactly once."""
+    df = QUERIES["cluster_dedup_keeper"](spark, SF_SMOKE)
+    s = plans.plan_string(df, "simple")
+    assert s.count("documents.parquet") == 1, s
+
+
 def test_simhash64_fingerprint_stays_map_side(spark):
     """The production-width simhash: the fingerprint fold must stay a
     map-side projection (no per-doc aggregation exchange — the only
