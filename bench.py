@@ -438,7 +438,10 @@ def main() -> None:
     twin_foreign: dict[str, float] = {}
     for name in EXPR_TWINS:  # cold pass, not eligible for the min
         run_once(spark, name, sf_dir)
-    for _sweep in range(2):
+    # three sweeps since round 14 (ADVICE r13): the DuckDB loop below
+    # already takes 3 draws over HEADLINE + EXPR_TWINS, so the twins'
+    # Spark side was the one asymmetric (2-draw) section of the pair.
+    for _sweep in range(3):
         for name in EXPR_TWINS:
             t, st, fo, _cp = run_once(spark, name, sf_dir)
             t = round(t, 3)

@@ -638,65 +638,70 @@ def connected_components(
     # when the frame is smaller than the limit, i.e. exactly the fast
     # path. count() + collect() over the persisted blocks stays.)
     sym = sym.persist()
-    if driver_edge_threshold and sym.count() <= driver_edge_threshold:
-        rows = sym.collect()
-        sym.unpersist()
-        parent: dict = {}
+    # try/finally (ADVICE r13): a Spark job failing inside the gate or
+    # the label-propagation loop must not leak the persisted edge frame
+    # (and its lineage-backed cache blocks) in the block manager for
+    # the session's lifetime.
+    try:
+        if driver_edge_threshold and sym.count() <= driver_edge_threshold:
+            rows = sym.collect()
+            parent: dict = {}
 
-        def find(x):
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:  # path compression
-                parent[x], x = r, parent[x]
-            return r
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
 
-        for r in rows:
-            a, b = r.src, r.dst
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[ra] = rb
-        cmin: dict = {}
-        for n in parent:
-            r = find(n)
-            if r not in cmin or n < cmin[r]:
-                cmin[r] = n
-        out = [(n, cmin[find(n)]) for n in parent]
-        id_type = edges.schema["src"].dataType
-        schema = T.StructType(
-            [T.StructField("id", id_type), T.StructField("component_id", id_type)]
-        )
-        # Round 13 (guide §3): the driver-path label frame is a
-        # createDataFrame over a local list, so Spark has NO size stats
-        # and consumers (cluster_dedup_keeper, entity_resolution_parts,
-        # curation retain) planned their docs-side lookups as full
-        # sort-merge joins — two exchanges + sorts of the BIG side to
-        # join a frame this gate just proved is <= driver_edge_threshold
-        # nodes (~16 B/row: a few MB). Hint it broadcastable; the
-        # distributed fallback below returns UNHINTED, so an over-gate
-        # pair graph at 100 TB never broadcasts.
-        return F.broadcast(pairs.sparkSession.createDataFrame(out, schema))
-    labels = (
-        sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
-    ).localCheckpoint()
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    converged = False
-    for _ in range(max_iter):
-        nbr = sym.join(labels, sym.dst == labels.id).select(
-            F.col("src").alias("id"), F.col("label")
-        )
-        new_labels = (
-            labels.union(nbr).groupBy("id").agg(F.min("label").alias("label"))
+            for r in rows:
+                a, b = r.src, r.dst
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[ra] = rb
+            cmin: dict = {}
+            for n in parent:
+                r = find(n)
+                if r not in cmin or n < cmin[r]:
+                    cmin[r] = n
+            out = [(n, cmin[find(n)]) for n in parent]
+            id_type = edges.schema["src"].dataType
+            schema = T.StructType(
+                [T.StructField("id", id_type), T.StructField("component_id", id_type)]
+            )
+            # Round 13 (guide §3): the driver-path label frame is a
+            # createDataFrame over a local list, so Spark has NO size stats
+            # and consumers (cluster_dedup_keeper, entity_resolution_parts,
+            # curation retain) planned their docs-side lookups as full
+            # sort-merge joins — two exchanges + sorts of the BIG side to
+            # join a frame this gate just proved is <= driver_edge_threshold
+            # nodes (~16 B/row: a few MB). Hint it broadcastable; the
+            # distributed fallback below returns UNHINTED, so an over-gate
+            # pair graph at 100 TB never broadcasts.
+            return F.broadcast(pairs.sparkSession.createDataFrame(out, schema))
+        labels = (
+            sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
         ).localCheckpoint()
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels = new_labels
-        if new_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = new_sum
-    sym.unpersist()
+        prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+        converged = False
+        for _ in range(max_iter):
+            nbr = sym.join(labels, sym.dst == labels.id).select(
+                F.col("src").alias("id"), F.col("label")
+            )
+            new_labels = (
+                labels.union(nbr).groupBy("id").agg(F.min("label").alias("label"))
+            ).localCheckpoint()
+            new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+            labels = new_labels
+            if new_sum == prev_sum:
+                converged = True
+                break
+            prev_sum = new_sum
+    finally:
+        sym.unpersist()
     if not converged:
         # Silently returning partial labels would be a hard-to-diagnose
         # parity failure vs the exact-fixpoint oracle on long-chain graphs
@@ -789,12 +794,13 @@ def simhash_pairs(
     width) with 4×15-bit slices — shipped as the dedup_simhash64_pairs
     query.
 
-    Id contract (same as _pair_shared_counts / span_dup_pairs): the
-    pair dedup packs ``id1 << 32 | id2`` into one long, so ``id_col``
-    must be integral with non-negative values < 2^31 — a string id
-    would cast to NULL and collapse every pair into one (NULL, NULL)
-    row (ADVICE r12). The type is enforced here; the value range is
-    the caller's contract.
+    Id contract (same as _pair_shared_counts / span_dup_pairs):
+    ``id_col`` must be integral with non-negative values < 2^31 —
+    the long-cast output columns and the historical packed-long pair
+    key both assume it (ADVICE r12). The type is enforced here; the
+    value range is the caller's contract. (Since round 14 the pair
+    dedup is the lowest-surviving-band emission below, not a packed
+    DISTINCT, but the contract is unchanged.)
     """
     id_type = dict(df.dtypes).get(id_col)
     if id_type not in ("tinyint", "smallint", "int", "bigint"):
@@ -802,27 +808,73 @@ def simhash_pairs(
             f"simhash_pairs requires an integral {id_col!r} (< 2^31, "
             f"non-negative) for packed-long pair keys; got {id_type}"
         )
-    banded = banded_fingerprints(
-        df, id_col, text_col, bits, bands, band_cap
+    banded = banded_fingerprints(df, id_col, text_col, bits, bands, band_cap)
+    # A pair colliding on several bands appears once per band, so the
+    # output is semantically DISTINCT(id1, id2). Through round 13 that
+    # dedup was a pair-count-sized exchange + hash aggregate over the
+    # packed (id1 << 32 | id2) longs — the kernel's single dominant
+    # stage (0.61 s of the 1.5 s sf0.1 row; VERDICT r13 #1). Round 14
+    # removes it outright (guide §2.4): emit each pair from exactly ONE
+    # band — the LOWEST band where both docs survived the cap with
+    # equal slices — so no two band buckets ever produce the same pair
+    # and the join output is distinct by construction, needing zero
+    # further exchanges. Each banded row carries its doc's packed
+    # survivor-slice vector sv (per band, band_val+1 in a 16-bit lane;
+    # 0 = trimmed by the cap — the +1 keeps a real band_val of 0
+    # distinct from trimmed), built by one window over doc_id: a
+    # corpus×bands-sized exchange of 16-byte rows, orders of magnitude
+    # under the candidate-pair exchange it replaces whenever collisions
+    # are nontrivial, and linear in the corpus always. Two docs share
+    # band k iff their k-lanes are equal AND non-zero; the join row at
+    # `band` is kept iff no lower band is shared (sharing at `band`
+    # itself is guaranteed: both rows survived that bucket with the
+    # join's band_val). The cap interacts correctly by construction:
+    # sv encodes POST-cap survival, so a pair trimmed apart at its
+    # lowest agreeing raw band is emitted at its lowest SURVIVING
+    # shared band, exactly the set the DISTINCT produced (verified
+    # row-identical vs the oracle at sf0.001/0.01/0.1). 16-bit lanes
+    # hold bands <= 4 in one long (band 3's lane may set the sign bit;
+    # extraction uses shiftrightunsigned so signedness is irrelevant);
+    # wider band counts would need an array encoding — no declared
+    # profile uses one, so guard instead of generalizing.
+    if bands > 4:
+        raise ValueError(
+            f"simhash_pairs supports at most 4 bands (16-bit survivor "
+            f"lanes in one long); got bands={bands}"
+        )
+    # SQL expr: the Python F.shiftleft only takes a literal shift count
+    sv_lane = F.expr("shiftleft(cast(band_val + 1 as bigint), band * 16)")
+    banded = banded.withColumn(
+        "sv", F.sum(sv_lane).over(Window.partitionBy("doc_id"))
     ).persist()
-    a = banded.select(F.col("doc_id").alias("id1"), "band", "band_val")
-    b = banded.select(F.col("doc_id").alias("id2"), "band", "band_val")
-    # A pair colliding on several bands appears once per band — the
-    # dedup groupBy is semantically DISTINCT(id1, id2), but shuffled as
-    # ONE packed long (id1 << 32 | id2) instead of a 16-byte two-column
-    # row: same id contract (< 2^31 non-negative, long-cast at ingest)
-    # and the same shuffle-width halving as _packed_pair_counts /
-    # triangle_count_users (r12; output verified row-identical at
-    # sf0.1's 1.8M pairs).
-    p = F.shiftleft(F.col("id1").cast("long"), 32) + F.col("id2")
+    a = banded.select(
+        F.col("doc_id").alias("id1"), "band", "band_val", F.col("sv").alias("sv1")
+    )
+    b = banded.select(
+        F.col("doc_id").alias("id2"), "band", "band_val", F.col("sv").alias("sv2")
+    )
+
+    def _lane(col: str, k: int) -> F.Column:
+        return F.shiftrightunsigned(F.col(col), 16 * k).bitwiseAND(F.lit(0xFFFF))
+
+    first_shared = None
+    for k in range(bands - 1):
+        shared_k = (_lane("sv1", k) != 0) & (_lane("sv1", k) == _lane("sv2", k))
+        first_shared = (
+            F.when(shared_k, k)
+            if first_shared is None
+            else first_shared.when(shared_k, k)
+        )
+    first_shared = (
+        F.lit(0) if first_shared is None else first_shared.otherwise(bands - 1)
+    )
     out = (
         a.join(b, ["band", "band_val"])
         .filter(F.col("id1") < F.col("id2"))
-        .select(p.alias("p"))
-        .distinct()
+        .filter(first_shared == F.col("band"))
         .select(
-            F.shiftrightunsigned("p", 32).cast("long").alias("id1"),
-            F.col("p").bitwiseAND(F.lit((1 << 32) - 1)).alias("id2"),
+            F.col("id1").cast("long").alias("id1"),
+            F.col("id2").cast("long").alias("id2"),
         )
         .localCheckpoint()
     )

@@ -190,7 +190,14 @@ def fuzzy_pairs(
         )
     )
     if short_strings == "error":
-        if base.filter(F.length("fstr") < short_len).limit(1).count() > 0:
+        # Same single-job min(length) probe as the 'exact' branch below
+        # (ADVICE r13): the old filter(...).limit(1).count() is the
+        # global-limit incremental-take pattern — log-many driver jobs
+        # exactly when no short string exists and every partition must
+        # be scanned to conclude zero. One aggregate over the persisted
+        # base doubles as its materializing action.
+        min_len = base.agg(F.min(F.length("fstr"))).collect()[0][0]
+        if min_len is not None and min_len < short_len:
             raise ValueError(
                 f"fuzzy_pairs(short_strings='error'): input contains strings "
                 f"shorter than q*(max_dist+1) = {short_len}; blocking is not "

@@ -118,11 +118,16 @@ def range_shard_manifest(
     and re-aggregating the base table a second time. The 8-row manifest
     is localCheckpoint-ed so the histogram blocks release before
     return; output is bit-identical (same boundaries, same shard
-    function, exact integer counts). ``checkpoint=False`` is the
-    plan-inspection path (tests assert on the real manifest plan; the
-    eager checkpoint would truncate it to an ExistingRDD scan) — those
-    callers accept the histogram staying persisted for the plan's
-    lifetime."""
+    function, exact integer counts).
+
+    WARNING — ``checkpoint=False`` LEAKS the persisted histogram by
+    design (ADVICE r13): it exists ONLY for plan inspection in tests
+    (the eager checkpoint would truncate the manifest plan to an
+    ExistingRDD scan), and the histogram stays pinned in the block
+    manager until the caller's session ends or something unpersists it.
+    Production callers must use the default ``checkpoint=True``; a
+    caller who needs the lazy plan AND block hygiene must
+    ``.unpersist()`` the InMemoryRelation themselves."""
     hist = (
         df.select(F.col(value_col).alias("v"))
         .groupBy("v")

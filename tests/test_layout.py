@@ -57,7 +57,11 @@ def test_manifest_plan_has_no_global_sort(spark):
     # its histogram exchange once per AQE plan variant, so count only
     # the manifest's own operators.
     above_cache = s.split("InMemoryRelation")[0]
-    assert above_cache.count("Exchange") == 1
+    # pin the operator TYPE (ADVICE r13): a bare 'Exchange' substring
+    # count would also accept a future ReusedExchange/BroadcastExchange
+    # above the cache as "the one allowed shuffle".
+    assert above_cache.count("Exchange hashpartitioning") == 1
+    assert above_cache.count("Exchange") == 1  # and nothing else named Exchange
     assert "rangepartitioning" not in s and "Sort " not in s
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
 

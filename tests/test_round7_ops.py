@@ -204,6 +204,66 @@ def test_simhash_pairs_still_accepts_integral_ids(spark):
     assert [(r.id1, r.id2) for r in got] == [(1, 2)]
 
 
+def test_simhash_pairs_lowest_band_emission_matches_distinct(spark):
+    """Round 14 (guide §2.4): simhash_pairs emits each candidate pair
+    from its LOWEST surviving shared band instead of DISTINCT-ing the
+    per-band join output — removing the pair-count-sized exchange +
+    hash aggregate. The emitted set must equal the naive
+    DISTINCT(join) reference for every band_cap, INCLUDING caps small
+    enough to trim docs out of hot buckets (the survivor-lane logic:
+    a pair trimmed apart at its lowest raw-agreeing band must still be
+    emitted at its lowest shared band where BOTH survived)."""
+    import pyspark.sql.functions as F
+
+    # duplicate clusters: 8 clusters of 4 exact copies of text A plus 3
+    # exact copies of a one-token variant B. Exact copies share the
+    # whole fingerprint, so intra-group pairs collide on ALL 4 bands —
+    # guaranteeing multi-band duplicates (what the dedup removes) and,
+    # under small caps, hot buckets that really get trimmed (what the
+    # survivor lanes must encode).
+    rows = []
+    words = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    for c in range(8):
+        base_text = " ".join(f"{w}{c}" for w in words.split())
+        for d in range(4):
+            rows.append((c * 10 + d, base_text))
+        for d in range(4, 7):
+            rows.append((c * 10 + d, base_text + " extra"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for cap in (2, 3, 1024):
+        banded = dedup.banded_fingerprints(
+            df, bits=60, bands=4, band_cap=cap
+        ).persist()
+        a = banded.select(F.col("doc_id").alias("id1"), "band", "band_val")
+        b = banded.select(F.col("doc_id").alias("id2"), "band", "band_val")
+        raw = (
+            a.join(b, ["band", "band_val"])
+            .filter(F.col("id1") < F.col("id2"))
+            .select("id1", "id2")
+        )
+        n_raw = raw.count()
+        expect = sorted((r.id1, r.id2) for r in raw.distinct().collect())
+        got = sorted(
+            (r.id1, r.id2)
+            for r in dedup.simhash_pairs(
+                df, bits=60, bands=4, band_cap=cap
+            ).collect()
+        )
+        banded.unpersist()
+        assert got == expect, f"band_cap={cap}"
+        # sanity: the corpus really produces multi-band duplicates —
+        # otherwise the lowest-band emission exercises nothing
+        assert n_raw > len(expect) > 0, f"band_cap={cap}"
+
+
+def test_simhash_pairs_rejects_over_4_bands(spark):
+    # the 16-bit survivor lanes pack at most 4 bands into one long
+    df = spark.createDataFrame([(1, "aa bb")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="at most 4 bands"):
+        dedup.simhash_pairs(df, bands=5)
+
+
 # ---------------------------------------------------------------------------
 # batch-4 closed forms (oracle parity is the gate; these pin the math)
 # ---------------------------------------------------------------------------
