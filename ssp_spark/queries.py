@@ -8485,21 +8485,36 @@ def triangle_count_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     edges.unpersist()  # ek materialized: the raw edge blocks are done
-    # The oriented edge list is checkpointed and 16-bytes-a-row small
-    # (bounded by the day-capped pair stage that built it), so both the
-    # wedge mate and the closing probe broadcast: the wedge stream then
-    # never crosses an exchange — each w1 task hash-probes the src map,
-    # filters kb < kc, probes (b, c), and partial-counts, one pipelined
-    # stage (unhinted: two sort-merge exchanges of the O(m^1.5) wedge
-    # stream, the widest frame in the query). Same fallback contract as
-    # the deg hints above if a corpus's edge set outgrows a broadcast —
-    # dropping the hints restores the keyed-shuffle plan.
-    w1 = ek.select("src", F.col("dst").alias("b"), F.col("kdst").alias("kb"))
-    w2 = ek.select("src", F.col("dst").alias("c"), F.col("kdst").alias("kc"))
-    wedges = w1.join(hint(w2), "src").filter(F.col("kb") < F.col("kc"))
-    closing = ek.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    tri = wedges.join(hint(closing), ["b", "c"]).agg(
-        F.count("*").cast("long").alias("n_triangles")
+    # Closing by per-edge adjacency INTERSECTION (round 14, guide §2.4/
+    # §1.2 — VERDICT r13 #2): n_triangles = Σ over oriented edges (u,v)
+    # of |out(u) ∩ out(v)| — each triangle {a≺b≺c} counted exactly once
+    # at its LOWEST edge (a,b), since c ∈ out(a) ∩ out(b) and out(c)
+    # never contains b under the orientation. This replaces the r8-r13
+    # wedge enumeration (w1 ⋈ w2 on src, filter kb < kc, probe the
+    # closing edge), which MATERIALIZED the O(m^1.5) wedge stream as
+    # join rows — the query's widest frame (sf1 fixture: 149.4M wedge
+    # rows; closing stage 13.6 s) — only to count the survivors. The
+    # intersection form touches the same neighbor elements inside one
+    # array kernel per edge row (no wedge rows, no per-wedge hash
+    # probe): measured 13.6 -> 2.0 s on the identical materialized ek
+    # at sf1, count-identical (149,373,230; scripts/
+    # ab_triangle_close_r14.py). The adjacency lists are bounded by the
+    # orientation's O(sqrt(2m)) max out-degree, and the adjacency FRAME
+    # is strictly smaller than ek (same elements, grouped), so the same
+    # edge-count gate that sized the old broadcasts applies: under it
+    # both adjacency lookups broadcast and the closing is one pipelined
+    # stage over ek; over it the hints drop and the plan falls back to
+    # keyed shuffles of ek against the adjacency — the exact fallback
+    # contract the wedge form had.
+    adj = ek.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    au = adj.select(F.col("src").alias("ju"), F.col("nbrs").alias("nu"))
+    av = adj.select(F.col("src").alias("jv"), F.col("nbrs").alias("nv"))
+    tri = (
+        ek.select("src", "dst")
+        .join(hint(au), F.col("src") == F.col("ju"))
+        .join(hint(av), F.col("dst") == F.col("jv"))
+        .select(F.size(F.array_intersect("nu", "nv")).alias("t"))
+        .agg(F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("n_triangles"))
     )
     n_edges = spark.range(1).select(F.lit(edge_cnt).cast("long").alias("n_edges"))
     return n_edges.crossJoin(tri)  # two 1-row frames

@@ -397,10 +397,12 @@ def test_text_spreads_are_hash_partitioned_not_roundrobin(spark):
     retry-determinism local sort of the full text rows before every
     shuffle write (spark.sql.execution.sortBeforeRepartition), while
     hashing a unique key spreads identically without the sort. Pinned
-    on the two suite queries whose final plan is not checkpoint-
-    truncated; the codec gates' _spread_for_cpu stays round-robin by
-    design (no id column; asserted in test_codec_gates_decode_map_shape)."""
-    for name in ("dedup_simhash", "bigram_lm_score"):
+    on the suite queries whose final plan is not checkpoint-truncated
+    (round 14 adds bpe_token_stats — the family's last round-robin text
+    spread, now hashed on the doc_id the caller already has); the codec
+    gates' _spread_for_cpu stays round-robin by design (no id column;
+    asserted in test_codec_gates_decode_map_shape)."""
+    for name in ("dedup_simhash", "bigram_lm_score", "bpe_token_stats"):
         df = QUERIES[name](spark, SF_SMOKE)
         s = plans.plan_string(df, "simple")
         assert "RoundRobinPartitioning" not in s, name
