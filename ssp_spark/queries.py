@@ -12997,73 +12997,76 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
 # re-verified hash-green at sf0.01 before displacement — and lead
 # this round's window under the age-bound reserve.
 _CHECK_FIRST = [
-    # ---- ROUND 13 WINDOW ---------------------------------------------
-    # Pure freshness rotation (VERDICT r12 #2: no new queries, no plan
-    # changes claim slots this round — the r13 ADVICE/guard work is all
-    # corrupt-input rejection, disclosed in test_registry.py under the
-    # late-r12 slot rule, not slotted). Composition, computed from the
-    # CORRECTNESS_r*.json evidence ages (not hand-listed):
-    # 2 r7-stale (the reserved oldest rows) + the whole 45-row
-    # r8-stale cohort + the 3 alphabetically-first rows of the 42-row
-    # r9-stale cohort = 50. After the r13 driver run the oldest
-    # registry evidence is r9 (the remaining 39 r9 rows), which leads
-    # the r14 queue — see test_registry.py's computed-staleness test.
-    # (a) the two oldest-evidence rows (r7, displaced in r12): the
-    # age-bound reserve (VERDICT r11 #6) guarantees them slots, and
-    # this round pins them to the FIRST slots the driver hashes.
-    "token_freq_spectrum_docs",
-    "user_event_entropy",
-    # (b) the entire 45-row r8-stale cohort, alphabetical:
-    "ann_ivf_topk",
-    "approx_distinct_users",
-    "array_lateral_explode",
-    "bloom_customer_names",
-    "calibration_bins_embeddings",
-    "cluster_dedup_keeper",
-    "cms_user_counts",
-    "containment_dedup_pairs",
-    "cusum_user_activity",
-    "dedup_jaccard_pairs",
-    "dedup_minhash_lsh",
-    "ema_daily_user_spend",
-    "embedding_correlation",
-    "embedding_covariance",
-    "event_type_pivot_api",
-    "holt_trend_user_spend",
-    "isotonic_calibration_embeddings",
-    "km_user_conversion",
-    "leakage_safe_split",
-    "lift_gain_deciles",
-    "lineitem_unpivot",
-    "literal_source_wordcount",
-    "map_funcs_roundtrip",
-    "multimodal_resize",
-    "pipeline_curation_v2",
-    "q11_important_parts",
-    "q12_ship_priority_class",
-    "q13_custdist",
-    "q15_top_supplier",
-    "q18_large_orders",
-    "q21_waiting_supplier",
-    "q6_forecast_revenue",
-    "quality_score",
-    "regexp_funcs",
-    "right_join_order_priority_mix",
-    "roc_auc_embedding_norm",
-    "rolling_30d_spend",
-    "salted_join_event_spend",
-    "sample_split_hash",
-    "skyline_pareto_parts",
-    "source_json_scan",
-    "stats_numeric",
-    "udtf_sentence_split",
-    "window_rank_stats",
-    "word_count",
-    # (c) the 3 alphabetically-first rows of the r9-stale cohort fill
-    # the remaining slots (the other 39 lead the r14 queue):
-    "ann_ivf_topk_gemm",
-    "approx_percentile_value",
-    "attribution_last_touch",
+    # ---- ROUND 14 WINDOW ---------------------------------------------
+    # Pure freshness rotation, computed from the CORRECTNESS_r*.json
+    # evidence ages (the r13 window is consumed: CORRECTNESS_r13.json
+    # hashed all 50 of its rows green). Composition: the ENTIRE 39-row
+    # r9-stale cohort (the oldest evidence after the r13 run — it
+    # includes the two oldest rows, so the age-bound reserve is
+    # inside it) + the 11 alphabetically-first rows of the 47-row
+    # r10-stale cohort = 50. After the r14 driver run the oldest
+    # registry evidence is r10 (the remaining 36 r10 rows), which
+    # leads the r15 queue — see test_registry.py.
+    # Round-14 kernel changes (simhash pair dedup, triangle closing,
+    # bpe spread) do NOT claim slots beyond what the freshness queue
+    # already seats: bpe_token_stats sits in the r9 cohort below, and
+    # dedup_simhash64_pairs / dedup_simhash_pairs / triangle_count_users
+    # were hash-verified against their oracles at sf0.001/0.01/0.1 in
+    # this round's sessions (slot-rule disclosure in
+    # tests/test_registry.py), with full 234-query driver-sim sweeps
+    # after each kernel change.
+    # (a) the 39-row r9-stale cohort, alphabetical:
+    "bigram_lm_score",
+    "bloom_prefilter_join",
+    "bootstrap_ci_spend",
+    "bpe_token_stats",
+    "bucketed_join_order_revenue",
+    "cluster_balanced_sample",
+    "contamination_check",
+    "contrastive_pairs_mining",
+    "daily_spine_fill",
+    "dedup_embedding_lsh",
+    "dedup_incremental_batch",
+    "dedup_ngram_corpus",
+    "doc_chunk_overlap",
+    "domain_mixture_weights",
+    "dq_audit_orders",
+    "embedding_quantize_int8",
+    "event_cooccurrence",
+    "funnel_conversion",
+    "groupwise_regression",
+    "incremental_agg_maintenance",
+    "interval_overlap_orders",
+    "kmeans_embeddings",
+    "mixture_resample",
+    "null_safe_join_props",
+    "pagerank_customer_supplier",
+    "profile_table",
+    "quality_repetition_filter",
+    "range_shard_manifest",
+    "scd1_customer_merge",
+    "sequence_packing",
+    "session_windows",
+    "sink_partitioned_scan",
+    "skew_key_stats",
+    "snapshot_diff_customers",
+    "source_orc_scan",
+    "source_schema_evolution",
+    "stats_numeric_exact",
+    "tfidf_top_terms",
+    "value_histogram",
+    # (b) the 11 alphabetically-first rows of the r10-stale cohort:
+    "anti_join_inactive_customers",
+    "array_funcs_embeddings",
+    "asof_join_purchase_signup",
+    "cohort_retention",
+    "contrastive_pairs_lsh",
+    "corpus_shuffle_order",
+    "cube_order_stats",
+    "cust_above_nation_avg",
+    "date_funcs_monthly_orders",
+    "date_trunc_weekly_orders",
+    "dedup_embedding_cosine",
 ]
 
 assert len(_CHECK_FIRST) == 50 and len(set(_CHECK_FIRST)) == 50

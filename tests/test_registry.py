@@ -436,15 +436,95 @@ _R13_R9_HEAD = {
 #   test_codec_fuzz.py::test_tiff_zero_tile_dimensions_rejected.
 
 
-def test_driver_window_is_the_round13_target_set():
+def test_r13_window_record_partitions_the_artifact():
+    """Round 13 is consumed (CORRECTNESS_r13.json hashed it green); this
+    pins the RECORD: the r13 groups still partition exactly the 50
+    names that artifact checked, like the r12 record test above."""
+    import json
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "CORRECTNESS_r13.json"
+    )
+    with open(path) as f:
+        checked = set(json.load(f))
+    assert checked == _R13_R7_STALE | _R13_R8_STALE | _R13_R9_HEAD
+
+
+# ---------------------------------------------------------------------
+# ROUND 14 window (the CURRENT driver-gate contract)
+# ---------------------------------------------------------------------
+
+# Round 14 is a PURE freshness rotation (the optimization round's kernel
+# changes claim no slots — disclosures below). Composition, computed
+# from the CORRECTNESS_r*.json evidence ages: the ENTIRE 39-row
+# r9-stale cohort (the oldest evidence after the r13 run; the two
+# oldest rows are inside it, so the age-bound reserve is satisfied by
+# construction) + the 11 alphabetically-first rows of the 47-row
+# r10-stale cohort = 50.
+
+_R14_R9_STALE = {
+    "bigram_lm_score", "bloom_prefilter_join", "bootstrap_ci_spend",
+    "bpe_token_stats", "bucketed_join_order_revenue",
+    "cluster_balanced_sample", "contamination_check",
+    "contrastive_pairs_mining", "daily_spine_fill",
+    "dedup_embedding_lsh", "dedup_incremental_batch",
+    "dedup_ngram_corpus", "doc_chunk_overlap",
+    "domain_mixture_weights", "dq_audit_orders",
+    "embedding_quantize_int8", "event_cooccurrence",
+    "funnel_conversion", "groupwise_regression",
+    "incremental_agg_maintenance", "interval_overlap_orders",
+    "kmeans_embeddings", "mixture_resample", "null_safe_join_props",
+    "pagerank_customer_supplier", "profile_table",
+    "quality_repetition_filter", "range_shard_manifest",
+    "scd1_customer_merge", "sequence_packing", "session_windows",
+    "sink_partitioned_scan", "skew_key_stats",
+    "snapshot_diff_customers", "source_orc_scan",
+    "source_schema_evolution", "stats_numeric_exact",
+    "tfidf_top_terms", "value_histogram",
+}
+
+_R14_R10_HEAD = {
+    "anti_join_inactive_customers", "array_funcs_embeddings",
+    "asof_join_purchase_signup", "cohort_retention",
+    "contrastive_pairs_lsh", "corpus_shuffle_order",
+    "cube_order_stats", "cust_above_nation_avg",
+    "date_funcs_monthly_orders", "date_trunc_weekly_orders",
+    "dedup_embedding_cosine",
+}
+
+# Round-14 slot-rule disclosures (optimization-round kernel changes,
+# output-identity proven rather than slotted — every one hash-verified
+# vs its DuckDB oracle at sf0.001/0.01/0.1 in-session plus full
+# 234-query driver-sim sweeps after each change):
+# - dedup.simhash_pairs: the cross-band pair dedup is now a
+#   lowest-surviving-band emission (zero post-join exchanges) instead
+#   of a packed-long DISTINCT; set-equality pinned by
+#   test_round7_ops.py::test_simhash_pairs_lowest_band_emission_
+#   matches_distinct including cap-trimming states. Touches
+#   dedup_simhash_pairs / dedup_simhash64_pairs.
+# - triangle_count_users: the distributed closing stage sums
+#   size(array_intersect(out(u), out(v))) per oriented edge instead of
+#   enumerating wedges; both gate paths verified by
+#   test_plans.py::test_triangle_driver_closing_matches_distributed
+#   and oracle-hashed at three SFs (driver path AND forced-distributed
+#   path).
+# - text.bpe_token_stream: the pre-explode spread hashes on the
+#   caller-named unique doc_id instead of round-robin (plan pinned in
+#   test_plans.py::test_text_spreads_are_hash_partitioned_not_
+#   roundrobin); token stream is identical (order-free aggregate).
+# - theil_sen_trend_orders: the day-pair spread derives from
+#   defaultParallelism instead of a hard-coded 32 (plan-identical on
+#   the 32-core bench host).
+
+
+def test_driver_window_is_the_round14_target_set():
     window = list(QUERIES)[:50]
     assert window == _CHECK_FIRST
-    assert set(window) == _R13_R7_STALE | _R13_R8_STALE | _R13_R9_HEAD
-    # ordering: the 2 reserved oldest rows lead (the slots the driver
-    # hashes first), then the r8 cohort, then the r9 head
-    assert set(window[:2]) == _R13_R7_STALE
-    assert set(window[2:47]) == _R13_R8_STALE
-    assert set(window[47:]) == _R13_R9_HEAD
+    assert set(window) == _R14_R9_STALE | _R14_R10_HEAD
+    # ordering: the whole r9 cohort leads (oldest evidence first), then
+    # the r10 head, each alphabetical
+    assert set(window[:39]) == _R14_R9_STALE
+    assert set(window[39:]) == _R14_R10_HEAD
 
 
 # ---------------------------------------------------------------------
